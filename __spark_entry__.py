@@ -1,38 +1,53 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check on sf0.001.
+``queries()`` — every implemented operator from SURVEY.md §2 (and the
+north-star extensions) as (spark, sf_dir) -> DataFrame callables.
+``oracle_sql()`` — matching DuckDB SQL for the correctness gate; ops with no
+SQL equivalent (xxhash64-based MinHash/SimHash) are rows-only by design.
+
+Implementation lives in ``vectordb_cloud_spark/queries.py``.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from vectordb_cloud_spark import queries as _q  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference's GET /search pipeline (embed -> tenant filter
+    -> exact top-k L2 -> {id, string, score} projection;
+    /root/reference/app.py:58-75) over sf0.001 documents with the
+    deterministic mock embedder."""
+    from pyspark.sql import functions as F
+
+    from vectordb_cloud_spark.functions.embedding import mock_embed, mock_vector
+    from vectordb_cloud_spark.operators.knn import knn_search, search_response
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    points = docs.select(
+        F.col("doc_id").alias("text_id"),
+        "text",
+        (F.col("doc_id") % 100).alias("user_id"),
+        F.col("source").alias("site"),
+        "lang",
+    ).withColumn("embedding", mock_embed("text"))
+    qvec = mock_vector("spark join order sort table")
+    hits = knn_search(points, qvec, k=5, filters=F.col("user_id") == 7)
+    return search_response(hits)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _q.registry()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _q.oracles()

@@ -1,0 +1,47 @@
+"""ANN paths (LSH, IVF): recall vs exact brute force — SURVEY.md §5 gate."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_cloud_spark.operators.ann import (
+    brute_force_topk,
+    ivf_build,
+    ivf_search,
+    lsh_fit,
+    lsh_knn,
+    recall_at_k,
+)
+
+
+@pytest.fixture(scope="module")
+def qvec(embeddings):
+    row = embeddings.filter(F.col("vec_id") == 0).first()
+    return [float(x) for x in row["embedding"]]
+
+
+def test_lsh_returns_k_and_overlaps_exact(embeddings, qvec):
+    model, _ = lsh_fit(embeddings, bucket_length=4.0, num_hash_tables=4)
+    approx = lsh_knn(model, embeddings, qvec, k=10)
+    exact = brute_force_topk(embeddings, qvec, k=10)
+    assert approx.count() == 10
+    r = recall_at_k(approx, exact, "vec_id")
+    assert r >= 0.3  # loose floor for random 64-dim data with 4 tables
+
+
+def test_ivf_full_probe_equals_exact(embeddings, qvec):
+    centers, assigned = ivf_build(embeddings, k_centroids=8)
+    assigned = assigned.cache()
+    exact = brute_force_topk(embeddings, qvec, k=10)
+    full = ivf_search(assigned, centers, qvec, k=10, nprobe=8)
+    assert recall_at_k(full, exact, "vec_id") == 1.0  # probing all lists = exact
+
+
+def test_ivf_partial_probe_recall(embeddings, qvec):
+    centers, assigned = ivf_build(embeddings, k_centroids=8)
+    assigned = assigned.cache()
+    exact = brute_force_topk(embeddings, qvec, k=10)
+    part = ivf_search(assigned, centers, qvec, k=10, nprobe=3)
+    assert recall_at_k(part, exact, "vec_id") >= 0.5
+    # and it scans strictly fewer rows than the full collection
+    probe_rows = assigned.filter(F.col("centroid_id").isin([c[0] for c in centers[:3]])).count()
+    assert probe_rows < assigned.count()

@@ -1,0 +1,67 @@
+"""Service-layer parity: the reference's endpoint lifecycle
+(insert -> search -> tenant isolation -> deletes -> classify), i.e. the
+run_tests.py / test_qdrant.py scenarios re-run against the Spark engine."""
+
+import pytest
+
+from vectordb_cloud_spark.api import VectorService
+
+
+@pytest.fixture()
+def svc(spark, tmp_path):
+    return VectorService(spark, str(tmp_path / "cat"), index_name="TestVDB", dim=16)
+
+
+def test_insert_search_tenant_isolation(svc):
+    """/root/reference/run_tests.py:21-28: user 332 inserts, user 332 finds
+    it, user 333 sees nothing."""
+    assert svc.insert(1, 332, "Game of Thrones is a fantasy series", "site1", "en") == 1
+    hits = svc.search(332, "Game", limit=5).collect()
+    assert len(hits) == 1 and hits[0]["id"] == 1
+    assert svc.search(333, "Game", limit=5).count() == 0
+
+
+def test_search_optional_filters(svc):
+    svc.insert(1, 7, "alpha doc", "siteA", "en")
+    svc.insert(2, 7, "alpha doc two", "siteB", "en")
+    assert svc.search(7, "alpha", limit=5).count() == 2
+    got = svc.search(7, "alpha", limit=5, site="siteA").collect()
+    assert [r["id"] for r in got] == [1]
+
+
+def test_upsert_replaces_by_id(svc):
+    svc.insert(5, 9, "original text", "s", "en")
+    svc.insert(5, 9, "replaced text", "s", "en")
+    hits = svc.search(9, "text", limit=5).collect()
+    assert len(hits) == 1 and hits[0]["string"] == "replaced text"
+
+
+def test_remove_by_user(svc):
+    svc.insert(1, 11, "to be removed", "s", "en")
+    svc.insert(2, 12, "to be kept", "s", "en")
+    assert svc.remove_by_user(11) == 1
+    assert svc.search(11, "removed", limit=5).count() == 0
+    assert svc.search(12, "kept", limit=5).count() == 1
+
+
+def test_remove_by_word_scoped_to_tenant(svc):
+    """Intended D2 semantics (/root/reference/app.py:94-117 is broken —
+    SURVEY.md documents the bug; we implement the contract)."""
+    svc.insert(1, 21, "spark engine doc", "s", "en")
+    svc.insert(2, 21, "other doc", "s", "en")
+    svc.insert(3, 22, "spark doc of another tenant", "s", "en")
+    assert svc.remove_all_by_word(21, "spark") == 1
+    assert {r["id"] for r in svc.search(21, "doc", limit=5).collect()} == {2}
+    assert svc.search(22, "spark", limit=5).count() == 1
+
+
+def test_remove_by_regex(svc):
+    svc.insert(1, 31, "error code 404 found", "s", "en")
+    svc.insert(2, 31, "all fine here", "s", "en")
+    assert svc.remove_all_by_regex(31, r"code \d+") == 1
+    assert {r["id"] for r in svc.search(31, "text", limit=5).collect()} == {2}
+
+
+def test_classify_returns_a_category(svc):
+    cat = svc.get_category_for_title(1, "sports\\npolitics\\nscience", "football match results")
+    assert cat in {"sports", "politics", "science"}

@@ -1,0 +1,65 @@
+"""Dedup operators: constructed duplicates must be found; clean rows must not."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_cloud_spark.operators.dedup import (
+    dedup_keep_first,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_near_dup_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and runs away fast"),
+        (2, "THE  quick Brown fox jumps over the lazy dog and runs away fast"),  # case/ws dup of 1
+        (3, "the quick brown fox jumps over the lazy dog and runs away slowly"),  # near-dup of 1
+        (4, "completely different content about spark dataframe execution plans"),
+        (5, "completely different content about spark dataframe execution plans"),  # exact dup of 4
+        (6, "unrelated short text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(corpus):
+    groups = exact_dedup(corpus).collect()
+    members = sorted(tuple(g["member_ids"]) for g in groups)
+    assert members == [(1, 2), (4, 5)]  # normalization folds case/whitespace
+
+
+def test_dedup_keep_first(corpus):
+    kept = {r["doc_id"] for r in dedup_keep_first(corpus).collect()}
+    assert kept == {1, 3, 4, 6}
+
+
+def test_minhash_lsh_finds_near_dup(corpus):
+    pairs = minhash_lsh_pairs(corpus, num_hashes=32, bands=16, shingle_n=2,
+                              jaccard_threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 3) in got or (1, 2) in got  # near-dups collide in some band
+    assert (4, 5) in got  # exact dups always collide
+    assert all(a != 6 and b != 6 for a, b in got)  # clean doc never pairs
+
+
+def test_ngram_jaccard_identical_is_one(corpus):
+    blocked = corpus.withColumn("block", F.lit("all"))
+    pairs = ngram_jaccard_pairs(blocked, "block", shingle_n=2, threshold=0.99)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got.get((4, 5)) == 1.0
+
+
+def test_simhash_identical_zero_hamming(corpus):
+    sh = {r["doc_id"]: r["simhash"] for r in simhash64(corpus).collect()}
+    assert sh[4] == sh[5]
+    assert sh[1] != sh[4]
+
+
+def test_simhash_near_dup_pairs(corpus):
+    pairs = simhash_near_dup_pairs(corpus, max_hamming=16)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got.get((4, 5)) == 0

@@ -1,0 +1,27 @@
+"""Driver-contract smoke: entry() runs, queries()/oracle_sql() are consistent."""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import __spark_entry__ as entrymod
+
+
+def test_entry_returns_rows(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert df.columns == ["id", "string", "score"]
+    assert len(rows) >= 0
+
+
+def test_every_oracle_has_a_query():
+    qs = entrymod.queries()
+    for name in entrymod.oracle_sql():
+        assert name in qs
+
+
+def test_all_queries_runnable_sf0001(spark):
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, "/root/testdata/sf0.001")
+        assert df.count() >= 0, name

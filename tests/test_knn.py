@@ -1,0 +1,86 @@
+"""kNN operator: numpy ground truth + the reference's property contracts."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_cloud_spark.operators.knn import knn_batch, knn_search, search_response
+
+
+@pytest.fixture(scope="module")
+def emb_np(embeddings):
+    rows = embeddings.select("vec_id", "embedding", "label").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    labels = np.array([r["label"] for r in rows])
+    return ids, mat, labels
+
+
+def _exact_topk(ids, mat, q, k, mask=None):
+    d = np.linalg.norm(mat - np.array(q), axis=1)
+    if mask is not None:
+        d = np.where(mask, d, np.inf)
+    order = np.lexsort((ids, d))
+    return list(ids[order][:k])
+
+
+def test_knn_matches_numpy(embeddings, emb_np):
+    ids, mat, _ = emb_np
+    q = [float(x) for x in mat[0]]
+    got = knn_search(embeddings, q, k=10).select("vec_id").collect()
+    want = _exact_topk(ids, mat, q, 10)
+    assert [r["vec_id"] for r in got] == want
+
+
+def test_knn_k_subset_property(embeddings, emb_np):
+    """kNN(k) ⊆ kNN(k+5) — SURVEY.md §5 property test."""
+    _, mat, _ = emb_np
+    q = [float(x) for x in mat[3]]
+    small = {r["vec_id"] for r in knn_search(embeddings, q, k=5).select("vec_id").collect()}
+    big = {r["vec_id"] for r in knn_search(embeddings, q, k=10).select("vec_id").collect()}
+    assert small <= big
+
+
+def test_knn_filtered_respects_predicate(embeddings, emb_np):
+    ids, mat, labels = emb_np
+    q = [float(x) for x in mat[0]]
+    got = knn_search(embeddings, q, k=5, filters=F.col("label") == 2).collect()
+    assert all(r["label"] == 2 for r in got)
+    want = _exact_topk(ids, mat, q, 5, mask=(labels == 2))
+    assert [r["vec_id"] for r in got] == want
+
+
+def test_tenant_isolation_empty(embeddings, emb_np):
+    """The run_tests.py scenario (/root/reference/run_tests.py:21-28): a
+    tenant with no points gets zero hits."""
+    _, mat, _ = emb_np
+    q = [float(x) for x in mat[0]]
+    got = knn_search(embeddings, q, k=5, filters=F.col("label") == -999)
+    assert got.count() == 0
+
+
+def test_knn_batch_matches_per_query(embeddings, emb_np):
+    ids, mat, _ = emb_np
+    queries = embeddings.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = knn_batch(embeddings.select("vec_id", "embedding"), queries, k=4)
+    by_query = {}
+    for r in got.collect():
+        by_query.setdefault(r["query_id"], []).append(r["vec_id"])
+    for qid in (0, 1, 2):
+        q = [float(x) for x in mat[list(ids).index(qid)]]
+        assert set(by_query[qid]) == set(_exact_topk(ids, mat, q, 4))
+
+
+def test_search_response_shape(embeddings, emb_np):
+    _, mat, _ = emb_np
+    q = [float(x) for x in mat[0]]
+    pts = embeddings.select(F.col("vec_id").alias("text_id"),
+                            F.col("vec_id").cast("string").alias("text"), "embedding")
+    hits = knn_search(pts, q, k=3)
+    resp = search_response(hits)
+    assert resp.columns == ["id", "string", "score"]
+    rows = resp.collect()
+    assert len(rows) == 3
+    assert rows[0]["score"] <= rows[-1]["score"]

@@ -1,0 +1,95 @@
+"""Service layer: the reference's six endpoints as engine calls.
+
+Maps the FastAPI contract (/root/reference/app.py) 1:1 onto the Spark
+operators, preserving observable semantics — including the 1/0 success
+codes and the mandatory tenant filter — while fixing the documented
+reference bugs (SURVEY.md §2.7 D2: the scroll mis-unpack that made
+/remove_all_by_word always return 0; we implement the intended delete).
+
+Batch-of-1 inserts are pathological on Spark; a real deployment micro-batches
+via Structured Streaming (see streaming/ingest.py). This layer keeps the
+per-request API for parity and tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vectordb_cloud_spark.collections import CollectionCatalog
+from vectordb_cloud_spark.functions.embedding import DEFAULT_DIM, mock_embed, mock_vector
+from vectordb_cloud_spark.operators.classify import classify_title
+from vectordb_cloud_spark.operators.knn import knn_search, search_response
+
+
+class VectorService:
+    """One prod collection, multi-tenant via user_id filter — the
+    reference's deployment shape (/root/reference/QdrantCloud.py:24,
+    README.md:22)."""
+
+    def __init__(self, spark: SparkSession, catalog_root: str,
+                 index_name: str = "EverGrowingVDB", dim: int = DEFAULT_DIM):
+        self.spark = spark
+        self.catalog = CollectionCatalog(spark, catalog_root)
+        self.index_name = index_name
+        self.dim = dim
+        self.catalog.create(index_name, dim)
+
+    # GET /insert (/root/reference/app.py:36-55)
+    def insert(self, id: int, user_id: int, text: str, site: str = "", lang: str = "") -> int:
+        try:
+            df = self.spark.createDataFrame(
+                [(id, id, text, user_id, site, lang)],
+                "id long, text_id long, text string, user_id long, site string, lang string",
+            ).withColumn("embedding", mock_embed("text", self.dim))
+            self.catalog.upsert(self.index_name, df)
+            return 1
+        except Exception:
+            return 0  # reference bare-except contract (/root/reference/app.py:53-55)
+
+    # GET /search (/root/reference/app.py:58-75)
+    def search(self, user_id: int, text: str, limit: int = 5,
+               site: str | None = None, lang: str | None = None) -> DataFrame:
+        qvec = mock_vector(text, self.dim)
+        pred = F.col("user_id") == F.lit(user_id)  # mandatory tenant filter (search.py:37)
+        if site is not None:  # optional predicates (search.py:38-41)
+            pred = pred & (F.col("site") == F.lit(site))
+        if lang is not None:
+            pred = pred & (F.col("lang") == F.lit(lang))
+        points = self.catalog.read(self.index_name)
+        hits = knn_search(points, qvec, k=limit, filters=pred)
+        return search_response(hits)
+
+    # GET /remove_by_user (/root/reference/app.py:78-91)
+    def remove_by_user(self, user_id: int) -> int:
+        try:
+            self.catalog.delete_where(self.index_name, F.col("user_id") == F.lit(user_id))
+            return 1
+        except Exception:
+            return 0
+
+    # GET /remove_all_by_word — intended semantics (/root/reference/app.py:94-117)
+    def remove_all_by_word(self, user_id: int, word: str) -> int:
+        try:
+            self.catalog.delete_where(
+                self.index_name,
+                (F.col("user_id") == F.lit(user_id)) & F.col("text").contains(word),
+            )
+            return 1
+        except Exception:
+            return 0
+
+    # GET /remove_all_by_regex (/root/reference/app.py:120-143)
+    def remove_all_by_regex(self, user_id: int, regex: str) -> int:
+        try:
+            self.catalog.delete_where(
+                self.index_name,
+                (F.col("user_id") == F.lit(user_id)) & F.col("text").rlike(regex),
+            )
+            return 1
+        except Exception:
+            return 0
+
+    # GET /get_category_for_title (/root/reference/app.py:146-169)
+    def get_category_for_title(self, user_id: int, cats: str, title: str) -> str:
+        return classify_title(self.spark, user_id, cats, title, self.dim)

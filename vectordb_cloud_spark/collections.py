@@ -1,0 +1,190 @@
+"""Collection lifecycle over Parquet — the reference's "index/table".
+
+Reference ops (SURVEY.md §2.7): create_collection with a fixed vector dim +
+EUCLID metric (/root/reference/insert.py:67-76), idempotent existence check
+(insert.py:67-68), delete_collection (test_qdrant.py:92), copy-init from an
+existing collection (InitFrom, test_qdrant.py:128-133), list collections.
+
+Spark design: one directory per collection holding parquet data plus a
+``_meta.json`` sidecar recording dim / metric / id-type. The dim is a
+*checked* property on every write — fixing the reference's 384-vs-1024
+mismatch hole (SURVEY.md §1.2). Data is written partitioned by a bucket of
+``user_id`` (``pmod(hash(user_id), n_buckets)``) so the mandatory tenant
+filter of every search/delete prunes files instead of scanning the world —
+at 1000 tenants / 100 TB that turns every query into a ~0.1% scan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import asdict, dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+META_FILE = "_meta.json"
+DATA_DIR = "data"
+DEFAULT_BUCKETS = 32  # tenant-hash partition count; at 100 TB raise toward 1024
+
+
+@dataclass
+class CollectionMeta:
+    name: str
+    dim: int
+    metric: str = "l2"  # reference is always EUCLID (/root/reference/insert.py:72)
+    id_type: str = "long"  # "long" | "string" (uuid ids, test_qdrant.py:55)
+    n_buckets: int = DEFAULT_BUCKETS
+
+
+class CollectionCatalog:
+    """Filesystem-backed catalog of vector collections."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- registry ---------------------------------------------------------
+    def _dir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def list_collections(self) -> list[str]:
+        """Reference: client.get_collections (/root/reference/insert.py:67)."""
+        return sorted(
+            d for d in os.listdir(self.root)
+            if os.path.isfile(os.path.join(self.root, d, META_FILE))
+        )
+
+    def exists(self, name: str) -> bool:
+        return os.path.isfile(os.path.join(self._dir(name), META_FILE))
+
+    def meta(self, name: str) -> CollectionMeta:
+        with open(os.path.join(self._dir(name), META_FILE)) as f:
+            return CollectionMeta(**json.load(f))
+
+    # -- DDL ----------------------------------------------------------------
+    def create(self, name: str, dim: int, metric: str = "l2", id_type: str = "long",
+               n_buckets: int = DEFAULT_BUCKETS, if_not_exists: bool = True) -> CollectionMeta:
+        """U1: create collection (idempotent, /root/reference/insert.py:68-73)."""
+        if self.exists(name):
+            if if_not_exists:
+                return self.meta(name)
+            raise ValueError(f"collection {name!r} already exists")
+        meta = CollectionMeta(name, dim, metric, id_type, n_buckets)
+        os.makedirs(self._dir(name), exist_ok=True)
+        with open(os.path.join(self._dir(name), META_FILE), "w") as f:
+            json.dump(asdict(meta), f)
+        return meta
+
+    def drop(self, name: str) -> bool:
+        """U3: delete collection (/root/reference/test_qdrant.py:92)."""
+        if not self.exists(name):
+            return False
+        shutil.rmtree(self._dir(name))
+        return True
+
+    def create_from(self, name: str, source: str) -> CollectionMeta:
+        """U4: copy-init — new collection seeded from an existing one
+        (InitFrom, /root/reference/test_qdrant.py:128-133). CTAS shape."""
+        src_meta = self.meta(source)
+        meta = self.create(name, src_meta.dim, src_meta.metric, src_meta.id_type,
+                           src_meta.n_buckets, if_not_exists=False)
+        src_data = os.path.join(self._dir(source), DATA_DIR)
+        if os.path.isdir(src_data):
+            df = self.spark.read.parquet(src_data)
+            self._write(name, df, mode="overwrite")
+        return meta
+
+    # -- data ----------------------------------------------------------------
+    def _validate(self, name: str, df: DataFrame) -> DataFrame:
+        """Checked vector dim on every write (fixes SURVEY.md §1.2 hole)."""
+        meta = self.meta(name)
+        if "embedding" in df.columns:
+            bad = df.filter(F.size("embedding") != meta.dim).limit(1).count()
+            if bad:
+                raise ValueError(
+                    f"collection {name!r} expects dim={meta.dim}; got a row with a different size"
+                )
+        return df
+
+    def _write(self, name: str, df: DataFrame, mode: str = "overwrite") -> None:
+        self._swap_in(name, df.drop("__bucket"))
+
+    def read(self, name: str) -> DataFrame:
+        data = os.path.join(self._dir(name), DATA_DIR)
+        if not os.path.isdir(data):
+            meta = self.meta(name)
+            id_field = "id string" if meta.id_type == "string" else "id long"
+            return self.spark.createDataFrame(
+                [],
+                f"{id_field}, embedding array<float>, text_id long, text string, "
+                "user_id long, site string, lang string",
+            )
+        return self.spark.read.parquet(data)
+
+    def upsert(self, name: str, new_rows: DataFrame, id_col: str = "id") -> None:
+        """U2: batched upsert with replace-by-id (last-write-wins) semantics
+        (/root/reference/insert.py:31-63).
+
+        Plain-parquet MERGE emulation: existing LEFT ANTI JOIN new ON id,
+        UNION new, overwrite. The anti-join broadcasts the (small) new batch,
+        so the rewrite is one map pass over existing data. On a real
+        deployment this becomes Delta ``MERGE INTO`` + partition overwrite of
+        only the tenant buckets present in the batch.
+        """
+        new_rows = self._validate(name, new_rows).cache()
+        existing = self.read(name).drop("__bucket")
+        if not existing.columns or set(existing.columns) != set(new_rows.columns):
+            existing = new_rows.limit(0)
+        # last-write-wins inside the batch itself: keep the highest-sequence
+        # row per id (reference replay order, /root/reference/insert.py:55-63)
+        seq = new_rows.withColumn("__seq", F.monotonically_increasing_id())
+        w_new = (
+            seq.groupBy(id_col)
+            .agg(F.max_by(F.struct(*[c for c in new_rows.columns if c != id_col]), "__seq").alias("__s"))
+            .select(id_col, "__s.*")
+        )
+        merged = existing.join(F.broadcast(w_new), on=id_col, how="left_anti").unionByName(w_new)
+        self._swap_in(name, merged)
+        new_rows.unpersist()
+
+    def _swap_in(self, name: str, df: DataFrame) -> None:
+        """Write a full new table image to a staging dir, then atomically
+        swap it in (plain-parquet stand-in for a Delta transaction)."""
+        staging = os.path.join(self._dir(name), DATA_DIR + ".staging")
+        meta = self.meta(name)
+        if "user_id" in df.columns:
+            out = df.withColumn("__bucket", F.pmod(F.hash("user_id"), F.lit(meta.n_buckets)))
+            out.write.mode("overwrite").partitionBy("__bucket").parquet(staging)
+            # a fully-empty partitioned write leaves no data files -> the dir
+            # becomes unreadable; fall back to a schema-only unpartitioned file
+            if not any(
+                f.endswith(".parquet")
+                for _, _, files in os.walk(staging)
+                for f in files
+            ):
+                df.write.mode("overwrite").parquet(staging)
+        else:
+            df.write.mode("overwrite").parquet(staging)
+        final = os.path.join(self._dir(name), DATA_DIR)
+        if os.path.isdir(final):
+            shutil.rmtree(final)
+        os.rename(staging, final)
+
+    def delete_where(self, name: str, predicate) -> int:
+        """D1-D3: delete by predicate, one pushed-down rewrite
+        (implements the *intended* semantics of the reference's broken
+        scroll-then-filter delete, /root/reference/app.py:94-143)."""
+        df = self.read(name).drop("__bucket")
+        n_before = df.count()
+        kept = df.filter(~predicate)
+        self._swap_in(name, kept)
+        return n_before - self.read(name).count()
+
+    def delete_by_ids(self, name: str, ids: list, id_col: str = "id") -> int:
+        """D4: delete by id list (/root/reference/app.py:112,138) — with
+        partition-bucketed data this is a left-anti join against a broadcast
+        id set, a map-only pass."""
+        return self.delete_where(name, F.col(id_col).isin(ids))

@@ -1,0 +1,94 @@
+"""Nearest-centroid classification.
+
+Reference: GET /get_category_for_title (/root/reference/app.py:146-169) —
+embed M category strings + 1 title, return the category whose embedding is
+L2-nearest to the title's (``np.argmin(np.linalg.norm(...))``, app.py:169).
+
+Spark shape: categories are tiny -> broadcast cross join + ``min_by``
+aggregate. Generalized to batch form: classify N titles against M centroids
+in one plan (broadcast M, stream N) — the N side never shuffles except for
+the final per-title min_by aggregation, which is a partial-agg-friendly
+single key reduce.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vectordb_cloud_spark.functions.vector import l2_distance
+from vectordb_cloud_spark.functions.embedding import mock_embed, mock_vector
+
+
+def nearest_centroid(
+    items: DataFrame,
+    centroids: DataFrame,
+    item_id: str = "id",
+    item_vec: str = "embedding",
+    centroid_label: str = "label",
+    centroid_vec: str = "centroid",
+) -> DataFrame:
+    """For each item, the centroid label minimizing L2 distance.
+
+    ``min_by`` runs as a partial aggregate (map-side combine), so the wide
+    item table reduces to one row per item with a single shuffle on item_id —
+    and with AQE the post-shuffle partition count adapts to the reduced size.
+    Ties break deterministically toward the smaller label via the struct
+    ordering in min().
+    """
+    c = F.broadcast(
+        centroids.select(
+            F.col(centroid_label).alias("__clabel"), F.col(centroid_vec).alias("__cvec")
+        )
+    )
+    scored = items.crossJoin(c).withColumn(
+        "__cdist", l2_distance(F.col(item_vec), F.col("__cvec"))
+    )
+    # min over (dist, label) struct = argmin with deterministic label tiebreak
+    agg = scored.groupBy(item_id).agg(
+        F.min(F.struct(F.col("__cdist").alias("d"), F.col("__clabel").alias("l"))).alias("__m")
+    )
+    return agg.select(F.col(item_id), F.col("__m.l").alias(centroid_label), F.col("__m.d").alias("dist"))
+
+
+def label_centroids(points: DataFrame, label_col: str = "label", vec_col: str = "embedding") -> DataFrame:
+    """Mean vector per label — elementwise avg via posexplode + re-collect.
+
+    The explode produces (label, pos, value) rows that partial-aggregate
+    map-side on (label, pos); with D dims and L labels the shuffle is just
+    L·D rows regardless of input size — scale-safe.
+    """
+    exploded = points.select(
+        F.col(label_col), F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "v")
+    )
+    per_dim = exploded.groupBy(label_col, "pos").agg(F.avg("v").alias("mean_v"))
+    return (
+        per_dim.groupBy(label_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mean_v"))).alias("pairs"))
+        .select(
+            F.col(label_col),
+            F.transform(F.col("pairs"), lambda s: s["mean_v"]).alias("centroid"),
+        )
+    )
+
+
+def classify_title(spark, user_id: int, cats: str, title: str, dim: int = 64) -> str:
+    """Literal port of the /get_category_for_title contract: split ``cats``
+    on the two-char sequence backslash-n (/root/reference/app.py:162 quirk),
+    embed all categories + the title with the engine's embedder, return the
+    L2-nearest category string.
+    """
+    cat_list = cats.split("\\n")
+    cats_df = spark.createDataFrame([(c,) for c in cat_list], ["cat"]).withColumn(
+        "embedding", mock_embed("cat", dim)
+    )
+    title_vec = mock_vector(title, dim)
+    from vectordb_cloud_spark.functions.vector import l2_distance_to
+
+    best = (
+        cats_df.withColumn("dist", l2_distance_to(F.col("embedding"), title_vec))
+        .orderBy(F.col("dist").asc(), F.col("cat").asc())
+        .limit(1)
+        .collect()
+    )
+    return best[0]["cat"]

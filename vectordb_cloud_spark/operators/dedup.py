@@ -1,0 +1,266 @@
+"""Deduplication operators for large-scale corpus pipelines.
+
+Not reference ports (the reference's only dedup is content-addressed uuid3
+ids, /root/reference/test_qdrant.py:55) — these are the north-star
+training-data ops (BASELINE.json). All candidate generation is blocked
+(band-bucket / fingerprint equi-joins) so the shuffle key is the block, never
+an O(n²) cross product: at 100 TB the only all-pairs work happens inside
+buckets whose expected size is constant.
+
+- exact_dedup          — md5(normalized text) group-by
+- minhash_signatures   — word-shingle MinHash via per-seed xxhash64 (JVM-side)
+- minhash_lsh_pairs    — banded LSH candidate pairs + exact Jaccard verify
+- simhash64            — 64-bit SimHash; near-dup = small hamming distance
+- ngram_jaccard_pairs  — exact n-gram Jaccard within explicit blocks
+- embedding_near_dup   — cosine-threshold pairs over an embedding column
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from vectordb_cloud_spark.functions.text import doc_fingerprint, ngram_shingles
+from vectordb_cloud_spark.functions.vector import cosine_similarity
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups: fingerprint -> group-by -> keep min id as the
+    canonical representative. One shuffle on the fingerprint; map-side
+    partial agg makes the shuffle proportional to distinct fingerprints."""
+    fp = docs.select(F.col(id_col), doc_fingerprint(text_col).alias("fingerprint"))
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min(id_col).alias("keep_id"),
+            F.array_sort(F.collect_list(id_col)).alias("member_ids"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def dedup_keep_first(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Dedup'd corpus: keep the lowest-id row per exact fingerprint."""
+    w_fp = docs.withColumn("__fp", doc_fingerprint(text_col))
+    keep = w_fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return w_fp.join(keep, on=["__fp", id_col], how="inner").drop("__fp")
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash signature per document, entirely JVM-side.
+
+    hash_i(shingle) = xxhash64(shingle, i); signature[i] = min over the
+    document's distinct shingles. The whole signature is one ``transform``
+    over a literal seed sequence — no shuffle, no UDF, scan-speed at scale.
+    """
+    shingled = docs.select(
+        F.col(id_col), F.array_distinct(ngram_shingles(text_col, shingle_n)).alias("__sh")
+    )
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(F.transform(F.col("__sh"), lambda s: F.xxhash64(s, i))),
+    )
+    return shingled.select(F.col(id_col), sig.alias("signature"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash-LSH with exact-Jaccard verify.
+
+    shingle -> minhash -> split signature into ``bands`` bands -> bucket =
+    hash(band values) -> equi-self-join on (band, bucket) -> distinct
+    candidate pairs -> exact Jaccard on the shingle sets -> threshold.
+
+    The self-join shuffles on the bucket key only; candidates are verified
+    with ``array_intersect``/``array_union`` — no cross product anywhere.
+    """
+    rows_per_band = num_hashes // bands
+    shingled = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(ngram_shingles(text_col, shingle_n)).alias("shingles"),
+    )
+    sig = shingled.withColumn(
+        "signature",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda i: F.array_min(F.transform(F.col("shingles"), lambda s: F.xxhash64(s, i))),
+        ),
+    )
+    banded = sig.select(
+        "id",
+        "shingles",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(",", F.transform(
+                        F.slice("signature", b * rows_per_band + 1, rows_per_band),
+                        lambda v: v.cast("string"),
+                    ))
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.shingles").alias("sh_a"),
+            F.col("r.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cand.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+              shingle_n: int = 2) -> DataFrame:
+    """64-bit SimHash per document, as pure column expressions.
+
+    Each shingle hashes to 64 bits; per bit position the document sums
+    (+1/-1); the sign vector packs back into one signed 64-bit long. Hamming
+    distance between simhashes approximates cosine distance between the
+    shingle sets. No shuffle — computed in the scan stage.
+    """
+    shingled = docs.select(
+        F.col(id_col), ngram_shingles(text_col, shingle_n).alias("__sh")
+    ).withColumn("__h", F.transform("__sh", lambda s: F.xxhash64(s)))
+    # votes[i] = sum over shingles of (bit_i ? 1 : -1); bit masks are Python
+    # literals so everything stays a static codegen'd expression tree.
+    def _voter(mask):
+        # factory keeps the merge lambda binary (pyspark counts parameters)
+        return lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, F.lit(1)).otherwise(F.lit(-1))
+
+    packed = F.lit(0).cast("long")
+    for i in range(64):
+        mask = F.shiftleft(F.lit(1).cast("long"), i)
+        vote = F.aggregate(F.col("__h"), F.lit(0), _voter(mask))
+        packed = packed.bitwiseOR(F.when(vote > 0, mask).otherwise(F.lit(0).cast("long")))
+    return shingled.select(F.col(id_col), packed.alias("simhash"))
+
+
+def hamming64(a, b) -> F.Column:
+    """Popcount of XOR via bit_count (Spark 3.3+)."""
+    return F.bit_count(F.col(a).bitwiseXOR(F.col(b)) if isinstance(a, str) else a.bitwiseXOR(b))
+
+
+def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 8,
+                           id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """SimHash near-dup pairs, blocked by 16-bit bands (a pair within
+    hamming distance <= 3·16/64 must share at least one of 4 bands —
+    pigeonhole): equi-join on (band_idx, band_value), verify hamming."""
+    sh = simhash64(docs, id_col, text_col)
+    banded = sh.select(
+        F.col(id_col).alias("id"),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(*[
+                F.shiftright(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF))
+                for i in range(4)
+            ])
+        ).alias("band", "bval"),
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(r, (F.col("l.band") == F.col("r.band")) & (F.col("l.bval") == F.col("r.bval"))
+               & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                F.col("l.simhash").alias("sh_a"), F.col("r.simhash").alias("sh_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("hamming", hamming64("sh_a", "sh_b"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    block_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs within a block
+    (e.g. same lang/source). The equi-join on the block key keeps the pair
+    space bounded; SQL-expressible, so it has a DuckDB oracle."""
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("block"),
+        F.array_distinct(ngram_shingles(text_col, shingle_n)).alias("sh"),
+    )
+    l, r = base.alias("l"), base.alias("r")
+    pairs = l.join(r, (F.col("l.block") == F.col("r.block")) & (F.col("l.id") < F.col("r.id")))
+    jac = F.size(F.array_intersect("l.sh", "r.sh")) / F.size(F.array_union("l.sh", "r.sh"))
+    return (
+        pairs.select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_near_dup(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    block_col: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine-similarity near-duplicate pairs over an embedding column.
+
+    With ``block_col`` the join is an equi-join on the block (LSH bucket,
+    label, IVF centroid id...); without, it falls back to a broadcast cross
+    join — only acceptable for small/filtered inputs.
+    """
+    base = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        *([F.col(block_col).alias("block")] if block_col else []),
+    )
+    l, r = base.alias("l"), base.alias("r")
+    cond = F.col("l.id") < F.col("r.id")
+    if block_col:
+        cond = (F.col("l.block") == F.col("r.block")) & cond
+        pairs = l.join(r, cond)
+    else:
+        pairs = l.join(F.broadcast(r), cond)
+    cos = cosine_similarity(F.col("l.vec"), F.col("r.vec"))
+    return (
+        pairs.select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

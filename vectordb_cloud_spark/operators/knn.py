@@ -1,0 +1,139 @@
+"""Top-k nearest-neighbor search — the engine's centerpiece operator.
+
+Reference semantics (/root/reference/search.py:43-48): one query vector vs
+all points passing a mandatory tenant filter (+ optional site/lang equality
+filters), top-k ascending by Euclidean distance, executed inside Qdrant.
+Here it is a declarative Spark plan:
+
+    scan(parquet, pushed filters, pruned columns)
+      -> l2 distance column expression (JVM codegen, no UDF)
+      -> ORDER BY dist LIMIT k
+
+Catalyst compiles the ORDER BY + LIMIT into ``TakeOrderedAndProject`` — a
+per-partition bounded heap + driver-side merge of k rows per partition. No
+global sort, no shuffle of the full table: at 100 TB this is a single map
+pass over the (filter-pruned) scan, which is the optimal exact plan.
+
+Batched kNN (many queries at once) broadcasts the query side and window-ranks
+per query — the scan side never shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from vectordb_cloud_spark.functions.vector import cosine_similarity, l2_distance, l2_distance_to
+
+
+def knn_search(
+    points: DataFrame,
+    query_vector: list[float],
+    k: int = 5,
+    vector_col: str = "embedding",
+    filters: Column | None = None,
+    metric: str = "l2",
+    dist_col: str = "dist",
+) -> DataFrame:
+    """Exact filtered top-k search for a single query vector.
+
+    Mirrors GET /search (/root/reference/app.py:58-75): ``filters`` carries
+    the tenant/site/lang predicate conjunction (pushed down to the parquet
+    scan by Catalyst — the reference pushed these to Qdrant, search.py:37-45).
+    Ascending L2, exactly the reference's EUCLID ordering.
+    """
+    df = points if filters is None else points.filter(filters)
+    if metric == "l2":
+        dist = l2_distance_to(F.col(vector_col), query_vector)
+        order = F.col(dist_col).asc()
+    elif metric == "cosine":
+        q = F.array(*[F.lit(float(x)) for x in query_vector])
+        dist = cosine_similarity(F.col(vector_col), q)
+        order = F.col(dist_col).desc()
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+    return df.withColumn(dist_col, dist).orderBy(order).limit(k)
+
+
+def knn_batch(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    points_vec: str = "embedding",
+    queries_vec: str = "embedding",
+    query_id: str = "query_id",
+    metric: str = "l2",
+    dist_col: str = "dist",
+    exclude_self: str | None = None,
+) -> DataFrame:
+    """Exact top-k for a *batch* of query vectors.
+
+    Plan: broadcast(queries) × points cross join -> distance expr -> window
+    rank per query -> rank <= k. The big (points) side streams through
+    map-side only; the broadcast replaces what would otherwise be an O(n)
+    shuffle. Correct plan shape for "many small query batches vs one huge
+    collection" at scale. For queries too large to broadcast, chunk the
+    query side and union — never shuffle the points side.
+
+    ``exclude_self``: name of an id column present on both sides (aliased
+    q./p.) to drop the trivial self-match in self-join workloads.
+    """
+    q = queries.select(
+        F.col(query_id),
+        F.col(queries_vec).alias("__qvec"),
+        *([F.col(exclude_self).alias("__qid_self")] if exclude_self else []),
+    )
+    joined = points.crossJoin(F.broadcast(q))
+    if exclude_self:
+        joined = joined.filter(F.col(exclude_self) != F.col("__qid_self"))
+    if metric == "l2":
+        dist = l2_distance(F.col(points_vec), F.col("__qvec"))
+        order = [F.col(dist_col).asc()]
+    elif metric == "cosine":
+        dist = cosine_similarity(F.col(points_vec), F.col("__qvec"))
+        order = [F.col(dist_col).desc()]
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+    scored = joined.withColumn(dist_col, dist)
+    w = Window.partitionBy(query_id).orderBy(*order)
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__qvec", "__rk", "__qid_self")
+    )
+
+
+def knn_join_exact(
+    left: DataFrame,
+    right: DataFrame,
+    k: int,
+    left_id: str,
+    right_id: str,
+    left_vec: str = "embedding",
+    right_vec: str = "embedding",
+    metric: str = "l2",
+) -> DataFrame:
+    """All-pairs exact kNN join (each left row -> its k nearest right rows).
+
+    Broadcast the smaller (left/query) side; for two huge sides use the LSH /
+    IVF approximate paths in ``vectordb_cloud_spark.operators.ann`` instead —
+    an exact all-pairs join is inherently O(|L|·|R|).
+    """
+    q = left.select(F.col(left_id).alias("query_id"), F.col(left_vec).alias("embedding"))
+    return knn_batch(
+        right.select(F.col(right_id), F.col(right_vec).alias("__pvec")),
+        q,
+        k=k,
+        points_vec="__pvec",
+        metric=metric,
+    ).drop("__pvec")
+
+
+def search_response(hits: DataFrame, id_col: str = "text_id", text_col: str = "text", dist_col: str = "dist") -> DataFrame:
+    """Project hits to the reference's response shape
+    ``[{id, string, score}]`` (/root/reference/app.py:73-74)."""
+    return hits.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("string"),
+        F.col(dist_col).alias("score"),
+    )

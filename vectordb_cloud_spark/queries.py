@@ -1,0 +1,722 @@
+"""Query registry: every implemented operator as a (spark_fn, oracle_sql) pair.
+
+Each entry is one operator/query from SURVEY.md §2 (or a north-star
+extension), expressed twice: as a PySpark DataFrame program and as ANSI SQL
+for the DuckDB oracle. Column names and value rounding are aligned so the
+driver's order-insensitive value-hash matches.
+
+Float determinism rules used throughout:
+- vector math: cast float32 -> double up front, fold in element order, then
+  ``round(x, 6)`` (both engines produce bit-identical doubles; verified).
+- big aggregates: sum over ``decimal`` casts (exact, order-independent),
+  cast back to double at the end — dodges parallel-fold non-associativity.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vectordb_cloud_spark.functions.text import (
+    bpe_token_estimate,
+    doc_fingerprint,
+    lang_id_expr,
+    quality_score,
+    token_count,
+)
+from vectordb_cloud_spark.functions.vector import (
+    cosine_similarity,
+    dot_product,
+    l2_distance,
+    l2_norm,
+)
+from vectordb_cloud_spark.operators.classify import label_centroids, nearest_centroid
+from vectordb_cloud_spark.operators.dedup import (
+    embedding_near_dup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from vectordb_cloud_spark.operators.knn import knn_batch, knn_search
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The driver runs these with its own SparkSession: pin the two runtime
+    # confs correctness depends on (UTC so timestamps compare naive-UTC like
+    # DuckDB's; nanosAsLong so the ns-precision events table is readable).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # parquet TIMESTAMP(NANOS) arrives as long ns-since-epoch
+        # (spark.sql.legacy.parquet.nanosAsLong); convert to a real timestamp
+        # at µs precision — all downstream windows are >= 1s granularity.
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            # integer div — double math would lose precision above 2^53 ns
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    row = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == vec_id)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row[0]]
+
+
+# SQL fragment: L2 distance between two DuckDB FLOAT[] values in double
+# precision, folding in element order (matches Spark's aggregate()).
+_SQL_L2 = (
+    "sqrt(list_sum(list_transform(range(1, len({a})+1), "
+    "i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE) * ({a}[i]::DOUBLE - {b}[i]::DOUBLE))))"
+)
+_SQL_DOT = (
+    "list_sum(list_transform(range(1, len({a})+1), "
+    "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+)
+_SQL_NORM = "sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))"
+
+
+# ---------------------------------------------------------------------------
+# J1 / A1: filtered exact top-k L2 search (the reference's flagship read,
+# /root/reference/search.py:43-48)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "knn_l2_topk",
+    f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, round({_SQL_L2.format(a='e.embedding', b='q.qe')}, 6) AS dist
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+    ORDER BY {_SQL_L2.format(a='e.embedding', b='q.qe')}, e.vec_id
+    LIMIT 10
+    """,
+)
+def knn_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qv = _query_vec(spark, sf_dir, 0)
+    emb = _t(spark, sf_dir, "embeddings")
+    hits = knn_search(emb, qv, k=10, filters=F.col("vec_id") != 0)
+    return hits.select("vec_id", F.round("dist", 6).alias("dist"))
+
+
+@_q(
+    "knn_l2_filtered",
+    f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, e.label,
+           round({_SQL_L2.format(a='e.embedding', b='q.qe')}, 6) AS dist
+    FROM embeddings e, q
+    WHERE e.label = 3 AND e.vec_id <> 0
+    ORDER BY {_SQL_L2.format(a='e.embedding', b='q.qe')}, e.vec_id
+    LIMIT 5
+    """,
+)
+def knn_l2_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tenant-filtered kNN: the label predicate plays user_id
+    (/root/reference/search.py:37, P1+J1). Filter pushes to the scan."""
+    qv = _query_vec(spark, sf_dir, 0)
+    emb = _t(spark, sf_dir, "embeddings")
+    hits = knn_search(emb, qv, k=5, filters=(F.col("label") == 3) & (F.col("vec_id") != 0))
+    return hits.select("vec_id", "label", F.round("dist", 6).alias("dist"))
+
+
+@_q(
+    "knn_cosine_topk",
+    f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round({_SQL_DOT.format(a='e.embedding', b='q.qe')}
+                 / ({_SQL_NORM.format(a='e.embedding')} * {_SQL_NORM.format(a='q.qe')}), 6) AS cosine
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+    ORDER BY {_SQL_DOT.format(a='e.embedding', b='q.qe')}
+             / ({_SQL_NORM.format(a='e.embedding')} * {_SQL_NORM.format(a='q.qe')}) DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-k — similarity-search extension (reference is L2-only)."""
+    qv = _query_vec(spark, sf_dir, 0)
+    emb = _t(spark, sf_dir, "embeddings")
+    hits = knn_search(emb, qv, k=10, filters=F.col("vec_id") != 0, metric="cosine", dist_col="cosine")
+    return hits.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+@_q(
+    "knn_batch_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5)
+    SELECT q.query_id, e.vec_id,
+           round({_SQL_L2.format(a='e.embedding', b='q.qe')}, 6) AS dist
+    FROM embeddings e, q
+    WHERE e.vec_id <> q.query_id
+    QUALIFY row_number() OVER (
+        PARTITION BY q.query_id
+        ORDER BY {_SQL_L2.format(a='e.embedding', b='q.qe')}, e.vec_id
+    ) <= 3
+    """,
+)
+def knn_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched kNN: 5 query vectors at once — broadcast queries, window rank
+    per query (SURVEY.md §2.5). The points side never shuffles its payload;
+    row_number ties break on vec_id."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    points = emb.select("vec_id", "embedding")
+    joined = points.crossJoin(F.broadcast(queries.select("query_id", F.col("embedding").alias("__qvec"))))
+    scored = joined.filter(F.col("vec_id") != F.col("query_id")).withColumn(
+        "dist", l2_distance(F.col("embedding"), F.col("__qvec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= 3)
+        .select("query_id", "vec_id", F.round("dist", 6).alias("dist"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2 / A2: nearest-centroid classification (/root/reference/app.py:146-169)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "classify_nearest_centroid",
+    """
+    WITH dims AS (
+      SELECT vec_id, label, i, embedding[i]::DOUBLE AS v
+      FROM embeddings, unnest(range(1, len(embedding)+1)) AS t(i)
+    ),
+    cents AS (SELECT label, i, avg(v) AS c FROM dims GROUP BY label, i),
+    qd AS (SELECT vec_id, i, v FROM dims WHERE vec_id < 20),
+    d AS (
+      SELECT qd.vec_id, cents.label,
+             sum((qd.v - cents.c) * (qd.v - cents.c)) AS dd
+      FROM qd JOIN cents USING (i)
+      GROUP BY qd.vec_id, cents.label
+    )
+    SELECT vec_id, label AS pred_label FROM d
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dd, label) = 1
+    """,
+)
+def classify_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch nearest-centroid: centroids = per-label mean vectors, items =
+    first 20 vectors. Broadcast M centroids, min_by argmin per item
+    (/root/reference/app.py:169's np.argmin as a distributed plan)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = label_centroids(emb, "label", "embedding")
+    items = emb.filter(F.col("vec_id") < 20).select("vec_id", "embedding")
+    out = nearest_centroid(items, cents, item_id="vec_id", item_vec="embedding",
+                           centroid_label="label", centroid_vec="centroid")
+    return out.select("vec_id", F.col("label").alias("pred_label"))
+
+
+# ---------------------------------------------------------------------------
+# S5 / P1-P7: tenant scans, pushed-down predicates, projections
+# (user_id synthesized as doc_id % 100 per FIXTURES.md)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "scroll_by_user",
+    """
+    SELECT doc_id, text, lang, source
+    FROM documents WHERE doc_id % 100 = 7
+    """,
+)
+def scroll_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 scroll-as-scan: tenant equality filter + payload projection without
+    vectors (P7 column pruning) and without the reference's silent 100k cap
+    (/root/reference/app.py:102-107)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter(F.col("doc_id") % 100 == 7).select("doc_id", "text", "lang", "source")
+
+
+@_q(
+    "filter_contains",
+    """
+    SELECT doc_id, n_chars FROM documents
+    WHERE doc_id % 100 = 7 AND text LIKE '%vector%'
+    """,
+)
+def filter_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 substring predicate — pushed to the scan instead of the reference's
+    scroll-then-Python-filter (/root/reference/app.py:108-110)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter((F.col("doc_id") % 100 == 7) & F.col("text").contains("vector")).select(
+        "doc_id", "n_chars"
+    )
+
+
+@_q(
+    "filter_regex",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE regexp_matches(text, 'vector (join|sort)')
+    """,
+)
+def filter_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 regex predicate via rlike (/root/reference/app.py:134-136)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter(F.col("text").rlike("vector (join|sort)")).select("doc_id", "lang")
+
+
+@_q(
+    "delete_by_word_remaining",
+    """
+    SELECT doc_id FROM documents
+    WHERE NOT (doc_id % 100 = 7 AND text LIKE '%spark%')
+    """,
+)
+def delete_by_word_remaining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 intended semantics (the reference endpoint is broken — SURVEY.md
+    §2.7): DELETE WHERE user_id=7 AND contains(text,'spark'), shown as the
+    surviving rows."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter(~((F.col("doc_id") % 100 == 7) & F.col("text").contains("spark"))).select(
+        "doc_id"
+    )
+
+
+@_q(
+    "upsert_last_write_wins",
+    """
+    WITH updates AS (
+      SELECT doc_id, upper(text) AS text, 2 AS version
+      FROM documents WHERE doc_id < 50
+    ),
+    unioned AS (
+      SELECT doc_id, text, 1 AS version FROM documents
+      UNION ALL SELECT * FROM updates
+    )
+    SELECT doc_id, text, version FROM unioned
+    QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY version DESC) = 1
+    """,
+)
+def upsert_last_write_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 replace-by-id upsert semantics (/root/reference/insert.py:31-63) as
+    a pure query: base ∪ updates, keep the newest version per id."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text", F.lit(1).alias("version"))
+    updates = docs.filter(F.col("doc_id") < 50).select(
+        "doc_id", F.upper("text").alias("text"), F.lit(2).alias("version")
+    )
+    unioned = base.unionByName(updates)
+    w = Window.partitionBy("doc_id").orderBy(F.col("version").desc())
+    return unioned.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") == 1).drop("__rk")
+
+
+@_q(
+    "delete_by_ids_remaining",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE doc_id NOT IN (1, 2, 3, 5, 8, 13, 21, 34)
+    """,
+)
+def delete_by_ids_remaining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 delete-by-id-list as a broadcast anti-semijoin."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter(~F.col("doc_id").isin([1, 2, 3, 5, 8, 13, 21, 34])).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# Relational / OLAP surface (north-star; exercises joins + aggs for the
+# oracle harness — SURVEY.md §7 M6)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "tpch_q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(CAST(l_quantity AS DECIMAL(28,10)))::DOUBLE, 2) AS sum_qty,
+           round(sum(CAST(l_extendedprice AS DECIMAL(28,10)))::DOUBLE, 2) AS sum_base_price,
+           round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10)))::DOUBLE, 2) AS sum_disc_price,
+           round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,10)))::DOUBLE, 2) AS sum_charge,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate with map-side partial aggs; the
+    shuffle carries only (flag, status) groups. Decimal sums keep the result
+    order-independent (exact) before the final double cast."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_quantity").cast("decimal(28,10)")).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(28,10)")).cast("double"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc.cast("decimal(28,10)")).cast("double"), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge.cast("decimal(28,10)")).cast("double"), 2).alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "tpch_q3_revenue_topk",
+    """
+    SELECT o.o_orderkey,
+           round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10)))::DOUBLE, 2) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> broadcast customer into
+    orders, shuffle join to lineitem on orderkey, top-k by revenue
+    (TakeOrderedAndProject, no global sort)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(rev.cast("decimal(28,10)")).cast("double"), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@_q(
+    "tpch_q5_region_revenue",
+    """
+    SELECT n.n_name,
+           round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10)))::DOUBLE, 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def tpch_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join — all dims broadcast; the only shuffle joins
+    are fact-fact (orders↔lineitem)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("s_nationkey") == F.col("c_nationkey")))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(rev.cast("decimal(28,10)")).cast("double"), 2).alias("revenue"))
+    )
+
+
+@_q(
+    "top_orders_per_segment",
+    """
+    SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    QUALIFY row_number() OVER (
+        PARTITION BY c.c_mktsegment ORDER BY o.o_totalprice DESC, o.o_orderkey
+    ) <= 5
+    """,
+)
+def top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group via window rank — SURVEY.md §2.5 window surface."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    joined = o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        joined.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= 5)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+    )
+
+
+@_q(
+    "orders_rollup",
+    """
+    SELECT coalesce(o_orderstatus, '(all)') AS orderstatus,
+           coalesce(o_orderpriority, '(all)') AS orderpriority,
+           count(*) AS n,
+           round(sum(CAST(o_totalprice AS DECIMAL(28,10)))::DOUBLE, 2) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (SURVEY.md §2.4 additions)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(28,10)")).cast("double"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("orderpriority"),
+            "n",
+            "total",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (north-star: token counting, quality, fingerprints, lang-id)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "doc_stats_by_lang",
+    r"""
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(n_chars) AS total_chars,
+           sum(len(regexp_split_to_array(trim(text), '\s+'))) AS total_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def doc_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus stats: whitespace token counts aggregated per language —
+    all-integer aggregates, exact."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(token_count("text")).alias("total_tokens"),
+    )
+
+
+@_q(
+    "doc_fingerprints",
+    r"""
+    SELECT doc_id,
+           md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ' ')) AS fingerprint
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint (md5 of normalized text) — the dedup key and the
+    Spark analog of the reference's uuid3 content addressing
+    (/root/reference/test_qdrant.py:55)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter(F.col("doc_id") < 100).select(
+        "doc_id", doc_fingerprint("text").alias("fingerprint")
+    )
+
+
+@_q(
+    "exact_dup_groups",
+    r"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ' ')) AS fingerprint
+      FROM documents
+    )
+    SELECT fingerprint, count(*) AS n_dups, min(doc_id) AS keep_id
+    FROM fp GROUP BY fingerprint HAVING count(*) > 1
+    """,
+)
+def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups (hash-groupBy dedup — north-star op #1)."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+    return (
+        fp.groupBy("fingerprint")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+@_q(
+    "token_estimate_topk",
+    r"""
+    SELECT doc_id,
+           (len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+            + floor(length(regexp_replace(regexp_replace(text, '\b\w{1,4}\b', '', 'g'), '\s', '', 'g')) / 4))::BIGINT AS n_tokens
+    FROM documents
+    ORDER BY n_tokens DESC, doc_id
+    LIMIT 20
+    """,
+)
+def token_estimate_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token estimate, top-20 longest docs."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", bpe_token_estimate("text").alias("n_tokens"))
+        .orderBy(F.col("n_tokens").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: JSON extraction + time-windowed aggregation (streaming-shaped,
+# run in batch; SURVEY.md §2.8 additions)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "events_hourly",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n,
+           round(sum(CAST(value AS DECIMAL(28,10)))::DOUBLE, 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h window aggregate (batch form of the streaming op)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(28,10)")).cast("double"), 4).alias("total_value"),
+        )
+    )
+
+
+@_q(
+    "events_json_extract",
+    """
+    SELECT (props->>'$.k')::BIGINT AS k, count(*) AS n,
+           round(sum(CAST(value AS DECIMAL(28,10)))::DOUBLE, 4) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-payload access: the reference's schemaless payload maps onto
+    JSON columns (SURVEY.md §1.4) — parse + aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(F.get_json_object("props", "$.k").cast("long").alias("k"), "value")
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(28,10)")).cast("double"), 4).alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity / dedup extensions with SQL oracles
+# ---------------------------------------------------------------------------
+
+@_q(
+    "ngram_jaccard_pairs",
+    r"""
+    WITH sh AS (
+      SELECT doc_id, lang, source,
+             list_distinct(list_transform(
+               range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 1) + 1),
+               i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' ')
+             )) AS sh
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.01
+    """,
+)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3gram Jaccard pairs, blocked by (lang, source) so the pair
+    space is bounded per block — dedup op #4."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).withColumn(
+        "__block", F.concat_ws("|", "lang", "source")
+    )
+    return ngram_jaccard_pairs(docs, "__block", shingle_n=3, threshold=0.01)
+
+
+@_q(
+    "embedding_near_dup",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_SQL_DOT.format(a='a.embedding', b='b.embedding')}
+                 / ({_SQL_NORM.format(a='a.embedding')} * {_SQL_NORM.format(a='b.embedding')}), 6) AS cosine
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_SQL_DOT.format(a='a.embedding', b='b.embedding')}
+          / ({_SQL_NORM.format(a='a.embedding')} * {_SQL_NORM.format(a='b.embedding')}) >= 0.3
+    """,
+)
+def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by label — dedup op #5
+    / similarity-join shape."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup(emb, threshold=0.3, block_col="label")
+
+
+# ---------------------------------------------------------------------------
+# Non-SQL-expressible ops (rows-only checks): MinHash-LSH, SimHash
+# (xxhash64 has no DuckDB equivalent)
+# ---------------------------------------------------------------------------
+
+@_q("minhash_lsh_near_dup")
+def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (band-bucket join + exact-Jaccard
+    verify) — dedup op #2. Rows-only check: xxhash64 is Spark-specific."""
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, num_hashes=32, bands=8, shingle_n=3, jaccard_threshold=0.2)
+
+
+@_q("simhash_fingerprints")
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per doc — dedup op #3. Rows-only check."""
+    docs = _t(spark, sf_dir, "documents")
+    return simhash64(docs.filter(F.col("doc_id") < 200))
+
+
+def registry() -> dict[str, QueryFn]:
+    return dict(_REGISTRY)
+
+
+def oracles() -> dict[str, str]:
+    return dict(_ORACLES)
