@@ -1,0 +1,104 @@
+"""Streaming: file-source ingest -> embed -> upsert; windowed aggregates in
+both streaming (memory sink) and batch form."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_cloud_spark.collections import CollectionCatalog
+from vectordb_cloud_spark.streaming.ingest import (
+    session_windows,
+    sessionize_batch,
+    sliding_window_counts,
+    start_ingest_stream,
+    tumbling_window_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.cache()
+
+
+def test_ingest_stream_upserts(spark, tmp_path):
+    src = tmp_path / "incoming"
+    src.mkdir()
+    rows = [
+        {"id": 1, "text_id": 1, "text": "streamed doc one", "user_id": 5, "site": "s", "lang": "en"},
+        {"id": 2, "text_id": 2, "text": "streamed doc two", "user_id": 5, "site": "s", "lang": "en"},
+    ]
+    (src / "batch1.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+    catalog = CollectionCatalog(spark, str(tmp_path / "cat"))
+    catalog.create("stream_col", dim=64)
+    q = start_ingest_stream(
+        spark, str(src), catalog, "stream_col",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(60)
+
+    got = catalog.read("stream_col")
+    assert got.count() == 2
+    assert got.filter(F.size("embedding") == 64).count() == 2
+
+    # second file replaces id=2 (last-write-wins across micro-batches)
+    (src / "batch2.json").write_text(json.dumps(
+        {"id": 2, "text_id": 2, "text": "replaced", "user_id": 5, "site": "s", "lang": "en"}
+    ))
+    q2 = start_ingest_stream(
+        spark, str(src), catalog, "stream_col",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination(60)
+    texts = {r["id"]: r["text"] for r in catalog.read("stream_col").collect()}
+    assert texts[2] == "replaced" and texts[1] == "streamed doc one"
+
+
+def test_tumbling_window_streaming_matches_batch(spark, events, tmp_path):
+    # batch form
+    batch = tumbling_window_stats(events).collect()
+    batch_map = {(r["window_start"], r["event_type"]): r["n"] for r in batch}
+
+    # streaming form over the same parquet, complete output to memory sink
+    events.write.mode("overwrite").parquet(str(tmp_path / "stream_src"))
+    stream = (
+        spark.readStream.schema(events.schema)
+        .parquet(str(tmp_path / "stream_src"))
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    q = (
+        agg.writeStream.outputMode("complete").format("memory")
+        .queryName("tumbling_out").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from tumbling_out").collect()
+    got_map = {(r["window_start"], r["event_type"]): r["n"] for r in got}
+    assert got_map == batch_map
+
+
+def test_sliding_windows_cover_events(events):
+    n_events = events.count()
+    total = sliding_window_counts(events, "1 hour", "30 minutes").agg(F.sum("n")).collect()[0][0]
+    assert total == 2 * n_events  # each event falls in exactly 2 sliding windows
+
+
+def test_session_window_and_batch_sessionize_agree(events):
+    sw = session_windows(events, gap="30 minutes")
+    sb = sessionize_batch(events, gap_minutes=30)
+    # same number of sessions and same total event count per user
+    a = {r["user_id"]: r["n"] for r in
+         sw.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    b = {r["user_id"]: r["n"] for r in
+         sb.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    assert a == b

@@ -714,6 +714,354 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash64(docs.filter(F.col("doc_id") < 200))
 
 
+# ---------------------------------------------------------------------------
+# Window / set / semi-anti-join / pivot surface (SURVEY.md §2.3-2.5 additions)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "sessionize_users",
+    """
+    WITH w AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                      (PARTITION BY user_id ORDER BY ts, event_id) > 1800.0
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM w
+    )
+    SELECT user_id, session_id, min(ts) AS session_start,
+           max(ts) AS session_end, count(*) AS n_events
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (lag + cumulative sum over one user_id
+    shuffle) — the batch twin of streaming session_window."""
+    from vectordb_cloud_spark.streaming.ingest import sessionize_batch
+
+    ev = _t(spark, sf_dir, "events")
+    return sessionize_batch(ev, gap_minutes=30, tiebreak_col="event_id")
+
+
+@_q(
+    "distinct_users_by_type",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT DISTINCT — expands to a two-phase partial-agg plan in Spark."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"), F.count("*").alias("n_events")
+    )
+
+
+@_q(
+    "pivot_status_priority",
+    """
+    SELECT o_orderpriority,
+           count(*) FILTER (o_orderstatus = 'F') AS status_F,
+           count(*) FILTER (o_orderstatus = 'O') AS status_O,
+           count(*) FILTER (o_orderstatus = 'P') AS status_P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (no extra distinct-scan pass)."""
+    o = _t(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    return p.select(
+        "o_orderpriority",
+        F.col("F").alias("status_F"),
+        F.col("O").alias("status_O"),
+        F.col("P").alias("status_P"),
+    )
+
+
+@_q(
+    "set_ops_customers",
+    """
+    (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+     UNION
+     SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_nationkey < 5
+    """,
+)
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / EXCEPT set algebra (SURVEY.md §2.5 — absent in the reference,
+    standard in the engine)."""
+    c = _t(spark, sf_dir, "customer")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rich = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    low_nation = c.filter(F.col("c_nationkey") < 5).select("c_custkey")
+    return building.union(rich).distinct().subtract(low_nation)
+
+
+@_q(
+    "semi_join_priority_counts",
+    """
+    SELECT o.o_orderpriority, count(*) AS n FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def semi_join_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS) — dedups the probe side inside the join, no
+    post-join distinct needed."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        o.join(l, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@_q(
+    "anti_join_customers_no_orders",
+    """
+    SELECT c.c_custkey, c.c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+)
+def anti_join_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers with no very-large order — the
+    primitive behind all the engine's delete paths (SURVEY.md D1-D4)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@_q(
+    "tpch_q6_revenue_delta",
+    """
+    SELECT round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,10)))::DOUBLE, 2) AS revenue
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def tpch_q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-agg; both predicates push to parquet."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_discount").between(0.05, 0.07) & (F.col("l_quantity") < 24))
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(28,10)"))
+                .cast("double"), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@_q(
+    "part_brand_price_rank",
+    """
+    SELECT p_brand, p_partkey, p_retailprice FROM part
+    QUALIFY row_number() OVER (
+        PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) <= 3
+    """,
+)
+def part_brand_price_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+    return (
+        p.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text quality + language ID (north-star text analysis, oracle-checked)
+# ---------------------------------------------------------------------------
+
+_SQL_STOPWORDS = "'the','a','of','to','and','in','is','it','for','on'"
+
+@_q(
+    "text_quality_profile",
+    rf"""
+    WITH b AS (
+      SELECT doc_id, text,
+             regexp_split_to_array(trim(text), '\s+') AS w,
+             length(text) AS nc,
+             length(regexp_replace(text, '[^\w\s]', '', 'g')) AS nc_nopunct
+      FROM documents WHERE doc_id < 100
+    ),
+    c AS (
+      SELECT doc_id,
+             len(w) AS n_tokens,
+             len(list_filter(w, x -> lower(x) IN ({_SQL_STOPWORDS})))::DOUBLE / len(w) AS sr,
+             (nc - nc_nopunct)::DOUBLE / nc AS pr,
+             list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w) AS mwl
+      FROM b
+    )
+    SELECT doc_id, n_tokens,
+           round(sr, 6) AS stop_ratio,
+           round(pr, 6) AS punct_ratio,
+           round(mwl, 6) AS mean_word_len,
+           round((least(n_tokens / 64.0, 1.0) + least(sr * 4.0, 1.0)
+                  + greatest(0.0, 1.0 - pr * 4.0)) / 3.0, 6) AS quality
+    FROM c
+    """,
+)
+def text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality profile: token count, stopword/punct ratios, mean
+    word length, composite quality — all JVM column expressions."""
+    from vectordb_cloud_spark.functions.text import (
+        mean_word_length,
+        punct_ratio,
+        stopword_ratio,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.round(stopword_ratio("text"), 6).alias("stop_ratio"),
+        F.round(punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(mean_word_length("text"), 6).alias("mean_word_len"),
+        quality_score("text").alias("quality"),
+    )
+
+
+@_q(
+    "lang_id_counts",
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_transform(regexp_split_to_array(trim(text), '\s+'),
+                            x -> lower(x)) AS toks
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             len(list_filter(toks, x -> x IN ('the','and','of','to','is'))) AS h_en,
+             len(list_filter(toks, x -> x IN ('der','die','und','ist','das'))) AS h_de,
+             len(list_filter(toks, x -> x IN ('le','la','et','est','les'))) AS h_fr,
+             len(list_filter(toks, x -> x IN ('el','la','que','de','es'))) AS h_es
+      FROM w
+    ),
+    p AS (
+      SELECT doc_id,
+             CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+                  WHEN h_de = greatest(h_en, h_de, h_fr, h_es) THEN 'de'
+                  WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+                  WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
+                  ELSE 'fr' END AS lang_pred
+      FROM h
+    )
+    SELECT lang_pred, count(*) AS n FROM p GROUP BY lang_pred
+    """,
+)
+def lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID distribution over the corpus (ties break in
+    ascending language-code order, 'und' when no marker hits)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(lang_id_expr("text").alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rows-only ops: ANN paths, uuid3 content ids, classification service
+# ---------------------------------------------------------------------------
+
+@_q("uuid3_content_ids")
+def uuid3_content_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """uuid3(NAMESPACE_DNS, text) content-addressed ids (F6,
+    /root/reference/test_qdrant.py:55). Python-UDF boundary (RFC 4122 binary
+    namespace isn't expressible in DuckDB VARCHAR md5) — rows-only check;
+    exactness is unit-tested against uuid.uuid3."""
+    from vectordb_cloud_spark.functions.ids import uuid3_dns
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return docs.select("doc_id", uuid3_dns("text").alias("content_id"))
+
+
+@_q("ann_ivf_topk")
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (KMeans centroid routing) approximate top-k — the 100 TB ANN path:
+    probe nprobe/k_centroids of the data (SURVEY.md §4c). Rows-only check;
+    recall vs exact is gated in tests/test_ann.py."""
+    from vectordb_cloud_spark.operators.ann import ivf_build, ivf_search
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    centers, assigned = ivf_build(emb, k_centroids=8)
+    hits = ivf_search(assigned, centers, qv, k=10, nprobe=3)
+    return hits.select("vec_id", F.round("dist", 6).alias("dist"))
+
+
+@_q("ann_lsh_topk")
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH (bucketed random projection, L2-native) approximate top-k
+    (SURVEY.md §4b). Rows-only; recall gated in tests."""
+    from vectordb_cloud_spark.operators.ann import lsh_fit, lsh_knn
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    model, _ = lsh_fit(emb, bucket_length=4.0, num_hash_tables=4)
+    hits = lsh_knn(model, emb, qv, k=10)
+    return hits.select("vec_id", F.round("dist", 6).alias("dist"))
+
+
+@_q("classify_titles_mock_embed")
+def classify_titles_mock_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/get_category_for_title batch form with the deterministic mock
+    embedder (J2/A2, /root/reference/app.py:146-169): embed category strings
+    + titles, assign each title its L2-nearest category. Rows-only (mock
+    embedder has no SQL twin)."""
+    from vectordb_cloud_spark.functions.embedding import mock_embed
+    from vectordb_cloud_spark.operators.classify import nearest_centroid
+
+    cats = spark.createDataFrame(
+        [("science",), ("sports",), ("politics",), ("technology",)], "cat string"
+    ).select("cat", mock_embed("cat", 64).alias("centroid"))
+    titles = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", mock_embed("text", 64).alias("embedding"))
+    )
+    out = nearest_centroid(titles, cats, item_id="doc_id", item_vec="embedding",
+                           centroid_label="cat", centroid_vec="centroid")
+    return out.select("doc_id", "cat")
+
+
+@_q("multimodal_image_features")
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing surface: binary image column -> mapInPandas decode
+    (deterministic fake backend; real codecs stubbed per BASELINE.json) ->
+    feature vector. Rows-only: media is synthesized (no media table in the
+    driver fixtures) and the fake decode has no SQL twin."""
+    from vectordb_cloud_spark.operators.multimodal import (
+        extract_image_features,
+        make_fake_media,
+    )
+
+    media = make_fake_media(spark, n=64, kind="image")
+    return extract_image_features(media, feature_dim=16)
+
+
 def registry() -> dict[str, QueryFn]:
     return dict(_REGISTRY)
 

@@ -1,0 +1,131 @@
+"""Structured Streaming surface.
+
+The reference has no streaming runtime (SURVEY.md §2.8) — its "ever-growing"
+behavior is repeated synchronous upserts (/root/reference/app.py:47-51,
+test_qdrant.py:125-134). On Spark the ingest path is naturally a stream:
+
+    readStream (file/kafka/rate) -> embedding pandas_udf -> foreachBatch
+    upsert into the collection (last-write-wins MERGE per micro-batch)
+
+plus watermarked windowed aggregates over the driver's ``events`` table for
+the text-analytics additions. Watermarks bound state for late data; window
+aggs partial-aggregate map-side, so state size is O(open windows × groups),
+independent of input rate — the property that matters at cluster scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vectordb_cloud_spark.functions.embedding import mock_embed
+
+
+def start_ingest_stream(
+    spark,
+    source_dir: str,
+    catalog,
+    collection: str,
+    schema: str = "id long, text_id long, text string, user_id long, site string, lang string",
+    dim: int = 64,
+    checkpoint_dir: str | None = None,
+):
+    """File-source ingest stream: new JSON/parquet files land in
+    ``source_dir`` -> embed -> upsert into ``collection``.
+
+    ``foreachBatch`` gives exactly-once-per-batch upsert semantics against
+    the collection (the MERGE is idempotent by id — replays converge).
+    Returns the StreamingQuery; callers stop() it.
+    """
+    stream = spark.readStream.schema(schema).json(source_dir)
+    embedded = stream.withColumn("embedding", mock_embed("text", dim))
+
+    def _upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        catalog.upsert(collection, batch_df)
+
+    writer = embedded.writeStream.foreachBatch(_upsert).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+def tumbling_window_stats(events: DataFrame, window: str = "1 hour",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window counts/sums per event_type. Works on both
+    a stream (append mode once the watermark passes) and a batch frame."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_window_counts(events: DataFrame, window: str = "1 hour",
+                          slide: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Per-user session windows (gap-based). Streaming uses
+    ``session_window``; the same call works in batch."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = 30,
+                     tiebreak_col: str | None = None) -> DataFrame:
+    """Batch sessionization via lag + cumulative gap counting — the classic
+    window-function formulation (oracle-friendly: plain ANSI SQL), equivalent
+    to ``session_window`` for batch data.
+
+    Gap math runs on fractional epoch seconds (µs-exact doubles) so
+    sub-second timestamps sessionize identically to the SQL oracle.
+    Shuffles once on user_id; the two window functions share that partitioning.
+    """
+    from pyspark.sql import Window
+
+    order = ["ts"] + ([tiebreak_col] if tiebreak_col else [])
+    w_user = Window.partitionBy("user_id").orderBy(*order)
+    gap_s = float(gap_minutes * 60)
+    epoch = F.col("ts").cast("double")
+    with_gap = events.withColumn(
+        "__new_session",
+        F.when(epoch - F.lag(epoch).over(w_user) > gap_s, F.lit(1)).otherwise(F.lit(0)),
+    )
+    with_id = with_gap.withColumn(
+        "session_id",
+        F.sum("__new_session").over(w_user.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        with_id.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+    )
