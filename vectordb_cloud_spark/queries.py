@@ -1047,6 +1047,74 @@ def classify_titles_mock_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "cat")
 
 
+# ---------------------------------------------------------------------------
+# Temporal joins: as-of and range (Spark-lacking operators, built from
+# composition — SURVEY.md §2.3 extensions)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "asof_last_purchase_before_click",
+    """
+    WITH p AS (
+      SELECT user_id, ts, max(value) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT c.event_id, p.ts AS purchase_ts, p.purchase_value
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts
+    """,
+)
+def asof_last_purchase_before_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click matched to the user's most recent prior
+    purchase. Union + running-last window — one shuffle on user_id; the
+    oracle is DuckDB's native ASOF JOIN."""
+    from vectordb_cloud_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = asof_join(clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
+                    right_cols=["ts", "purchase_value"], suffix="")
+    return out.select(
+        "event_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("purchase_value"),
+    )
+
+
+@_q(
+    "range_join_value_tiers",
+    """
+    WITH tiers(tier, lo, hi) AS (
+      VALUES ('low', 0.0, 50.0), ('mid', 50.0, 150.0), ('high', 150.0, 500.0)
+    )
+    SELECT t.tier, count(*) AS n,
+           round(sum(CAST(e.value AS DECIMAL(28,10)))::DOUBLE, 4) AS total_value
+    FROM events e JOIN tiers t ON e.value >= t.lo AND e.value < t.hi
+    GROUP BY t.tier
+    """,
+)
+def range_join_value_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via bucketization: point value -> bucket equi-join ->
+    exact BETWEEN, instead of an O(n·m) theta join."""
+    from vectordb_cloud_spark.operators.temporal import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    tiers = spark.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 150.0), ("high", 150.0, 500.0)],
+        "tier string, lo double, hi double",
+    )
+    joined = range_join(ev, tiers, "value", "lo", "hi", bucket_width=50.0)
+    return joined.groupBy("tier").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(28,10)")).cast("double"), 4).alias("total_value"),
+    )
+
+
 @_q("multimodal_image_features")
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing surface: binary image column -> mapInPandas decode
