@@ -24,7 +24,9 @@ def test_knn_is_shuffle_free_take_ordered(spark, sf_dir):
 
 
 def test_knn_filter_pushed_to_scan(spark, sf_dir):
-    # fresh read: the cached fixture would show InMemoryTableScan instead
+    # drop cached plans: the cache manager would otherwise substitute an
+    # InMemoryTableScan for this path and hide the parquet PushedFilters
+    spark.catalog.clearCache()
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     df = knn_search(emb, [0.0] * 64, k=5, filters=F.col("label") == 3)
     assert has_pushed_filters(df, "label")
@@ -33,6 +35,7 @@ def test_knn_filter_pushed_to_scan(spark, sf_dir):
 def test_column_pruning_reaches_scan(spark, sf_dir):
     """P7 (with_vectors=False analog): a 2-column projection must read only
     those columns from parquet."""
+    spark.catalog.clearCache()
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     df = docs.filter(F.col("doc_id") % 100 == 7).select("doc_id", "lang")
     cols = read_schema_columns(df)

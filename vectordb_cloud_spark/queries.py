@@ -1048,6 +1048,178 @@ def classify_titles_mock_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# More relational/analytic surface: exact percentiles, cube, conditional
+# aggregate ratios, year-bucketed multi-joins, top terms, scalar parity
+# ---------------------------------------------------------------------------
+
+@_q(
+    "price_percentiles_by_flag",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.25) AS p25,
+           quantile_cont(l_extendedprice, 0.5) AS median,
+           quantile_cont(l_extendedprice, 0.9) AS p90
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def price_percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles — Spark ``percentile`` and DuckDB
+    ``quantile_cont`` share the linear-interpolation definition
+    (verified bit-identical). Use approx_percentile at cluster scale when a
+    t-digest is acceptable."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.25)).alias("p25"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("median"),
+        F.percentile("l_extendedprice", F.lit(0.9)).alias("p90"),
+    )
+
+
+@_q(
+    "cube_order_counts",
+    """
+    SELECT coalesce(o_orderstatus, '(all)') AS orderstatus,
+           coalesce(o_orderpriority, '(all)') AS orderpriority,
+           count(*) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all 4 combinations, vs rollup's 3)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("orderpriority"),
+            "n",
+        )
+    )
+
+
+@_q(
+    "tpch_q14_promo_share",
+    """
+    SELECT round(
+      100.0 * sum(CAST(CASE WHEN p.p_type = 'PROMO'
+                       THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END
+                  AS DECIMAL(28,10)))::DOUBLE
+      / sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10)))::DOUBLE,
+      6) AS promo_share_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+)
+def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio over a broadcast dim
+    join. Both sums are exact decimals; the single final division is the
+    only float op, so the ratio is deterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    joined = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    return joined.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(promo.cast("decimal(28,10)")).cast("double")
+            / F.sum(rev.cast("decimal(28,10)")).cast("double"),
+            6,
+        ).alias("promo_share_pct")
+    )
+
+
+@_q(
+    "tpch_q7_yearly_nation_trade",
+    """
+    SELECT n.n_name AS supp_nation, year(l.l_shipdate) AS ship_year,
+           round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10)))::DOUBLE, 2) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE year(l.l_shipdate) BETWEEN 1996 AND 1997
+    GROUP BY n.n_name, year(l.l_shipdate)
+    """,
+)
+def tpch_q7_yearly_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: fact -> broadcast dims, year-bucketed revenue."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.year("l_shipdate").between(1996, 1997))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("supp_nation"), F.year("l_shipdate").alias("ship_year"))
+        .agg(F.round(F.sum(rev.cast("decimal(28,10)")).cast("double"), 2).alias("revenue"))
+    )
+
+
+@_q(
+    "top_terms_by_lang",
+    r"""
+    WITH terms AS (
+      SELECT lang, lower(word) AS term, count(*) AS n
+      FROM documents,
+           unnest(regexp_split_to_array(trim(text), '\s+')) AS t(word)
+      GROUP BY lang, lower(word)
+    )
+    SELECT lang, term, n FROM terms
+    QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) <= 5
+    """,
+)
+def top_terms_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term frequencies: explode -> two-level agg -> top-5 per lang.
+    The (lang, term) partial aggregation bounds the shuffle by vocabulary
+    size, not corpus size."""
+    from vectordb_cloud_spark.functions.text import words
+
+    docs = _t(spark, sf_dir, "documents")
+    terms = (
+        docs.select("lang", F.explode(words("text")).alias("w"))
+        .select("lang", F.lower("w").alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("term"))
+    return (
+        terms.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= 5)
+        .select("lang", "term", "n")
+    )
+
+
+@_q(
+    "scalar_functions_parity",
+    r"""
+    SELECT doc_id,
+           upper(substr(text, 1, 10)) AS head_upper,
+           length(text) AS n_chars,
+           strpos(text, 'spark') AS spark_pos,
+           concat_ws('|', lang, source, CAST(doc_id AS VARCHAR)) AS tag,
+           CAST(length(text) AS DOUBLE) / 100.0 AS chars_ratio,
+           len(string_split(replace(text, ' ', '\n'), '\n')) AS nl_parts
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def scalar_functions_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function surface (SURVEY.md §2.6): substring/instr/concat_ws/
+    casts, plus the reference's literal backslash-n split quirk (F3,
+    /root/reference/app.py:162) — here a real newline split after replace."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return docs.select(
+        "doc_id",
+        F.upper(F.substring("text", 1, 10)).alias("head_upper"),
+        F.length("text").alias("n_chars"),
+        F.instr("text", "spark").alias("spark_pos"),
+        F.concat_ws("|", "lang", "source", F.col("doc_id").cast("string")).alias("tag"),
+        (F.length("text").cast("double") / 100.0).alias("chars_ratio"),
+        F.size(F.split(F.regexp_replace("text", " ", "\n"), "\n")).alias("nl_parts"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Temporal joins: as-of and range (Spark-lacking operators, built from
 # composition — SURVEY.md §2.3 extensions)
 # ---------------------------------------------------------------------------
