@@ -40,6 +40,35 @@ def main():
         df.write.format("noop").mode("overwrite").save()
         results[name] = round(time.time() - t0, 3)
 
+    # index/collection build time (embed + partitioned write) — mirrors the
+    # reference's "Index creation Time" instrumentation (BASELINE.md)
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vectordb_cloud_spark.collections import CollectionCatalog
+    from vectordb_cloud_spark.functions.embedding import mock_embed
+
+    tmp = tempfile.mkdtemp(prefix="bench_cat_")
+    try:
+        t0 = time.time()
+        catalog = CollectionCatalog(spark, tmp)
+        catalog.create("bench_col", dim=64)
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        points = docs.select(
+            F.col("doc_id").alias("id"),
+            F.col("doc_id").alias("text_id"),
+            "text",
+            (F.col("doc_id") % 1000).alias("user_id"),
+            F.col("source").alias("site"),
+            "lang",
+        ).withColumn("embedding", mock_embed("text", 64))
+        catalog.upsert("bench_col", points)
+        results["collection_build"] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
     total = round(sum(results.values()), 3)
     print(json.dumps({
         "metric": "suite_seconds",

@@ -114,7 +114,7 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("band", "bucket"),
-    )
+    ).cache()  # both sides of the self-join reuse one signature computation
     left = banded.alias("l")
     right = banded.alias("r")
     cand = (

@@ -1034,12 +1034,16 @@ def classify_titles_mock_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectordb_cloud_spark.functions.embedding import mock_embed
     from vectordb_cloud_spark.operators.classify import nearest_centroid
 
+    # repartition(1), NOT coalesce(1): a coalesced partition evaluates the
+    # pandas_udf once per parent partition (32 sequential Arrow round-trips,
+    # measured ~4s); repartition shuffles first, one batch, one worker.
     cats = spark.createDataFrame(
         [("science",), ("sports",), ("politics",), ("technology",)], "cat string"
-    ).select("cat", mock_embed("cat", 64).alias("centroid"))
+    ).repartition(1).select("cat", mock_embed("cat", 64).alias("centroid"))
     titles = (
         _t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 50)
+        .repartition(1)
         .select("doc_id", mock_embed("text", 64).alias("embedding"))
     )
     out = nearest_centroid(titles, cats, item_id="doc_id", item_vec="embedding",
