@@ -65,3 +65,12 @@ def test_remove_by_regex(svc):
 def test_classify_returns_a_category(svc):
     cat = svc.get_category_for_title(1, "sports\\npolitics\\nscience", "football match results")
     assert cat in {"sports", "politics", "science"}
+
+
+def test_insert_batch_microbatch(svc):
+    n = svc.insert_batch([
+        {"id": 100 + i, "user_id": 50, "text": f"batch doc {i}", "site": "s", "lang": "en"}
+        for i in range(5)
+    ])
+    assert n == 5
+    assert svc.search(50, "batch", limit=10).count() == 5

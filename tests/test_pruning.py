@@ -1,0 +1,69 @@
+"""File/partition pruning proofs: the 100 TB story depends on scans
+touching only the tenant's bucket or the probed IVF lists — assert it on
+the physical plan, not by timing."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_cloud_spark.collections import CollectionCatalog
+from vectordb_cloud_spark.operators.ann import (
+    brute_force_topk,
+    ivf_build,
+    ivf_persist,
+    ivf_search_persisted,
+    recall_at_k,
+)
+from vectordb_cloud_spark.plans.inspect import explain_str
+
+
+def _partition_filters(df) -> str:
+    plan = explain_str(df)
+    m = re.search(r"PartitionFilters:\s*\[([^\]]*)\]", plan)
+    return m.group(1) if m else ""
+
+
+def test_tenant_bucket_partition_pruning(spark, tmp_path):
+    catalog = CollectionCatalog(spark, str(tmp_path / "cat"))
+    catalog.create("c", dim=2, n_buckets=8)
+    rows = [(i, [float(i), 0.0], f"t{i}", i % 20) for i in range(200)]
+    catalog.upsert("c", spark.createDataFrame(
+        rows, "id long, embedding array<float>, text string, user_id long"))
+
+    pruned = catalog.read_for_user("c", user_id=7)
+    pf = _partition_filters(pruned)
+    assert "__bucket" in pf  # partition predicate reached the scan
+    got = pruned.collect()
+    assert {r["user_id"] for r in got} == {7}
+    assert len(got) == 10
+
+
+def test_bucket_assignment_matches_write(spark, tmp_path):
+    """Driver-side bucket computation must agree with the written layout —
+    otherwise pruning silently returns nothing."""
+    catalog = CollectionCatalog(spark, str(tmp_path / "cat"))
+    catalog.create("c", dim=2, n_buckets=4)
+    rows = [(i, [1.0, 0.0], "t", i) for i in range(40)]
+    catalog.upsert("c", spark.createDataFrame(
+        rows, "id long, embedding array<float>, text string, user_id long"))
+    for uid in (0, 3, 17, 39):
+        assert catalog.read_for_user("c", uid).count() == 1, uid
+
+
+def test_ivf_persisted_partition_pruning(spark, embeddings, tmp_path):
+    centers, assigned = ivf_build(embeddings, k_centroids=8)
+    path = str(tmp_path / "ivf")
+    ivf_persist(assigned, path)
+
+    qrow = embeddings.filter(F.col("vec_id") == 1).first()
+    q = [float(x) for x in qrow["embedding"]]
+    hits = ivf_search_persisted(spark, path, centers, q, k=10, nprobe=2)
+    pf = _partition_filters(hits)
+    assert "centroid_id" in pf  # inverted-list pruning at the file level
+    assert hits.count() == 10
+
+    # full probe over the persisted layout still equals exact
+    exact = brute_force_topk(embeddings, q, k=10)
+    full = ivf_search_persisted(spark, path, centers, q, k=10, nprobe=8)
+    assert recall_at_k(full, exact, "vec_id") == 1.0

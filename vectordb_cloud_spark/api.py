@@ -47,16 +47,31 @@ class VectorService:
         except Exception:
             return 0  # reference bare-except contract (/root/reference/app.py:53-55)
 
+    def insert_batch(self, rows: list[dict]) -> int:
+        """Micro-batched ingest — the Spark-appropriate write path (one MERGE
+        for N requests instead of N table rewrites; SURVEY.md §3.2). Returns
+        the number of rows upserted."""
+        from vectordb_cloud_spark.sources.readers import read_insert_requests
+
+        df = read_insert_requests(self.spark, rows).withColumn(
+            "embedding", mock_embed("text", self.dim)
+        )
+        self.catalog.upsert(self.index_name, df)
+        return len(rows)
+
     # GET /search (/root/reference/app.py:58-75)
     def search(self, user_id: int, text: str, limit: int = 5,
                site: str | None = None, lang: str | None = None) -> DataFrame:
         qvec = mock_vector(text, self.dim)
-        pred = F.col("user_id") == F.lit(user_id)  # mandatory tenant filter (search.py:37)
+        # tenant-pruned scan: user_id predicate + derived partition-bucket
+        # predicate (PartitionFilters prune files, search.py:37 semantics)
+        points = self.catalog.read_for_user(self.index_name, user_id)
+        pred = None
         if site is not None:  # optional predicates (search.py:38-41)
-            pred = pred & (F.col("site") == F.lit(site))
+            pred = F.col("site") == F.lit(site)
         if lang is not None:
-            pred = pred & (F.col("lang") == F.lit(lang))
-        points = self.catalog.read(self.index_name)
+            lang_pred = F.col("lang") == F.lit(lang)
+            pred = lang_pred if pred is None else pred & lang_pred
         hits = knn_search(points, qvec, k=limit, filters=pred)
         return search_response(hits)
 

@@ -112,6 +112,28 @@ class CollectionCatalog:
     def _write(self, name: str, df: DataFrame, mode: str = "overwrite") -> None:
         self._swap_in(name, df.drop("__bucket"))
 
+    def read_for_user(self, name: str, user_id: int) -> DataFrame:
+        """Tenant-pruned read: adds BOTH the user_id predicate and the
+        derived ``__bucket`` partition predicate. The bucket is computed
+        driver-side with the same hash Spark uses, so the scan's
+        PartitionFilters prunes to 1/n_buckets of the files — this is what
+        makes the mandatory tenant filter O(tenant) instead of O(table) at
+        100 TB.
+        """
+        meta = self.meta(name)
+        df = self.read(name)
+        if "__bucket" not in df.columns:
+            return df.filter(F.col("user_id") == F.lit(user_id))
+        spark = self.spark
+        bucket = (
+            spark.range(1)
+            .select(F.pmod(F.hash(F.lit(user_id).cast("long")), F.lit(meta.n_buckets)))
+            .first()[0]
+        )
+        return df.filter(
+            (F.col("__bucket") == F.lit(bucket)) & (F.col("user_id") == F.lit(user_id))
+        )
+
     def read(self, name: str) -> DataFrame:
         data = os.path.join(self._dir(name), DATA_DIR)
         if not os.path.isdir(data):

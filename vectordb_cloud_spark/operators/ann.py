@@ -112,6 +112,24 @@ def ivf_search(assigned: DataFrame, centers: list, query_vector: list[float],
     return knn_search(assigned, query_vector, k=k, vector_col=vector_col, filters=pred)
 
 
+def ivf_persist(assigned: DataFrame, path: str) -> None:
+    """Persist an IVF-assigned collection partitioned by centroid_id — the
+    on-disk layout that turns nprobe routing into FILE pruning: a query
+    reads only the nprobe/k_centroids partition directories."""
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+
+def ivf_search_persisted(spark, path: str, centers: list, query_vector: list[float],
+                         k: int = 5, nprobe: int = 2,
+                         vector_col: str = "embedding", filters=None) -> DataFrame:
+    """IVF search against the partitioned layout. The ``centroid_id IN``
+    predicate lands in the scan's PartitionFilters (verified in tests), so
+    unprobed inverted lists are never opened."""
+    assigned = spark.read.parquet(path)
+    return ivf_search(assigned, centers, query_vector, k=k, nprobe=nprobe,
+                      vector_col=vector_col, filters=filters)
+
+
 def brute_force_topk(points: DataFrame, query_vector: list[float], k: int,
                      vector_col: str = "embedding", filters=None) -> DataFrame:
     """Exact baseline used for recall measurement."""
