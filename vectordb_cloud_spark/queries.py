@@ -1223,6 +1223,114 @@ def scalar_functions_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "latest_order_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM orders
+    QUALIFY row_number() OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+    """,
+)
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-per-group (the upsert/SCD primitive as a query)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
+@_q(
+    "sources_per_lang",
+    """
+    SELECT lang,
+           array_to_string(list_sort(list_distinct(list(source))), ',') AS sources,
+           count(DISTINCT source) AS n_sources
+    FROM documents GROUP BY lang
+    """,
+)
+def sources_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered set aggregation (string_agg shape): collect_set -> sort ->
+    join. Deterministic output independent of partitioning."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("source"))).alias("sources"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@_q(
+    "grouping_sets_status_priority",
+    """
+    SELECT coalesce(o_orderstatus, '(all)') AS orderstatus,
+           coalesce(o_orderpriority, '(all)') AS orderpriority,
+           count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL API (the engine's second query
+    surface, SURVEY.md §1.4) — each set aggregated in one pass."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, '(all)') AS orderstatus,
+               coalesce(o_orderpriority, '(all)') AS orderpriority,
+               count(*) AS n
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@_q(
+    "events_daily_active_users",
+    """
+    SELECT date_trunc('day', ts)::TIMESTAMP AS day, count(DISTINCT user_id) AS dau,
+           count(*) AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+def events_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.countDistinct("user_id").alias("dau"), F.count("*").alias("n_events")
+    )
+
+
+@_q(
+    "price_above_brand_avg",
+    """
+    SELECT p.p_partkey, p.p_brand, p.p_retailprice
+    FROM part p
+    WHERE p.p_retailprice >
+      (SELECT sum(CAST(p2.p_retailprice AS DECIMAL(28,10)))::DOUBLE / count(*)
+       FROM part p2 WHERE p2.p_brand = p.p_brand)
+    """,
+)
+def price_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-scalar-subquery shape, decorrelated to a window aggregate:
+    one shuffle on brand instead of a per-row subquery. Decimal-exact mean so
+    the comparison is deterministic."""
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand")
+    brand_avg = (
+        F.sum(F.col("p_retailprice").cast("decimal(28,10)")).over(w).cast("double")
+        / F.count("*").over(w)
+    )
+    return (
+        p.withColumn("__avg", brand_avg)
+        .filter(F.col("p_retailprice") > F.col("__avg"))
+        .select("p_partkey", "p_brand", "p_retailprice")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Temporal joins: as-of and range (Spark-lacking operators, built from
 # composition — SURVEY.md §2.3 extensions)
