@@ -5,13 +5,20 @@ from vectordb_cloud_spark.functions.vector import (
     l2_distance_to,
     l2_norm,
 )
-from vectordb_cloud_spark.functions.embedding import mock_embed, embed_text
+from vectordb_cloud_spark.functions.embedding import mock_embed, mock_vector, embed_text
+from vectordb_cloud_spark.functions.ids import uuid3_dns
 from vectordb_cloud_spark.functions.text import (
+    bpe_token_estimate,
+    char_ngrams,
     doc_fingerprint,
     lang_id_expr,
+    mean_word_length,
     ngram_shingles,
+    punct_ratio,
     quality_score,
+    stopword_ratio,
     token_count,
+    words,
 )
 
 __all__ = [
@@ -21,10 +28,18 @@ __all__ = [
     "l2_distance_to",
     "l2_norm",
     "mock_embed",
+    "mock_vector",
     "embed_text",
+    "uuid3_dns",
+    "bpe_token_estimate",
+    "char_ngrams",
     "doc_fingerprint",
     "lang_id_expr",
+    "mean_word_length",
     "ngram_shingles",
+    "punct_ratio",
     "quality_score",
+    "stopword_ratio",
     "token_count",
+    "words",
 ]

@@ -1,10 +1,52 @@
-from vectordb_cloud_spark.operators.knn import knn_search, knn_batch, knn_join_exact
-from vectordb_cloud_spark.operators.classify import nearest_centroid, classify_title
+from vectordb_cloud_spark.operators.knn import knn_search, knn_batch, knn_join_exact, search_response
+from vectordb_cloud_spark.operators.classify import nearest_centroid, label_centroids, classify_title
+from vectordb_cloud_spark.operators.ann import (
+    ivf_build,
+    ivf_persist,
+    ivf_search,
+    ivf_search_persisted,
+    lsh_fit,
+    lsh_knn,
+    lsh_similarity_join,
+)
+from vectordb_cloud_spark.operators.dedup import (
+    dedup_keep_first,
+    embedding_near_dup,
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_near_dup_pairs,
+)
+from vectordb_cloud_spark.operators.temporal import asof_join, range_join
+from vectordb_cloud_spark.operators.skew import salted_agg, salted_join
 
 __all__ = [
     "knn_search",
     "knn_batch",
     "knn_join_exact",
+    "search_response",
     "nearest_centroid",
+    "label_centroids",
     "classify_title",
+    "ivf_build",
+    "ivf_persist",
+    "ivf_search",
+    "ivf_search_persisted",
+    "lsh_fit",
+    "lsh_knn",
+    "lsh_similarity_join",
+    "dedup_keep_first",
+    "embedding_near_dup",
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "simhash64",
+    "simhash_near_dup_pairs",
+    "asof_join",
+    "range_join",
+    "salted_agg",
+    "salted_join",
 ]
