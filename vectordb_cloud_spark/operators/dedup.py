@@ -23,6 +23,18 @@ from vectordb_cloud_spark.functions.text import doc_fingerprint, ngram_shingles
 from vectordb_cloud_spark.functions.vector import cosine_similarity
 
 
+def _parallelize(df: DataFrame) -> DataFrame:
+    """Fan a narrow input out to the cluster before compute-heavy per-row
+    stages. A single parquet file under maxPartitionBytes scans as ONE
+    partition — shingling/hashing would run single-threaded no matter how
+    many cores exist. The small shuffle of raw rows buys full parallelism;
+    on a real multi-file table this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 <= target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact duplicate groups: fingerprint -> group-by -> keep min id as the
     canonical representative. One shuffle on the fingerprint; map-side
@@ -88,6 +100,7 @@ def minhash_lsh_pairs(
     with ``array_intersect``/``array_union`` — no cross product anywhere.
     """
     rows_per_band = num_hashes // bands
+    docs = _parallelize(docs)
     shingled = docs.select(
         F.col(id_col).alias("id"),
         F.array_distinct(ngram_shingles(text_col, shingle_n)).alias("shingles"),
@@ -155,7 +168,7 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     # before the shuffle, and the flat sums stay inside whole-stage codegen —
     # measured ~2.6x faster than per-row array aggregates, bit-identical.
     # ngram_shingles never returns an empty array, so no docs are dropped.
-    hashes = docs.select(
+    hashes = _parallelize(docs).select(
         F.col(id_col), F.explode(ngram_shingles(text_col, shingle_n)).alias("__s")
     ).select(F.col(id_col), F.xxhash64("__s").alias("__h"))
     masks = [F.shiftleft(F.lit(1).cast("long"), i) for i in range(64)]
@@ -216,7 +229,7 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard similarity for all pairs within a block
     (e.g. same lang/source). The equi-join on the block key keeps the pair
     space bounded; SQL-expressible, so it has a DuckDB oracle."""
-    base = docs.select(
+    base = _parallelize(docs).select(
         F.col(id_col).alias("id"),
         F.col(block_col).alias("block"),
         F.array_distinct(ngram_shingles(text_col, shingle_n)).alias("sh"),

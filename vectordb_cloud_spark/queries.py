@@ -1399,6 +1399,45 @@ def range_join_value_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "streaming_hourly_counts",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming execution, oracle-checked: the events
+    parquet drives a watermarked tumbling-window stream (availableNow) into
+    a memory sink; the streamed result must hash-match the batch SQL — the
+    exactly-once guarantee made testable (SURVEY.md §2.8)."""
+    batch = _t(spark, sf_dir, "events")  # sets confs; provides the schema
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    # the file stream source needs a DIRECTORY; glob-filter to the events file
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    from pyspark.sql.types import LongType
+
+    if isinstance(raw_schema["ts"].dataType, LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    name = "__stream_hourly_out"
+    q = (
+        agg.writeStream.outputMode("complete").format("memory")
+        .queryName(name).trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 @_q("multimodal_image_features")
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing surface: binary image column -> mapInPandas decode
