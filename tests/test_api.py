@@ -74,3 +74,18 @@ def test_insert_batch_microbatch(svc):
     ])
     assert n == 5
     assert svc.search(50, "batch", limit=10).count() == 5
+
+
+def test_422_validation_contract(svc):
+    """/root/reference/app.py:28-33: bad params -> {status_code: 10422,
+    message, data: None}, never an exception."""
+    bad = svc.handle_search_request({"user_id": "not-an-int", "text": "x"})
+    assert bad["status_code"] == 10422 and bad["data"] is None
+    missing = svc.handle_search_request({"text": "x"})
+    assert missing["status_code"] == 10422
+    neg = svc.handle_search_request({"user_id": 1, "text": "x", "limit": 0})
+    assert neg["status_code"] == 10422
+
+    svc.insert(1, 77, "valid document", "s", "en")
+    ok = svc.handle_search_request({"user_id": "77", "text": "document", "limit": "5"})
+    assert ok["status_code"] == 200 and len(ok["data"]) == 1

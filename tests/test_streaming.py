@@ -102,3 +102,58 @@ def test_session_window_and_batch_sessionize_agree(events):
     b = {r["user_id"]: r["n"] for r in
          sb.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
     assert a == b
+
+
+def test_stateful_running_totals(spark, events, tmp_path):
+    """applyInPandasWithState: state carries across micro-batches — two
+    files + maxFilesPerTrigger=1 = two batches in one run; running totals
+    must accumulate, and the final row per user must equal the batch
+    ground truth."""
+    import glob
+    import shutil
+
+    from vectordb_cloud_spark.streaming.ingest import running_user_totals
+
+    src = tmp_path / "state_src"
+    src.mkdir()
+
+    def _drop_file(df, name):
+        # file stream sources don't recurse into nested dataset dirs; write
+        # then move the single part file into the watched dir as a plain file
+        staging = tmp_path / f"__stage_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(staging))
+        part = glob.glob(str(staging / "part-*.parquet"))[0]
+        shutil.move(part, str(src / name))
+        shutil.rmtree(staging)
+
+    sub = events.filter(F.col("user_id") < 5).select("user_id", "value").cache()
+    half1 = sub.limit(100)
+    _drop_file(half1, "f1.parquet")
+    _drop_file(sub.exceptAll(half1), "f2.parquet")
+
+    stream = spark.readStream.schema(sub.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src))
+    q = (
+        running_user_totals(stream)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("state_out").option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from state_out").collect()
+    assert rows
+    # multiple emissions per user (one per batch it appeared in) prove the
+    # operator ran across batches; the max-n row is the final state
+    final = {}
+    for r in rows:
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            final[r["user_id"]] = (r["n_events"], r["total_value"])
+    truth = {r["user_id"]: (r["n"], r["t"]) for r in sub.groupBy("user_id").agg(
+        F.count("*").alias("n"), F.sum("value").alias("t")).collect()}
+    assert final.keys() == truth.keys()
+    for uid, (n, t) in final.items():
+        assert n == truth[uid][0]
+        assert abs(t - truth[uid][1]) < 1e-6
+    assert len(rows) > len(final)  # at least one user emitted in both batches

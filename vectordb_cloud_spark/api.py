@@ -108,3 +108,32 @@ class VectorService:
     # GET /get_category_for_title (/root/reference/app.py:146-169)
     def get_category_for_title(self, user_id: int, cats: str, title: str) -> str:
         return classify_title(self.spark, user_id, cats, title, self.dim)
+
+    # 422 validation contract (/root/reference/app.py:28-33): coercion
+    # failures return {status_code: 10422, message, data: None} instead of
+    # raising — the FastAPI handler's observable shape.
+    @staticmethod
+    def _validation_error(message: str) -> dict:
+        return {"status_code": 10422, "message": message, "data": None}
+
+    def handle_search_request(self, params: dict):
+        """Endpoint-style dispatch: coerce/validate query params like the
+        FastAPI layer, 10422 envelope on failure, hits payload on success."""
+        try:
+            user_id = int(params["user_id"])
+            text = str(params["text"])
+            limit = int(params.get("limit", 5))
+            if limit <= 0:
+                raise ValueError("limit must be positive")
+        except (KeyError, TypeError, ValueError) as exc:
+            return self._validation_error(f"Validation error: {exc}")
+        site = params.get("site")
+        lang = params.get("lang")
+        hits = self.search(user_id, text, limit, site, lang)
+        return {
+            "status_code": 200,
+            "data": [
+                {"id": r["id"], "string": r["string"], "score": r["score"]}
+                for r in hits.collect()
+            ],
+        }

@@ -64,6 +64,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # DuckDB's; nanosAsLong so the ns-precision events table is readable).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # right-size shuffles for the test scale factors (the 200 default wastes
+    # task overhead here; AQE coalesces further at runtime)
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # parquet TIMESTAMP(NANOS) arrives as long ns-since-epoch

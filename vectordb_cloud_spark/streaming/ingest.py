@@ -97,6 +97,69 @@ def session_windows(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def running_user_totals(events: DataFrame, anomaly_factor: float = 10.0):
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running event count / value total across micro-batches, with an
+    anomaly flag when a batch's value exceeds ``anomaly_factor`` × the
+    historical per-event mean. State is one tiny row per user — bounded by
+    tenant count (the reference's 1000-user scale statement,
+    /root/reference/README.md:22), not by input volume.
+
+    Works only on a streaming DataFrame; use an ordinary windowed aggregate
+    for batch.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("batch_value", DoubleType()),
+        StructField("anomaly", BooleanType()),
+    ])
+    state_schema = StructType([
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+    ])
+
+    def _update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        batch_n, batch_total = 0, 0.0
+        for pdf in pdfs:
+            batch_n += len(pdf)
+            batch_total += float(pdf["value"].sum())
+        prior_mean = (total / n) if n else None
+        anomaly = bool(
+            prior_mean is not None and batch_n > 0
+            and (batch_total / batch_n) > anomaly_factor * prior_mean
+        )
+        n += batch_n
+        total += batch_total
+        state.update((n, total))
+        yield pd.DataFrame({
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [total],
+            "batch_value": [batch_total],
+            "anomaly": [anomaly],
+        })
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
 def sessionize_batch(events: DataFrame, gap_minutes: int = 30,
                      tiebreak_col: str | None = None) -> DataFrame:
     """Batch sessionization via lag + cumulative gap counting — the classic
