@@ -40,6 +40,31 @@ def main():
         df.write.format("noop").mode("overwrite").save()
         results[name] = round(time.time() - t0, 3)
 
+    # vector-scan stress: the fixture embeddings table is small (2k rows at
+    # sf0.1), so also measure exact filtered kNN over 100k synthetic 64-dim
+    # vectors — generated JVM-side (xxhash64-seeded, deterministic), single
+    # map pass + TakeOrderedAndProject, the 100-TB plan shape at real width
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from vectordb_cloud_spark.operators.knn import knn_search
+
+    t0 = time.time()
+    vecs = (
+        spark.range(100_000)
+        .withColumn(
+            "embedding",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda i: (F.pmod(F.xxhash64(F.col("id"), i), F.lit(2000)) - 1000.0) / 1000.0,
+            ).cast("array<float>"),
+        )
+        .withColumn("tenant", F.pmod(F.col("id"), F.lit(100)))
+    )
+    q100k = [((h * 2654435761) % 2000 - 1000) / 1000.0 for h in range(64)]
+    hits = knn_search(vecs, q100k, k=10, filters=F.col("tenant") == 7)
+    hits.write.format("noop").mode("overwrite").save()
+    results["knn_stress_100k_filtered"] = round(time.time() - t0, 3)
+
     # index/collection build time (embed + partitioned write) — mirrors the
     # reference's "Index creation Time" instrumentation (BASELINE.md)
     import shutil

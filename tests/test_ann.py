@@ -45,3 +45,16 @@ def test_ivf_partial_probe_recall(embeddings, qvec):
     # and it scans strictly fewer rows than the full collection
     probe_rows = assigned.filter(F.col("centroid_id").isin([c[0] for c in centers[:3]])).count()
     assert probe_rows < assigned.count()
+
+
+def test_ivf_with_tenant_filter(embeddings, qvec):
+    """Filtered ANN: metadata predicate composes with centroid routing —
+    the reference's filtered-search semantics on the approximate path."""
+    centers, assigned = ivf_build(embeddings, k_centroids=8)
+    assigned = assigned.cache()
+    got = ivf_search(assigned, centers, qvec, k=5, nprobe=8,
+                     filters=F.col("label") == 2)
+    rows = got.collect()
+    assert all(r["label"] == 2 for r in rows)
+    exact = brute_force_topk(embeddings, qvec, k=5, filters=F.col("label") == 2)
+    assert recall_at_k(got, exact, "vec_id") == 1.0  # full probe + filter = exact

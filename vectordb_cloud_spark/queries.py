@@ -1029,6 +1029,22 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.select("vec_id", F.round("dist", 6).alias("dist"))
 
 
+@_q("pq_adc_topk")
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: per-subspace KMeans codebooks -> 8-byte
+    codes (32x compression at dim 64) -> asymmetric-distance top-k via a
+    broadcast lookup table. The billion-scale path (composes with IVF like
+    FAISS IVF-PQ). Rows-only; recall gated in tests/test_pq.py."""
+    from vectordb_cloud_spark.operators.pq import pq_encode, pq_search, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    codebooks = pq_train(emb, m_subvectors=8, k_codes=16)
+    encoded = pq_encode(emb, codebooks).select("vec_id", "pq_code")
+    hits = pq_search(encoded, codebooks, qv, k=10)
+    return hits.select("vec_id", F.round("adc_dist", 6).alias("adc_dist"))
+
+
 @_q("classify_titles_mock_embed")
 def classify_titles_mock_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """/get_category_for_title batch form with the deterministic mock
