@@ -1029,6 +1029,27 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.select("vec_id", F.round("dist", 6).alias("dist"))
 
 
+@_q("lsh_similarity_join_pairs")
+def lsh_similarity_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs L2 similarity join via LSH bucket collision (MLlib
+    approxSimilarityJoin) — the distributed substitute for O(n²) all-pairs
+    (SURVEY.md §4b). Rows-only: LSH bucketing has no SQL twin; the pairs it
+    returns are exact-verified by the distCol threshold."""
+    from vectordb_cloud_spark.operators.ann import lsh_fit, lsh_similarity_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    model, _ = lsh_fit(emb, bucket_length=2.0, num_hash_tables=4)
+    pairs = lsh_similarity_join(model, emb, emb, threshold=1.2)
+    return (
+        pairs.select(
+            F.col("datasetA.vec_id").alias("id_a"),
+            F.col("datasetB.vec_id").alias("id_b"),
+            F.round("dist", 6).alias("dist"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+
+
 @_q("pq_adc_topk")
 def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN: per-subspace KMeans codebooks -> 8-byte
