@@ -1265,6 +1265,50 @@ def scalar_functions_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "events_value_histogram",
+    """
+    SELECT event_type, floor(value / 25.0)::BIGINT AS bucket, count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram: bucket expression + group-by (partial-agg
+    shuffle bounded by bucket count)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.floor(F.col("value") / 25.0).cast("long").alias("bucket")
+    ).agg(F.count("*").alias("n"))
+
+
+@_q(
+    "customer_order_stats",
+    """
+    SELECT c.c_custkey, c.c_mktsegment,
+           count(*) AS n_orders,
+           min(o.o_orderdate) AS first_order,
+           max(o.o_orderdate) AS last_order,
+           round(sum(CAST(o.o_totalprice AS DECIMAL(28,10)))::DOUBLE, 2) AS lifetime_value
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_mktsegment
+    """,
+)
+def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order profile: broadcast dim join + multi-aggregate."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(28,10)")).cast("double"), 2).alias("lifetime_value"),
+        )
+    )
+
+
+@_q(
     "latest_order_per_customer",
     """
     SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM orders
