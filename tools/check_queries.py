@@ -70,8 +70,21 @@ def main():
         t0 = time.time()
         res = con.sql(oracles[name])
         dcols = res.columns
+        # lint: HUGEINT / DECIMAL / TIMESTAMP_NS output columns serialize
+        # differently from Spark's int64/double/µs-timestamp under the
+        # driver's pandas-based value hash even when the values are equal
+        # (CORRECTNESS_r01: doc_stats_by_lang, sessionize_users). fetchall()
+        # masks this (Python ints compare equal), so check declared types.
+        bad_types = [
+            f"{c}:{t}" for c, t in zip(dcols, res.types)
+            if str(t) in ("HUGEINT", "TIMESTAMP_NS") or str(t).startswith("DECIMAL")
+        ]
         drows = res.fetchall()
         duck_s = time.time() - t0
+        if bad_types:
+            print(f"  {name:32s} ORACLE-TYPE-LINT       {' '.join(bad_types)} (cast ::BIGINT/::DOUBLE/::TIMESTAMP)")
+            failures.append(name)
+            continue
         s_n, s_c = normalize(srows, scols)
         d_n, d_c = normalize(drows, dcols)
         status, detail = "OK", ""

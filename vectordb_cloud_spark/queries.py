@@ -10,6 +10,10 @@ Float determinism rules used throughout:
   ``round(x, 6)`` (both engines produce bit-identical doubles; verified).
 - big aggregates: sum over ``decimal`` casts (exact, order-independent),
   cast back to double at the end — dodges parallel-fold non-associativity.
+- integer sums in ORACLES: DuckDB types ``sum(INT)`` (plain or windowed) as
+  HUGEINT, which its pandas/arrow conversion renders as float64 and the
+  driver's value hash then mismatches Spark's int64 — always ``::BIGINT``
+  the oracle side (CORRECTNESS_r01's only two hash fails were this).
 """
 
 from __future__ import annotations
@@ -518,8 +522,8 @@ def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     SELECT lang,
            count(*) AS n_docs,
-           sum(n_chars) AS total_chars,
-           sum(len(regexp_split_to_array(trim(text), '\s+'))) AS total_tokens
+           sum(n_chars)::BIGINT AS total_chars,
+           sum(len(regexp_split_to_array(trim(text), '\s+')))::BIGINT AS total_tokens
     FROM documents
     GROUP BY lang
     """,
@@ -734,8 +738,8 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
       SELECT user_id, ts,
-             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS UNBOUNDED PRECEDING) AS session_id
+             (sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
       FROM w
     )
     SELECT user_id, session_id, min(ts) AS session_start,
