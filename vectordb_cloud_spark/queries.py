@@ -997,9 +997,11 @@ def lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q("uuid3_content_ids")
 def uuid3_content_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """uuid3(NAMESPACE_DNS, text) content-addressed ids (F6,
-    /root/reference/test_qdrant.py:55). Python-UDF boundary (RFC 4122 binary
-    namespace isn't expressible in DuckDB VARCHAR md5) — rows-only check;
-    exactness is unit-tested against uuid.uuid3."""
+    /root/reference/test_qdrant.py:55), computed JVM-side (md5 over a binary
+    concat + hex surgery — no Python boundary). Rows-only check: DuckDB
+    1.0.0's md5 only accepts VARCHAR and the RFC 4122 DNS namespace bytes are
+    not valid UTF-8, so no SQL twin exists; exactness is unit-tested against
+    uuid.uuid3 (tests/test_ids.py, incl. unicode + version/variant bits)."""
     from vectordb_cloud_spark.functions.ids import uuid3_dns
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
