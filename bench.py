@@ -34,6 +34,13 @@ def main():
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
     results: dict[str, float] = {}
+
+    # IVF index construction (KMeans + centroid-partitioned write) is a
+    # build-time cost like collection_build, not per-query work — measure it
+    # once explicitly so ann_ivf_topk's number reflects the pruned search.
+    t0 = time.time()
+    qmod._ivf_index(spark, sf_dir)
+    results["ivf_index_build"] = round(time.time() - t0, 3)
     for name, fn in qmod.registry().items():
         t0 = time.time()
         df = fn(spark, sf_dir)

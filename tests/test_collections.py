@@ -84,3 +84,132 @@ def test_tenant_bucket_partitioning(catalog, spark, tmp_path):
     df = catalog.read("c")
     assert "__bucket" in df.columns  # partition column present for pruning
     assert df.count() == 40
+
+
+def _bucket_files(catalog, name):
+    """{bucket_dir: {file: (size, mtime_ns)}} snapshot of the data layout."""
+    import os
+
+    data = os.path.join(catalog.root, name, "data")
+    out = {}
+    for d in os.listdir(data):
+        if not d.startswith("__bucket="):
+            continue
+        files = {}
+        for f in os.listdir(os.path.join(data, d)):
+            if f.endswith(".parquet"):
+                st = os.stat(os.path.join(data, d, f))
+                files[f] = (st.st_size, st.st_mtime_ns)
+        out[d] = files
+    return out
+
+
+def test_upsert_rewrites_only_touched_buckets(catalog, spark):
+    """A small batch must leave unrelated tenants' bucket partitions
+    byte-identical on disk (same files, sizes, mtimes) — the O(batch)
+    write path, not O(table)."""
+    catalog.create("c", dim=2, n_buckets=8)
+    catalog.upsert("c", _rows(spark, [(i, [1.0, 1.0], "t", i % 20) for i in range(200)]))
+    before = _bucket_files(catalog, "c")
+    assert len(before) > 2
+    # single-tenant batch: touches exactly one user_id -> one bucket
+    catalog.upsert("c", _rows(spark, [(1000, [9.0, 9.0], "new", 3)]))
+    after = _bucket_files(catalog, "c")
+    from pyspark.sql import functions as F2
+
+    bucket = catalog.spark.range(1).select(
+        F2.pmod(F2.hash(F2.lit(3).cast("long")), F2.lit(8))
+    ).first()[0]
+    touched = f"__bucket={bucket}"
+    assert after[touched] != before[touched]  # the tenant's bucket was rewritten
+    for d in before:
+        if d != touched:
+            assert after[d] == before[d], f"untouched bucket {d} was rewritten"
+    assert catalog.read("c").count() == 201
+
+
+def test_delete_rewrites_only_matched_buckets(catalog, spark):
+    catalog.create("c", dim=2, n_buckets=8)
+    catalog.upsert("c", _rows(spark, [(i, [1.0, 1.0], "t", i % 20) for i in range(200)]))
+    before = _bucket_files(catalog, "c")
+    n = catalog.delete_where("c", F.col("user_id") == 3)
+    assert n == 10
+    after = _bucket_files(catalog, "c")
+    bucket = catalog.spark.range(1).select(
+        F.pmod(F.hash(F.lit(3).cast("long")), F.lit(8))
+    ).first()[0]
+    touched = f"__bucket={bucket}"
+    for d in before:
+        if d != touched:
+            assert after[d] == before[d], f"untouched bucket {d} was rewritten"
+    assert catalog.read("c").count() == 190
+
+
+def test_delete_where_zero_matches_is_noop(catalog, spark):
+    catalog.create("c", dim=2, n_buckets=4)
+    catalog.upsert("c", _rows(spark, [(1, [1.0, 1.0], "t", 1)]))
+    before = _bucket_files(catalog, "c")
+    assert catalog.delete_where("c", F.col("user_id") == 999) == 0
+    assert _bucket_files(catalog, "c") == before
+
+
+def test_delete_null_predicate_rows_survive(catalog, spark):
+    """Rows where the predicate is NULL (NULL text under contains) never
+    matched — they must not be deleted."""
+    catalog.create("c", dim=2)
+    catalog.upsert("c", _rows(spark, [
+        (1, [1.0, 1.0], "spark rocks", 1),
+        (2, [2.0, 2.0], None, 1),
+        (3, [3.0, 3.0], "plain", 1),
+    ]))
+    n = catalog.delete_where("c", F.col("text").contains("spark"))
+    assert n == 1
+    assert {r["id"] for r in catalog.read("c").collect()} == {2, 3}
+
+
+def test_upsert_schema_drift_raises(catalog, spark):
+    catalog.create("c", dim=2)
+    catalog.upsert("c", _rows(spark, [(1, [1.0, 1.0], "a", 1)]))
+    drifted = spark.createDataFrame(
+        [(2, [2.0, 2.0], "b")], "id long, embedding array<float>, text string"
+    )
+    with pytest.raises(ValueError, match="schema drift"):
+        catalog.upsert("c", drifted)
+    assert catalog.read("c").count() == 1  # collection untouched
+
+
+def test_string_id_collection_lifecycle(catalog, spark):
+    """End-to-end uuid string-id collection — the reference's test_qdrant.py
+    lifecycle (str(uuid3) point ids, /root/reference/test_qdrant.py:26,55):
+    create(id_type=string) -> upsert content-addressed ids -> re-upsert same
+    text dedups -> search -> delete by id."""
+    import uuid as _uuid
+
+    from vectordb_cloud_spark.functions.ids import uuid3_dns
+    from vectordb_cloud_spark.operators.knn import knn_search
+
+    catalog.create("s", dim=2, id_type="string")
+    texts = ["alpha doc", "beta doc", "gamma doc"]
+
+    def batch(ts):
+        df = spark.createDataFrame(
+            [(t, [float(len(t)), 1.0], 7) for t in ts],
+            "text string, embedding array<float>, user_id long",
+        )
+        return df.select(uuid3_dns("text").alias("id"), "embedding", "text", "user_id")
+
+    catalog.upsert("s", batch(texts))
+    assert catalog.read("s").count() == 3
+    # content addressing: same text -> same uuid -> upsert dedups, not grows
+    catalog.upsert("s", batch(["alpha doc"]))
+    got = catalog.read("s")
+    assert got.count() == 3
+    ids = {r["id"] for r in got.select("id").collect()}
+    assert ids == {str(_uuid.uuid3(_uuid.NAMESPACE_DNS, t)) for t in texts}
+    # search over the string-id schema
+    hits = knn_search(got, [9.0, 1.0], k=1, tiebreak="id").collect()
+    assert hits[0]["text"] == "alpha doc"
+    # delete by (string) id list
+    n = catalog.delete_by_ids("s", [str(_uuid.uuid3(_uuid.NAMESPACE_DNS, "beta doc"))])
+    assert n == 1
+    assert catalog.read("s").count() == 2

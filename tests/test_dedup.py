@@ -5,6 +5,8 @@ from pyspark.sql import functions as F
 
 from vectordb_cloud_spark.operators.dedup import (
     dedup_keep_first,
+    embedding_near_dup,
+    embedding_near_dup_lsh,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -63,3 +65,44 @@ def test_simhash_near_dup_pairs(corpus):
     pairs = simhash_near_dup_pairs(corpus, max_hamming=16)
     got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
     assert got.get((4, 5)) == 0
+
+
+def test_simhash_banding_pigeonhole_guarantee(spark, documents):
+    """Every pair within max_hamming MUST be found (bands = max_hamming + 1
+    pigeonhole) — compare against a brute-force all-pairs hamming scan."""
+    docs = documents.limit(60).select("doc_id", "text")
+    max_h = 3
+    sh = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+    ids = sorted(sh)
+    expected = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(sh[a] ^ sh[b]).count("1") <= max_h
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_dup_pairs(docs, max_hamming=max_h).collect()
+    }
+    assert got == expected  # no misses (guarantee) and no extras (verify)
+
+
+def test_embedding_near_dup_lsh_subset_of_exact(spark, embeddings):
+    """LSH-blocked pairs must be a subset of the exact all-pairs result with
+    identical cosines (precision exact; recall governed by num_tables)."""
+    emb = embeddings.limit(150)
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dup(emb, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dup_lsh(emb, threshold=0.5, bucket_length=4.0,
+                                        num_tables=6).collect()
+    }
+    assert set(lsh).issubset(set(exact))
+    for k, v in lsh.items():
+        assert v == exact[k]
+    # with several hash tables the blocked join should recover most pairs
+    if exact:
+        assert len(lsh) / len(exact) >= 0.5

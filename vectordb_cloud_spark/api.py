@@ -72,7 +72,7 @@ class VectorService:
         if lang is not None:
             lang_pred = F.col("lang") == F.lit(lang)
             pred = lang_pred if pred is None else pred & lang_pred
-        hits = knn_search(points, qvec, k=limit, filters=pred)
+        hits = knn_search(points, qvec, k=limit, filters=pred, tiebreak="id")
         return search_response(hits)
 
     # GET /remove_by_user (/root/reference/app.py:78-91)

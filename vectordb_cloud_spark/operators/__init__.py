@@ -12,6 +12,7 @@ from vectordb_cloud_spark.operators.ann import (
 from vectordb_cloud_spark.operators.dedup import (
     dedup_keep_first,
     embedding_near_dup,
+    embedding_near_dup_lsh,
     exact_dedup,
     minhash_lsh_pairs,
     minhash_signatures,
@@ -39,6 +40,7 @@ __all__ = [
     "lsh_similarity_join",
     "dedup_keep_first",
     "embedding_near_dup",
+    "embedding_near_dup_lsh",
     "exact_dedup",
     "minhash_lsh_pairs",
     "minhash_signatures",

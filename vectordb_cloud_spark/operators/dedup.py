@@ -13,6 +13,7 @@ buckets whose expected size is constant.
 - simhash64            — 64-bit SimHash; near-dup = small hamming distance
 - ngram_jaccard_pairs  — exact n-gram Jaccard within explicit blocks
 - embedding_near_dup   — cosine-threshold pairs over an embedding column
+- embedding_near_dup_lsh — same, blocked by LSH buckets (the scale default)
 """
 
 from __future__ import annotations
@@ -187,21 +188,32 @@ def hamming64(a, b) -> F.Column:
     return F.bit_count(F.col(a).bitwiseXOR(F.col(b)) if isinstance(a, str) else a.bitwiseXOR(b))
 
 
-def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 8,
+def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3,
                            id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """SimHash near-dup pairs, blocked by 16-bit bands (a pair within
-    hamming distance <= 3·16/64 must share at least one of 4 bands —
-    pigeonhole): equi-join on (band_idx, band_value), verify hamming."""
+    """SimHash near-dup pairs with a pigeonhole recall guarantee: the 64-bit
+    simhash is split into ``max_hamming + 1`` bands, so any pair within
+    hamming distance <= max_hamming differs in at most max_hamming bands and
+    therefore shares at least one band unchanged — the (band_idx, band_value)
+    equi-join is guaranteed to generate every qualifying candidate, and the
+    exact hamming verify filters false positives. Larger max_hamming means
+    more/narrower bands (more candidates); distance > max_hamming pairs may
+    still surface via a shared band but are dropped by the verify."""
+    bands = max_hamming + 1
+    if not 1 <= bands <= 64:
+        raise ValueError("max_hamming must be in [0, 63]")
+    # band i covers bits [64*i//bands, 64*(i+1)//bands) — widths differ by
+    # at most one bit when 64 % bands != 0; coverage is exact either way
+    bounds = [64 * i // bands for i in range(bands + 1)]
     sh = simhash64(docs, id_col, text_col)
+    band_vals = [
+        F.col("simhash") if hi - lo == 64  # single-band: mask would overflow long
+        else F.shiftright(F.col("simhash"), lo).bitwiseAND(F.lit((1 << (hi - lo)) - 1))
+        for lo, hi in zip(bounds, bounds[1:])
+    ]
     banded = sh.select(
         F.col(id_col).alias("id"),
         F.col("simhash"),
-        F.posexplode(
-            F.array(*[
-                F.shiftright(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF))
-                for i in range(4)
-            ])
-        ).alias("band", "bval"),
+        F.posexplode(F.array(*band_vals)).alias("band", "bval"),
     )
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
@@ -245,6 +257,68 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("__j") >= threshold)
         .select("id_a", "id_b", F.round("__j", 6).alias("jaccard"))
+    )
+
+
+def embedding_near_dup_lsh(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    bucket_length: float = 2.0,
+    num_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs blocked by LSH buckets — the 100 TB-safe
+    blocking key (VERDICT round 1: blocking on a low-cardinality label is
+    n²/|labels| within blocks; an LSH bucket's expected occupancy is constant
+    in n, so the candidate pair space stays linear).
+
+    Plan: fit ``BucketedRandomProjectionLSH`` (L2 ≈ angular blocking once
+    vectors share scale) -> explode each row to (table_idx, bucket) -> self
+    equi-join on the skinny (table, bucket) rows -> dedup candidate ids ->
+    join vectors back -> exact cosine verify. Recall is governed by
+    num_tables (any single-table collision produces the candidate); verify
+    keeps precision exact.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    from vectordb_cloud_spark.functions.vector import dot_product, l2_norm
+
+    pts = _parallelize(vectors).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+        l2_norm(F.col(vec_col)).alias("norm"),
+    ).withColumn("__features", array_to_vector("vec")).cache()
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="__features", outputCol="__hashes",
+        bucketLength=bucket_length, numHashTables=num_tables, seed=42,
+    )
+    hashed = lsh.fit(pts).transform(pts)
+    from pyspark.ml.functions import vector_to_array
+
+    # skinny (id, table, bucket) rows — the join never shuffles vectors
+    banded = hashed.select(
+        "id", F.posexplode("__hashes").alias("table", "__hv")
+    ).select("id", "table", vector_to_array("__hv")[0].cast("long").alias("bucket"))
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(r, (F.col("l.table") == F.col("r.table"))
+               & (F.col("l.bucket") == F.col("r.bucket"))
+               & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    side = pts.select("id", "vec", "norm")
+    pairs = (
+        cand.join(side.select(F.col("id").alias("id_a"), F.col("vec").alias("va"), F.col("norm").alias("na")), "id_a")
+        .join(side.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"), F.col("norm").alias("nb")), "id_b")
+    )
+    cos = dot_product(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        pairs.withColumn("__cos_raw", cos)
+        .filter(F.col("__cos_raw") >= threshold)
+        .select("id_a", "id_b", F.round("__cos_raw", 6).alias("cosine"))
     )
 
 

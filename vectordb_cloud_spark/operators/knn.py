@@ -34,6 +34,7 @@ def knn_search(
     filters: Column | None = None,
     metric: str = "l2",
     dist_col: str = "dist",
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """Exact filtered top-k search for a single query vector.
 
@@ -41,18 +42,25 @@ def knn_search(
     the tenant/site/lang predicate conjunction (pushed down to the parquet
     scan by Catalyst — the reference pushed these to Qdrant, search.py:37-45).
     Ascending L2, exactly the reference's EUCLID ordering.
+
+    ``tiebreak``: optional id column appended ascending to the ordering so
+    equal-distance rows at the k boundary (duplicate vectors exist in real
+    corpora) return deterministically — pass the point id column whenever the
+    result feeds an exact comparison.
     """
     df = points if filters is None else points.filter(filters)
     if metric == "l2":
         dist = l2_distance_to(F.col(vector_col), query_vector)
-        order = F.col(dist_col).asc()
+        order = [F.col(dist_col).asc()]
     elif metric == "cosine":
         q = F.array(*[F.lit(float(x)) for x in query_vector])
         dist = cosine_similarity(F.col(vector_col), q)
-        order = F.col(dist_col).desc()
+        order = [F.col(dist_col).desc()]
     else:
         raise ValueError(f"unknown metric {metric!r}")
-    return df.withColumn(dist_col, dist).orderBy(order).limit(k)
+    if tiebreak is not None:
+        order.append(F.col(tiebreak).asc())
+    return df.withColumn(dist_col, dist).orderBy(*order).limit(k)
 
 
 def knn_batch(
