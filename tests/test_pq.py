@@ -51,3 +51,39 @@ def test_adc_recall_vs_exact(pq_index, embeddings):
     reranked = brute_force_topk(rerank_pool, q, k=10)
     r2 = recall_at_k(reranked, exact, "vec_id")
     assert r2 >= r
+
+
+def test_ivfpq_residual_encoding_and_search(embeddings):
+    """IVF-PQ composition (FAISS IVFPQ shape): coarse routing + residual
+    codes. Recall floors are honest about quantization loss on the
+    uniform-random fixture (residual encoding only clearly beats raw PQ on
+    clustered data); the rerank stage is the production-quality path."""
+    from vectordb_cloud_spark.operators.pq import ivfpq_build, ivfpq_search
+
+    q = [float(x) for x in embeddings.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact = brute_force_topk(embeddings, q, k=10)
+
+    centers, codebooks, encoded = ivfpq_build(
+        embeddings, k_centroids=4, m_subvectors=8, k_codes=16
+    )
+    encoded = encoded.cache()
+    assert set(encoded.columns) == {"vec_id", "centroid_id", "pq_code"}
+    assert encoded.count() == embeddings.count()
+    # every code row routes to a real centroid
+    cids = {r[0] for r in encoded.select("centroid_id").distinct().collect()}
+    assert cids.issubset({c[0] for c in centers})
+
+    # full probe: every list searched -> pure residual-ADC quality
+    approx = ivfpq_search(encoded, centers, codebooks, q, k=10, nprobe=4)
+    r_full = recall_at_k(approx, exact, "vec_id")
+    assert r_full >= 0.2  # 8-byte codes on random 64-dim data
+
+    # partial probe stays sane (routing loses at most the unprobed lists)
+    approx2 = ivfpq_search(encoded, centers, codebooks, q, k=10, nprobe=2)
+    assert recall_at_k(approx2, exact, "vec_id") >= 0.1
+
+    # ADC candidates -> exact rerank (the standard two-stage deployment)
+    cand = ivfpq_search(encoded, centers, codebooks, q, k=50, nprobe=4).select("vec_id")
+    reranked = brute_force_topk(embeddings.join(cand, "vec_id"), q, k=10)
+    assert recall_at_k(reranked, exact, "vec_id") >= r_full
+    encoded.unpersist()

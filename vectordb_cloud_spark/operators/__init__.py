@@ -20,6 +20,13 @@ from vectordb_cloud_spark.operators.dedup import (
     simhash64,
     simhash_near_dup_pairs,
 )
+from vectordb_cloud_spark.operators.pq import (
+    ivfpq_build,
+    ivfpq_search,
+    pq_encode,
+    pq_search,
+    pq_train,
+)
 from vectordb_cloud_spark.operators.temporal import asof_join, range_join
 from vectordb_cloud_spark.operators.skew import salted_agg, salted_join
 
@@ -47,6 +54,11 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash64",
     "simhash_near_dup_pairs",
+    "ivfpq_build",
+    "ivfpq_search",
+    "pq_encode",
+    "pq_search",
+    "pq_train",
     "asof_join",
     "range_join",
     "salted_agg",

@@ -158,3 +158,81 @@ def pq_search(
         .orderBy(F.col("adc_dist").asc())
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse centroid routing + residual product quantization — the
+# FAISS IVFPQ composition, the standard billion-scale layout.
+# ---------------------------------------------------------------------------
+
+def ivfpq_build(
+    points: DataFrame,
+    k_centroids: int = 8,
+    m_subvectors: int = 8,
+    k_codes: int = 16,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Build an IVF-PQ index: KMeans coarse quantizer routes each vector to a
+    centroid; the RESIDUAL (vector − centroid) is product-quantized, which
+    centers every subspace distribution near zero — on clustered real-world
+    embeddings this makes the shared codebooks substantially tighter than
+    raw-vector PQ (the FAISS design; on uniform-random data it is a wash).
+
+    Returns ``(centers, codebooks, encoded)`` where ``encoded`` holds only
+    (id, centroid_id, pq_code) — at M=8, K=16 that is 8 bytes of code per
+    vector; persist it partitioned by ``centroid_id`` for file-level pruning
+    exactly like ``operators.ann.ivf_persist``.
+    """
+    from vectordb_cloud_spark.operators.ann import ivf_build
+
+    centers, assigned = ivf_build(points, k_centroids=k_centroids, vector_col=vector_col)
+    spark = points.sparkSession
+    centers_df = spark.createDataFrame(
+        [(i, c) for i, c in centers], "centroid_id int, __center array<double>"
+    )
+    with_resid = assigned.join(F.broadcast(centers_df), "centroid_id").withColumn(
+        "__residual",
+        F.zip_with(F.col(vector_col).cast("array<double>"), "__center", lambda a, b: a - b),
+    )
+    codebooks = pq_train(with_resid, m_subvectors, k_codes, vector_col="__residual")
+    encoded = pq_encode(with_resid, codebooks, vector_col="__residual").select(
+        id_col, "centroid_id", "pq_code"
+    )
+    return centers, codebooks, encoded
+
+
+def ivfpq_search(
+    encoded: DataFrame,
+    centers: list,
+    codebooks,
+    query_vector: list[float],
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-PQ search: route to the ``nprobe`` nearest coarse centroids
+    driver-side, then ADC inside each probed inverted list against the
+    QUERY RESIDUAL for that centroid (each probe gets its own M×K lookup
+    table — a few KB of plan literals). Per-probe top-k unions into the
+    global top-k; the scan touches only probed ``centroid_id`` partitions
+    and reads codes, never raw vectors.
+    """
+    import math
+
+    probe = sorted(
+        centers,
+        key=lambda c: math.sqrt(sum((x - y) ** 2 for x, y in zip(c[1], query_vector))),
+    )[:nprobe]
+    parts = []
+    for cid, center in probe:
+        resid_q = [q - c for q, c in zip(query_vector, center)]
+        parts.append(
+            pq_search(
+                encoded, codebooks, resid_q, k=k,
+                filters=F.col("centroid_id") == cid,
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy(F.col("adc_dist").asc()).limit(k)
