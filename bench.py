@@ -35,12 +35,16 @@ def main():
 
     results: dict[str, float] = {}
 
-    # IVF index construction (KMeans + centroid-partitioned write) is a
-    # build-time cost like collection_build, not per-query work — measure it
-    # once explicitly so ann_ivf_topk's number reflects the pruned search.
+    # Index construction (IVF: KMeans + centroid-partitioned write; PQ:
+    # codebook training + code encoding) is a build-time cost like
+    # collection_build, not per-query work — measure each once explicitly so
+    # ann_ivf_topk / pq_adc_topk reflect the pruned/codes-only searches.
     t0 = time.time()
     qmod._ivf_index(spark, sf_dir)
     results["ivf_index_build"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    qmod._pq_index(spark, sf_dir)
+    results["pq_index_build"] = round(time.time() - t0, 3)
     for name, fn in qmod.registry().items():
         t0 = time.time()
         df = fn(spark, sf_dir)

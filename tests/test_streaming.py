@@ -12,6 +12,7 @@ from vectordb_cloud_spark.streaming.ingest import (
     sessionize_batch,
     sliding_window_counts,
     start_ingest_stream,
+    streaming_dedup,
     tumbling_window_stats,
 )
 
@@ -157,3 +158,43 @@ def test_stateful_running_totals(spark, events, tmp_path):
         assert n == truth[uid][0]
         assert abs(t - truth[uid][1]) < 1e-6
     assert len(rows) > len(final)  # at least one user emitted in both batches
+
+
+def test_streaming_dedup_across_batches(spark, events, tmp_path):
+    """Duplicated event ids delivered in LATER micro-batches must be dropped
+    (watermark-bounded dedup state) — the effectively-once ingest guard."""
+    import glob
+    import shutil
+
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+
+    def _drop_file(df, name):
+        staging = tmp_path / f"__stage_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(staging))
+        part = glob.glob(str(staging / "part-*.parquet"))[0]
+        shutil.move(part, str(src / name))
+        shutil.rmtree(staging)
+
+    sub = events.select("event_id", "ts", "user_id").limit(200).cache()
+    first = sub.limit(120)
+    _drop_file(first, "f1.parquet")
+    # second file: 80 new rows + 40 replayed duplicates of the first file
+    _drop_file(sub.exceptAll(first).union(first.limit(40)), "f2.parquet")
+
+    stream = spark.readStream.schema(sub.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src))
+    q = (
+        streaming_dedup(stream, ["event_id"])
+        .writeStream.outputMode("append").format("memory")
+        .queryName("dedup_out").option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select event_id from dedup_out").collect()
+    ids = [r["event_id"] for r in got]
+    assert len(ids) == len(set(ids)) == 200  # replays dropped, nothing lost
+
+    # batch fallback keeps the same contract
+    assert streaming_dedup(sub.union(sub.limit(50)), ["event_id"]).count() == 200

@@ -97,6 +97,22 @@ def session_windows(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def streaming_dedup(events: DataFrame, id_cols: list[str] | None = None,
+                    ts_col: str = "ts", watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup: drop repeated ids across micro-batches with
+    watermark-bounded state (``dropDuplicatesWithinWatermark``) — the
+    streaming twin of ``operators.dedup.exact_dedup`` and the standard
+    at-least-once -> effectively-once ingest guard. State holds one entry
+    per id seen within the watermark horizon, so memory is bounded by the
+    id arrival rate × watermark window, independent of stream length.
+    Batch frames fall back to plain ``dropDuplicates`` (same semantics when
+    the whole input is one batch)."""
+    cols = list(id_cols or ["event_id"])
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(cols)
+    return events.dropDuplicates(cols)
+
+
 def running_user_totals(events: DataFrame, anomaly_factor: float = 10.0):
     """Custom stateful streaming operator via ``applyInPandasWithState``:
     per-user running event count / value total across micro-batches, with an
