@@ -87,6 +87,42 @@ def test_simhash_banding_pigeonhole_guarantee(spark, documents):
     assert got == expected  # no misses (guarantee) and no extras (verify)
 
 
+def test_dup_components_transitive_closure(spark):
+    """a~b, b~c must land in one component even though a~c was never a
+    pair; disjoint pairs stay separate; chain forces >1 propagation round."""
+    from vectordb_cloud_spark.operators.dedup import dup_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),  # 5-chain: needs several rounds
+         (10, 11),                        # separate pair
+         (20, 22), (21, 22)],             # star via shared neighbor
+        "id_a long, id_b long",
+    )
+    comp = {r["id"]: r["comp"] for r in dup_components(pairs).collect()}
+    assert {comp[i] for i in (1, 2, 3, 4, 5)} == {1}
+    assert comp[10] == comp[11] == 10
+    assert comp[20] == comp[21] == comp[22] == 20
+
+
+def test_dedup_keep_canonical_from_pairs(spark, corpus):
+    """End-to-end dedup pipeline: near-dup pairs -> components -> corpus
+    keeps one canonical doc per group + all unpaired docs."""
+    from vectordb_cloud_spark.operators.dedup import dedup_keep_canonical
+
+    pairs = minhash_lsh_pairs(corpus, num_hashes=32, bands=16, shingle_n=2,
+                              jaccard_threshold=0.5)
+    kept = {r["doc_id"] for r in dedup_keep_canonical(corpus, pairs).collect()}
+    got_pairs = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # every pair loses its higher id; doc 6 (never paired) always survives
+    assert 6 in kept
+    for a, b in got_pairs:
+        assert min(a, b) in kept or any(  # canonical may itself lose to a lower id
+            min(a, b) > min(x, y) for x, y in got_pairs if {a, b} & {x, y}
+        )
+        assert b not in kept or all(b < x for x, y in got_pairs if y == b)
+    assert (4, 5) in got_pairs and 5 not in kept and 4 in kept
+
+
 def test_embedding_near_dup_lsh_subset_of_exact(spark, embeddings):
     """LSH-blocked pairs must be a subset of the exact all-pairs result with
     identical cosines (precision exact; recall governed by num_tables)."""

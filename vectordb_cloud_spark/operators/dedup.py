@@ -14,6 +14,8 @@ buckets whose expected size is constant.
 - ngram_jaccard_pairs  — exact n-gram Jaccard within explicit blocks
 - embedding_near_dup   — cosine-threshold pairs over an embedding column
 - embedding_near_dup_lsh — same, blocked by LSH buckets (the scale default)
+- dup_components       — pairs -> connected-component groups (hash-min)
+- dedup_keep_canonical — docs minus non-canonical near-dup group members
 """
 
 from __future__ import annotations
@@ -258,6 +260,66 @@ def ngram_jaccard_pairs(
         .filter(F.col("__j") >= threshold)
         .select("id_a", "id_b", F.round("__j", 6).alias("jaccard"))
     )
+
+
+def dup_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                   max_iter: int = 20) -> DataFrame:
+    """Connected components over near-duplicate PAIRS — the step that turns
+    pairwise similarity into dedup GROUPS (a~b and b~c must collapse to one
+    keep-decision even when a~c was never emitted as a pair).
+
+    Hash-min label propagation: every vertex starts labeled with its own id;
+    each round takes the min of its label and its neighbors' labels;
+    converges to the component's min id in O(graph diameter) rounds —
+    near-dup graphs are shallow (stars/chains around a canonical doc), so a
+    handful of rounds suffice at any data size. Each round is one
+    equi-join + groupBy on vertex ids (shuffle ∝ |edges|, never all-pairs);
+    ``localCheckpoint`` truncates the iterative lineage so plans stay flat.
+
+    Returns (id, comp) — comp = min doc id of the component.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(
+                labels.select(F.col("id").alias("dst"), F.col("comp").alias("dcomp")), "dst"
+            )
+            .groupBy("src")
+            .agg(F.min("dcomp").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min.withColumnRenamed("src", "id"), "id", "left")
+            .select("id", F.least("comp", F.coalesce("ncomp", "comp")).alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_keep_canonical(docs: DataFrame, pairs: DataFrame,
+                         id_col: str = "doc_id") -> DataFrame:
+    """Deduplicated corpus from near-dup pairs: resolve pairs to components,
+    keep only each component's canonical (min-id) member plus every document
+    that appears in no pair. One broadcast-size anti-join against the
+    non-canonical ids (components are tiny relative to the corpus)."""
+    comp = dup_components(pairs)
+    losers = comp.filter(F.col("id") != F.col("comp")).select(F.col("id").alias(id_col))
+    return docs.join(losers, on=id_col, how="left_anti")
 
 
 def embedding_near_dup_lsh(
