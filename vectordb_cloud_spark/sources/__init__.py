@@ -1,3 +1,4 @@
+from vectordb_cloud_spark.sources.bucketed import colocated_join, write_bucketed_table
 from vectordb_cloud_spark.sources.readers import (
     read_csv_corpus,
     read_excel_fixture,
@@ -7,9 +8,11 @@ from vectordb_cloud_spark.sources.readers import (
 )
 
 __all__ = [
+    "colocated_join",
     "read_csv_corpus",
     "read_excel_fixture",
     "read_insert_requests",
     "read_jsonl_corpus",
     "scroll",
+    "write_bucketed_table",
 ]
