@@ -198,3 +198,51 @@ def test_streaming_dedup_across_batches(spark, events, tmp_path):
 
     # batch fallback keeps the same contract
     assert streaming_dedup(sub.union(sub.limit(50)), ["event_id"]).count() == 200
+
+
+def test_rollup_stream_converges_to_batch_truth(spark, events, tmp_path):
+    """Continuous rollup: two micro-batches of events MERGE into a parquet
+    rollup that must equal the batch windowed aggregate once drained."""
+    import glob
+    import shutil
+
+    from vectordb_cloud_spark.streaming.ingest import start_rollup_stream
+
+    src = tmp_path / "rollup_src"
+    src.mkdir()
+    dest = str(tmp_path / "rollup_out")
+
+    sub = events.select("event_id", "ts", "event_type", "value").cache()
+    first = sub.limit(5000)
+
+    def _drop_file(df, name):
+        staging = tmp_path / f"__stage_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(staging))
+        part = glob.glob(str(staging / "part-*.parquet"))[0]
+        shutil.move(part, str(src / name))
+        shutil.rmtree(staging)
+
+    _drop_file(first, "f1.parquet")
+    _drop_file(sub.exceptAll(first), "f2.parquet")
+
+    stream_schema = sub.schema
+    q = start_rollup_stream(
+        spark, str(src), dest, stream_schema,
+        checkpoint_dir=str(tmp_path / "ck3"),
+        max_files_per_trigger=1,  # force 2 micro-batches -> the MERGE runs twice
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], round(r["total_value"], 6))
+        for r in spark.read.parquet(dest).collect()
+    }
+    truth = {
+        (r["ws"], r["event_type"]): (r["n"], round(r["tv"], 6))
+        for r in sub.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        ).agg(F.count("*").alias("n"), F.sum("value").alias("tv"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "tv")
+        .collect()
+    }
+    assert got == truth

@@ -7,6 +7,10 @@ from vectordb_cloud_spark.functions.vector import (
 )
 from vectordb_cloud_spark.functions.embedding import mock_embed, mock_vector, embed_text
 from vectordb_cloud_spark.functions.ids import uuid3_dns
+from vectordb_cloud_spark.functions.sketches import (
+    merged_distinct_estimate,
+    user_count_sketches,
+)
 from vectordb_cloud_spark.functions.text import (
     bpe_token_estimate,
     char_ngrams,
@@ -31,6 +35,8 @@ __all__ = [
     "mock_vector",
     "embed_text",
     "uuid3_dns",
+    "merged_distinct_estimate",
+    "user_count_sketches",
     "bpe_token_estimate",
     "char_ngrams",
     "doc_fingerprint",

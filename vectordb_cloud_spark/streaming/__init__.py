@@ -4,6 +4,7 @@ from vectordb_cloud_spark.streaming.ingest import (
     sessionize_batch,
     sliding_window_counts,
     start_ingest_stream,
+    start_rollup_stream,
     streaming_dedup,
     tumbling_window_stats,
 )
@@ -14,6 +15,7 @@ __all__ = [
     "sessionize_batch",
     "sliding_window_counts",
     "start_ingest_stream",
+    "start_rollup_stream",
     "streaming_dedup",
     "tumbling_window_stats",
 ]

@@ -97,6 +97,76 @@ def session_windows(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def start_rollup_stream(
+    spark,
+    source_dir: str,
+    dest_path: str,
+    schema,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+):
+    """Continuously-maintained rollup (the hypertable-rollup analog): a
+    streaming windowed aggregate whose updated rows MERGE into a parquet
+    rollup table every micro-batch via ``foreachBatch``.
+
+    Update output mode emits each (window, key) row with its CUMULATIVE
+    aggregate whenever a batch changes it; the merge replaces those keys in
+    the destination, so replays converge (idempotent by key) and the rollup
+    equals the batch ground truth once the stream drains. The destination
+    stays tiny — O(open windows × keys) — so readers get pre-aggregated
+    answers without rescanning raw events; the watermark bounds both the
+    streaming state and late-data acceptance.
+    """
+    import os
+    import shutil
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(source_dir)
+    agg = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), key_col)
+        .agg(F.count("*").alias("n"), F.sum(value_col).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            key_col,
+            "n",
+            "total_value",
+        )
+    )
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        updates = batch_df.dropDuplicates(["window_start", key_col])
+        if os.path.isdir(dest_path):
+            existing = batch_df.sparkSession.read.parquet(dest_path)
+            kept = existing.join(
+                F.broadcast(updates.select("window_start", key_col)),
+                on=["window_start", key_col],
+                how="left_anti",
+            )
+            merged = kept.unionByName(updates)
+        else:
+            merged = updates
+        staging = dest_path + ".staging"
+        merged.write.mode("overwrite").parquet(staging)
+        if os.path.isdir(dest_path):
+            shutil.rmtree(dest_path)
+        os.rename(staging, dest_path)
+
+    writer = agg.writeStream.outputMode("update").foreachBatch(_merge).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def streaming_dedup(events: DataFrame, id_cols: list[str] | None = None,
                     ts_col: str = "ts", watermark: str = "2 hours") -> DataFrame:
     """Streaming exact dedup: drop repeated ids across micro-batches with
