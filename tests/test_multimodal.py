@@ -5,6 +5,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from vectordb_cloud_spark.operators.multimodal import (
+    extract_audio_features,
     extract_image_features,
     make_fake_media,
     resize_images,
@@ -16,7 +17,8 @@ from vectordb_cloud_spark.operators.multimodal import (
 def media(spark):
     imgs = make_fake_media(spark, n=16, kind="image")
     vids = make_fake_media(spark, n=4, kind="video")
-    return imgs.unionByName(vids).cache()
+    auds = make_fake_media(spark, n=6, kind="audio")
+    return imgs.unionByName(vids).unionByName(auds).cache()
 
 
 def test_feature_extraction_schema_and_determinism(media):
@@ -46,6 +48,20 @@ def test_frame_sampling_flatmap(media):
     assert len(per_vid) == 4
 
 
+def test_audio_features_schema_and_determinism(media):
+    feats = extract_audio_features(media, n_frames=8)
+    rows = feats.collect()
+    assert len(rows) == 6  # only audio rows
+    assert all(len(r["feature"]) == 9 for r in rows)  # 8 RMS frames + ZCR
+    assert all(0.0 <= r["feature"][-1] <= 1.0 for r in rows)  # ZCR is a rate
+    again = {r["media_id"]: r["feature"] for r in
+             extract_audio_features(media, n_frames=8).collect()}
+    for r in rows:
+        assert again[r["media_id"]] == r["feature"]
+
+
 def test_real_backend_is_explicit_stub(media):
     with pytest.raises(NotImplementedError):
         extract_image_features(media, decode_backend="real")
+    with pytest.raises(NotImplementedError):
+        extract_audio_features(media, decode_backend="real")

@@ -105,6 +105,54 @@ def extract_image_features(media: DataFrame, decode_backend: str = "fake",
     return imgs.mapInPandas(_batches, out_schema)
 
 
+def extract_audio_features(media: DataFrame, decode_backend: str = "fake",
+                           n_frames: int = 8) -> DataFrame:
+    """Decode + feature-extract over audio rows via mapInPandas.
+
+    Output: (media_id, format, feature: array<float>) — per-frame RMS energy
+    plus a global zero-crossing rate over a deterministic fake PCM waveform
+    seeded from the payload (length ∝ duration_ms, so metadata drives shape
+    exactly like a real decoder). Replace ``_fake_pcm`` with soundfile/ffmpeg
+    when codec libs exist; the Spark plumbing (Arrow batches, schema,
+    partitioning) is the real contract.
+    """
+    if decode_backend == "real":  # pragma: no cover - codec libs absent here
+        raise NotImplementedError(
+            "real audio decoding requires soundfile/ffmpeg, not present in "
+            "this container; use decode_backend='fake'"
+        )
+
+    out_schema = StructType([
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("feature", ArrayType(FloatType(), containsNull=False)),
+    ])
+
+    def _fake_pcm(data: bytes, duration_ms: int) -> np.ndarray:
+        seed = int.from_bytes(hashlib.md5(bytes(data[:64])).digest()[:4], "little")
+        rng = np.random.default_rng(seed)
+        n_samples = max(int(duration_ms) * 8, n_frames)  # 8 kHz-ish
+        return rng.standard_normal(n_samples).astype(np.float64)
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = []
+            for data, dur in zip(pdf["data"], pdf["duration_ms"]):
+                pcm = _fake_pcm(data, dur)
+                frames = np.array_split(pcm, n_frames)
+                rms = [float(np.sqrt((f * f).mean())) for f in frames]
+                zcr = float((np.diff(np.signbit(pcm)) != 0).mean())
+                feats.append(np.asarray(rms + [zcr], dtype=np.float32).tolist())
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "format": pdf["format"],
+                "feature": feats,
+            })
+
+    auds = media.filter(F.col("kind") == "audio")
+    return auds.mapInPandas(_batches, out_schema)
+
+
 def resize_images(media: DataFrame, target_w: int, target_h: int,
                   decode_backend: str = "fake") -> DataFrame:
     """Decode -> resize -> re-encode pipeline shape. With the fake backend
