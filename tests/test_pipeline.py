@@ -1,0 +1,55 @@
+"""Composed curation pipeline: filters + exact dedup + near-dup dedup over
+a corpus with planted junk and duplicates."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_cloud_spark.pipeline import corpus_report, curate_corpus
+
+
+@pytest.fixture(scope="module")
+def messy_corpus(spark, documents):
+    base = documents.select("doc_id", "text")
+    # exact duplicates (re-keyed copies) + junk rows that must be filtered
+    dups = base.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text"
+    )
+    junk = spark.createDataFrame(
+        [(900001, "x"), (900002, "!!! ??? ..."), (900003, "a b")],
+        "doc_id long, text string",
+    )
+    return base.unionByName(dups).unionByName(junk).cache()
+
+
+def test_curate_removes_junk_and_exact_dups(messy_corpus):
+    curated = curate_corpus(messy_corpus, near_dup=False, min_quality=0.2, min_tokens=5)
+    ids = {r["doc_id"] for r in curated.select("doc_id").collect()}
+    # junk rows fail the token/quality floors
+    assert not ids & {900001, 900002, 900003}
+    # every re-keyed duplicate loses to its lower-id original
+    assert not {i + 500000 for i in range(10)} & ids
+    assert {0, 1, 2}.issubset(ids)
+    # audit columns attached
+    assert {"quality", "n_tokens", "lang_pred", "fingerprint"}.issubset(set(curated.columns))
+
+
+def test_curate_near_dup_stage_drops_paraphrases(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and then runs far away home"),
+        (2, "the quick brown fox jumps over the lazy dog and then runs far away house"),  # near-dup of 1
+        (3, "completely different text about distributed query engines and shuffles today"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    curated = curate_corpus(docs, min_quality=None, min_tokens=None,
+                            near_dup=True, jaccard_threshold=0.5)
+    ids = {r["doc_id"] for r in curated.collect()}
+    assert ids == {1, 3}  # canonical kept, paraphrase dropped, unrelated kept
+
+
+def test_corpus_report_one_row(messy_corpus):
+    rep = corpus_report(messy_corpus).collect()
+    assert len(rep) == 1
+    r = rep[0]
+    assert r["n_docs"] == messy_corpus.count()
+    assert r["total_tokens"] > 0 and 0.0 <= r["mean_quality"] <= 1.0
+    assert sum(r["lang_mix"].values()) == r["n_docs"]

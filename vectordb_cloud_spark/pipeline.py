@@ -1,0 +1,87 @@
+"""Corpus curation pipeline: the training-data flow composed end to end.
+
+The north-star ops (dedup, quality, lang-ID, token accounting) exist as
+independent operators; a real 100 TB pre-training pipeline chains them in a
+fixed order — cheap row-local filters first (quality/lang prune rows before
+any shuffle), exact dedup next (one fingerprint shuffle), near-dup last
+(banded LSH join over the already-shrunk corpus, pairs resolved to groups
+via connected components). Every stage is declarative DataFrame ops, so the
+whole chain is ONE Catalyst plan per materialization — filters and pruning
+push into the scan even through the composition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vectordb_cloud_spark.functions.text import (
+    doc_fingerprint,
+    lang_id_expr,
+    quality_score,
+    token_count,
+)
+from vectordb_cloud_spark.operators.dedup import (
+    dedup_keep_canonical,
+    dedup_keep_first,
+    minhash_lsh_pairs,
+)
+
+
+def curate_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float | None = 0.3,
+    min_tokens: int | None = 5,
+    langs: list[str] | None = None,
+    near_dup: bool = True,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Filter + dedup a document corpus for training.
+
+    Stage order is the cost order: row-local predicates (quality, token
+    floor, language) run in the scan stage and shrink everything downstream;
+    exact dedup costs one fingerprint shuffle; MinHash near-dup (the only
+    join) runs last over the surviving rows. Returns the curated corpus with
+    ``quality``, ``n_tokens``, ``lang_pred`` and ``fingerprint`` columns
+    attached for auditability.
+    """
+    annotated = docs.withColumn("quality", quality_score(text_col)).withColumn(
+        "n_tokens", token_count(text_col)
+    ).withColumn("lang_pred", lang_id_expr(text_col))
+    kept = annotated
+    if min_quality is not None:
+        kept = kept.filter(F.col("quality") >= min_quality)
+    if min_tokens is not None:
+        kept = kept.filter(F.col("n_tokens") >= min_tokens)
+    if langs:
+        kept = kept.filter(F.col("lang_pred").isin(list(langs)))
+    kept = dedup_keep_first(kept, id_col=id_col, text_col=text_col)
+    if near_dup:
+        pairs = minhash_lsh_pairs(
+            kept, jaccard_threshold=jaccard_threshold,
+            id_col=id_col, text_col=text_col,
+        )
+        kept = dedup_keep_canonical(kept, pairs, id_col=id_col)
+    return kept.withColumn("fingerprint", doc_fingerprint(text_col))
+
+
+def corpus_report(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row corpus summary (docs, tokens, mean quality, language mix) —
+    the acceptance artifact for a curation run. One grouped pass builds the
+    language mix; the totals re-aggregate from the per-language partials
+    instead of rescanning the corpus."""
+    per_lang = docs.groupBy(lang_id_expr(text_col).alias("lang_pred")).agg(
+        F.count("*").alias("n"),
+        F.sum(token_count(text_col)).alias("toks"),
+        F.sum(quality_score(text_col)).alias("q_sum"),
+    )
+    return per_lang.agg(
+        F.sum("n").alias("n_docs"),
+        F.sum("toks").alias("total_tokens"),
+        F.round(F.sum("q_sum") / F.sum("n"), 4).alias("mean_quality"),
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("lang_pred", "n")))
+        ).alias("lang_mix"),
+    )
