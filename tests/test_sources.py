@@ -23,11 +23,69 @@ def test_insert_requests_typed(spark):
     assert dict(df.dtypes)["user_id"] == "bigint"
 
 
-def test_excel_fixture_gated(spark, tmp_path):
-    """openpyxl is not in this image — the reader must fail loudly with the
-    parquet-fixture fallback message, not crash obscurely."""
-    with pytest.raises(NotImplementedError, match="parquet"):
-        read_excel_fixture(spark, str(tmp_path / "fixture.xlsx"))
+def _write_min_xlsx(path):
+    """Hand-assemble a spec-minimal xlsx (zip of XML parts) mirroring the
+    reference fixture's shape: input_1 + Queries_for_input_1 sheets of
+    (id, str) — shared strings, an inline string, a skipped (sparse) cell,
+    and a float. No openpyxl anywhere."""
+    import zipfile
+
+    m = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    r = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    workbook = (
+        f'<workbook xmlns="{m}" xmlns:r="{r}"><sheets>'
+        '<sheet name="input_1" sheetId="1" r:id="rId1"/>'
+        '<sheet name="Queries_for_input_1" sheetId="2" r:id="rId2"/>'
+        "</sheets></workbook>"
+    )
+    rels = (
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="x" Target="worksheets/sheet1.xml"/>'
+        '<Relationship Id="rId2" Type="x" Target="worksheets/sheet2.xml"/>'
+        "</Relationships>"
+    )
+    shared = (
+        f'<sst xmlns="{m}" count="4" uniqueCount="4">'
+        "<si><t>id</t></si><si><t>str</t></si>"
+        "<si><t>hello world</t></si><si><t>vector search</t></si></sst>"
+    )
+    sheet1 = (
+        f'<worksheet xmlns="{m}"><sheetData>'
+        '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>'
+        '<row r="2"><c r="A2"><v>1</v></c><c r="B2" t="s"><v>2</v></c></row>'
+        '<row r="3"><c r="A3"><v>2</v></c><c r="B3" t="inlineStr"><is><t>inline text</t></is></c></row>'
+        '<row r="4"><c r="B4" t="s"><v>3</v></c></row>'  # sparse: A4 missing
+        "</sheetData></worksheet>"
+    )
+    sheet2 = (
+        f'<worksheet xmlns="{m}"><sheetData>'
+        '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>'
+        '<row r="2"><c r="A2"><v>1.5</v></c><c r="B2" t="str"><v>formula cached</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("xl/workbook.xml", workbook)
+        z.writestr("xl/_rels/workbook.xml.rels", rels)
+        z.writestr("xl/sharedStrings.xml", shared)
+        z.writestr("xl/worksheets/sheet1.xml", sheet1)
+        z.writestr("xl/worksheets/sheet2.xml", sheet2)
+
+
+def test_excel_fixture_stdlib_reader(spark, tmp_path):
+    """S3 without openpyxl: the stdlib zip+XML parser must read the
+    reference-shaped multi-sheet fixture with typed columns."""
+    p = tmp_path / "fixture.xlsx"
+    _write_min_xlsx(str(p))
+    sheets = read_excel_fixture(spark, str(p))
+    assert set(sheets) == {"input_1", "Queries_for_input_1"}
+    s1 = sheets["input_1"]
+    assert s1.columns == ["id", "str"]
+    assert dict(s1.dtypes)["id"] == "bigint"  # all-int column -> long
+    rows = {r["str"]: r["id"] for r in s1.collect()}
+    assert rows == {"hello world": 1, "inline text": 2, "vector search": None}
+    s2 = sheets["Queries_for_input_1"]
+    assert dict(s2.dtypes)["id"] == "double"  # 1.5 -> double
+    assert s2.collect()[0]["str"] == "formula cached"
 
 
 def test_csv_and_jsonl_roundtrip(spark, tmp_path):

@@ -4,6 +4,7 @@ from vectordb_cloud_spark.sources.readers import (
     read_excel_fixture,
     read_insert_requests,
     read_jsonl_corpus,
+    read_xlsx,
     scroll,
 )
 
@@ -13,6 +14,7 @@ __all__ = [
     "read_excel_fixture",
     "read_insert_requests",
     "read_jsonl_corpus",
+    "read_xlsx",
     "scroll",
     "write_bucketed_table",
 ]

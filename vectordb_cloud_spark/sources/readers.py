@@ -39,26 +39,115 @@ def read_insert_requests(spark: SparkSession, rows: list[dict]) -> DataFrame:
     )
 
 
+_XLSX_NS = {
+    "m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main",
+    "rel": "http://schemas.openxmlformats.org/package/2006/relationships",
+}
+_XLSX_RID = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}id"
+_XLSX_T = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}t"
+
+
+def _xlsx_col_index(ref: str) -> int:
+    """'A1' -> 0, 'AB7' -> 27 (base-26 column letters)."""
+    import re
+
+    letters = re.match(r"([A-Z]+)", ref).group(1)
+    idx = 0
+    for ch in letters:
+        idx = idx * 26 + (ord(ch) - ord("A") + 1)
+    return idx - 1
+
+
+def read_xlsx(path: str) -> dict[str, list[list]]:
+    """Dependency-free XLSX parser (stdlib zipfile + ElementTree).
+
+    XLSX is a zip of XML parts; this reads xl/workbook.xml (sheet names),
+    the workbook rels (sheet targets), xl/sharedStrings.xml, and each
+    worksheet's sparse cell grid into dense python rows. Handles shared
+    strings (t="s"), inline strings (t="inlineStr"), formula-cached strings
+    (t="str"), booleans, and numbers; date styling is out of scope (the
+    reference fixture carries only ids + text, test_qdrant.py:16-26).
+    Fixtures are driver-side small by definition — parallelize AFTER
+    parsing via spark.createDataFrame.
+    """
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    z = zipfile.ZipFile(path)
+    shared: list[str] = []
+    if "xl/sharedStrings.xml" in z.namelist():
+        for si in ET.fromstring(z.read("xl/sharedStrings.xml")).findall("m:si", _XLSX_NS):
+            shared.append("".join(t.text or "" for t in si.iter(_XLSX_T)))
+    rels = {
+        rel.get("Id"): rel.get("Target")
+        for rel in ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+    }
+    out: dict[str, list[list]] = {}
+    wb = ET.fromstring(z.read("xl/workbook.xml"))
+    for sh in wb.find("m:sheets", _XLSX_NS).findall("m:sheet", _XLSX_NS):
+        target = rels[sh.get(_XLSX_RID)].lstrip("/")
+        if not target.startswith("xl/"):
+            target = "xl/" + target
+        grid: list[list] = []
+        for row in ET.fromstring(z.read(target)).iter(
+            "{%s}row" % _XLSX_NS["m"]
+        ):
+            cells: list = []
+            for c in row:
+                ref, ctype = c.get("r"), c.get("t", "n")
+                idx = _xlsx_col_index(ref) if ref else len(cells)
+                while len(cells) <= idx:  # sparse grid -> dense row
+                    cells.append(None)
+                v = c.find("m:v", _XLSX_NS)
+                if ctype == "s":
+                    cells[idx] = shared[int(v.text)] if v is not None else None
+                elif ctype == "inlineStr":
+                    is_el = c.find("m:is", _XLSX_NS)
+                    cells[idx] = "".join(t.text or "" for t in is_el.iter(_XLSX_T)) if is_el is not None else None
+                elif ctype == "str":
+                    cells[idx] = v.text if v is not None else None
+                elif ctype == "b":
+                    cells[idx] = v is not None and v.text == "1"
+                else:  # numeric
+                    if v is not None and v.text is not None:
+                        f = float(v.text)
+                        cells[idx] = int(f) if f.is_integer() else f
+            grid.append(cells)
+        out[sh.get("name")] = grid
+    return out
+
+
 def read_excel_fixture(spark: SparkSession, path: str) -> dict[str, DataFrame]:
     """S3: the reference's 6-sheet xlsx fixture
     (/root/reference/test_qdrant.py:16-26): ``input_N`` sheets (id, str) and
-    ``Queries_for_input_N`` sheets. Requires openpyxl (not in this image) —
-    raises NotImplementedError so callers can fall back to parquet fixtures.
-    """
-    try:
-        import openpyxl  # noqa: F401
-        import pandas as pd
-    except ImportError as exc:
-        raise NotImplementedError(
-            "openpyxl not installed; use the driver's parquet fixtures "
-            "(documents/embeddings) instead"
-        ) from exc
-
+    ``Queries_for_input_N`` sheets. Parsed by the dependency-free
+    ``read_xlsx`` (the container has no openpyxl); first row is the header
+    (pandas ``read_excel`` default), column types inferred per column
+    (all-int -> long, numeric -> double, else string)."""
     out: dict[str, DataFrame] = {}
-    xls = pd.ExcelFile(path)  # pragma: no cover - lib absent in test image
-    for sheet in xls.sheet_names:
-        pdf = xls.parse(sheet)
-        out[sheet] = spark.createDataFrame(pdf)
+    for sheet, grid in read_xlsx(path).items():
+        if not grid:
+            continue
+        header = [str(h) for h in grid[0]]
+        width = len(header)
+        rows = [(r + [None] * width)[:width] for r in grid[1:]]
+        fields = []
+        typed_cols = []
+        for i, name in enumerate(header):
+            col = [r[i] for r in rows]
+            non_null = [v for v in col if v is not None]
+            if non_null and all(isinstance(v, bool) for v in non_null):
+                typ, cast = "boolean", bool
+            elif non_null and all(isinstance(v, int) and not isinstance(v, bool) for v in non_null):
+                typ, cast = "long", int
+            elif non_null and all(isinstance(v, (int, float)) and not isinstance(v, bool) for v in non_null):
+                typ, cast = "double", float
+            else:
+                typ, cast = "string", str
+            fields.append(f"`{name}` {typ}")
+            typed_cols.append([cast(v) if v is not None else None for v in col])
+        data = list(zip(*typed_cols)) if typed_cols and rows else []
+        out[sheet] = spark.createDataFrame(data, ", ".join(fields))
     return out
 
 
