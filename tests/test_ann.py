@@ -58,3 +58,45 @@ def test_ivf_with_tenant_filter(embeddings, qvec):
     assert all(r["label"] == 2 for r in rows)
     exact = brute_force_topk(embeddings, qvec, k=5, filters=F.col("label") == 2)
     assert recall_at_k(got, exact, "vec_id") == 1.0  # full probe + filter = exact
+
+
+def test_ivf_knn_join_full_probe_is_exact(spark, embeddings):
+    """Batch ANN join: with nprobe == k_centroids every query meets every
+    point, so results must equal the exact brute-force batch kNN."""
+    from vectordb_cloud_spark.operators.ann import ivf_knn_join
+    from vectordb_cloud_spark.operators.knn import knn_batch
+
+    centers, assigned = ivf_build(embeddings, k_centroids=4)
+    assigned = assigned.cache()
+    queries = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = ivf_knn_join(queries, assigned, centers, k=3, nprobe=4)
+    exact = knn_batch(embeddings.select("vec_id", "embedding"), queries, k=3)
+    g = {(r["query_id"], r["vec_id"]) for r in got.collect()}
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    # knn_batch has no self-exclusion here either; both include self-matches
+    assert g == e
+
+
+def test_ivf_knn_join_partial_probe_recall(spark, embeddings):
+    from vectordb_cloud_spark.operators.ann import ivf_knn_join
+    from vectordb_cloud_spark.operators.knn import knn_batch
+
+    centers, assigned = ivf_build(embeddings, k_centroids=8)
+    assigned = assigned.cache()
+    queries = embeddings.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = ivf_knn_join(queries, assigned, centers, k=5, nprobe=3)
+    exact = knn_batch(embeddings.select("vec_id", "embedding"), queries, k=5)
+    e = {}
+    for r in exact.collect():
+        e.setdefault(r["query_id"], set()).add(r["vec_id"])
+    g = {}
+    for r in got.collect():
+        g.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(g.get(q, set()) & e[q]) / len(e[q]) for q in e]
+    assert sum(recalls) / len(recalls) >= 0.5  # routed probing keeps recall
+    # and every query produced exactly k candidates
+    assert all(len(v) == 5 for v in g.values())

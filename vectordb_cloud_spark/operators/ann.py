@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from vectordb_cloud_spark.functions.vector import l2_distance_to
+from vectordb_cloud_spark.functions.vector import l2_distance, l2_distance_to
 from vectordb_cloud_spark.operators.knn import knn_search
 
 
@@ -128,6 +128,64 @@ def ivf_search_persisted(spark, path: str, centers: list, query_vector: list[flo
     assigned = spark.read.parquet(path)
     return ivf_search(assigned, centers, query_vector, k=k, nprobe=nprobe,
                       vector_col=vector_col, filters=filters)
+
+
+def ivf_knn_join(
+    queries: DataFrame,
+    assigned: DataFrame,
+    centers: list,
+    k: int = 5,
+    nprobe: int = 2,
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    point_id: str = "vec_id",
+    point_vec: str = "embedding",
+) -> DataFrame:
+    """Batch ANN join: every query row finds its approximate top-k among the
+    IVF-assigned points — the scale path when BOTH sides are large (the
+    brute-force ``knn_batch`` broadcast is exact but O(|Q|·|P|)).
+
+    Plan: queries × broadcast(centers) (centers are k_centroids rows — tiny)
+    -> window-rank keeps each query's ``nprobe`` nearest centroids -> the
+    (query, centroid_id) routing table equi-joins the points on
+    ``centroid_id`` -> exact distance + top-k per query. Every join is an
+    equi-join on centroid_id; a query only ever meets the points in its
+    probed inverted lists, so the pair space is nprobe/k_centroids of the
+    brute-force cross product and shrinks further as k_centroids grows.
+    """
+    from pyspark.sql import Window
+
+    spark = queries.sparkSession
+    centers_df = spark.createDataFrame(
+        [(i, c) for i, c in centers], "centroid_id int, __center array<double>"
+    )
+    q = queries.select(F.col(query_id), F.col(query_vec).alias("__qvec"))
+    routed = q.crossJoin(F.broadcast(centers_df)).withColumn(
+        "__cdist",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col("__qvec").cast("array<double>"), "__center",
+                           lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+    )
+    w_route = Window.partitionBy(query_id).orderBy(F.col("__cdist").asc(), F.col("centroid_id").asc())
+    routing = (
+        routed.withColumn("__rk", F.row_number().over(w_route))
+        .filter(F.col("__rk") <= nprobe)
+        .select(query_id, "__qvec", "centroid_id")
+    )
+    pts = assigned.select(F.col(point_id), F.col(point_vec).alias("__pvec"), "centroid_id")
+    cand = routing.join(pts, "centroid_id")
+    scored = cand.withColumn("dist", l2_distance(F.col("__pvec"), F.col("__qvec")))
+    w_k = Window.partitionBy(query_id).orderBy(F.col("dist").asc(), F.col(point_id).asc())
+    return (
+        scored.withColumn("__rk", F.row_number().over(w_k))
+        .filter(F.col("__rk") <= k)
+        .select(query_id, point_id, "dist")
+    )
 
 
 def brute_force_topk(points: DataFrame, query_vector: list[float], k: int,
