@@ -46,6 +46,20 @@ def test_curate_near_dup_stage_drops_paraphrases(spark):
     assert ids == {1, 3}  # canonical kept, paraphrase dropped, unrelated kept
 
 
+def test_pipeline_column_pruning_reaches_scan(spark, sf_dir):
+    """The composed plan must read only the columns the pipeline uses from
+    parquet — pruning survives the full filter+dedup composition."""
+    from vectordb_cloud_spark.plans.inspect import read_schema_columns
+
+    spark.catalog.clearCache()  # cached fixture scans would hide the ReadSchema
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    narrow = curate_corpus(docs, near_dup=False).select("doc_id", "n_tokens")
+    cols = read_schema_columns(narrow)
+    # only the id + the text that derives every filter/annotation are read;
+    # unused payload columns (lang, source, n_chars) never leave parquet
+    assert cols and set(cols).issubset({"doc_id", "text"})
+
+
 def test_corpus_report_one_row(messy_corpus):
     rep = corpus_report(messy_corpus).collect()
     assert len(rep) == 1

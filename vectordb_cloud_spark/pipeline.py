@@ -6,8 +6,11 @@ fixed order — cheap row-local filters first (quality/lang prune rows before
 any shuffle), exact dedup next (one fingerprint shuffle), near-dup last
 (banded LSH join over the already-shrunk corpus, pairs resolved to groups
 via connected components). Every stage is declarative DataFrame ops, so the
-whole chain is ONE Catalyst plan per materialization — filters and pruning
-push into the scan even through the composition.
+whole chain is ONE Catalyst plan per materialization: the quality/lang
+predicates are derived-column filters (they run inside the scan stage's
+codegen, not as parquet PushedFilters), and column pruning reaches the scan
+through the whole composition — the parquet read touches only the columns
+the pipeline actually uses (asserted in tests/test_pipeline.py).
 """
 
 from __future__ import annotations
