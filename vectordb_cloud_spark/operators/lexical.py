@@ -1,0 +1,90 @@
+"""Lexical (keyword) search: BM25 scoring over a document corpus.
+
+The reference is vector-only; a complete document engine also answers
+keyword queries. BM25 here is the classic two-table layout, all JVM column
+expressions:
+
+- ``bm25_index``: one explode + two grouped aggregations produce the
+  postings table (term, doc_id, tf) and the doc-frequency table (term, df) —
+  shuffle keys are term/doc ids, sizes bounded by vocabulary and corpus, the
+  standard inverted-index build as relational ops.
+- ``bm25_search``: the query's terms (a handful of literals) filter the
+  postings by an ``isin`` predicate — at scale that predicate prunes the
+  postings scan — then idf(t) · tf-saturation scores aggregate per doc and
+  top-k via ORDER BY + LIMIT (TakeOrderedAndProject, no global sort).
+
+idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (the Robertson/Lucene form, always
+positive); tf term = tf·(k1+1) / (tf + k1·(1 - b + b·len/avglen)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vectordb_cloud_spark.functions.text import words
+
+
+def _terms(col) -> F.Column:
+    return F.filter(F.transform(words(col), lambda w: F.lower(w)), lambda w: w != "")
+
+
+def bm25_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Build the BM25 tables. Returns ``(postings, docstats, corpus)`` where
+    postings = (term, doc_id, tf), docstats = (term, df), corpus = one row
+    (n_docs, avg_len). Persist all three for repeated querying."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(_terms(text_col)).alias("term")
+    )
+    postings = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    docstats = postings.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    doclens = docs.select(
+        F.col(id_col).alias("doc_id"), F.size(_terms(text_col)).alias("dl")
+    )
+    corpus = doclens.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avg_len")
+    )
+    return postings, docstats, doclens, corpus
+
+
+def bm25_search(
+    postings: DataFrame,
+    docstats: DataFrame,
+    doclens: DataFrame,
+    corpus: DataFrame,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k docs for a keyword query. The term ``isin`` predicate prunes
+    the postings scan to the query's terms; everything downstream is
+    vocabulary-×-matching-docs sized. Ties break on doc_id ascending."""
+    terms = sorted({w.lower() for w in query.split() if w})
+    if not terms:
+        raise ValueError("empty query")
+    stats = corpus.first()
+    n_docs, avg_len = stats["n_docs"], float(stats["avg_len"])
+    matched = (
+        postings.filter(F.col("term").isin(terms))
+        .join(F.broadcast(docstats.filter(F.col("term").isin(terms))), "term")
+        .join(doclens, "doc_id")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_term = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avg_len))
+    )
+    return (
+        matched.withColumn("__s", idf * tf_term)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("__s"), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
