@@ -213,3 +213,38 @@ def test_string_id_collection_lifecycle(catalog, spark):
     n = catalog.delete_by_ids("s", [str(_uuid.uuid3(_uuid.NAMESPACE_DNS, "beta doc"))])
     assert n == 1
     assert catalog.read("s").count() == 2
+
+
+def test_compact_crowded_buckets(catalog, spark):
+    """A wide-parallelism write leaves one file per task in a bucket;
+    compact() must collapse crowded buckets to one file each without
+    changing data or touching tidy buckets."""
+    import os
+
+    catalog.create("c", dim=2, n_buckets=2)
+    # many write tasks -> many files per bucket dir (AQE would coalesce the
+    # tiny shuffle to one task locally; at real scale each bucket rewrite IS
+    # many tasks, so pin it off for the setup write)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = _rows(spark, [(i, [1.0, 1.0], f"t{i}", i % 8) for i in range(160)]).repartition(8)
+        catalog.upsert("c", df)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    before = catalog.read("c").orderBy("id").collect()
+    data = os.path.join(catalog.root, "c", "data")
+    n_files = {
+        d: sum(1 for f in os.listdir(os.path.join(data, d)) if f.endswith(".parquet"))
+        for d in os.listdir(data) if d.startswith("__bucket=")
+    }
+    assert any(n > 4 for n in n_files.values()), n_files
+    n_compacted = catalog.compact("c", max_files_per_bucket=4)
+    assert n_compacted >= 1
+    after_files = {
+        d: sum(1 for f in os.listdir(os.path.join(data, d)) if f.endswith(".parquet"))
+        for d in os.listdir(data) if d.startswith("__bucket=")
+    }
+    assert all(n == 1 for d, n in after_files.items() if n_files[d] > 4)
+    assert catalog.read("c").orderBy("id").collect() == before
+    # second compact is a no-op
+    assert catalog.compact("c", max_files_per_bucket=4) == 0

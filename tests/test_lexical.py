@@ -68,3 +68,23 @@ def test_bm25_on_fixture_returns_relevant_docs(spark, documents):
         for r in documents.filter(F.col("doc_id").isin(ids)).collect()
     }
     assert all("vector" in t.lower() for t in texts.values())
+
+
+def test_rrf_hybrid_fusion(spark, toy_index, documents):
+    """RRF fusion of BM25 and vector kNN candidate lists: a doc ranked well
+    in BOTH lists must outrank docs present in only one."""
+    from vectordb_cloud_spark.operators.lexical import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 5.0), (2, 4.0), (3, 3.0)], "doc_id long, score double"
+    )
+    vec = spark.createDataFrame(
+        [(2, 0.1), (4, 0.2), (1, 0.9)], "doc_id long, dist double"
+    )
+    fused = rrf_fuse([lex, vec], k=4).collect()
+    ids = [r["doc_id"] for r in fused]
+    assert set(ids) == {1, 2, 3, 4}
+    assert ids[0] == 2  # rank2 lexically + rank1 semantically beats everything
+    # every fused score positive and sorted descending
+    scores = [r["rrf_score"] for r in fused]
+    assert scores == sorted(scores, reverse=True)

@@ -287,6 +287,35 @@ class CollectionCatalog:
         self._swap_in(name, df.filter(~pred))
         return n_deleted
 
+    def compact(self, name: str, max_files_per_bucket: int = 4) -> int:
+        """Compact buckets that accumulated small files (every bucket-scoped
+        upsert adds files to its bucket dirs — the classic streaming-ingest
+        small-file problem). Rewrites ONLY buckets whose file count exceeds
+        ``max_files_per_bucket``, one coalesced file each; data and untouched
+        buckets are byte-identical. Returns the number of buckets compacted.
+        On Delta this is OPTIMIZE; here it is the same bucket-scoped swap the
+        DML path uses.
+        """
+        data = os.path.join(self._dir(name), DATA_DIR)
+        if not os.path.isdir(data):
+            return 0
+        crowded = []
+        for d in os.listdir(data):
+            if d.startswith("__bucket=") and sum(
+                1 for f in os.listdir(os.path.join(data, d)) if f.endswith(".parquet")
+            ) > max_files_per_bucket:
+                crowded.append(int(d.split("=", 1)[1]))
+        if not crowded:
+            return 0
+        df = (
+            self.read(name)
+            .filter(F.col("__bucket").isin(crowded))
+            .drop("__bucket")
+            .coalesce(1)
+        )
+        self._swap_buckets(name, df, crowded)
+        return len(crowded)
+
     def delete_by_ids(self, name: str, ids: list, id_col: str = "id") -> int:
         """D4: delete by id list (/root/reference/app.py:112,138) — with
         partition-bucketed data this is a left-anti join against a broadcast

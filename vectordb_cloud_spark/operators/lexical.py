@@ -88,3 +88,43 @@ def bm25_search(
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+def rrf_fuse(
+    ranked_lists: list[DataFrame],
+    id_col: str = "doc_id",
+    k: int = 10,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: each input is an
+    already-ranked candidate list (e.g. BM25 top-n and vector-kNN top-n);
+    fused score = Σ 1/(rrf_k + rank_i). Rank positions are assigned with a
+    window over each (small, top-n) list, so fusion costs one union + one
+    group-by over a few hundred rows regardless of corpus size — the
+    standard way to combine lexical and semantic retrieval without score
+    calibration."""
+    from pyspark.sql import Window
+
+    scored = []
+    for df in ranked_lists:
+        order = [c for c in ("score", "dist") if c in df.columns]
+        w = (
+            Window.orderBy(F.col(order[0]).desc() if order[0] == "score" else F.col(order[0]).asc(),
+                           F.col(id_col).asc())
+            if order
+            else Window.orderBy(F.col(id_col).asc())
+        )
+        scored.append(
+            df.withColumn("__rank", F.row_number().over(w)).select(
+                id_col, (F.lit(1.0) / (F.lit(rrf_k) + F.col("__rank"))).alias("__rrf")
+            )
+        )
+    unioned = scored[0]
+    for s in scored[1:]:
+        unioned = unioned.unionByName(s)
+    return (
+        unioned.groupBy(id_col)
+        .agg(F.round(F.sum("__rrf"), 6).alias("rrf_score"))
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
