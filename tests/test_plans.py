@@ -58,3 +58,28 @@ def test_contains_and_rlike_evaluate_in_scan_stage(spark, sf_dir):
     assert count_exchanges(df) == 0
     df2 = documents.filter(F.col("text").rlike("vector (join|sort)")).select("doc_id")
     assert count_exchanges(df2) == 0
+
+
+def test_registry_queries_have_no_python_eval_nodes(spark, sf_dir):
+    """The 'UDFs are the slow path' contract, enforced: every registry query
+    plan must stay JVM-side — no BatchEvalPython / ArrowEvalPython /
+    MapInPandas nodes — except the two deliberate Python boundaries (the
+    mock embedder and the multimodal decode). Also smoke-builds every
+    query's plan against the small fixture."""
+    from vectordb_cloud_spark import queries as qmod
+    from vectordb_cloud_spark.plans.inspect import explain_str
+
+    allowed_python = {"classify_titles_mock_embed", "multimodal_image_features"}
+    skip = {"streaming_hourly_counts"}  # building it RUNS a stream, not a plan
+    offenders = {}
+    for name, fn in qmod.registry().items():
+        if name in skip:
+            continue
+        df = fn(spark, str(sf_dir))
+        plan = explain_str(df, mode="simple")
+        has_python = any(tok in plan for tok in
+                         ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                          "FlatMapGroupsInPandas"))
+        if has_python and name not in allowed_python:
+            offenders[name] = plan[:300]
+    assert not offenders, f"Python nodes leaked into: {list(offenders)}"
