@@ -31,6 +31,11 @@ from vectordb_cloud_spark.operators.pq import (
     pq_search,
     pq_train,
 )
+from vectordb_cloud_spark.operators.sampling import (
+    hash_shard,
+    stratified_sample,
+    weighted_mixture,
+)
 from vectordb_cloud_spark.operators.temporal import asof_join, range_join
 from vectordb_cloud_spark.operators.skew import salted_agg, salted_join
 
@@ -69,6 +74,9 @@ __all__ = [
     "pq_encode",
     "pq_search",
     "pq_train",
+    "hash_shard",
+    "stratified_sample",
+    "weighted_mixture",
     "asof_join",
     "range_join",
     "salted_agg",

@@ -1,0 +1,86 @@
+"""Corpus sampling for training-data preparation.
+
+Pre-training pipelines don't just filter and dedup — they compose MIXTURES:
+sample each source/language/quality stratum at a target rate, possibly
+upsampling high-value slices across epochs. These are thin, deterministic
+wrappers over Spark's native Bernoulli sampling (`sampleBy` — per-stratum
+map-side coin flips, no shuffle) so mixtures stay scan-speed at 100 TB.
+
+All sampling is seeded: the same call on the same data yields the same
+corpus — reproducible data recipes, which is the property training runs
+actually require.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stratified_sample(
+    docs: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    seed: int = 42,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum Bernoulli sample (e.g. keep 100% of 'en', 30% of 'de').
+
+    Strata absent from ``fractions`` get ``default_fraction`` (0 = drop —
+    the allowlist behavior a data recipe usually wants). Map-side only: each
+    row flips one seeded coin, no shuffle, the filter composes with scan
+    pruning.
+    """
+    if default_fraction > 0:
+        keys = [r[0] for r in docs.select(strata_col).distinct().collect()]
+        fractions = {**{k: default_fraction for k in keys}, **fractions}
+    bad = {k: v for k, v in fractions.items() if not 0.0 <= v <= 1.0}
+    if bad:
+        raise ValueError(f"fractions must be in [0,1]: {bad}")
+    return docs.sampleBy(strata_col, fractions, seed=seed)
+
+
+def weighted_mixture(
+    sources: dict[str, DataFrame],
+    weights: dict[str, float],
+    seed: int = 42,
+) -> DataFrame:
+    """Compose a training mixture from named sources with relative weights.
+
+    Each source is downsampled so realized row counts match the weight
+    ratios (the largest weight-to-size ratio keeps 100% and the others
+    scale down — no source is oversampled, so the result stays a true
+    subset). Adds a ``__source`` column for provenance. Sizes come from one
+    count per source; the sampling itself is map-side.
+    """
+    missing = set(weights) - set(sources)
+    if missing:
+        raise ValueError(f"weights reference unknown sources: {sorted(missing)}")
+    sizes = {name: sources[name].count() for name in weights}
+    if any(n == 0 for n in sizes.values()):
+        empty = [k for k, n in sizes.items() if n == 0]
+        raise ValueError(f"empty sources cannot be weighted: {empty}")
+    # scale so the most-constrained source is kept whole
+    scale = min(sizes[k] / weights[k] for k in weights if weights[k] > 0)
+    parts = []
+    for name, w in weights.items():
+        if w <= 0:
+            continue
+        frac = min(1.0, (w * scale) / sizes[name])
+        df = sources[name].withColumn("__source", F.lit(name))
+        parts.append(df.sample(fraction=frac, seed=seed) if frac < 1.0 else df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def hash_shard(docs: DataFrame, n_shards: int, id_col: str = "doc_id",
+               shard_col: str = "shard") -> DataFrame:
+    """Stable hash sharding: the same id always lands in the same shard
+    regardless of partitioning or row order — the property that makes
+    training-data shards reproducible and resumable. Write with
+    ``partitionBy(shard_col)`` for one directory per shard."""
+    return docs.withColumn(
+        shard_col, F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+    )
