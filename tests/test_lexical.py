@@ -88,3 +88,23 @@ def test_rrf_hybrid_fusion(spark, toy_index, documents):
     # every fused score positive and sorted descending
     scores = [r["rrf_score"] for r in fused]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_hybrid_search_end_to_end(spark, documents):
+    """BM25 + mock-embed kNN fused: the top fused hit must contain the query
+    term (lexically relevant) and the result is deterministic."""
+    from vectordb_cloud_spark.functions.embedding import mock_embed, mock_vector
+    from vectordb_cloud_spark.operators.lexical import hybrid_search
+
+    tables = bm25_index(documents)
+    points = documents.repartition(1).select(
+        "doc_id", mock_embed("text", 32).alias("embedding")
+    ).cache()
+    q = "vector search"
+    fused = hybrid_search(tables, points, q, mock_vector(q, 32), k=5)
+    rows = fused.collect()
+    assert 0 < len(rows) <= 5
+    again = hybrid_search(tables, points, q, mock_vector(q, 32), k=5).collect()
+    assert rows == again
+    top_text = documents.filter(F.col("doc_id") == rows[0]["doc_id"]).first()["text"].lower()
+    assert "vector" in top_text or "search" in top_text

@@ -90,6 +90,33 @@ def bm25_search(
     )
 
 
+def hybrid_search(
+    bm25_tables,
+    points: DataFrame,
+    query_text: str,
+    query_vector: list[float],
+    k: int = 10,
+    n_candidates: int = 50,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """End-to-end hybrid retrieval: BM25 top-n ∪ vector-kNN top-n → RRF.
+
+    ``bm25_tables`` is the tuple from ``bm25_index`` (persist it);
+    ``points`` carries the embedding column keyed by ``id_col``. Both
+    candidate branches are top-n plans (pruned postings scan /
+    TakeOrderedAndProject); fusion only ever touches 2·n_candidates rows.
+    """
+    from vectordb_cloud_spark.operators.knn import knn_search
+
+    postings, docstats, doclens, corpus = bm25_tables
+    lex = bm25_search(postings, docstats, doclens, corpus, query_text, k=n_candidates)
+    sem = knn_search(
+        points, query_vector, k=n_candidates, vector_col=vec_col, tiebreak=id_col
+    ).select(F.col(id_col).alias("doc_id"), "dist")
+    return rrf_fuse([lex, sem], id_col="doc_id", k=k)
+
+
 def rrf_fuse(
     ranked_lists: list[DataFrame],
     id_col: str = "doc_id",
