@@ -36,6 +36,7 @@ from vectordb_cloud_spark.operators.pq import (
     pq_search,
     pq_train,
 )
+from vectordb_cloud_spark.operators.packing import pack_sequences, packing_efficiency
 from vectordb_cloud_spark.operators.sampling import (
     hash_shard,
     stratified_sample,
@@ -80,6 +81,8 @@ __all__ = [
     "pq_encode",
     "pq_search",
     "pq_train",
+    "pack_sequences",
+    "packing_efficiency",
     "hash_shard",
     "stratified_sample",
     "weighted_mixture",
