@@ -67,3 +67,36 @@ def test_corpus_report_one_row(messy_corpus):
     assert r["n_docs"] == messy_corpus.count()
     assert r["total_tokens"] > 0 and 0.0 <= r["mean_quality"] <= 1.0
     assert sum(r["lang_mix"].values()) == r["n_docs"]
+
+
+def test_build_training_set_end_to_end(spark, documents):
+    """Recipe capstone: curate -> sample -> shard -> pack, deterministic,
+    with every pack honoring the budget and every packed doc in a shard."""
+    from vectordb_cloud_spark.pipeline import build_training_set
+
+    sharded, packs = build_training_set(
+        documents,
+        lang_fractions={"en": 1.0, "de": 1.0, "fr": 1.0, "es": 1.0, "und": 1.0},
+        n_shards=4,
+        max_tokens=400,
+    )
+    sharded = sharded.cache()
+    assert set(r["shard"] for r in sharded.select("shard").distinct().collect()) <= set(range(4))
+    pack_rows = packs.collect()
+    assert pack_rows and all(r["total_tokens"] <= 400 for r in pack_rows)
+    packed_ids = {i for r in pack_rows for i in r["doc_ids"]}
+    shard_ids = {r["doc_id"] for r in sharded.collect()}
+    assert packed_ids <= shard_ids
+    # reproducibility: same recipe -> same shards and packs
+    sharded2, packs2 = build_training_set(
+        documents,
+        lang_fractions={"en": 1.0, "de": 1.0, "fr": 1.0, "es": 1.0, "und": 1.0},
+        n_shards=4,
+        max_tokens=400,
+    )
+    assert sorted((r["doc_id"], r["shard"]) for r in sharded2.collect()) == sorted(
+        (r["doc_id"], r["shard"]) for r in sharded.collect()
+    )
+    assert sorted(tuple(r["doc_ids"]) for r in packs2.collect()) == sorted(
+        tuple(r["doc_ids"]) for r in pack_rows
+    )

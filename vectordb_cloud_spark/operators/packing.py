@@ -59,31 +59,40 @@ def pack_sequences(
         "pack_id string, doc_ids array<long>, n_docs int, total_tokens long"
     )
 
+    # determinism: hash-partition on the id (content-based placement — row
+    # order and scheduling can't move a doc between partitions) and sort
+    # with an id tiebreak inside the packer. Same input -> same packs.
+    slim = slim.repartition(slim.rdd.getNumPartitions(), F.col("id"))
+
     def _pack(it):
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        for pdf in it:
-            pdf = pdf.sort_values("n_tok", ascending=False)
-            packs: list[list] = []   # [ [remaining, ids, total] ]
-            for doc_id, n in zip(pdf["id"], pdf["n_tok"]):
-                n = int(n)
-                placed = False
-                for p in packs:  # first fit over open packs
-                    if p[0] >= n:
-                        p[0] -= n
-                        p[1].append(int(doc_id))
-                        p[2] += n
-                        placed = True
-                        break
-                if not placed:
-                    packs.append([max_tokens - n, [int(doc_id)], n])
-            yield pd.DataFrame({
-                "pack_id": [f"{pid}-{i}" for i in range(len(packs))],
-                "doc_ids": [p[1] for p in packs],
-                "n_docs": [len(p[1]) for p in packs],
-                "total_tokens": [p[2] for p in packs],
-            })
+        batches = list(it)  # one partition arrives as several Arrow batches
+        if not batches:
+            return
+        pdf = pd.concat(batches).sort_values(
+            ["n_tok", "id"], ascending=[False, True]
+        )
+        packs: list[list] = []   # [ [remaining, ids, total] ]
+        for doc_id, n in zip(pdf["id"], pdf["n_tok"]):
+            n = int(n)
+            placed = False
+            for p in packs:  # first fit over open packs
+                if p[0] >= n:
+                    p[0] -= n
+                    p[1].append(int(doc_id))
+                    p[2] += n
+                    placed = True
+                    break
+            if not placed:
+                packs.append([max_tokens - n, [int(doc_id)], n])
+        yield pd.DataFrame({
+            "pack_id": [f"{pid}-{i}" for i in range(len(packs))],
+            "doc_ids": [p[1] for p in packs],
+            "n_docs": [len(p[1]) for p in packs],
+            "total_tokens": [p[2] for p in packs],
+        })
 
     return slim.mapInPandas(_pack, schema)
 

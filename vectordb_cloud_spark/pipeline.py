@@ -70,6 +70,45 @@ def curate_corpus(
     return kept.withColumn("fingerprint", doc_fingerprint(text_col))
 
 
+def build_training_set(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float | None = 0.3,
+    min_tokens: int | None = 5,
+    lang_fractions: dict | None = None,
+    n_shards: int = 16,
+    max_tokens: int | None = None,
+    seed: int = 42,
+):
+    """The full data recipe: curate → (optional) per-language sampling →
+    stable sharding → (optional) sequence packing.
+
+    Returns ``(sharded_docs, packs_or_None)``. Every stage is seeded and
+    deterministic — identical inputs produce identical shards and packs,
+    which is what makes a training corpus reproducible. Write
+    ``sharded_docs`` with ``partitionBy("shard")`` for one directory per
+    shard.
+    """
+    from vectordb_cloud_spark.operators.packing import pack_sequences
+    from vectordb_cloud_spark.operators.sampling import hash_shard, stratified_sample
+
+    curated = curate_corpus(
+        docs, id_col=id_col, text_col=text_col,
+        min_quality=min_quality, min_tokens=min_tokens,
+    )
+    if lang_fractions:
+        curated = stratified_sample(curated, "lang_pred", lang_fractions, seed=seed)
+    sharded = hash_shard(curated, n_shards, id_col=id_col)
+    packs = None
+    if max_tokens:
+        packs = pack_sequences(
+            sharded, max_tokens, id_col=id_col, text_col=text_col,
+            tokens_col="n_tokens", drop_oversize=True,
+        )
+    return sharded, packs
+
+
 def corpus_report(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """One-row corpus summary (docs, tokens, mean quality, language mix) —
     the acceptance artifact for a curation run. One grouped pass builds the
