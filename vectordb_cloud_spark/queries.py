@@ -31,12 +31,7 @@ from vectordb_cloud_spark.functions.text import (
     quality_score,
     token_count,
 )
-from vectordb_cloud_spark.functions.vector import (
-    cosine_similarity,
-    dot_product,
-    l2_distance,
-    l2_norm,
-)
+from vectordb_cloud_spark.functions.vector import l2_distance
 from vectordb_cloud_spark.operators.classify import label_centroids, nearest_centroid
 from vectordb_cloud_spark.operators.dedup import (
     embedding_near_dup,
@@ -44,7 +39,7 @@ from vectordb_cloud_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
 )
-from vectordb_cloud_spark.operators.knn import knn_batch, knn_search
+from vectordb_cloud_spark.operators.knn import knn_search
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
