@@ -23,6 +23,7 @@ from vectordb_cloud_spark.operators.dedup import (
     simhash64,
     simhash_near_dup_pairs,
 )
+from vectordb_cloud_spark.operators.anomaly import robust_outliers, zscore_outliers
 from vectordb_cloud_spark.operators.lexical import (
     bm25_index,
     bm25_search,
@@ -72,6 +73,8 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash64",
     "simhash_near_dup_pairs",
+    "robust_outliers",
+    "zscore_outliers",
     "bm25_index",
     "bm25_search",
     "hybrid_search",
