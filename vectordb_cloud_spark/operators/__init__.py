@@ -24,6 +24,7 @@ from vectordb_cloud_spark.operators.dedup import (
     simhash_near_dup_pairs,
 )
 from vectordb_cloud_spark.operators.anomaly import robust_outliers, zscore_outliers
+from vectordb_cloud_spark.operators.decontaminate import decontaminate, find_contaminated
 from vectordb_cloud_spark.operators.lexical import (
     bm25_index,
     bm25_search,
@@ -38,6 +39,7 @@ from vectordb_cloud_spark.operators.pq import (
     pq_train,
 )
 from vectordb_cloud_spark.operators.packing import pack_sequences, packing_efficiency
+from vectordb_cloud_spark.operators.repetition import filter_repetitive, repetition_stats
 from vectordb_cloud_spark.operators.sampling import (
     hash_shard,
     stratified_sample,
@@ -75,6 +77,10 @@ __all__ = [
     "simhash_near_dup_pairs",
     "robust_outliers",
     "zscore_outliers",
+    "decontaminate",
+    "find_contaminated",
+    "filter_repetitive",
+    "repetition_stats",
     "bm25_index",
     "bm25_search",
     "hybrid_search",
