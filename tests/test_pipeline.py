@@ -100,3 +100,24 @@ def test_build_training_set_end_to_end(spark, documents):
     assert sorted(tuple(r["doc_ids"]) for r in packs2.collect()) == sorted(
         tuple(r["doc_ids"]) for r in pack_rows
     )
+
+
+def test_curate_with_repetition_and_decontamination_stages(spark):
+    """The full filter stack in one call: loopy doc dropped by the
+    repetition stage, leaked doc dropped by decontamination, clean doc
+    survives both."""
+    leak = "the secret benchmark answer is forty two exactly as the eval set says here"
+    docs = spark.createDataFrame(
+        [
+            (1, "a clean and varied document about distributed joins and their many shuffles"),
+            (2, " ".join(["buy now click here"] * 12)),
+            (3, f"prefix text and then {leak} plus a trailing suffix of words"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_set = spark.createDataFrame([(9, leak)], "doc_id long, text string")
+    curated = curate_corpus(
+        docs, min_quality=None, min_tokens=None, near_dup=False,
+        max_dup_gram_fraction=0.3, eval_set=eval_set,
+    )
+    assert {r["doc_id"] for r in curated.collect()} == {1}

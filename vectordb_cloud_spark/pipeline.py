@@ -38,6 +38,9 @@ def curate_corpus(
     min_quality: float | None = 0.3,
     min_tokens: int | None = 5,
     langs: list[str] | None = None,
+    max_dup_gram_fraction: float | None = None,
+    eval_set: DataFrame | None = None,
+    decontaminate_n: int = 13,
     near_dup: bool = True,
     jaccard_threshold: float = 0.8,
 ) -> DataFrame:
@@ -45,10 +48,12 @@ def curate_corpus(
 
     Stage order is the cost order: row-local predicates (quality, token
     floor, language) run in the scan stage and shrink everything downstream;
-    exact dedup costs one fingerprint shuffle; MinHash near-dup (the only
-    join) runs last over the surviving rows. Returns the curated corpus with
-    ``quality``, ``n_tokens``, ``lang_pred`` and ``fingerprint`` columns
-    attached for auditability.
+    the repetition filter is doc-local (one doc-keyed shuffle);
+    decontamination joins only against the (broadcast-sized) eval set's gram
+    hashes; exact dedup costs one fingerprint shuffle; MinHash near-dup (the
+    only corpus-vs-corpus join) runs last over the surviving rows. Returns
+    the curated corpus with ``quality``, ``n_tokens``, ``lang_pred`` and
+    ``fingerprint`` columns attached for auditability.
     """
     annotated = docs.withColumn("quality", quality_score(text_col)).withColumn(
         "n_tokens", token_count(text_col)
@@ -60,6 +65,19 @@ def curate_corpus(
         kept = kept.filter(F.col("n_tokens") >= min_tokens)
     if langs:
         kept = kept.filter(F.col("lang_pred").isin(list(langs)))
+    if max_dup_gram_fraction is not None:
+        from vectordb_cloud_spark.operators.repetition import filter_repetitive
+
+        kept = filter_repetitive(
+            kept, max_dup_gram_fraction, id_col=id_col, text_col=text_col
+        )
+    if eval_set is not None:
+        from vectordb_cloud_spark.operators.decontaminate import decontaminate
+
+        kept = decontaminate(
+            kept, eval_set, n=decontaminate_n,
+            train_id=id_col, train_text=text_col,
+        )
     kept = dedup_keep_first(kept, id_col=id_col, text_col=text_col)
     if near_dup:
         pairs = minhash_lsh_pairs(
