@@ -248,3 +248,38 @@ def test_compact_crowded_buckets(catalog, spark):
     assert catalog.read("c").orderBy("id").collect() == before
     # second compact is a no-op
     assert catalog.compact("c", max_files_per_bucket=4) == 0
+
+
+def test_upsert_evicts_old_row_when_tenant_changes(catalog, spark):
+    """Replace-by-id must hold even when the row's user_id (and therefore
+    its bucket) changes: the stale row in the OLD bucket is evicted."""
+    catalog.create("c", dim=2, n_buckets=8)
+    catalog.upsert("c", _rows(spark, [(i, [1.0, 1.0], "t", i % 20) for i in range(100)]))
+    # move id=7 (user 7) to user 13 — different bucket
+    catalog.upsert("c", _rows(spark, [(7, [9.0, 9.0], "moved", 13)]))
+    rows = catalog.read("c").filter(F.col("id") == 7).collect()
+    assert len(rows) == 1  # no duplicate id across buckets
+    assert rows[0]["user_id"] == 13 and rows[0]["text"] == "moved"
+    assert catalog.read("c").count() == 100
+
+
+def test_upsert_with_int_typed_user_id_batch(catalog, spark):
+    """A batch declaring user_id as INT must land in the same buckets as the
+    stored LONG data: F.hash(int) != F.hash(long) for equal values, so
+    hashing without the long cast would bucket the batch differently and the
+    bucket swap would silently discard it."""
+    catalog.create("c", dim=2, n_buckets=8)
+    catalog.upsert("c", _rows(spark, [(1, [1.0, 1.0], "a", 3)]))
+    raw_int = spark.createDataFrame(
+        [(2, [2.0, 2.0], "b", 3)],
+        "id long, embedding array<float>, text string, user_id int",
+    )
+    catalog.upsert("c", raw_int)
+    got = {r["id"] for r in catalog.read("c").collect()}
+    assert got == {1, 2}  # nothing silently discarded
+    # both rows of tenant 3 live in ONE bucket dir
+    import os
+
+    data = os.path.join(catalog.root, "c", "data")
+    dirs = [d for d in os.listdir(data) if d.startswith("__bucket=")]
+    assert len(dirs) == 1

@@ -48,7 +48,21 @@ def test_supplied_token_counts_are_used(spark):
     docs = spark.createDataFrame(
         [(1, "irrelevant", 30), (2, "irrelevant", 30), (3, "irrelevant", 50)],
         "doc_id long, text string, n_real long",
-    ).repartition(1)
-    packs = pack_sequences(docs, max_tokens=60, tokens_col="n_real").collect()
+    )
+    packs = pack_sequences(docs, max_tokens=60, tokens_col="n_real",
+                           n_partitions=1).collect()
     sizes = sorted(r["total_tokens"] for r in packs)
     assert sizes == [50, 60]  # 30+30 packed together; 50 alone
+
+
+def test_packing_independent_of_input_file_layout(spark, documents, tmp_path):
+    """The recipe contract: the same rows re-read from a DIFFERENT physical
+    file split must produce identical packs (fixed hash-partition count, not
+    the input's layout)."""
+    documents.select("doc_id", "text").repartition(3).write.parquet(str(tmp_path / "a"))
+    documents.select("doc_id", "text").repartition(9).write.parquet(str(tmp_path / "b"))
+    pa = pack_sequences(spark.read.parquet(str(tmp_path / "a")), 400, drop_oversize=True)
+    pb = pack_sequences(spark.read.parquet(str(tmp_path / "b")), 400, drop_oversize=True)
+    a = sorted(tuple(r["doc_ids"]) for r in pa.collect())
+    b = sorted(tuple(r["doc_ids"]) for r in pb.collect())
+    assert a == b

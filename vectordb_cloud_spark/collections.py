@@ -150,19 +150,26 @@ class CollectionCatalog:
         return os.path.isdir(os.path.join(self._dir(name), DATA_DIR))
 
     def _bucket_of(self, n_buckets: int):
-        return F.pmod(F.hash("user_id"), F.lit(n_buckets))
+        # cast before hashing: F.hash(int) != F.hash(long) for equal values,
+        # so an int-typed user_id in a batch would compute different buckets
+        # than the long-typed stored data — normalize to long everywhere
+        return F.pmod(F.hash(F.col("user_id").cast("long")), F.lit(n_buckets))
 
     def upsert(self, name: str, new_rows: DataFrame, id_col: str = "id") -> None:
         """U2: batched upsert with replace-by-id (last-write-wins) semantics
         (/root/reference/insert.py:31-63).
 
-        Bucket-scoped MERGE emulation: only the ``__bucket`` partitions
-        present in the new batch are read (PartitionFilters pruning) and
-        rewritten — existing_pruned LEFT ANTI JOIN new ON id, UNION new, swap
-        those bucket dirs. A 100-row batch against a 100 TB collection
-        rewrites ~|batch buckets|/n_buckets of the table instead of all of
-        it; untouched buckets' files are never opened. On a real deployment
-        this becomes Delta ``MERGE INTO`` with dynamic partition overwrite.
+        Bucket-scoped MERGE emulation: the affected ``__bucket`` partitions —
+        the batch's buckets plus any bucket holding an existing row with a
+        batch id (a row whose user_id changed moves buckets and its stale
+        copy must be evicted) — are read (PartitionFilters pruning) and
+        rewritten: existing_pruned LEFT ANTI JOIN new ON id, UNION new, swap
+        those bucket dirs. Finding stale buckets costs one skinny
+        (id, __bucket) probe scan with a broadcast semi-join — read-only,
+        row-group stats skip on id — while the REWRITE stays
+        ~|batch buckets|/n_buckets of the table; untouched buckets' files
+        are never rewritten. On a real deployment this becomes Delta
+        ``MERGE INTO`` with dynamic partition overwrite.
 
         Raises ``ValueError`` when the batch's column set differs from a
         non-empty collection's (silent schema drift previously replaced the
@@ -189,10 +196,26 @@ class CollectionCatalog:
         )
         if partitioned and self._has_data(name) and "user_id" in new_rows.columns:
             meta = self.meta(name)
-            buckets = [
+            new_buckets = {
                 r[0]
                 for r in w_new.select(self._bucket_of(meta.n_buckets).alias("b")).distinct().collect()
-            ]
+            }
+            # replace-by-id must also evict a row whose user_id CHANGED in
+            # this batch (its old row lives in a different bucket): one
+            # id-only probe scan over existing data finds those buckets —
+            # cheap (two skinny columns, row-group stats skip on id) and the
+            # REWRITE stays bucket-scoped
+            batch_ids = w_new.select(id_col)
+            stale_buckets = {
+                r[0]
+                for r in self.read(name)
+                .select(id_col, "__bucket")
+                .join(F.broadcast(batch_ids), on=id_col, how="left_semi")
+                .select("__bucket")
+                .distinct()
+                .collect()
+            }
+            buckets = sorted(new_buckets | stale_buckets)
             pruned = (
                 self.read(name)
                 .filter(F.col("__bucket").isin(buckets))
@@ -307,11 +330,16 @@ class CollectionCatalog:
                 crowded.append(int(d.split("=", 1)[1]))
         if not crowded:
             return 0
+        meta = self.meta(name)
+        # one shuffle partition per crowded bucket: compaction parallelizes
+        # across buckets (coalesce(1) would serialize every bucket's rewrite
+        # through a single task) while partitionBy still emits one file per
+        # bucket per task
         df = (
             self.read(name)
             .filter(F.col("__bucket").isin(crowded))
             .drop("__bucket")
-            .coalesce(1)
+            .repartition(len(crowded), self._bucket_of(meta.n_buckets))
         )
         self._swap_buckets(name, df, crowded)
         return len(crowded)

@@ -308,6 +308,13 @@ def dup_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # exhausting max_iter without converging would silently SPLIT
+        # components (under-deduplication) — fail loudly instead
+        raise RuntimeError(
+            f"dup_components did not converge in {max_iter} iterations — the "
+            "pair graph has a longer chain than expected; raise max_iter"
+        )
     return labels
 
 

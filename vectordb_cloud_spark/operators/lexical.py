@@ -34,9 +34,10 @@ def bm25_index(
     id_col: str = "doc_id",
     text_col: str = "text",
 ):
-    """Build the BM25 tables. Returns ``(postings, docstats, corpus)`` where
-    postings = (term, doc_id, tf), docstats = (term, df), corpus = one row
-    (n_docs, avg_len). Persist all three for repeated querying."""
+    """Build the BM25 tables. Returns ``(postings, docstats, doclens,
+    corpus)`` where postings = (term, doc_id, tf), docstats = (term, df),
+    doclens = (doc_id, dl), corpus = one row (n_docs, avg_len). Persist all
+    four for repeated querying."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(_terms(text_col)).alias("term")
     )
@@ -68,6 +69,9 @@ def bm25_search(
     if not terms:
         raise ValueError("empty query")
     stats = corpus.first()
+    if stats is None or not stats["n_docs"]:
+        # empty corpus: no matches by definition (avg_len would be NULL)
+        return postings.select("doc_id", F.lit(0.0).alias("score")).limit(0)
     n_docs, avg_len = stats["n_docs"], float(stats["avg_len"])
     matched = (
         postings.filter(F.col("term").isin(terms))

@@ -30,6 +30,7 @@ def pack_sequences(
     text_col: str = "text",
     tokens_col: str | None = None,
     drop_oversize: bool = False,
+    n_partitions: int = 64,
 ) -> DataFrame:
     """Pack documents into token budgets. Returns one row per pack:
     ``(pack_id string, doc_ids array, n_docs, total_tokens)`` with
@@ -39,6 +40,12 @@ def pack_sequences(
     modeling decision the caller must own); ``drop_oversize=True`` excludes
     them instead. ``tokens_col`` lets callers supply a real tokenizer's
     counts; otherwise the whitespace estimate is used.
+
+    ``n_partitions`` is part of the recipe: packs are a pure function of
+    (rows, max_tokens, n_partitions) — a FIXED count (not the input's
+    physical layout) so re-reading the same corpus from a different file
+    split still yields identical packs. Size it so a partition's docs fit
+    one worker comfortably (tens of thousands of docs each).
     """
     import pandas as pd
 
@@ -59,10 +66,11 @@ def pack_sequences(
         "pack_id string, doc_ids array<long>, n_docs int, total_tokens long"
     )
 
-    # determinism: hash-partition on the id (content-based placement — row
-    # order and scheduling can't move a doc between partitions) and sort
-    # with an id tiebreak inside the packer. Same input -> same packs.
-    slim = slim.repartition(slim.rdd.getNumPartitions(), F.col("id"))
+    # determinism: hash-partition on the id into a FIXED partition count
+    # (content-based placement — row order, scheduling, and the input's file
+    # layout can't move a doc between partitions) and sort with an id
+    # tiebreak inside the packer. Same input -> same packs.
+    slim = slim.repartition(n_partitions, F.col("id"))
 
     def _pack(it):
         from pyspark import TaskContext
@@ -99,8 +107,11 @@ def pack_sequences(
 
 def packing_efficiency(packs: DataFrame, max_tokens: int) -> float:
     """Fraction of the packed token budget actually used — the metric that
-    says whether the packing is worth its cost (1.0 = zero padding)."""
+    says whether the packing is worth its cost (1.0 = zero padding; an empty
+    pack set reports 0.0)."""
     row = packs.agg(
         F.sum("total_tokens").alias("used"), F.count("*").alias("n")
     ).first()
+    if not row["n"]:
+        return 0.0
     return float(row["used"]) / float(row["n"] * max_tokens)

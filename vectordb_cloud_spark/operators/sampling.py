@@ -56,16 +56,18 @@ def weighted_mixture(
     missing = set(weights) - set(sources)
     if missing:
         raise ValueError(f"weights reference unknown sources: {sorted(missing)}")
-    sizes = {name: sources[name].count() for name in weights}
+    active = {k: w for k, w in weights.items() if w > 0}
+    if not active:
+        raise ValueError("all weights are zero — nothing to mix")
+    # zero-weight sources contribute nothing: skip their count jobs entirely
+    sizes = {name: sources[name].count() for name in active}
     if any(n == 0 for n in sizes.values()):
         empty = [k for k, n in sizes.items() if n == 0]
         raise ValueError(f"empty sources cannot be weighted: {empty}")
     # scale so the most-constrained source is kept whole
-    scale = min(sizes[k] / weights[k] for k in weights if weights[k] > 0)
+    scale = min(sizes[k] / active[k] for k in active)
     parts = []
-    for name, w in weights.items():
-        if w <= 0:
-            continue
+    for name, w in active.items():
         frac = min(1.0, (w * scale) / sizes[name])
         df = sources[name].withColumn("__source", F.lit(name))
         parts.append(df.sample(fraction=frac, seed=seed) if frac < 1.0 else df)

@@ -972,7 +972,7 @@ def uuid3_content_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", uuid3_dns("text").alias("content_id"))
 
 
-# IVF index cache: (abs sf_dir) -> (centers, persisted path). The build —
+# IVF index cache: (abs sf_dir, build params) -> (centers, persisted path). The build —
 # KMeans + partitioned write — is index construction, not query work; caching
 # it per corpus means the gated/benched query exercises the real production
 # plan: centroid routing driver-side + PartitionFilters file pruning.
@@ -980,7 +980,7 @@ _IVF_INDEX_CACHE: dict[str, tuple[list, str]] = {}
 
 
 def _ivf_index(spark: SparkSession, sf_dir: str, k_centroids: int = 8):
-    key = os.path.abspath(sf_dir)
+    key = (os.path.abspath(sf_dir), k_centroids)
     if key not in _IVF_INDEX_CACHE:
         import tempfile
 
@@ -1039,7 +1039,7 @@ _PQ_INDEX_CACHE: dict[str, tuple[list, str]] = {}
 
 
 def _pq_index(spark: SparkSession, sf_dir: str, m_subvectors: int = 8, k_codes: int = 16):
-    key = os.path.abspath(sf_dir)
+    key = (os.path.abspath(sf_dir), m_subvectors, k_codes)
     if key not in _PQ_INDEX_CACHE:
         import tempfile
 
