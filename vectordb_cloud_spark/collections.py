@@ -260,6 +260,11 @@ class CollectionCatalog:
         final = os.path.join(self._dir(name), DATA_DIR)
         staging = final + ".staging"
         out = df.withColumn("__bucket", self._bucket_of(meta.n_buckets))
+        if "id" in df.columns:
+            # id-ordered row groups: parquet min/max stats then skip row
+            # groups on id lookups — upsert's stale-bucket probe and
+            # delete_by_ids read a fraction of each touched file
+            out = out.sortWithinPartitions("__bucket", "id")
         out.write.mode("overwrite").partitionBy("__bucket").parquet(staging)
         for b in buckets:
             src = os.path.join(staging, f"__bucket={b}")
