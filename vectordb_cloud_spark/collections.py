@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 META_FILE = "_meta.json"
+MANIFEST_FILE = "_buckets.json"
 DATA_DIR = "data"
 DEFAULT_BUCKETS = 32  # tenant-hash partition count; at 100 TB raise toward 1024
 
@@ -44,6 +45,9 @@ class CollectionCatalog:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        # telemetry for the last upsert's stale-bucket probe (tests assert
+        # the manifest actually skips non-overlapping probes)
+        self.last_upsert_probe: dict | None = None
         os.makedirs(root, exist_ok=True)
 
     # -- registry ---------------------------------------------------------
@@ -155,6 +159,60 @@ class CollectionCatalog:
         # than the long-typed stored data — normalize to long everywhere
         return F.pmod(F.hash(F.col("user_id").cast("long")), F.lit(n_buckets))
 
+    # -- per-bucket id-range manifest ---------------------------------------
+    # Upsert must find buckets holding an existing row with a batch id (the
+    # row's user_id may have changed, moving it across buckets). Probing by
+    # scanning every bucket's (id, __bucket) is O(table) per batch; the
+    # manifest records each bucket's [min(id), max(id)] at write time so the
+    # probe touches only buckets whose id range can overlap the batch — at
+    # 100 TB that is the difference between a metadata check and a full scan.
+    # (Delta's per-file stats / bloom filters are the production analogue.)
+    def _manifest_path(self, name: str) -> str:
+        return os.path.join(self._dir(name), MANIFEST_FILE)
+
+    def _read_manifest(self, name: str) -> dict | None:
+        try:
+            with open(self._manifest_path(name)) as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+
+    def _update_manifest(self, name: str, buckets=None) -> None:
+        """Refresh the per-bucket id min/max manifest from on-disk data.
+        ``buckets=None`` rebuilds the whole manifest; otherwise only the given
+        buckets' entries are recomputed (PartitionFilters-pruned scan) and the
+        rest are kept. Stats come from parquet footers, so this reads metadata,
+        not rows."""
+        data = os.path.join(self._dir(name), DATA_DIR)
+        df = self.spark.read.parquet(data)
+        if "id" not in df.columns or "__bucket" not in df.columns:
+            try:
+                os.remove(self._manifest_path(name))
+            except FileNotFoundError:
+                pass
+            return
+        old = self._read_manifest(name)
+        if buckets is not None and old is None:
+            buckets = None  # no base to patch — full rebuild
+        scan = df.select("id", "__bucket")
+        if buckets is not None:
+            scan = scan.filter(F.col("__bucket").isin(list(buckets)))
+        stats = (
+            scan.groupBy("__bucket")
+            .agg(F.min("id").alias("lo"), F.max("id").alias("hi"))
+            .collect()
+        )
+        entries = {} if buckets is None else dict(old["buckets"])
+        if buckets is not None:
+            for b in buckets:
+                entries.pop(str(b), None)  # bucket may now be empty
+        for r in stats:
+            entries[str(r["__bucket"])] = [r["lo"], r["hi"]]
+        tmp = self._manifest_path(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"id_col": "id", "buckets": entries}, f)
+        os.replace(tmp, self._manifest_path(name))
+
     def upsert(self, name: str, new_rows: DataFrame, id_col: str = "id") -> None:
         """U2: batched upsert with replace-by-id (last-write-wins) semantics
         (/root/reference/insert.py:31-63).
@@ -196,25 +254,58 @@ class CollectionCatalog:
         )
         if partitioned and self._has_data(name) and "user_id" in new_rows.columns:
             meta = self.meta(name)
-            new_buckets = {
-                r[0]
-                for r in w_new.select(self._bucket_of(meta.n_buckets).alias("b")).distinct().collect()
-            }
+            batch_stats = (
+                w_new.select(
+                    self._bucket_of(meta.n_buckets).alias("__b"),
+                    F.col(id_col).alias("__id"),
+                )
+                .agg(
+                    F.collect_set("__b").alias("bs"),
+                    F.min("__id").alias("lo"),
+                    F.max("__id").alias("hi"),
+                )
+                .first()
+            )
+            new_buckets = set(batch_stats["bs"])
             # replace-by-id must also evict a row whose user_id CHANGED in
-            # this batch (its old row lives in a different bucket): one
-            # id-only probe scan over existing data finds those buckets —
-            # cheap (two skinny columns, row-group stats skip on id) and the
-            # REWRITE stays bucket-scoped
-            batch_ids = w_new.select(id_col)
-            stale_buckets = {
-                r[0]
-                for r in self.read(name)
-                .select(id_col, "__bucket")
-                .join(F.broadcast(batch_ids), on=id_col, how="left_semi")
-                .select("__bucket")
-                .distinct()
-                .collect()
+            # this batch (its old row lives in a different bucket). The
+            # per-bucket id-range manifest narrows the probe to buckets whose
+            # [min,max] id range overlaps the batch — buckets already being
+            # rewritten need no probe (the anti-join evicts them anyway).
+            # Without a manifest, fall back to the full skinny probe scan.
+            manifest = self._read_manifest(name)
+            if manifest is not None and manifest.get("id_col") == id_col:
+                def _overlaps(lo, hi):
+                    if None in (lo, hi, batch_stats["lo"], batch_stats["hi"]):
+                        return True  # unknown range: probe it (NULL ids)
+                    return not (hi < batch_stats["lo"] or lo > batch_stats["hi"])
+
+                probe_buckets = sorted(
+                    int(b)
+                    for b, (lo, hi) in manifest["buckets"].items()
+                    if int(b) not in new_buckets and _overlaps(lo, hi)
+                )
+            else:
+                probe_buckets = None  # unknown layout: probe everything
+            self.last_upsert_probe = {
+                "probe_buckets": probe_buckets,
+                "skipped": probe_buckets == [],
             }
+            stale_buckets: set = set()
+            if probe_buckets != []:
+                probe = self.read(name).select(id_col, "__bucket")
+                if probe_buckets is not None:
+                    probe = probe.filter(F.col("__bucket").isin(probe_buckets))
+                batch_ids = w_new.select(id_col)
+                stale_buckets = {
+                    r[0]
+                    for r in probe.join(
+                        F.broadcast(batch_ids), on=id_col, how="left_semi"
+                    )
+                    .select("__bucket")
+                    .distinct()
+                    .collect()
+                }
             buckets = sorted(new_buckets | stale_buckets)
             pruned = (
                 self.read(name)
@@ -234,7 +325,10 @@ class CollectionCatalog:
         staging = os.path.join(self._dir(name), DATA_DIR + ".staging")
         meta = self.meta(name)
         if "user_id" in df.columns:
-            out = df.withColumn("__bucket", F.pmod(F.hash("user_id"), F.lit(meta.n_buckets)))
+            # _bucket_of casts user_id to long first — F.hash(int) != F.hash(long),
+            # so an uncast hash here would land an int-typed first batch in
+            # buckets read_for_user's long-hash probe can never find
+            out = df.withColumn("__bucket", self._bucket_of(meta.n_buckets))
             out.write.mode("overwrite").partitionBy("__bucket").parquet(staging)
             # a fully-empty partitioned write leaves no data files -> the dir
             # becomes unreadable; fall back to a schema-only unpartitioned file
@@ -250,6 +344,7 @@ class CollectionCatalog:
         if os.path.isdir(final):
             shutil.rmtree(final)
         os.rename(staging, final)
+        self._update_manifest(name)
 
     def _swap_buckets(self, name: str, df: DataFrame, buckets: list) -> None:
         """Rewrite only the given ``__bucket`` partition dirs. ``df`` holds
@@ -280,6 +375,7 @@ class CollectionCatalog:
             # every bucket emptied: leave a schema-only unpartitioned image
             # so the collection stays readable
             df.limit(0).write.mode("overwrite").parquet(final)
+        self._update_manifest(name, buckets)
 
     def delete_where(self, name: str, predicate) -> int:
         """D1-D3: delete by predicate (implements the *intended* semantics of

@@ -1459,7 +1459,14 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     media = make_fake_media(spark, n=64, kind="image")
-    return extract_image_features(media, feature_dim=16)
+    feats = extract_image_features(media, feature_dim=16)
+    # posexplode the vector to scalar rows: the driver's canonicalizer sorts
+    # through pandas, which cannot hash a raw list column (CORRECTNESS_r02 err).
+    return feats.select(
+        "media_id",
+        "format",
+        F.posexplode("feature").alias("idx", "value"),
+    ).withColumn("value", F.round(F.col("value").cast("double"), 6))
 
 
 def registry() -> dict[str, QueryFn]:
