@@ -55,6 +55,14 @@ def main():
         df.write.format("noop").mode("overwrite").save()
         results[name] = round(time.time() - t0, 3)
 
+    # the sketch-based percentile twin (library-level; the exact variant in
+    # the registry is the oracle gate, this is the 100 TB plan shape)
+    t0 = time.time()
+    qmod.price_percentiles_by_flag_approx(spark, sf_dir).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    results["price_percentiles_approx"] = round(time.time() - t0, 3)
+
     # vector-scan stress: the fixture embeddings table is small (2k rows at
     # sf0.1), so also measure exact filtered kNN over 100k synthetic 64-dim
     # vectors — generated JVM-side (xxhash64-seeded, deterministic), single
@@ -106,6 +114,19 @@ def main():
         ).withColumn("embedding", mock_embed("text", 64))
         catalog.upsert("bench_col", points)
         results["collection_build"] = round(time.time() - t0, 3)
+
+        # small-file churn + OPTIMIZE: fan one rewrite out to many tasks
+        # (AQE off, as every multi-executor bucket rewrite is at real scale
+        # — locally AQE coalesces the tiny shuffle to one file per bucket),
+        # then measure the bucket-scoped compaction pass
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            catalog.upsert("bench_col", points.repartition(32))
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+        t0 = time.time()
+        catalog.compact("bench_col")
+        results["compaction"] = round(time.time() - t0, 3)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -38,3 +38,16 @@ def test_rollup_is_prefix_subset_of_cube(spark):
     assert set(rollup) == {k for k in cube if not (k[0] is None and k[1] is not None)}
     for k, v in rollup.items():
         assert cube[k] == v
+
+
+def test_approx_percentile_twin_close_to_exact(spark, sf_dir):
+    """price_percentiles_by_flag_approx is the documented 100 TB path; at
+    accuracy=10000 the sketch must sit within 1% of the exact percentiles."""
+    from vectordb_cloud_spark import queries
+
+    exact = {r["l_returnflag"]: r for r in queries.price_percentiles_by_flag(spark, sf_dir).collect()}
+    approx = {r["l_returnflag"]: r for r in queries.price_percentiles_by_flag_approx(spark, sf_dir).collect()}
+    assert set(approx) == set(exact)
+    for flag, row in approx.items():
+        for c in ("p25", "median", "p90"):
+            assert abs(row[c] - exact[flag][c]) <= 0.01 * abs(exact[flag][c]), (flag, c)

@@ -1117,13 +1117,34 @@ def classify_titles_mock_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def price_percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact continuous percentiles — Spark ``percentile`` and DuckDB
     ``quantile_cont`` share the linear-interpolation definition
-    (verified bit-identical). Use approx_percentile at cluster scale when a
-    t-digest is acceptable."""
+    (verified bit-identical). Kept exact for the oracle gate;
+    ``price_percentiles_by_flag_approx`` below is the documented 100 TB
+    path (sketch-based, no per-group sort)."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.percentile("l_extendedprice", F.lit(0.25)).alias("p25"),
         F.percentile("l_extendedprice", F.lit(0.5)).alias("median"),
         F.percentile("l_extendedprice", F.lit(0.9)).alias("p90"),
+    )
+
+
+def price_percentiles_by_flag_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of ``price_percentiles_by_flag``: ``approx_percentile``
+    builds a bounded-memory quantile sketch with map-side partial merge — one
+    aggregation pass, no per-group full sort — which is the only shape that
+    survives groups of billions of rows. Library-level (not in the 50-slot
+    registry): sketch outputs are engine-specific, so there is no DuckDB hash
+    oracle; accuracy is asserted against the exact query in tests and the
+    runtime is recorded by bench.py as ``price_percentiles_approx``."""
+    li = _t(spark, sf_dir, "lineitem")
+    pcts = F.expr(
+        "approx_percentile(l_extendedprice, array(0.25D, 0.5D, 0.9D), 10000)"
+    )
+    return li.groupBy("l_returnflag").agg(pcts.alias("__p")).select(
+        "l_returnflag",
+        F.col("__p")[0].alias("p25"),
+        F.col("__p")[1].alias("median"),
+        F.col("__p")[2].alias("p90"),
     )
 
 
@@ -1280,22 +1301,46 @@ def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "sources_per_lang",
+    "bm25_topk",
     """
-    SELECT lang,
-           array_to_string(list_sort(list_distinct(list(source))), ',') AS sources,
-           count(DISTINCT source) AS n_sources
-    FROM documents GROUP BY lang
+    WITH toks AS (
+      SELECT doc_id, lower(t) AS term
+      FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+            FROM documents)
+      WHERE t <> ''
+    ),
+    postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+    docstats AS (SELECT term, count(DISTINCT doc_id) AS df FROM postings GROUP BY 1),
+    doclens AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avg_len FROM doclens)
+    SELECT p.doc_id,
+           round(sum(ln(1 + (c.n_docs - s.df + 0.5::DOUBLE) / (s.df + 0.5::DOUBLE))
+                     * (p.tf * (1.2::DOUBLE + 1))
+                     / (p.tf + 1.2::DOUBLE * (1 - 0.75::DOUBLE
+                                              + 0.75::DOUBLE * l.dl / c.avg_len))),
+                 6) AS score
+    FROM postings p
+    JOIN docstats s USING (term)
+    JOIN doclens l USING (doc_id)
+    CROSS JOIN corpus c
+    WHERE p.term IN ('spark', 'hash', 'join')
+    GROUP BY p.doc_id
+    ORDER BY score DESC, p.doc_id ASC
+    LIMIT 10
     """,
 )
-def sources_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered set aggregation (string_agg shape): collect_set -> sort ->
-    join. Deterministic output independent of partitioning."""
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval gate: BM25 top-k over the documents corpus via the
+    inverted-index relational layout (operators/lexical.py). The oracle
+    re-derives the same postings/df/dl/corpus tables in SQL — BM25 is pure
+    relational math, so this is a full hash-matched check, not rows-only.
+    All constants are double-cast in the oracle so DuckDB doesn't fall into
+    DECIMAL arithmetic where Spark computes IEEE doubles."""
+    from vectordb_cloud_spark.operators.lexical import bm25_index, bm25_search
+
     docs = _t(spark, sf_dir, "documents")
-    return docs.groupBy("lang").agg(
-        F.concat_ws(",", F.array_sort(F.collect_set("source"))).alias("sources"),
-        F.countDistinct("source").alias("n_sources"),
-    )
+    postings, docstats, doclens, corpus = bm25_index(docs)
+    return bm25_search(postings, docstats, doclens, corpus, "spark hash join", k=10)
 
 
 @_q(
