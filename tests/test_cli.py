@@ -1,0 +1,65 @@
+"""CLI wrappers (cli.py) — the reference's argparse surface
+(/root/reference/insert.py:87-98, search.py:58-86) as subcommands. Tests
+inject the shared session fixture via run() so no JVM is paid per call."""
+
+import ast
+
+import pytest
+
+from vectordb_cloud_spark.cli import build_parser, run
+
+
+def _base(tmp_path, extra):
+    return ["--root", str(tmp_path / "cat"), "--emb_size", "16", *extra]
+
+
+def test_insert_then_search_roundtrip(spark, tmp_path):
+    out = run(_base(tmp_path, [
+        "insert", "--text_id", "1", "--user_id", "7", "--text", "hello vector world",
+    ]), spark)
+    assert out == "True"
+    run(_base(tmp_path, [
+        "insert", "--text_id", "2", "--user_id", "8", "--text", "other tenant row",
+    ]), spark)
+    hits = ast.literal_eval(run(_base(tmp_path, [
+        "search", "--user_id", "7", "--text", "hello vector world", "--limit", "5",
+    ]), spark))
+    # tenant filter: only user 7's row; exact text match -> distance 0
+    assert [h["id"] for h in hits] == [1]
+    assert hits[0]["string"] == "hello vector world"
+    assert hits[0]["score"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_remove_by_word_scoped_to_tenant(spark, tmp_path):
+    for tid, uid, text in [(1, 7, "spark rocks"), (2, 7, "plain"), (3, 8, "spark too")]:
+        run(_base(tmp_path, [
+            "insert", "--text_id", str(tid), "--user_id", str(uid), "--text", text,
+        ]), spark)
+    assert run(_base(tmp_path, ["remove-by-word", "--user_id", "7", "--word", "spark"]), spark) == "1"
+    hits7 = ast.literal_eval(run(_base(tmp_path, [
+        "search", "--user_id", "7", "--text", "anything", "--limit", "10",
+    ]), spark))
+    assert [h["id"] for h in hits7] == [2]
+    hits8 = ast.literal_eval(run(_base(tmp_path, [
+        "search", "--user_id", "8", "--text", "anything", "--limit", "10",
+    ]), spark))
+    assert [h["id"] for h in hits8] == [3]  # other tenant untouched
+
+
+def test_classify_subcommand(spark, tmp_path):
+    cat = run(_base(tmp_path, [
+        "classify", "--user_id", "7", "--cats", "sports\\nmusic", "--title", "sports",
+    ]), spark)
+    assert cat in ("sports", "music")
+
+
+def test_parser_matches_reference_flags():
+    """The reference's exact flag names parse (insert.py:89-95, search.py:75-83)."""
+    p = build_parser()
+    a = p.parse_args(["insert", "--text_id", "5", "--user_id", "2", "--text", "t"])
+    assert (a.text_id, a.user_id, a.text) == (5, 2, "t")
+    assert a.index_name == "EverGrowingVDB"
+    a = p.parse_args(["search", "--user_id", "2", "--text", "t", "--limit", "3"])
+    assert a.limit == 3
+    with pytest.raises(SystemExit):  # required flag missing
+        p.parse_args(["insert", "--user_id", "2", "--text", "t"])

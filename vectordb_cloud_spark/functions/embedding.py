@@ -80,7 +80,7 @@ def embed_text(col: Column | str, model_name: str = "sentence-transformers/all-M
         ) from exc
 
     @F.pandas_udf(ArrayType(FloatType(), containsNull=False))
-    def _embed(texts: pd.Series) -> pd.Series:  # pragma: no cover
+    def _embed(texts: pd.Series) -> pd.Series:  # pragma: no cover - torch absent
         import torch
         from transformers import AutoModel, AutoTokenizer
 
@@ -109,3 +109,60 @@ def embed_text(col: Column | str, model_name: str = "sentence-transformers/all-M
         return pd.Series(list(vecs))
 
     return _embed(F.col(col) if isinstance(col, str) else col)
+
+
+def embed_text_batched(
+    col: Column | str,
+    model_name: str = "sentence-transformers/all-MiniLM-L6-v2",
+    batch_size: int = 64,
+) -> Column:
+    """The production inference wiring: ``pyspark.ml.functions.
+    predict_batch_udf`` around the same HF model as ``embed_text``.
+
+    predict_batch_udf is the right 100 TB shape for model inference — the
+    model factory (``make_predict_fn``) runs ONCE per python worker and the
+    loaded model is cached and shared across every batch and every task that
+    worker executes, the fixed ``batch_size`` decouples GPU/CPU batch sizing
+    from Arrow chunk sizing, and Spark can pipeline the UDF with the
+    surrounding scan/write. Raises loudly when torch/transformers are absent
+    (this container); the skip-marked test in tests/test_embedding_real.py
+    exercises the full path wherever torch exists.
+    """
+    try:
+        import torch  # noqa: F401
+        from transformers import AutoModel, AutoTokenizer  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "transformers/torch not installed in this environment; "
+            "use mock_embed() for deterministic tests"
+        ) from exc
+
+    from pyspark.ml.functions import predict_batch_udf
+
+    def make_predict_fn():  # pragma: no cover - torch absent in test image
+        import torch
+        from transformers import AutoModel, AutoTokenizer
+
+        tok = AutoTokenizer.from_pretrained(model_name)
+        model = AutoModel.from_pretrained(model_name)
+        model.eval()
+
+        def predict(texts: np.ndarray) -> np.ndarray:
+            with torch.no_grad():
+                enc = tok(
+                    ["" if t is None else str(t) for t in texts.tolist()],
+                    padding=True,
+                    truncation=True,
+                    max_length=MAX_TOKENS,
+                    return_tensors="pt",
+                )
+                return model(**enc).pooler_output.numpy().astype(np.float32)
+
+        return predict
+
+    udf = predict_batch_udf(
+        make_predict_fn,
+        return_type=ArrayType(FloatType(), containsNull=False),
+        batch_size=batch_size,
+    )
+    return udf(F.col(col) if isinstance(col, str) else col)

@@ -51,7 +51,10 @@ def make_fake_media(spark, n: int = 64, kind: str = "image") -> DataFrame:
         payload = hashlib.sha256(f"{kind}-{i}".encode()).digest() * 32  # 1 KiB
         rows.append((i, kind, "png" if kind == "image" else "wav", bytearray(payload),
                      64 + i % 32, 64 + i % 16, 1000 + i))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    # a tiny synthetic table scattered over default parallelism (32) makes
+    # every downstream mapInPandas spin one Python worker per near-empty
+    # partition; pack it into a few partitions sized ~16 rows each instead
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(max(1, n // 16))
 
 
 def _fake_decode(data: bytes, width: int, height: int) -> np.ndarray:
