@@ -246,3 +246,72 @@ def test_rollup_stream_converges_to_batch_truth(spark, events, tmp_path):
         .collect()
     }
     assert got == truth
+
+
+def test_stream_static_enrich_broadcasts(spark, events, tmp_path):
+    """Stream-static join: each micro-batch hash-joins the broadcast dim;
+    streamed result matches the batch join exactly."""
+    from vectordb_cloud_spark.streaming.joins import stream_static_enrich
+
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("purchase", "revenue"), ("view", "engagement")],
+        "event_type string, category string",
+    )
+    batch = {(r["event_id"], r["category"])
+             for r in stream_static_enrich(events, dim, "event_type").collect()}
+
+    events.write.mode("overwrite").parquet(str(tmp_path / "enrich_src"))
+    stream = spark.readStream.schema(events.schema).parquet(str(tmp_path / "enrich_src"))
+    out = stream_static_enrich(stream, dim, "event_type")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("enrich_out").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["event_id"], r["category"]) for r in spark.sql("select * from enrich_out").collect()}
+    assert got == batch and len(got) > 0
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events, tmp_path):
+    """Watermarked stream-stream interval join (purchase within 1 hour
+    before a click, same user) must produce exactly the batch join rows."""
+    from vectordb_cloud_spark.streaming.joins import stream_stream_interval_join
+
+    clicks_b = (events.filter(F.col("event_type") == "click")
+                .select("event_id", "user_id", F.col("ts").alias("click_ts")))
+    purch_b = (events.filter(F.col("event_type") == "purchase")
+               .select("user_id", F.col("ts").alias("purchase_ts"),
+                       F.col("value").alias("purchase_value")))
+    batch = stream_stream_interval_join(
+        clicks_b, purch_b, key="user_id",
+        left_ts="click_ts", right_ts="purchase_ts", max_lag="1 hour",
+    ).collect()
+    batch_set = {(r["event_id"], r["purchase_ts"], r["purchase_value"]) for r in batch}
+    assert batch_set, "fixture should produce at least one joined pair"
+
+    events.write.mode("overwrite").parquet(str(tmp_path / "ssj_src"))
+    stream = spark.readStream.schema(events.schema).parquet(str(tmp_path / "ssj_src"))
+    clicks_s = (stream.filter(F.col("event_type") == "click")
+                .select("event_id", "user_id", F.col("ts").alias("click_ts")))
+    purch_s = (stream.filter(F.col("event_type") == "purchase")
+               .select("user_id", F.col("ts").alias("purchase_ts"),
+                       F.col("value").alias("purchase_value")))
+    out = stream_stream_interval_join(
+        clicks_s, purch_s, key="user_id",
+        left_ts="click_ts", right_ts="purchase_ts", max_lag="1 hour",
+    )
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("ssj_out").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(r["event_id"], r["purchase_ts"], r["purchase_value"])
+           for r in spark.sql("select * from ssj_out").collect()}
+    assert got == batch_set
+
+
+def test_interval_join_rejects_ambiguous_columns(spark, events):
+    from vectordb_cloud_spark.streaming.joins import stream_stream_interval_join
+
+    a = events.select("user_id", F.col("ts").alias("t1"), "value")
+    b = events.select("user_id", F.col("ts").alias("t2"), "value")
+    with pytest.raises(ValueError, match="ambiguous"):
+        stream_stream_interval_join(a, b, key="user_id", left_ts="t1", right_ts="t2")
+    with pytest.raises(ValueError, match="rename"):
+        stream_stream_interval_join(a, a, key="user_id", left_ts="t1", right_ts="t1")
