@@ -100,3 +100,84 @@ def test_ivf_knn_join_partial_probe_recall(spark, embeddings):
     assert sum(recalls) / len(recalls) >= 0.5  # routed probing keeps recall
     # and every query produced exactly k candidates
     assert all(len(v) == 5 for v in g.values())
+
+
+def test_ivf_assign_matches_brute_force_argmin(embeddings):
+    """Incremental assignment must agree with exact nearest-centroid."""
+    import math
+
+    from vectordb_cloud_spark.operators.ann import ivf_assign
+
+    centers, _ = ivf_build(embeddings, k_centroids=8)
+    got = ivf_assign(embeddings.limit(50), centers).select("vec_id", "centroid_id", "embedding").collect()
+    cmap = dict(centers)
+    for r in got:
+        dists = {cid: math.dist([float(x) for x in r["embedding"]], c) for cid, c in cmap.items()}
+        assert r["centroid_id"] == min(dists, key=dists.get)
+
+
+def test_ivf_assign_is_narrow_jvm_plan(embeddings):
+    from vectordb_cloud_spark.operators.ann import ivf_assign
+
+    centers, _ = ivf_build(embeddings, k_centroids=8)
+    out = ivf_assign(embeddings, centers)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivf_append_then_search_finds_new_vectors(spark, embeddings, tmp_path):
+    """Append routes new vectors into the partitioned layout without
+    rewriting existing inverted lists; a query for an appended vector finds
+    it through the partition-pruned search."""
+    import os
+
+    from vectordb_cloud_spark.operators.ann import (
+        ivf_append,
+        ivf_persist,
+        ivf_search_persisted,
+    )
+
+    path = str(tmp_path / "ivf")
+    centers, assigned = ivf_build(embeddings, k_centroids=8)
+    ivf_persist(assigned, path)
+    files_before = {
+        d: sorted(os.listdir(os.path.join(path, d)))
+        for d in os.listdir(path) if d.startswith("centroid_id=")
+    }
+
+    target = embeddings.filter(F.col("vec_id") == 3).first()
+    new_vec = [float(x) + 0.001 for x in target["embedding"]]
+    new = spark.createDataFrame([(990001, new_vec)], "vec_id long, embedding array<float>")
+    ivf_append(new, centers, path)
+
+    # existing files untouched (append-only)
+    for d, files in files_before.items():
+        assert set(files) <= set(os.listdir(os.path.join(path, d)))
+    hits = ivf_search_persisted(spark, path, centers, new_vec, k=3, nprobe=2)
+    assert 990001 in {r["vec_id"] for r in hits.collect()}
+
+
+def test_ivf_stats_and_rebuild_trigger(spark, embeddings, tmp_path):
+    from vectordb_cloud_spark.operators.ann import (
+        ivf_append,
+        ivf_partition_stats,
+        ivf_needs_rebuild,
+        ivf_persist,
+    )
+
+    path = str(tmp_path / "ivf")
+    centers, assigned = ivf_build(embeddings, k_centroids=8)
+    ivf_persist(assigned, path)
+    stats = ivf_partition_stats(spark, path, centers)
+    assert stats.count() == 8
+    assert not ivf_needs_rebuild(stats, max_imbalance=4.0)
+    # flood one centroid's list with near-duplicates of a single vector
+    seed = embeddings.filter(F.col("vec_id") == 5).first()
+    flood = spark.createDataFrame(
+        [(1_000_000 + i, [float(x) + i * 1e-4 for x in seed["embedding"]]) for i in range(400)],
+        "vec_id long, embedding array<float>",
+    )
+    ivf_append(flood, centers, path)
+    stats2 = ivf_partition_stats(spark, path, centers)
+    assert ivf_needs_rebuild(stats2, max_imbalance=4.0)

@@ -130,6 +130,81 @@ def ivf_search_persisted(spark, path: str, centers: list, query_vector: list[flo
                       vector_col=vector_col, filters=filters)
 
 
+def ivf_assign(new_points: DataFrame, centers: list,
+               vector_col: str = "embedding") -> DataFrame:
+    """Assign each point its nearest EXISTING centroid — the incremental
+    path: no KMeans refit, no shuffle. The centroid set is folded in as a
+    literal array (k_centroids x dim doubles — a few KB), so assignment is
+    one narrow whole-stage-codegen map: distances via transform+zip_with,
+    argmin via array_position(array_min). Works identically on a stream."""
+    centers_arr = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for _, c in sorted(centers)
+    ])
+    vec = F.col(vector_col).cast("array<double>")
+    dists = F.transform(
+        centers_arr,
+        lambda c: F.aggregate(
+            F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    # ids were generated densely 0..k-1 by ivf_build; sorted() above keeps
+    # literal order aligned with id order so position-1 IS the centroid id
+    return new_points.withColumn(
+        "centroid_id",
+        (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+    )
+
+
+def ivf_append(new_points: DataFrame, centers: list, path: str,
+               vector_col: str = "embedding") -> None:
+    """Incremental IVF maintenance: route new vectors to their inverted
+    lists and APPEND — existing partition files are never rewritten, so
+    ingest cost is O(batch) while the query path (partition-pruned
+    ivf_search_persisted) picks the rows up immediately. Centroids drift as
+    data grows; monitor with ivf_partition_stats / ivf_needs_rebuild and
+    retrain+rewrite (ivf_build + ivf_persist) when triggered — the classic
+    FAISS add-then-retrain operating cycle, distributed."""
+    assigned = ivf_assign(new_points, centers, vector_col)
+    assigned.write.mode("append").partitionBy("centroid_id").parquet(path)
+
+
+def ivf_partition_stats(spark, path: str, centers: list,
+                        vector_col: str = "embedding") -> DataFrame:
+    """Per-inverted-list health: row count and mean squared distance to the
+    centroid (quantization error). One aggregation over the layout; at scale
+    the count side is answerable from parquet footers alone."""
+    df = spark.read.parquet(path)
+    centers_arr = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for _, c in sorted(centers)
+    ])
+    vec = F.col(vector_col).cast("array<double>")
+    sq = F.aggregate(
+        F.zip_with(vec, F.element_at(centers_arr, F.col("centroid_id") + 1),
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        df.withColumn("__sq", sq)
+        .groupBy("centroid_id")
+        .agg(F.count("*").alias("n"), F.avg("__sq").alias("mean_sq_dist"))
+    )
+
+
+def ivf_needs_rebuild(stats: DataFrame, max_imbalance: float = 4.0) -> bool:
+    """Rebuild trigger: the largest inverted list exceeding ``max_imbalance``
+    x the mean list size means nprobe routing no longer bounds scan cost
+    (one hot list dominates every probe) — time to retrain. ``stats`` is
+    k_centroids rows, so this is a driver-side check."""
+    rows = stats.select("n").collect()
+    if not rows:
+        return False
+    counts = [r["n"] for r in rows]
+    return max(counts) > max_imbalance * (sum(counts) / len(counts))
+
+
 def ivf_knn_join(
     queries: DataFrame,
     assigned: DataFrame,
