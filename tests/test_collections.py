@@ -87,10 +87,13 @@ def test_tenant_bucket_partitioning(catalog, spark, tmp_path):
 
 
 def _bucket_files(catalog, name):
-    """{bucket_dir: {file: (size, mtime_ns)}} snapshot of the data layout."""
+    """{bucket_dir: {file: (size, mtime_ns)}} snapshot of the data layout.
+    Resolves the CURRENT snapshot version; carried (hardlinked) files share
+    inodes across versions so (size, mtime_ns) equality still proves the
+    bytes were not rewritten."""
     import os
 
-    data = os.path.join(catalog.root, name, "data")
+    data = catalog._current_data_dir(name)
     out = {}
     for d in os.listdir(data):
         if not d.startswith("__bucket="):
@@ -232,7 +235,7 @@ def test_compact_crowded_buckets(catalog, spark):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     before = catalog.read("c").orderBy("id").collect()
-    data = os.path.join(catalog.root, "c", "data")
+    data = catalog._current_data_dir("c")
     n_files = {
         d: sum(1 for f in os.listdir(os.path.join(data, d)) if f.endswith(".parquet"))
         for d in os.listdir(data) if d.startswith("__bucket=")
@@ -240,6 +243,7 @@ def test_compact_crowded_buckets(catalog, spark):
     assert any(n > 4 for n in n_files.values()), n_files
     n_compacted = catalog.compact("c", max_files_per_bucket=4)
     assert n_compacted >= 1
+    data = catalog._current_data_dir("c")  # compact committed a new snapshot
     after_files = {
         d: sum(1 for f in os.listdir(os.path.join(data, d)) if f.endswith(".parquet"))
         for d in os.listdir(data) if d.startswith("__bucket=")
@@ -280,7 +284,7 @@ def test_upsert_with_int_typed_user_id_batch(catalog, spark):
     # both rows of tenant 3 live in ONE bucket dir
     import os
 
-    data = os.path.join(catalog.root, "c", "data")
+    data = catalog._current_data_dir("c")
     dirs = [d for d in os.listdir(data) if d.startswith("__bucket=")]
     assert len(dirs) == 1
 
@@ -353,3 +357,70 @@ def test_manifest_tracks_deletes(catalog, spark):
     catalog.upsert("c", _rows(spark, [(75, [2.0, 2.0], "back", 3)]))
     assert catalog.last_upsert_probe["skipped"] is True
     assert catalog.read("c").count() == 51
+
+
+def test_mvcc_time_travel_and_vacuum(catalog, spark):
+    """Every write commits a new snapshot; read_version reaches retained
+    history; vacuum enforces retention."""
+    catalog.create("c", dim=2, n_buckets=4)
+    catalog.upsert("c", _rows(spark, [(1, [1.0, 1.0], "v1", 1)]))
+    v1 = catalog.meta("c").version
+    catalog.upsert("c", _rows(spark, [(1, [2.0, 2.0], "v2", 1)]))
+    v2 = catalog.meta("c").version
+    assert v2 == v1 + 1
+    # current read sees v2; time travel sees v1's text
+    assert catalog.read("c").first()["text"] == "v2"
+    assert catalog.read_version("c", v1).first()["text"] == "v1"
+    # default retention keeps 2 snapshots; a third write drops v1
+    catalog.upsert("c", _rows(spark, [(1, [3.0, 3.0], "v3", 1)]))
+    assert catalog.list_versions("c") == [v2, v2 + 1]
+    with pytest.raises(ValueError, match="no version"):
+        catalog.read_version("c", v1)
+    # explicit vacuum down to the current snapshot only
+    assert catalog.vacuum("c", keep=1) == [v2]
+    assert catalog.list_versions("c") == [v2 + 1]
+
+
+def test_mvcc_inflight_reader_survives_concurrent_write(catalog, spark):
+    """A DataFrame opened before an upsert must stay collectable AND see its
+    snapshot's data after the write commits — the torn-read window of the
+    old delete-then-rename swap is gone."""
+    catalog.create("c", dim=2, n_buckets=4)
+    catalog.upsert("c", _rows(spark, [(i, [1.0, 1.0], "old", i % 5) for i in range(50)]))
+    reader = catalog.read("c")  # pins the current snapshot's file listing
+    catalog.upsert("c", _rows(spark, [(i, [9.0, 9.0], "new", i % 5) for i in range(50)]))
+    got = reader.collect()  # files of the old snapshot are retained
+    assert len(got) == 50
+    assert {r["text"] for r in got} == {"old"}
+    assert {r["text"] for r in catalog.read("c").collect()} == {"new"}
+
+
+def test_mvcc_bucket_swap_hardlinks_untouched_buckets(catalog, spark):
+    """Bucket-scoped writes carry untouched buckets into the new snapshot as
+    hardlinks (same inode, zero bytes copied)."""
+    import os
+
+    catalog.create("c", dim=2, n_buckets=8)
+    catalog.upsert("c", _rows(spark, [(i, [1.0, 1.0], "t", i % 20) for i in range(200)]))
+    v_before = catalog.meta("c").version
+    before_dir = catalog._data_dir_v("c", v_before)
+    inodes_before = {}
+    for d in os.listdir(before_dir):
+        if d.startswith("__bucket="):
+            for f in os.listdir(os.path.join(before_dir, d)):
+                if f.endswith(".parquet"):
+                    inodes_before[(d, f)] = os.stat(os.path.join(before_dir, d, f)).st_ino
+    catalog.upsert("c", _rows(spark, [(1000, [9.0, 9.0], "new", 3)]))
+    after_dir = catalog._current_data_dir("c")
+    bucket = catalog.spark.range(1).select(
+        F.pmod(F.hash(F.lit(3).cast("long")), F.lit(8))
+    ).first()[0]
+    touched = f"__bucket={bucket}"
+    shared = 0
+    for d in os.listdir(after_dir):
+        if d.startswith("__bucket=") and d != touched:
+            for f in os.listdir(os.path.join(after_dir, d)):
+                if f.endswith(".parquet"):
+                    assert os.stat(os.path.join(after_dir, d, f)).st_ino == inodes_before[(d, f)]
+                    shared += 1
+    assert shared > 0

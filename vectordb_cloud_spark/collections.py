@@ -12,6 +12,15 @@ mismatch hole (SURVEY.md §1.2). Data is written partitioned by a bucket of
 ``user_id`` (``pmod(hash(user_id), n_buckets)``) so the mandatory tenant
 filter of every search/delete prunes files instead of scanning the world —
 at 1000 tenants / 100 TB that turns every query into a ~0.1% scan.
+
+Writes are MVCC: each write materializes a new ``data.v{N}`` directory and
+atomically advances the version pointer in ``_meta.json`` — in-flight
+readers keep their version's files (retained until ``vacuum``), so there is
+no swap window where a scan sees a half-replaced table. Bucket-scoped writes
+stay O(batch): untouched buckets' immutable parquet files are HARDLINKED
+into the new version, only rewritten buckets get new files. ``read_version``
+gives time travel; ``vacuum`` enforces retention. This is the plain-parquet
+reproduction of a Delta/Iceberg transaction log's snapshot semantics.
 """
 
 from __future__ import annotations
@@ -37,6 +46,7 @@ class CollectionMeta:
     metric: str = "l2"  # reference is always EUCLID (/root/reference/insert.py:72)
     id_type: str = "long"  # "long" | "string" (uuid ids, test_qdrant.py:55)
     n_buckets: int = DEFAULT_BUCKETS
+    version: int = 0  # 0 = never written; data lives in data.v{version}
 
 
 class CollectionCatalog:
@@ -68,6 +78,71 @@ class CollectionCatalog:
         with open(os.path.join(self._dir(name), META_FILE)) as f:
             return CollectionMeta(**json.load(f))
 
+    def _write_meta(self, name: str, meta: CollectionMeta) -> None:
+        """Atomic pointer update — the commit point of every write."""
+        path = os.path.join(self._dir(name), META_FILE)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(asdict(meta), f)
+        os.replace(tmp, path)
+
+    # -- versioned data layout ---------------------------------------------
+    def _data_dir_v(self, name: str, version: int) -> str:
+        return os.path.join(self._dir(name), f"{DATA_DIR}.v{version}")
+
+    def _current_data_dir(self, name: str) -> str | None:
+        meta = self.meta(name)
+        if meta.version <= 0:
+            return None
+        return self._data_dir_v(name, meta.version)
+
+    def list_versions(self, name: str) -> list[int]:
+        """Versions still on disk (time-travel targets), oldest first."""
+        out = []
+        prefix = DATA_DIR + ".v"
+        for d in os.listdir(self._dir(name)):
+            if d.startswith(prefix) and not d.endswith(".staging"):
+                try:
+                    out.append(int(d[len(prefix):]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def read_version(self, name: str, version: int) -> DataFrame:
+        """Time travel: read a retained historical snapshot."""
+        path = self._data_dir_v(name, version)
+        if not os.path.isdir(path):
+            raise ValueError(
+                f"collection {name!r} has no version {version} on disk "
+                f"(retained: {self.list_versions(name)})"
+            )
+        return self.spark.read.parquet(path)
+
+    def vacuum(self, name: str, keep: int = 2) -> list[int]:
+        """Drop snapshots older than the newest ``keep`` versions. Files
+        shared with surviving versions are hardlinks, so only bytes unique
+        to the dropped snapshots are reclaimed. Returns removed versions."""
+        if keep < 1:
+            raise ValueError("keep must be >= 1")
+        versions = self.list_versions(name)
+        drop = versions[:-keep] if len(versions) > keep else []
+        for v in drop:
+            shutil.rmtree(self._data_dir_v(name, v), ignore_errors=True)
+        return drop
+
+    @staticmethod
+    def _link_files(src_dir: str, dst_dir: str) -> None:
+        """Carry a bucket's immutable files into a new snapshot without
+        copying bytes (copy fallback for filesystems without hardlinks)."""
+        os.makedirs(dst_dir, exist_ok=True)
+        for f in os.listdir(src_dir):
+            s, d = os.path.join(src_dir, f), os.path.join(dst_dir, f)
+            if os.path.isfile(s):
+                try:
+                    os.link(s, d)
+                except OSError:
+                    shutil.copy2(s, d)
+
     # -- DDL ----------------------------------------------------------------
     def create(self, name: str, dim: int, metric: str = "l2", id_type: str = "long",
                n_buckets: int = DEFAULT_BUCKETS, if_not_exists: bool = True) -> CollectionMeta:
@@ -95,11 +170,11 @@ class CollectionCatalog:
         src_meta = self.meta(source)
         meta = self.create(name, src_meta.dim, src_meta.metric, src_meta.id_type,
                            src_meta.n_buckets, if_not_exists=False)
-        src_data = os.path.join(self._dir(source), DATA_DIR)
-        if os.path.isdir(src_data):
+        src_data = self._current_data_dir(source)
+        if src_data is not None and os.path.isdir(src_data):
             df = self.spark.read.parquet(src_data)
             self._write(name, df, mode="overwrite")
-        return meta
+        return self.meta(name)
 
     # -- data ----------------------------------------------------------------
     def _validate(self, name: str, df: DataFrame) -> DataFrame:
@@ -139,8 +214,8 @@ class CollectionCatalog:
         )
 
     def read(self, name: str) -> DataFrame:
-        data = os.path.join(self._dir(name), DATA_DIR)
-        if not os.path.isdir(data):
+        data = self._current_data_dir(name)
+        if data is None or not os.path.isdir(data):
             meta = self.meta(name)
             id_field = "id string" if meta.id_type == "string" else "id long"
             return self.spark.createDataFrame(
@@ -151,7 +226,8 @@ class CollectionCatalog:
         return self.spark.read.parquet(data)
 
     def _has_data(self, name: str) -> bool:
-        return os.path.isdir(os.path.join(self._dir(name), DATA_DIR))
+        data = self._current_data_dir(name)
+        return data is not None and os.path.isdir(data)
 
     def _bucket_of(self, n_buckets: int):
         # cast before hashing: F.hash(int) != F.hash(long) for equal values,
@@ -183,7 +259,7 @@ class CollectionCatalog:
         buckets' entries are recomputed (PartitionFilters-pruned scan) and the
         rest are kept. Stats come from parquet footers, so this reads metadata,
         not rows."""
-        data = os.path.join(self._dir(name), DATA_DIR)
+        data = self._current_data_dir(name)
         df = self.spark.read.parquet(data)
         if "id" not in df.columns or "__bucket" not in df.columns:
             try:
@@ -320,10 +396,13 @@ class CollectionCatalog:
         new_rows.unpersist()
 
     def _swap_in(self, name: str, df: DataFrame) -> None:
-        """Write a full new table image to a staging dir, then atomically
-        swap it in (plain-parquet stand-in for a Delta transaction)."""
-        staging = os.path.join(self._dir(name), DATA_DIR + ".staging")
+        """Write a full new table image as the next snapshot version, then
+        atomically advance the meta pointer. In-flight readers of the prior
+        snapshot keep their files (until vacuum) — no torn reads."""
         meta = self.meta(name)
+        new_v = meta.version + 1
+        new_dir = self._data_dir_v(name, new_v)
+        staging = new_dir + ".staging"
         if "user_id" in df.columns:
             # _bucket_of casts user_id to long first — F.hash(int) != F.hash(long),
             # so an uncast hash here would land an int-typed first batch in
@@ -340,20 +419,28 @@ class CollectionCatalog:
                 df.write.mode("overwrite").parquet(staging)
         else:
             df.write.mode("overwrite").parquet(staging)
-        final = os.path.join(self._dir(name), DATA_DIR)
-        if os.path.isdir(final):
-            shutil.rmtree(final)
-        os.rename(staging, final)
+        os.rename(staging, new_dir)
+        self._commit_version(name, new_v)
         self._update_manifest(name)
 
-    def _swap_buckets(self, name: str, df: DataFrame, buckets: list) -> None:
-        """Rewrite only the given ``__bucket`` partition dirs. ``df`` holds
-        the full new content of exactly those buckets (rows outside them must
-        already be filtered out); other buckets' files are untouched on disk.
-        """
+    def _commit_version(self, name: str, new_v: int, retain: int = 2) -> None:
         meta = self.meta(name)
-        final = os.path.join(self._dir(name), DATA_DIR)
-        staging = final + ".staging"
+        meta.version = new_v
+        self._write_meta(name, meta)
+        self.vacuum(name, keep=retain)
+
+    def _swap_buckets(self, name: str, df: DataFrame, buckets: list) -> None:
+        """Rewrite only the given ``__bucket`` partition dirs into a NEW
+        snapshot version. ``df`` holds the full new content of exactly those
+        buckets (rows outside them must already be filtered out); untouched
+        buckets' immutable files are hardlinked into the new snapshot —
+        O(touched) data written, O(table) only in inode links — and the meta
+        pointer advances atomically at the end."""
+        meta = self.meta(name)
+        cur = self._current_data_dir(name)
+        new_v = meta.version + 1
+        new_dir = self._data_dir_v(name, new_v)
+        staging = new_dir + ".staging"
         out = df.withColumn("__bucket", self._bucket_of(meta.n_buckets))
         if "id" in df.columns:
             # id-ordered row groups: parquet min/max stats then skip row
@@ -361,20 +448,24 @@ class CollectionCatalog:
             # delete_by_ids read a fraction of each touched file
             out = out.sortWithinPartitions("__bucket", "id")
         out.write.mode("overwrite").partitionBy("__bucket").parquet(staging)
+        touched = {f"__bucket={b}" for b in buckets}
+        os.makedirs(new_dir, exist_ok=True)
+        if cur is not None and os.path.isdir(cur):
+            for d in os.listdir(cur):
+                if d.startswith("__bucket=") and d not in touched:
+                    self._link_files(os.path.join(cur, d), os.path.join(new_dir, d))
         for b in buckets:
             src = os.path.join(staging, f"__bucket={b}")
-            dst = os.path.join(final, f"__bucket={b}")
-            if os.path.isdir(dst):
-                shutil.rmtree(dst)
             if os.path.isdir(src):  # absent when every row of the bucket was deleted
-                os.rename(src, dst)
+                os.rename(src, os.path.join(new_dir, f"__bucket={b}"))
         shutil.rmtree(staging, ignore_errors=True)
         if not any(
-            f.endswith(".parquet") for _, _, files in os.walk(final) for f in files
+            f.endswith(".parquet") for _, _, files in os.walk(new_dir) for f in files
         ):
             # every bucket emptied: leave a schema-only unpartitioned image
             # so the collection stays readable
-            df.limit(0).write.mode("overwrite").parquet(final)
+            df.limit(0).write.mode("overwrite").parquet(new_dir)
+        self._commit_version(name, new_v)
         self._update_manifest(name, buckets)
 
     def delete_where(self, name: str, predicate) -> int:
@@ -420,8 +511,8 @@ class CollectionCatalog:
         On Delta this is OPTIMIZE; here it is the same bucket-scoped swap the
         DML path uses.
         """
-        data = os.path.join(self._dir(name), DATA_DIR)
-        if not os.path.isdir(data):
+        data = self._current_data_dir(name)
+        if data is None or not os.path.isdir(data):
             return 0
         crowded = []
         for d in os.listdir(data):
