@@ -181,3 +181,16 @@ def test_ivf_stats_and_rebuild_trigger(spark, embeddings, tmp_path):
     ivf_append(flood, centers, path)
     stats2 = ivf_partition_stats(spark, path, centers)
     assert ivf_needs_rebuild(stats2, max_imbalance=4.0)
+
+
+def test_ivf_append_rejects_null_or_wrong_dim_vectors(spark, embeddings, tmp_path):
+    from vectordb_cloud_spark.operators.ann import ivf_append, ivf_persist
+
+    path = str(tmp_path / "ivf")
+    centers, assigned = ivf_build(embeddings, k_centroids=4)
+    ivf_persist(assigned, path)
+    bad = spark.createDataFrame(
+        [(1, None), (2, [1.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="NULL or dimension"):
+        ivf_append(bad, centers, path)

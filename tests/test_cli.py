@@ -63,3 +63,19 @@ def test_parser_matches_reference_flags():
     assert a.limit == 3
     with pytest.raises(SystemExit):  # required flag missing
         p.parse_args(["insert", "--user_id", "2", "--text", "t"])
+
+
+def test_shared_flags_accepted_after_subcommand():
+    """The reference scripts use one flat parser, so flag order is free —
+    --index_name/--emb_size must parse after the subcommand too, without an
+    omitted flag clobbering a value given before it."""
+    p = build_parser()
+    a = p.parse_args(["insert", "--text_id", "1", "--user_id", "2",
+                      "--text", "t", "--index_name", "MyIdx", "--emb_size", "128"])
+    assert a.index_name == "MyIdx" and a.emb_size == 128
+    a = p.parse_args(["--index_name", "Pre", "search", "--user_id", "2",
+                      "--text", "t", "--limit", "3"])
+    assert a.index_name == "Pre"  # pre-subcommand value survives
+    a = p.parse_args(["--index_name", "Pre", "search", "--user_id", "2",
+                      "--text", "t", "--limit", "3", "--index_name", "Post"])
+    assert a.index_name == "Post"  # post-subcommand wins when both given

@@ -424,3 +424,74 @@ def test_mvcc_bucket_swap_hardlinks_untouched_buckets(catalog, spark):
                     assert os.stat(os.path.join(after_dir, d, f)).st_ino == inodes_before[(d, f)]
                     shared += 1
     assert shared > 0
+
+
+def test_legacy_unversioned_layout_migrates(catalog, spark):
+    """A catalog written before MVCC (bare data/ dir, meta without a version
+    field) must stay readable, and the first write must carry its rows into
+    the v1 snapshot instead of silently replacing them."""
+    import json as _json
+    import os as _os
+
+    cdir = _os.path.join(catalog.root, "legacy")
+    _os.makedirs(cdir)
+    with open(_os.path.join(cdir, "_meta.json"), "w") as f:
+        _json.dump({"name": "legacy", "dim": 2, "metric": "l2",
+                    "id_type": "long", "n_buckets": 4}, f)  # no "version" key
+    _rows(spark, [(1, [1.0, 1.0], "old", 3)]).write.parquet(_os.path.join(cdir, "data"))
+    assert catalog.read("legacy").count() == 1  # legacy dir served
+    catalog.upsert("legacy", _rows(spark, [(2, [2.0, 2.0], "new", 3)]))
+    got = {r["id"]: r["text"] for r in catalog.read("legacy").collect()}
+    assert got == {1: "old", 2: "new"}
+    assert catalog.meta("legacy").version >= 1
+
+
+def test_stale_manifest_version_falls_back_to_full_probe(catalog, spark):
+    """A manifest whose version doesn't match the meta pointer (crash
+    between version commit and manifest write) must degrade to the full
+    probe — never to a stale skip that would leave duplicate ids."""
+    import json as _json
+    import os as _os
+
+    catalog.create("c", dim=2, n_buckets=8)
+    catalog.upsert("c", _rows(spark, [(i, [1.0, 1.0], "t", i % 20) for i in range(100)]))
+    mpath = _os.path.join(catalog.root, "c", "_buckets.json")
+    with open(mpath) as f:
+        man = _json.load(f)
+    man["version"] = man["version"] - 1  # simulate missed manifest update
+    with open(mpath, "w") as f:
+        _json.dump(man, f)
+    # ids far outside every range would normally skip; stale manifest must
+    # force the full probe instead
+    catalog.upsert("c", _rows(spark, [(5000, [9.0, 9.0], "new", 3)]))
+    assert catalog.last_upsert_probe["probe_buckets"] is None  # full probe
+    assert catalog.read("c").count() == 101
+
+
+def test_vacuum_removes_uncommitted_orphans_not_current(catalog, spark):
+    """A data.v{N} dir above the meta pointer is a crashed write's orphan:
+    excluded from list_versions/read_version, removed by vacuum — which must
+    never remove the committed current snapshot."""
+    import os as _os
+
+    catalog.create("c", dim=2, n_buckets=4)
+    catalog.upsert("c", _rows(spark, [(1, [1.0, 1.0], "a", 1)]))
+    cur = catalog.meta("c").version
+    orphan = catalog._data_dir_v("c", cur + 5)
+    _os.makedirs(orphan)
+    assert catalog.list_versions("c") == [cur]
+    with pytest.raises(ValueError, match="no version"):
+        catalog.read_version("c", cur + 5)
+    removed = catalog.vacuum("c", keep=1)
+    assert cur + 5 in removed and not _os.path.isdir(orphan)
+    assert catalog.read("c").count() == 1  # current snapshot intact
+
+
+def test_probe_telemetry_reset_between_upserts(catalog, spark):
+    catalog.create("a", dim=2, n_buckets=4)
+    catalog.upsert("a", _rows(spark, [(i, [1.0, 1.0], "t", i) for i in range(20)]))
+    catalog.upsert("a", _rows(spark, [(100, [2.0, 2.0], "x", 1)]))
+    assert catalog.last_upsert_probe is not None
+    catalog.create("b", dim=2, n_buckets=4)
+    catalog.upsert("b", _rows(spark, [(1, [1.0, 1.0], "first", 1)]))  # first write path
+    assert catalog.last_upsert_probe is None  # not the previous call's dict

@@ -90,3 +90,10 @@ def test_null_values_land_in_bucket_zero(spark):
     rows = df.withColumn("z", z).collect()
     by_x = {r["x"]: r["z"] for r in rows}
     assert by_x[None] == 0 and by_x[1.0] == 0 and by_x[50.0] == 3
+
+
+def test_zorder_bit_budget_guard():
+    from pyspark.sql import functions as FF
+
+    with pytest.raises(ValueError, match="63 usable bits"):
+        zorder_value([(FF.col(f"c{i}"), [1.0]) for i in range(9)], bits=8)

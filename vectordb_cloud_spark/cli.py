@@ -39,15 +39,25 @@ def build_parser() -> argparse.ArgumentParser:
         prog="python -m vectordb_cloud_spark",
         description="Handles insert and search",  # reference wording
     )
+    # shared flags are accepted BOTH before and after the subcommand — the
+    # reference scripts use one flat parser, so `insert ... --index_name X`
+    # must work. The root parser carries the real defaults; the per-sub
+    # copies default to SUPPRESS so an omitted flag never clobbers a value
+    # given before the subcommand.
     p.add_argument("--root", type=str, default=None,
                    help="collection catalog root (default: $VECTORDB_CATALOG_ROOT)")
     p.add_argument("--index_name", type=str, default=DEFAULT_INDEX,
                    help="Name of Vector DB collection/index")
     p.add_argument("--emb_size", type=int, default=DEFAULT_DIM,
                    help="Vector dimensionality")
+    shared = argparse.ArgumentParser(add_help=False)
+    shared.add_argument("--root", type=str, default=argparse.SUPPRESS)
+    shared.add_argument("--index_name", type=str, default=argparse.SUPPRESS)
+    shared.add_argument("--emb_size", type=int, default=argparse.SUPPRESS)
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    ins = sub.add_parser("insert", help="insert one text (insert.py contract)")
+    ins = sub.add_parser("insert", parents=[shared],
+                         help="insert one text (insert.py contract)")
     ins.add_argument("--text_id", type=int, required=True,
                      help="ID associated with the text.")
     ins.add_argument("--user_id", type=int, required=True,
@@ -57,25 +67,30 @@ def build_parser() -> argparse.ArgumentParser:
     ins.add_argument("--site", type=str, default="")
     ins.add_argument("--lang", type=str, default="")
 
-    srch = sub.add_parser("search", help="tenant-filtered kNN (search.py contract)")
+    srch = sub.add_parser("search", parents=[shared],
+                          help="tenant-filtered kNN (search.py contract)")
     srch.add_argument("--user_id", type=int, required=True)
     srch.add_argument("--text", type=str, required=True)
     srch.add_argument("--limit", type=int, required=True, help="Number of results")
     srch.add_argument("--site", type=str, default=None)
     srch.add_argument("--lang", type=str, default=None)
 
-    rbu = sub.add_parser("remove-by-user", help="/remove_by_user endpoint")
+    rbu = sub.add_parser("remove-by-user", parents=[shared],
+                         help="/remove_by_user endpoint")
     rbu.add_argument("--user_id", type=int, required=True)
 
-    rbw = sub.add_parser("remove-by-word", help="/remove_all_by_word endpoint")
+    rbw = sub.add_parser("remove-by-word", parents=[shared],
+                         help="/remove_all_by_word endpoint")
     rbw.add_argument("--user_id", type=int, required=True)
     rbw.add_argument("--word", type=str, required=True)
 
-    rbr = sub.add_parser("remove-by-regex", help="/remove_all_by_regex endpoint")
+    rbr = sub.add_parser("remove-by-regex", parents=[shared],
+                         help="/remove_all_by_regex endpoint")
     rbr.add_argument("--user_id", type=int, required=True)
     rbr.add_argument("--regex", type=str, required=True)
 
-    cls = sub.add_parser("classify", help="/get_category_for_title endpoint")
+    cls = sub.add_parser("classify", parents=[shared],
+                         help="/get_category_for_title endpoint")
     cls.add_argument("--user_id", type=int, required=True)
     cls.add_argument("--cats", type=str, required=True,
                      help="candidate categories, literal-\\n separated (reference quirk)")

@@ -93,11 +93,14 @@ class CollectionCatalog:
     def _current_data_dir(self, name: str) -> str | None:
         meta = self.meta(name)
         if meta.version <= 0:
-            return None
+            # pre-MVCC layout migration: a catalog written before versioning
+            # kept its data in a bare "data" dir — serve it (the first write
+            # commits data.v1 from it and leaves the legacy dir behind)
+            legacy = os.path.join(self._dir(name), DATA_DIR)
+            return legacy if os.path.isdir(legacy) else None
         return self._data_dir_v(name, meta.version)
 
-    def list_versions(self, name: str) -> list[int]:
-        """Versions still on disk (time-travel targets), oldest first."""
+    def _versions_on_disk(self, name: str) -> list[int]:
         out = []
         prefix = DATA_DIR + ".v"
         for d in os.listdir(self._dir(name)):
@@ -108,10 +111,17 @@ class CollectionCatalog:
                     continue
         return sorted(out)
 
+    def list_versions(self, name: str) -> list[int]:
+        """COMMITTED versions still on disk (time-travel targets), oldest
+        first. A dir with a higher number than the meta pointer is the
+        orphan of a crashed, never-committed write — not a snapshot."""
+        current = self.meta(name).version
+        return [v for v in self._versions_on_disk(name) if v <= current]
+
     def read_version(self, name: str, version: int) -> DataFrame:
         """Time travel: read a retained historical snapshot."""
         path = self._data_dir_v(name, version)
-        if not os.path.isdir(path):
+        if version > self.meta(name).version or not os.path.isdir(path):
             raise ValueError(
                 f"collection {name!r} has no version {version} on disk "
                 f"(retained: {self.list_versions(name)})"
@@ -119,13 +129,16 @@ class CollectionCatalog:
         return self.spark.read.parquet(path)
 
     def vacuum(self, name: str, keep: int = 2) -> list[int]:
-        """Drop snapshots older than the newest ``keep`` versions. Files
-        shared with surviving versions are hardlinks, so only bytes unique
-        to the dropped snapshots are reclaimed. Returns removed versions."""
+        """Drop snapshots older than the newest ``keep`` COMMITTED versions,
+        plus any uncommitted orphan dirs from crashed writes. Files shared
+        with surviving versions are hardlinks, so only bytes unique to the
+        dropped snapshots are reclaimed. Returns removed versions."""
         if keep < 1:
             raise ValueError("keep must be >= 1")
-        versions = self.list_versions(name)
-        drop = versions[:-keep] if len(versions) > keep else []
+        current = self.meta(name).version
+        committed = [v for v in self._versions_on_disk(name) if v <= current]
+        orphans = [v for v in self._versions_on_disk(name) if v > current]
+        drop = (committed[:-keep] if len(committed) > keep else []) + orphans
         for v in drop:
             shutil.rmtree(self._data_dir_v(name, v), ignore_errors=True)
         return drop
@@ -257,8 +270,14 @@ class CollectionCatalog:
         """Refresh the per-bucket id min/max manifest from on-disk data.
         ``buckets=None`` rebuilds the whole manifest; otherwise only the given
         buckets' entries are recomputed (PartitionFilters-pruned scan) and the
-        rest are kept. Stats come from parquet footers, so this reads metadata,
-        not rows."""
+        rest are kept. The scan is two skinny columns with id-sorted row
+        groups, so parquet column stats keep it cheap — but it IS a read; at
+        production scale this becomes per-file stats in a transaction log.
+        The manifest records the snapshot version it describes; readers
+        ignore a manifest whose version doesn't match the meta pointer (a
+        crash between version commit and manifest write must degrade to the
+        full probe, never to a stale skip)."""
+        meta = self.meta(name)
         data = self._current_data_dir(name)
         df = self.spark.read.parquet(data)
         if "id" not in df.columns or "__bucket" not in df.columns:
@@ -268,8 +287,10 @@ class CollectionCatalog:
                 pass
             return
         old = self._read_manifest(name)
-        if buckets is not None and old is None:
-            buckets = None  # no base to patch — full rebuild
+        if buckets is not None and (
+            old is None or old.get("version") != meta.version - 1
+        ):
+            buckets = None  # no valid patch base — full rebuild
         scan = df.select("id", "__bucket")
         if buckets is not None:
             scan = scan.filter(F.col("__bucket").isin(list(buckets)))
@@ -286,7 +307,9 @@ class CollectionCatalog:
             entries[str(r["__bucket"])] = [r["lo"], r["hi"]]
         tmp = self._manifest_path(name) + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"id_col": "id", "buckets": entries}, f)
+            json.dump(
+                {"id_col": "id", "version": meta.version, "buckets": entries}, f
+            )
         os.replace(tmp, self._manifest_path(name))
 
     def upsert(self, name: str, new_rows: DataFrame, id_col: str = "id") -> None:
@@ -309,6 +332,7 @@ class CollectionCatalog:
         non-empty collection's (silent schema drift previously replaced the
         whole table with just the batch).
         """
+        self.last_upsert_probe = None  # telemetry is per-call, never stale
         new_rows = self._validate(name, new_rows).cache()
         existing = self.read(name)
         partitioned = "__bucket" in existing.columns
@@ -350,7 +374,11 @@ class CollectionCatalog:
             # rewritten need no probe (the anti-join evicts them anyway).
             # Without a manifest, fall back to the full skinny probe scan.
             manifest = self._read_manifest(name)
-            if manifest is not None and manifest.get("id_col") == id_col:
+            if (
+                manifest is not None
+                and manifest.get("id_col") == id_col
+                and manifest.get("version") == meta.version
+            ):
                 def _overlaps(lo, hi):
                     if None in (lo, hi, batch_stats["lo"], batch_stats["hi"]):
                         return True  # unknown range: probe it (NULL ids)
@@ -419,6 +447,8 @@ class CollectionCatalog:
                 df.write.mode("overwrite").parquet(staging)
         else:
             df.write.mode("overwrite").parquet(staging)
+        if os.path.isdir(new_dir):
+            shutil.rmtree(new_dir)  # orphan of a crashed, never-committed write
         os.rename(staging, new_dir)
         self._commit_version(name, new_v)
         self._update_manifest(name)
@@ -449,7 +479,9 @@ class CollectionCatalog:
             out = out.sortWithinPartitions("__bucket", "id")
         out.write.mode("overwrite").partitionBy("__bucket").parquet(staging)
         touched = {f"__bucket={b}" for b in buckets}
-        os.makedirs(new_dir, exist_ok=True)
+        if os.path.isdir(new_dir):
+            shutil.rmtree(new_dir)  # orphan of a crashed, never-committed write
+        os.makedirs(new_dir)
         if cur is not None and os.path.isdir(cur):
             for d in os.listdir(cur):
                 if d.startswith("__bucket=") and d not in touched:

@@ -167,6 +167,15 @@ def ivf_append(new_points: DataFrame, centers: list, path: str,
     retrain+rewrite (ivf_build + ivf_persist) when triggered — the classic
     FAISS add-then-retrain operating cycle, distributed."""
     assigned = ivf_assign(new_points, centers, vector_col)
+    # a NULL or wrong-dimension vector gets a NULL centroid_id; written, it
+    # would land in the HIVE default partition where no probe ever looks —
+    # fail loudly instead of losing rows silently
+    bad = assigned.filter(F.col("centroid_id").isNull()).limit(1).count()
+    if bad:
+        raise ValueError(
+            "ivf_append: batch contains NULL or dimension-mismatched "
+            f"vectors in {vector_col!r} (centroid assignment undefined)"
+        )
     assigned.write.mode("append").partitionBy("centroid_id").parquet(path)
 
 

@@ -1311,7 +1311,13 @@ def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
     docstats AS (SELECT term, count(DISTINCT doc_id) AS df FROM postings GROUP BY 1),
-    doclens AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    doclens AS (
+      SELECT doc_id,
+             CASE WHEN text IS NULL THEN NULL
+                  ELSE len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                       t -> t <> '')) END AS dl
+      FROM documents
+    ),
     corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avg_len FROM doclens)
     SELECT p.doc_id,
            round(sum(ln(1 + (c.n_docs - s.df + 0.5::DOUBLE) / (s.df + 0.5::DOUBLE))

@@ -32,8 +32,15 @@ def _bucket_index(col: Column, boundaries: list[float], bits: int) -> Column:
 
 def zorder_value(cols_with_bounds: list[tuple[Column, list[float]]], bits: int) -> Column:
     """Interleave the bucket-index bits of each column into one long."""
-    parts = []
     n = len(cols_with_bounds)
+    if bits * n > 63:
+        # Java shiftleft wraps the shift count mod 64: positions past 63
+        # would silently fold onto low bits and scramble the curve
+        raise ValueError(
+            f"bits*len(cols) = {bits * n} exceeds the 63 usable bits of one "
+            "long; lower bits or split the column set"
+        )
+    parts = []
     for ci, (col, bounds) in enumerate(cols_with_bounds):
         b = _bucket_index(col, bounds, bits)
         for bit in range(bits):
@@ -63,10 +70,10 @@ def write_zordered(
     so parquet footer min/max stats on EACH of ``cols`` stay tight per file.
     """
     probs = [i / (1 << bits) for i in range(1, 1 << bits)]
-    with_bounds = []
-    for c in cols:
-        bounds = df.approxQuantile(c, probs, quantile_error)
-        with_bounds.append((F.col(c), bounds))
+    # one sketch job for ALL columns (the list overload) — not one full
+    # scan per column
+    all_bounds = df.approxQuantile(cols, probs, quantile_error)
+    with_bounds = [(F.col(c), b) for c, b in zip(cols, all_bounds)]
     z = zorder_value(with_bounds, bits)
     (
         df.withColumn("__z", z)
