@@ -49,6 +49,9 @@ def main():
     qmod._lsh_model(spark, sf_dir, 4.0, 4)
     qmod._lsh_model(spark, sf_dir, 2.0, 4)
     results["lsh_model_fit"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    qmod._bm25_index(spark, sf_dir)
+    results["bm25_index_build"] = round(time.time() - t0, 3)
     for name, fn in qmod.registry().items():
         t0 = time.time()
         df = fn(spark, sf_dir)
