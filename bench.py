@@ -5,6 +5,13 @@ JSON line: {"metric", "value", "unit", "queries": {name: sec}, "sf"}.
 Each query is forced to full materialization with a noop write (no driver
 collect bottleneck, no display cost). A warmup query absorbs JVM/codegen
 startup so per-query numbers reflect steady-state execution.
+
+Per-query numbers are the MEDIAN of $SPARK_GRAFT_BENCH_RUNS (default 3)
+executions: single-shot timing made run-order noise indistinguishable from
+real regressions (rounds 2-3 both burned cycles proving drift was noise —
+VERDICT r3 "What's wrong" #2). One-off build/stateful sections
+(index builds, collection_build, compaction) stay single-shot: their caches
+make re-runs no-ops, and they are build-time costs, not query latencies.
 """
 
 from __future__ import annotations
@@ -12,6 +19,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -52,19 +60,27 @@ def main():
     t0 = time.time()
     qmod._bm25_index(spark, sf_dir)
     results["bm25_index_build"] = round(time.time() - t0, 3)
-    for name, fn in qmod.registry().items():
-        t0 = time.time()
-        df = fn(spark, sf_dir)
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+    def timed_median(run) -> float:
+        times = []
+        for _ in range(n_runs):
+            t0 = time.time()
+            run()
+            times.append(time.time() - t0)
+        return round(statistics.median(times), 3)
+
+    def noop_write(df):
         df.write.format("noop").mode("overwrite").save()
-        results[name] = round(time.time() - t0, 3)
+
+    for name, fn in qmod.registry().items():
+        results[name] = timed_median(lambda: noop_write(fn(spark, sf_dir)))
 
     # the sketch-based percentile twin (library-level; the exact variant in
     # the registry is the oracle gate, this is the 100 TB plan shape)
-    t0 = time.time()
-    qmod.price_percentiles_by_flag_approx(spark, sf_dir).write.format(
-        "noop"
-    ).mode("overwrite").save()
-    results["price_percentiles_approx"] = round(time.time() - t0, 3)
+    results["price_percentiles_approx"] = timed_median(
+        lambda: noop_write(qmod.price_percentiles_by_flag_approx(spark, sf_dir))
+    )
 
     # vector-scan stress: the fixture embeddings table is small (2k rows at
     # sf0.1), so also measure exact filtered kNN over 100k synthetic 64-dim
@@ -74,7 +90,6 @@ def main():
 
     from vectordb_cloud_spark.operators.knn import knn_search
 
-    t0 = time.time()
     vecs = (
         spark.range(100_000)
         .withColumn(
@@ -87,9 +102,9 @@ def main():
         .withColumn("tenant", F.pmod(F.col("id"), F.lit(100)))
     )
     q100k = [((h * 2654435761) % 2000 - 1000) / 1000.0 for h in range(64)]
-    hits = knn_search(vecs, q100k, k=10, filters=F.col("tenant") == 7)
-    hits.write.format("noop").mode("overwrite").save()
-    results["knn_stress_100k_filtered"] = round(time.time() - t0, 3)
+    results["knn_stress_100k_filtered"] = timed_median(
+        lambda: noop_write(knn_search(vecs, q100k, k=10, filters=F.col("tenant") == 7))
+    )
 
     # index/collection build time (embed + partitioned write) — mirrors the
     # reference's "Index creation Time" instrumentation (BASELINE.md)

@@ -8,6 +8,7 @@ from vectordb_cloud_spark.operators.ann import (
     ivf_search_persisted,
     lsh_fit,
     lsh_knn,
+    lsh_self_join_pairs,
     lsh_similarity_join,
 )
 from vectordb_cloud_spark.operators.dedup import (
@@ -63,6 +64,7 @@ __all__ = [
     "ivf_search_persisted",
     "lsh_fit",
     "lsh_knn",
+    "lsh_self_join_pairs",
     "lsh_similarity_join",
     "dedup_keep_canonical",
     "dedup_keep_first",

@@ -1017,19 +1017,12 @@ def lsh_similarity_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     approxSimilarityJoin) — the distributed substitute for O(n²) all-pairs
     (SURVEY.md §4b). Rows-only: LSH bucketing has no SQL twin; the pairs it
     returns are exact-verified by the distCol threshold."""
-    from vectordb_cloud_spark.operators.ann import lsh_similarity_join
+    from vectordb_cloud_spark.operators.ann import lsh_self_join_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
     model = _lsh_model(spark, sf_dir, 2.0, 4)
-    pairs = lsh_similarity_join(model, emb, emb, threshold=1.2)
-    return (
-        pairs.select(
-            F.col("datasetA.vec_id").alias("id_a"),
-            F.col("datasetB.vec_id").alias("id_b"),
-            F.round("dist", 6).alias("dist"),
-        )
-        .filter(F.col("id_a") < F.col("id_b"))
-    )
+    pairs = lsh_self_join_pairs(model, emb, threshold=1.2)
+    return pairs.select("id_a", "id_b", F.round("dist", 6).alias("dist"))
 
 
 # PQ index cache: (abs sf_dir) -> (codebooks, persisted codes path). Like
@@ -1073,21 +1066,88 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.select("vec_id", F.round("adc_dist", 6).alias("adc_dist"))
 
 
-@_q("classify_titles_mock_embed")
+# classify_titles_mock_embed oracle support: the mock embedder is
+# deterministic, so the title embeddings can be materialized to a parquet
+# that DuckDB reads — the nearest-centroid argmin itself is plain SQL.
+# Category centroids (4 fixed strings) are inlined as DOUBLE[] literals in
+# the SQL (float32 -> double is exact, so both engines see the same values).
+_CLASSIFY_CATS = ["science", "sports", "politics", "technology"]
+_CLASSIFY_ORACLE_PARQUET = "/tmp/vdb_spark_oracle_classify_emb.parquet"
+_CLASSIFY_ORACLE_WRITTEN: set[str] = set()
+
+
+def _classify_cat_rows() -> list[tuple[str, list[float]]]:
+    from vectordb_cloud_spark.functions.embedding import mock_vector
+
+    return [(c, mock_vector(c, 64)) for c in _CLASSIFY_CATS]
+
+
+def _classify_oracle_materialize(spark: SparkSession, sf_dir: str) -> None:
+    """Write (doc_id, embedding) mock-embeds for the benched title slice to a
+    fixed path the DuckDB oracle reads. Driver-side over 50 rows — O(small)."""
+    key = os.path.abspath(sf_dir)
+    if key in _CLASSIFY_ORACLE_WRITTEN:
+        return
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vectordb_cloud_spark.functions.embedding import mock_vector
+
+    rows = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", "text")
+        .collect()
+    )
+    table = pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+        "embedding": pa.array(
+            [mock_vector(r["text"] or "", 64) for r in rows],
+            pa.list_(pa.float32()),
+        ),
+    })
+    pq.write_table(table, _CLASSIFY_ORACLE_PARQUET)
+    _CLASSIFY_ORACLE_WRITTEN.add(key)
+
+
+def _classify_oracle_sql() -> str:
+    cat_values = ", ".join(
+        "('" + c + "', [" + ", ".join(repr(v) for v in vec) + "]::DOUBLE[])"
+        for c, vec in _classify_cat_rows()
+    )
+    l2 = _SQL_L2.format(a="t.embedding", b="c.centroid")
+    return f"""
+    WITH t AS (SELECT doc_id, embedding
+               FROM read_parquet('{_CLASSIFY_ORACLE_PARQUET}')),
+         c(cat, centroid) AS (VALUES {cat_values})
+    SELECT doc_id, cat FROM (
+        SELECT t.doc_id, c.cat,
+               row_number() OVER (PARTITION BY t.doc_id
+                                  ORDER BY {l2}, c.cat) AS rn
+        FROM t, c
+    ) WHERE rn = 1
+    """
+
+
+@_q("classify_titles_mock_embed", _classify_oracle_sql())
 def classify_titles_mock_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """/get_category_for_title batch form with the deterministic mock
-    embedder (J2/A2, /root/reference/app.py:146-169): embed category strings
-    + titles, assign each title its L2-nearest category. Rows-only (mock
-    embedder has no SQL twin)."""
+    embedder (J2/A2, /root/reference/app.py:146-169): embed titles
+    (one pandas_udf stage), assign each its L2-nearest category. Category
+    centroids (4 literals) are embedded DRIVER-side via ``mock_vector`` — no
+    second serialized UDF stage (the r3 bench regression). Oracle: the
+    deterministic title embeddings are materialized to a parquet DuckDB
+    reads; the argmin is plain SQL."""
     from vectordb_cloud_spark.functions.embedding import mock_embed
     from vectordb_cloud_spark.operators.classify import nearest_centroid
 
+    _classify_oracle_materialize(spark, sf_dir)
+    cats = spark.createDataFrame(
+        _classify_cat_rows(), "cat string, centroid array<float>"
+    )
     # repartition(1), NOT coalesce(1): a coalesced partition evaluates the
     # pandas_udf once per parent partition (32 sequential Arrow round-trips,
     # measured ~4s); repartition shuffles first, one batch, one worker.
-    cats = spark.createDataFrame(
-        [("science",), ("sports",), ("politics",), ("technology",)], "cat string"
-    ).repartition(1).select("cat", mock_embed("cat", 64).alias("centroid"))
     titles = (
         _t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 50)
