@@ -63,6 +63,10 @@ def main():
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
     def timed_median(run) -> float:
+        # untimed warmup: absorbs lazy per-query caches (classify oracle
+        # parquet, first-plan codegen) so the median is steady-state at ANY
+        # $SPARK_GRAFT_BENCH_RUNS, including 1 or 2 (ADVICE r4)
+        run()
         times = []
         for _ in range(n_runs):
             t0 = time.time()

@@ -107,7 +107,9 @@ def lsh_self_join_pairs(model, points: DataFrame, threshold: float,
         .join(side.select(F.col("id").alias("id_b"), F.col("vec").alias("vb")), "id_b")
         .withColumn("dist", l2_distance(F.col("va"), F.col("vb")))
     )
-    return pairs.filter(F.col("dist") <= threshold).select("id_a", "id_b", "dist")
+    # strict < matches MLlib approxSimilarityJoin's keyDistance < threshold
+    # filter exactly (ADVICE r4): boundary-distance pairs are excluded.
+    return pairs.filter(F.col("dist") < threshold).select("id_a", "id_b", "dist")
 
 
 # ---------------------------------------------------------------------------
@@ -136,7 +138,7 @@ def ivf_build(points: DataFrame, k_centroids: int = 16, vector_col: str = "embed
 
 def ivf_search(assigned: DataFrame, centers: list, query_vector: list[float],
                k: int = 5, nprobe: int = 2, vector_col: str = "embedding",
-               filters=None) -> DataFrame:
+               filters=None, tiebreak: str | None = None) -> DataFrame:
     """Route the query to its ``nprobe`` nearest centroids, then exact top-k
     inside only those inverted lists.
 
@@ -149,12 +151,16 @@ def ivf_search(assigned: DataFrame, centers: list, query_vector: list[float],
     def _l2(a, b):
         return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
 
+    # stable sort: equal-distance centroids keep centroid_id order, so probe
+    # selection is deterministic (the DuckDB oracle mirrors this with
+    # ORDER BY dist, centroid_id)
     probe = sorted(centers, key=lambda c: _l2(c[1], query_vector))[:nprobe]
     probe_ids = [c[0] for c in probe]
     pred = F.col("centroid_id").isin(probe_ids)
     if filters is not None:
         pred = pred & filters
-    return knn_search(assigned, query_vector, k=k, vector_col=vector_col, filters=pred)
+    return knn_search(assigned, query_vector, k=k, vector_col=vector_col,
+                      filters=pred, tiebreak=tiebreak)
 
 
 def ivf_persist(assigned: DataFrame, path: str) -> None:
@@ -166,13 +172,14 @@ def ivf_persist(assigned: DataFrame, path: str) -> None:
 
 def ivf_search_persisted(spark, path: str, centers: list, query_vector: list[float],
                          k: int = 5, nprobe: int = 2,
-                         vector_col: str = "embedding", filters=None) -> DataFrame:
+                         vector_col: str = "embedding", filters=None,
+                         tiebreak: str | None = None) -> DataFrame:
     """IVF search against the partitioned layout. The ``centroid_id IN``
     predicate lands in the scan's PartitionFilters (verified in tests), so
     unprobed inverted lists are never opened."""
     assigned = spark.read.parquet(path)
     return ivf_search(assigned, centers, query_vector, k=k, nprobe=nprobe,
-                      vector_col=vector_col, filters=filters)
+                      vector_col=vector_col, filters=filters, tiebreak=tiebreak)
 
 
 def ivf_assign(new_points: DataFrame, centers: list,

@@ -127,12 +127,17 @@ def pq_search(
     k: int = 5,
     code_col: str = "pq_code",
     filters=None,
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """Approximate top-k via asymmetric distance computation.
 
     The per-query lookup table (M×K squared distances, a few KB) becomes a
     literal nested array in the plan — broadcast for free. Per row the
     distance is M array lookups + adds; ascending order approximates L2.
+
+    ``tiebreak``: column to break equal-ADC ties by (ascending). PQ codes are
+    coarse, so EXACT ties are common (duplicate vectors share a code word) —
+    pass an id column whenever the caller needs a deterministic result set.
     """
     m_subvectors = len(codebooks)
     sub_d = len(codebooks[0][0])
@@ -153,9 +158,12 @@ def pq_search(
     adc = F.lit(0.0)
     for m in range(m_subvectors):
         adc = adc + F.element_at(F.element_at(lut, m + 1), code[m] + F.lit(1))
+    order = [F.col("adc_dist").asc()]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak).asc())
     return (
         df.withColumn("adc_dist", F.sqrt(adc))
-        .orderBy(F.col("adc_dist").asc())
+        .orderBy(*order)
         .limit(k)
     )
 

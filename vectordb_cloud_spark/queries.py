@@ -63,6 +63,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # DuckDB's; nanosAsLong so the ns-precision events table is readable).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # parquet timestamps without the UTC flag must read as TIMESTAMP (LTZ),
+    # not TIMESTAMP_NTZ: NTZ can't take a watermark or cast to double, and
+    # reading natively (vs casting post-scan) keeps filter pushdown intact.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     # right-size shuffles for the test scale factors (the 200 default wastes
     # task overhead here; AQE coalesces further at runtime)
     spark.conf.set("spark.sql.shuffle.partitions", "32")
@@ -77,6 +81,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if isinstance(df.schema["ts"].dataType, LongType):
             # integer div — double math would lose precision above 2^53 ns
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # defensive fallback: if any NTZ column slipped through (e.g. the conf
+    # above ever stops being runtime-settable), normalize to TIMESTAMP so
+    # watermarks/epoch math downstream keep working.
+    from pyspark.sql.types import TimestampNTZType
+
+    for field in df.schema.fields:
+        if isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 
@@ -1072,8 +1084,16 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Category centroids (4 fixed strings) are inlined as DOUBLE[] literals in
 # the SQL (float32 -> double is exact, so both engines see the same values).
 _CLASSIFY_CATS = ["science", "sports", "politics", "technology"]
-_CLASSIFY_ORACLE_PARQUET = "/tmp/vdb_spark_oracle_classify_emb.parquet"
-_CLASSIFY_ORACLE_WRITTEN: set[str] = set()
+# Path is per-process (PID suffix) so concurrent harness runs never collide,
+# and it is an import-time constant because the oracle SQL string (which
+# embeds it) is generated once at registry build. ORDERING CONTRACT: the
+# parquet is materialized as a side effect of running the Spark query fn —
+# the harness must run the Spark side before the oracle SQL (both the driver
+# and tools/check_queries.py do). _CLASSIFY_ORACLE_CURRENT tracks WHICH
+# sf_dir's embeddings the file currently holds, so alternating sf_dirs in one
+# process rewrites instead of serving stale rows (ADVICE r4).
+_CLASSIFY_ORACLE_PARQUET = f"/tmp/vdb_spark_oracle_classify_emb_{os.getpid()}.parquet"
+_CLASSIFY_ORACLE_CURRENT: str | None = None
 
 
 def _classify_cat_rows() -> list[tuple[str, list[float]]]:
@@ -1085,8 +1105,9 @@ def _classify_cat_rows() -> list[tuple[str, list[float]]]:
 def _classify_oracle_materialize(spark: SparkSession, sf_dir: str) -> None:
     """Write (doc_id, embedding) mock-embeds for the benched title slice to a
     fixed path the DuckDB oracle reads. Driver-side over 50 rows — O(small)."""
+    global _CLASSIFY_ORACLE_CURRENT
     key = os.path.abspath(sf_dir)
-    if key in _CLASSIFY_ORACLE_WRITTEN:
+    if _CLASSIFY_ORACLE_CURRENT == key and os.path.exists(_CLASSIFY_ORACLE_PARQUET):
         return
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -1107,7 +1128,7 @@ def _classify_oracle_materialize(spark: SparkSession, sf_dir: str) -> None:
         ),
     })
     pq.write_table(table, _CLASSIFY_ORACLE_PARQUET)
-    _CLASSIFY_ORACLE_WRITTEN.add(key)
+    _CLASSIFY_ORACLE_CURRENT = key
 
 
 def _classify_oracle_sql() -> str:
@@ -1578,10 +1599,14 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     if isinstance(raw_schema["ts"].dataType, LongType):
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(raw_schema["ts"].dataType, TimestampNTZType):
+        # watermarks require TIMESTAMP; NTZ appears if the schema was probed
+        # before _t pinned inferTimestampNTZ off
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     agg = (
         stream.withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")

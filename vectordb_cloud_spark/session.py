@@ -46,6 +46,10 @@ def get_spark(app_name: str = "vectordb-cloud-spark", shuffle_partitions: int | 
         # the driver's events table stores TIMESTAMP(NANOS); Spark reads it
         # as long ns-since-epoch (see read_events for the conversion)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # parquet timestamps without the UTC flag read as TIMESTAMP (LTZ),
+        # not NTZ — NTZ can't take a watermark or cast to double, and native
+        # reads keep filter pushdown on timestamp predicates
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
     return builder.getOrCreate()
 
@@ -62,6 +66,7 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
             "region", "nation", "customer", "supplier", "part",
             "orders", "lineitem", "events", "documents", "embeddings",
         )
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     out = {}
     for name in names:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

@@ -261,7 +261,10 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30,
     order = ["ts"] + ([tiebreak_col] if tiebreak_col else [])
     w_user = Window.partitionBy("user_id").orderBy(*order)
     gap_s = float(gap_minutes * 60)
-    epoch = F.col("ts").cast("double")
+    # cast through TIMESTAMP first: a TIMESTAMP_NTZ input (parquet without
+    # the UTC flag) cannot cast straight to double; for TIMESTAMP the extra
+    # cast is a no-op Catalyst folds away.
+    epoch = F.col("ts").cast("timestamp").cast("double")
     with_gap = events.withColumn(
         "__new_session",
         F.when(epoch - F.lag(epoch).over(w_user) > gap_s, F.lit(1)).otherwise(F.lit(0)),
