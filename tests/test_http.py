@@ -1,0 +1,141 @@
+"""Live HTTP surface: the six reference endpoints served over a REAL socket
+(wsgiref server in a thread, urllib client) — the run_tests.py / test_app.py
+smoke scenarios (/root/reference/run_tests.py:21-28, test_app.py:1-27)
+executed against the Spark engine end-to-end, plus the 422/10422 validation
+contract (/root/reference/app.py:28-33)."""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.error
+import urllib.parse
+import urllib.request
+from wsgiref.simple_server import WSGIRequestHandler, make_server
+
+import pytest
+
+from vectordb_cloud_spark.api import VectorService
+from vectordb_cloud_spark.http_app import create_app, make_wsgi_app
+
+
+class _QuietHandler(WSGIRequestHandler):
+    def log_message(self, *args):  # keep pytest output clean
+        pass
+
+
+@pytest.fixture()
+def server(spark, tmp_path):
+    svc = VectorService(spark, str(tmp_path / "cat"), index_name="HttpVDB", dim=16)
+    httpd = make_server("127.0.0.1", 0, make_wsgi_app(svc), handler_class=_QuietHandler)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}"
+    httpd.shutdown()
+    t.join(timeout=5)
+
+
+def _get(base: str, path: str, **params):
+    url = base + path
+    if params:
+        url += "?" + urllib.parse.urlencode(params)
+    try:
+        with urllib.request.urlopen(url) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_root(server):
+    status, body = _get(server, "/")
+    assert status == 200 and body == {"message": "Hello World"}
+
+
+def test_insert_search_tenant_isolation(server):
+    status, body = _get(server, "/insert", id=1, user_id=332,
+                        text="Game of Thrones is a fantasy series",
+                        site="site1", lang="en")
+    assert (status, body) == (200, 1)
+    status, hits = _get(server, "/search", user_id=332, text="Game", limit=5)
+    assert status == 200
+    assert [h["id"] for h in hits] == [1]
+    assert hits[0]["string"] == "Game of Thrones is a fantasy series"
+    assert isinstance(hits[0]["score"], float)
+    # tenant isolation: user 333 sees nothing (run_tests.py:21-28)
+    _, empty = _get(server, "/search", user_id=333, text="Game", limit=5)
+    assert empty == []
+
+
+def test_remove_all_by_word_intended_semantics(server):
+    """The reference endpoint always returned 0 (scroll mis-unpack,
+    app.py:102); we serve the INTENDED delete (SURVEY.md §2.7 D2)."""
+    _get(server, "/insert", id=1, user_id=5, text="keep this doc", site="s", lang="en")
+    _get(server, "/insert", id=2, user_id=5, text="drop banana doc", site="s", lang="en")
+    _get(server, "/insert", id=3, user_id=6, text="other tenant banana", site="s", lang="en")
+    status, body = _get(server, "/remove_all_by_word", user_id=5, word="banana")
+    assert (status, body) == (200, 1)
+    _, hits5 = _get(server, "/search", user_id=5, text="doc", limit=10)
+    assert [h["id"] for h in hits5] == [1]
+    # other tenant untouched
+    _, hits6 = _get(server, "/search", user_id=6, text="banana", limit=10)
+    assert [h["id"] for h in hits6] == [3]
+
+
+def test_remove_all_by_regex_and_by_user(server):
+    _get(server, "/insert", id=1, user_id=9, text="error code 404", site="s", lang="en")
+    _get(server, "/insert", id=2, user_id=9, text="all fine here", site="s", lang="en")
+    status, body = _get(server, "/remove_all_by_regex", user_id=9, regex=r"\d{3}")
+    assert (status, body) == (200, 1)
+    _, hits = _get(server, "/search", user_id=9, text="fine", limit=10)
+    assert [h["id"] for h in hits] == [2]
+    status, body = _get(server, "/remove_by_user", user_id=9)
+    assert (status, body) == (200, 1)
+    _, hits = _get(server, "/search", user_id=9, text="fine", limit=10)
+    assert hits == []
+
+
+def test_classify_literal_backslash_n_quirk(server):
+    """cats split on the TWO-CHAR sequence backslash-n, exactly as received
+    in a query string (/root/reference/app.py:162, F3)."""
+    status, cat = _get(server, "/get_category_for_title", user_id=1,
+                       cats=r"science\nsports\npolitics", title="election results")
+    assert status == 200
+    assert cat in ("science", "sports", "politics")
+
+
+def test_validation_422_envelope(server):
+    # missing required param
+    status, body = _get(server, "/search", user_id=1, text="x")  # no limit
+    assert status == 422
+    assert body["status_code"] == 10422 and body["data"] is None
+    assert "limit" in body["message"]
+    # uncoercible int
+    status, body = _get(server, "/insert", id="notanint", user_id=1,
+                        text="t", site="s", lang="en")
+    assert status == 422 and body["status_code"] == 10422
+    # /insert requires site AND lang (app.py:41-42 Query(...))
+    status, body = _get(server, "/insert", id=1, user_id=1, text="t")
+    assert status == 422
+    assert "site" in body["message"] and "lang" in body["message"]
+
+
+def test_unknown_route_404(server):
+    status, body = _get(server, "/nope")
+    assert status == 404
+
+
+def test_create_app_import_gate(spark, tmp_path):
+    """Without fastapi installed create_app must raise the documented gate;
+    with it installed it must build an app exposing the same routes."""
+    svc = VectorService(spark, str(tmp_path / "cat2"), index_name="GateVDB", dim=16)
+    try:
+        import fastapi  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="fastapi"):
+            create_app(svc)
+    else:  # pragma: no cover - fastapi absent in this container
+        app = create_app(svc)
+        paths = {r.path for r in app.routes}
+        assert {"/insert", "/search", "/remove_by_user", "/remove_all_by_word",
+                "/remove_all_by_regex", "/get_category_for_title"} <= paths

@@ -111,6 +111,31 @@ def embed_text(col: Column | str, model_name: str = "sentence-transformers/all-M
     return _embed(F.col(col) if isinstance(col, str) else col)
 
 
+def embed_with_predict_fn(
+    col: Column | str,
+    make_predict_fn,
+    batch_size: int = 64,
+) -> Column:
+    """Generic production-inference wiring: ``pyspark.ml.functions.
+    predict_batch_udf`` around an injectable model factory.
+
+    ``make_predict_fn`` runs ONCE per python worker (the loaded model is
+    cached and shared across every batch and task that worker executes) and
+    returns ``predict(texts: np.ndarray) -> np.ndarray`` called per
+    ``batch_size`` slice. Extracted from ``embed_text_batched`` so the
+    contract — worker-level factory caching, batch slicing, array<float>
+    output — is testable with a fake factory where torch is absent
+    (tests/test_embedding_real.py::test_predict_batch_contract)."""
+    from pyspark.ml.functions import predict_batch_udf
+
+    udf = predict_batch_udf(
+        make_predict_fn,
+        return_type=ArrayType(FloatType(), containsNull=False),
+        batch_size=batch_size,
+    )
+    return udf(F.col(col) if isinstance(col, str) else col)
+
+
 def embed_text_batched(
     col: Column | str,
     model_name: str = "sentence-transformers/all-MiniLM-L6-v2",
@@ -137,8 +162,6 @@ def embed_text_batched(
             "use mock_embed() for deterministic tests"
         ) from exc
 
-    from pyspark.ml.functions import predict_batch_udf
-
     def make_predict_fn():  # pragma: no cover - torch absent in test image
         import torch
         from transformers import AutoModel, AutoTokenizer
@@ -160,9 +183,4 @@ def embed_text_batched(
 
         return predict
 
-    udf = predict_batch_udf(
-        make_predict_fn,
-        return_type=ArrayType(FloatType(), containsNull=False),
-        batch_size=batch_size,
-    )
-    return udf(F.col(col) if isinstance(col, str) else col)
+    return embed_with_predict_fn(col, make_predict_fn, batch_size=batch_size)

@@ -1,0 +1,204 @@
+"""Live HTTP layer: the reference's FastAPI surface over ``VectorService``.
+
+The reference is first and foremost a running web service
+(/root/reference/app.py:19 creates the app, :36-169 mount the six GET
+endpoints, :28-33 the 422 envelope, :173-178 the uvicorn entry); every real
+user hits it over HTTP. This module provides that surface twice:
+
+- ``make_wsgi_app(service)`` — a dependency-free WSGI app (stdlib only) with
+  the same routes, query-param coercion, and response shapes. Runnable and
+  fully testable in any Python environment (tests/test_http.py drives a real
+  socket server); serve it with ``serve()`` (wsgiref) or any WSGI container
+  (gunicorn, mod_wsgi).
+- ``create_app(service)`` — the FastAPI twin for production deployments,
+  import-gated like the torch embedder (functions/embedding.py): importing
+  this module never requires fastapi; calling ``create_app`` without it
+  raises with install instructions.
+
+Contract notes (all cited against /root/reference/app.py):
+- ``/`` returns ``{"message": "Hello World"}`` (:23-25).
+- ``/insert`` requires ALL of id, user_id, text, site, lang (:36-43 uses
+  required ``Query(...)`` for each) and returns 1/0 with a bare-except 0
+  (:46-55).
+- ``/search`` requires user_id, text, limit; site/lang optional (:58-65);
+  returns ``[{id, string, score}]`` (:73-75).
+- the three removes return 1/0; /remove_all_by_word implements the INTENDED
+  semantics (the reference's scroll mis-unpack at :102 made it always 0 —
+  SURVEY.md §2.7 D2).
+- validation failures return HTTP 422 with
+  ``{"status_code": 10422, "message": ..., "data": None}`` (:28-33).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import Any, Callable
+from urllib.parse import parse_qs
+
+from vectordb_cloud_spark.api import VectorService
+
+_MISSING = object()
+
+
+class ValidationError(Exception):
+    """Raised when query-param coercion fails — mapped to the reference's
+    422/10422 envelope (/root/reference/app.py:28-33)."""
+
+
+def _coerce(params: dict[str, str], spec: list[tuple[str, type, Any]]) -> dict[str, Any]:
+    """FastAPI-style coercion: required params must be present and castable;
+    optional ones default. Errors collect into one message like
+    RequestValidationError's flattened string."""
+    out: dict[str, Any] = {}
+    errors: list[str] = []
+    for name, typ, default in spec:
+        raw = params.get(name, _MISSING)
+        if raw is _MISSING:
+            if default is _MISSING:
+                errors.append(f"query.{name}: field required")
+            else:
+                out[name] = default
+            continue
+        try:
+            out[name] = typ(raw)
+        except (TypeError, ValueError):
+            errors.append(
+                f"query.{name}: value is not a valid {typ.__name__}"
+            )
+    if errors:
+        raise ValidationError("; ".join(errors))
+    return out
+
+
+def _routes(service: VectorService) -> dict[str, Callable[[dict[str, str]], Any]]:
+    """Path -> handler taking raw string params, returning a JSON-able value.
+    Shared by the WSGI and FastAPI fronts so semantics can't drift."""
+
+    def index(_params):
+        return {"message": "Hello World"}
+
+    def insert(params):
+        p = _coerce(params, [
+            ("id", int, _MISSING), ("user_id", int, _MISSING),
+            ("text", str, _MISSING), ("site", str, _MISSING),
+            ("lang", str, _MISSING),
+        ])
+        return service.insert(p["id"], p["user_id"], p["text"], p["site"], p["lang"])
+
+    def search(params):
+        p = _coerce(params, [
+            ("user_id", int, _MISSING), ("text", str, _MISSING),
+            ("limit", int, _MISSING), ("site", str, None), ("lang", str, None),
+        ])
+        hits = service.search(p["user_id"], p["text"], p["limit"], p["site"], p["lang"])
+        return [
+            {"id": r["id"], "string": r["string"], "score": r["score"]}
+            for r in hits.collect()
+        ]
+
+    def remove_by_user(params):
+        p = _coerce(params, [("user_id", int, _MISSING)])
+        return service.remove_by_user(p["user_id"])
+
+    def remove_all_by_word(params):
+        p = _coerce(params, [("user_id", int, _MISSING), ("word", str, _MISSING)])
+        return service.remove_all_by_word(p["user_id"], p["word"])
+
+    def remove_all_by_regex(params):
+        p = _coerce(params, [("user_id", int, _MISSING), ("regex", str, _MISSING)])
+        return service.remove_all_by_regex(p["user_id"], p["regex"])
+
+    def get_category_for_title(params):
+        p = _coerce(params, [
+            ("user_id", int, _MISSING), ("cats", str, _MISSING),
+            ("title", str, _MISSING),
+        ])
+        return service.get_category_for_title(p["user_id"], p["cats"], p["title"])
+
+    return {
+        "/": index,
+        "/insert": insert,
+        "/search": search,
+        "/remove_by_user": remove_by_user,
+        "/remove_all_by_word": remove_all_by_word,
+        "/remove_all_by_regex": remove_all_by_regex,
+        "/get_category_for_title": get_category_for_title,
+    }
+
+
+def _validation_body(message: str) -> dict:
+    # exc_str whitespace normalization mirrors /root/reference/app.py:30
+    msg = re.sub("   ", " ", message.replace("\n", " "))
+    return {"status_code": 10422, "message": msg, "data": None}
+
+
+def make_wsgi_app(service: VectorService):
+    """Build the WSGI callable. Stateless per request; Spark work happens in
+    VectorService (driver-side coordination — executors do the scans)."""
+    routes = _routes(service)
+
+    def app(environ, start_response):
+        path = environ.get("PATH_INFO", "/")
+        handler = routes.get(path)
+        if handler is None:
+            body = json.dumps({"detail": "Not Found"}).encode()
+            start_response("404 Not Found", [("Content-Type", "application/json")])
+            return [body]
+        qs = parse_qs(environ.get("QUERY_STRING", ""), keep_blank_values=True)
+        params = {k: v[0] for k, v in qs.items()}
+        try:
+            result = handler(params)
+            status = "200 OK"
+        except ValidationError as exc:
+            result = _validation_body(str(exc))
+            status = "422 Unprocessable Entity"
+        body = json.dumps(result).encode()
+        start_response(status, [
+            ("Content-Type", "application/json"),
+            ("Content-Length", str(len(body))),
+        ])
+        return [body]
+
+    return app
+
+
+def serve(service: VectorService, host: str = "0.0.0.0", port: int = 8000):
+    """Blocking stdlib server (/root/reference/app.py:173-178's uvicorn run,
+    minus the dependency). For production put make_wsgi_app behind gunicorn,
+    or create_app behind uvicorn."""
+    from wsgiref.simple_server import make_server
+
+    with make_server(host, port, make_wsgi_app(service)) as httpd:
+        httpd.serve_forever()
+
+
+def create_app(service: VectorService):
+    """FastAPI twin (import-gated): identical routes/handlers, FastAPI's own
+    coercion replaced by the shared ``_routes`` layer so both fronts return
+    byte-identical payloads. Run with uvicorn."""
+    try:
+        from fastapi import FastAPI, Request
+        from fastapi.responses import JSONResponse
+    except ImportError as exc:  # pragma: no cover - absent in this container
+        raise NotImplementedError(
+            "create_app requires fastapi (pip install fastapi uvicorn); "
+            "use make_wsgi_app/serve for the dependency-free server"
+        ) from exc
+
+    app = FastAPI()
+    routes = _routes(service)
+
+    def _bind(path: str, handler):
+        async def endpoint(request: Request):
+            params = {k: v for k, v in request.query_params.items()}
+            try:
+                return handler(params)
+            except ValidationError as e:
+                return JSONResponse(_validation_body(str(e)), status_code=422)
+
+        app.get(path)(endpoint)
+
+    for path, handler in routes.items():
+        _bind(path, handler)
+    return app
