@@ -61,6 +61,22 @@ def dedup_keep_first(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     return w_fp.join(keep, on=["__fp", id_col], how="inner").drop("__fp")
 
 
+# Affine MinHash permutations for hash_fn='md5_60': h_i(s) = (a_i * m(s) +
+# b_i) mod P with m(s) the top 32 bits of md5(s). Seeded so Spark and the
+# DuckDB oracle inline the SAME constants. a_i < 2^27 keeps a*m + b < 2^63
+# (no overflow in either engine's BIGINT).
+MINHASH_P = (1 << 61) - 1  # Mersenne prime
+
+def minhash_affine_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, 1 << 27), rng.randrange(0, MINHASH_P))
+        for _ in range(num_hashes)
+    ]
+
+
 def minhash_signatures(
     docs: DataFrame,
     num_hashes: int = 32,
@@ -92,6 +108,7 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash-LSH with exact-Jaccard verify.
 
@@ -101,20 +118,47 @@ def minhash_lsh_pairs(
 
     The self-join shuffles on the bucket key only; candidates are verified
     with ``array_intersect``/``array_union`` — no cross product anywhere.
-    """
+
+    ``hash_fn='xxhash64'`` (default): seeded xxhash64 per permutation, the
+    fastest production path. ``hash_fn='md5_60'``: affine permutations over
+    a 32-bit md5 prefix (minhash_affine_params) and the band's joined value
+    string as its own bucket key — every step has a DuckDB twin, so the
+    registry query is fully oracle-checkable. Both are one shingle-hash pass
+    + cheap arithmetic, JVM-side."""
     rows_per_band = num_hashes // bands
     docs = _parallelize(docs)
     shingled = docs.select(
         F.col(id_col).alias("id"),
         F.array_distinct(ngram_shingles(text_col, shingle_n)).alias("shingles"),
     ).cache()  # shared by the band join (×2 sides) and the verify join (×2)
-    sig = shingled.withColumn(
-        "signature",
-        F.transform(
+    if hash_fn == "xxhash64":
+        sig_col = F.transform(
             F.sequence(F.lit(0), F.lit(num_hashes - 1)),
             lambda i: F.array_min(F.transform(F.col("shingles"), lambda s: F.xxhash64(s, i))),
-        ),
-    )
+        )
+        bucket_of = lambda joined: F.xxhash64(joined)  # noqa: E731
+        base = shingled
+    elif hash_fn == "md5_60":
+        ab = minhash_affine_params(num_hashes)
+        # hash each shingle ONCE (m), then num_hashes cheap affine maps
+        base = shingled.withColumn(
+            "__m",
+            F.transform(
+                F.col("shingles"),
+                lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+            ),
+        )
+        sig_col = F.array(*[
+            F.array_min(F.transform(
+                F.col("__m"),
+                lambda m: (m * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P),
+            ))
+            for a, b in ab
+        ])
+        bucket_of = lambda joined: joined  # noqa: E731  (string key, no re-hash)
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    sig = base.withColumn("signature", sig_col)
     # (id, band, bucket) only — the band join and candidate dedup shuffle
     # skinny rows, never the shingle arrays
     banded = sig.select(
@@ -122,7 +166,7 @@ def minhash_lsh_pairs(
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
+                lambda b: bucket_of(
                     F.concat_ws(",", F.transform(
                         F.slice("signature", b * rows_per_band + 1, rows_per_band),
                         lambda v: v.cast("string"),
@@ -157,9 +201,23 @@ def minhash_lsh_pairs(
     )
 
 
+def _shingle_hash(col, hash_fn: str):
+    """Hash a shingle string to a long. ``xxhash64``: Spark-native, fastest
+    (production default). ``md5_60``: top 60 bits of md5 via conv() — still
+    JVM codegen, and DuckDB can compute the identical value
+    (('0x' || substr(md5(s), 1, 15))::BIGINT), which is what makes the
+    SimHash/MinHash registry queries fully oracle-checkable."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(col), 64
+    if hash_fn == "md5_60":
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long"), 60
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
 def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-              shingle_n: int = 2) -> DataFrame:
-    """64-bit SimHash per document, as pure column expressions.
+              shingle_n: int = 2, hash_fn: str = "xxhash64") -> DataFrame:
+    """64-bit SimHash per document, as pure column expressions (60-bit under
+    ``hash_fn='md5_60'`` — see _shingle_hash).
 
     Each shingle hashes to 64 bits; per bit position the document sums
     (+1/-1); the sign vector packs back into one signed 64-bit long. Hamming
@@ -171,10 +229,11 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     # before the shuffle, and the flat sums stay inside whole-stage codegen —
     # measured ~2.6x faster than per-row array aggregates, bit-identical.
     # ngram_shingles never returns an empty array, so no docs are dropped.
+    h, n_bits = _shingle_hash(F.col("__s"), hash_fn)
     hashes = _parallelize(docs).select(
         F.col(id_col), F.explode(ngram_shingles(text_col, shingle_n)).alias("__s")
-    ).select(F.col(id_col), F.xxhash64("__s").alias("__h"))
-    masks = [F.shiftleft(F.lit(1).cast("long"), i) for i in range(64)]
+    ).select(F.col(id_col), h.alias("__h"))
+    masks = [F.shiftleft(F.lit(1).cast("long"), i) for i in range(n_bits)]
     votes = hashes.groupBy(id_col).agg(*[
         F.sum(F.when(F.col("__h").bitwiseAND(m) != 0, 1).otherwise(-1)).alias(f"__v{i}")
         for i, m in enumerate(masks)
@@ -191,7 +250,8 @@ def hamming64(a, b) -> F.Column:
 
 
 def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3,
-                           id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                           id_col: str = "doc_id", text_col: str = "text",
+                           hash_fn: str = "xxhash64") -> DataFrame:
     """SimHash near-dup pairs with a pigeonhole recall guarantee: the 64-bit
     simhash is split into ``max_hamming + 1`` bands, so any pair within
     hamming distance <= max_hamming differs in at most max_hamming bands and
@@ -199,14 +259,20 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3,
     equi-join is guaranteed to generate every qualifying candidate, and the
     exact hamming verify filters false positives. Larger max_hamming means
     more/narrower bands (more candidates); distance > max_hamming pairs may
-    still surface via a shared band but are dropped by the verify."""
+    still surface via a shared band but are dropped by the verify.
+
+    Because recall is guaranteed and precision exact, the OUTPUT equals the
+    brute-force pair set {(a, b): hamming(simhash a, simhash b) <= max} for
+    whatever ``hash_fn`` computes the simhash — under ``md5_60`` a DuckDB
+    oracle can re-derive it end to end (queries.py simhash_near_dup_pairs)."""
     bands = max_hamming + 1
-    if not 1 <= bands <= 64:
-        raise ValueError("max_hamming must be in [0, 63]")
-    # band i covers bits [64*i//bands, 64*(i+1)//bands) — widths differ by
-    # at most one bit when 64 % bands != 0; coverage is exact either way
-    bounds = [64 * i // bands for i in range(bands + 1)]
-    sh = simhash64(docs, id_col, text_col)
+    _, n_bits = _shingle_hash(F.lit(""), hash_fn)
+    if not 1 <= bands <= n_bits:
+        raise ValueError(f"max_hamming must be in [0, {n_bits - 1}]")
+    # band i covers bits [n*i//bands, n*(i+1)//bands) — widths differ by
+    # at most one bit when n_bits % bands != 0; coverage is exact either way
+    bounds = [n_bits * i // bands for i in range(bands + 1)]
+    sh = simhash64(docs, id_col, text_col, hash_fn=hash_fn)
     band_vals = [
         F.col("simhash") if hi - lo == 64  # single-band: mask would overflow long
         else F.shiftright(F.col("simhash"), lo).bitwiseAND(F.lit((1 << (hi - lo)) - 1))

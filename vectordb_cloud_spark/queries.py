@@ -694,28 +694,94 @@ def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # LSH model cache: the BucketedRandomProjectionLSH fit only draws seeded
 # random hyperplanes (data-independent), so one fitted model per
 # (corpus, bucket_length, tables) is shared across queries — query time is
-# the transform + bucket join, not the fit.
+# the transform + bucket join, not the fit. The hyperplanes are materialized
+# to a per-PID parquet so the DuckDB oracle can replay the bucketing
+# (bucket = floor(dot(v, u_t) / bucket_length), MLlib's hashFunction).
 _LSH_MODEL_CACHE: dict[tuple, object] = {}
+_LSH_PLANES_BASE = f"/tmp/vdb_spark_lsh_planes_{os.getpid()}"
+
+
+def _lsh_planes_path(bucket_length: float, num_tables: int) -> str:
+    return os.path.join(
+        _LSH_PLANES_BASE, f"planes_{bucket_length:g}_{num_tables}.parquet"
+    )
 
 
 def _lsh_model(spark: SparkSession, sf_dir: str, bucket_length: float, num_tables: int):
     key = (os.path.abspath(sf_dir), bucket_length, num_tables)
     if key not in _LSH_MODEL_CACHE:
+        import pyarrow as pa
+        import pyarrow.parquet as papq
+
         from vectordb_cloud_spark.operators.ann import lsh_fit
 
         emb = _t(spark, sf_dir, "embeddings")
         model, _ = lsh_fit(emb, bucket_length=bucket_length, num_hash_tables=num_tables)
         _LSH_MODEL_CACHE[key] = model
+        # materialize the (seeded, data-independent) hyperplanes for the
+        # oracle — same for every corpus of the same dim, so no staleness
+        # tracking needed
+        planes = [
+            [float(x) for x in v.toArray()]
+            for v in model._call_java("randUnitVectors")
+        ]
+        os.makedirs(_LSH_PLANES_BASE, exist_ok=True)
+        papq.write_table(
+            pa.table({
+                "tbl": pa.array(range(len(planes)), pa.int32()),
+                "u": pa.array(planes, pa.list_(pa.float64())),
+            }),
+            _lsh_planes_path(bucket_length, num_tables),
+        )
     return _LSH_MODEL_CACHE[key]
 
 
-@_q("embedding_near_dup_lsh")
+def _lsh_cand_sql(bucket_length: float, num_tables: int,
+                  source: str = "embeddings", id_col: str = "vec_id") -> str:
+    """DuckDB fragment: DISTINCT candidate pairs (id_a < id_b) colliding in
+    >= 1 LSH table, replaying MLlib's bucket = floor(dot(v, u)/L) over the
+    materialized hyperplanes."""
+    dot = _SQL_DOT.format(a="e.embedding", b="p.u")
+    return f"""
+    b AS (
+      SELECT e.{id_col} AS id, p.tbl,
+             CAST(floor({dot} / {bucket_length}) AS BIGINT) AS bucket
+      FROM {source} e, read_parquet('{_lsh_planes_path(bucket_length, num_tables)}') p
+    ),
+    cand AS (
+      SELECT DISTINCT l.id AS id_a, r.id AS id_b
+      FROM b l JOIN b r ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.id < r.id
+    )
+    """
+
+
+def _embedding_lsh_oracle_sql() -> str:
+    """DuckDB twin of the LSH-blocked embedding near-dup: candidate
+    generation via the materialized hyperplanes (bucket collision in any of
+    the 4 tables) + the exact cosine verify — the same end-to-end pipeline,
+    so the hash check covers the blocking behavior itself."""
+    cos = (
+        f"{_SQL_DOT.format(a='va.embedding', b='vb.embedding')}"
+        f" / ({_SQL_NORM.format(a='va.embedding')} * {_SQL_NORM.format(a='vb.embedding')})"
+    )
+    return f"""
+    WITH {_lsh_cand_sql(4.0, 4)}
+    SELECT c.id_a, c.id_b, round({cos}, 6) AS cosine
+    FROM cand c
+    JOIN embeddings va ON va.vec_id = c.id_a
+    JOIN embeddings vb ON vb.vec_id = c.id_b
+    WHERE {cos} >= 0.3
+    """
+
+
+@_q("embedding_near_dup_lsh", _embedding_lsh_oracle_sql())
 def embedding_near_dup_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs blocked by LSH buckets — the 100 TB blocking
     key (bucket occupancy is constant in n, vs n²/|labels| for the label
-    block). Rows-only: random-projection buckets have no SQL twin; precision
-    is exact (cosine verify) and subset-of-exact + recall are gated in
-    tests/test_dedup.py."""
+    block). Oracle-checked end to end: DuckDB replays the random-projection
+    bucketing over the materialized hyperplanes plus the exact cosine verify
+    (_embedding_lsh_oracle_sql); subset-of-exact + recall are additionally
+    gated in tests/test_dedup.py."""
     from vectordb_cloud_spark.operators.dedup import embedding_near_dup_lsh
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -726,27 +792,129 @@ def embedding_near_dup_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Non-SQL-expressible ops (rows-only checks): MinHash-LSH, SimHash
-# (xxhash64 has no DuckDB equivalent)
+# MinHash-LSH / SimHash dedup — fully oracle-checked via the md5_60 hash
+# variant (xxhash64, the production default, has no DuckDB twin; the md5
+# path is the same plan with a DuckDB-replicable hash primitive — see
+# operators/dedup.py:_shingle_hash / minhash_affine_params)
 # ---------------------------------------------------------------------------
 
-@_q("minhash_lsh_near_dup")
+# DuckDB fragment: the word-3gram shingle list of documents.text, duplicated
+# from the proven ngram_jaccard oracle (k<n fallback = whole text as one
+# shingle, matching functions/text.py:ngram_shingles).
+_SQL_SHINGLES3 = (
+    r"""list_distinct(list_transform(
+      range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 1) + 1),
+      i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' ')
+    ))"""
+)
+
+
+def _minhash_oracle_sql() -> str:
+    """DuckDB twin of the FULL banded MinHash-LSH pipeline under md5_60:
+    distinct 3-gram shingles -> m = 32-bit md5 prefix -> 32 affine minhashes
+    (same inlined (a, b) constants) -> 8 band keys (joined value strings) ->
+    band-bucket candidate join -> exact-Jaccard verify at the rounded
+    threshold. Candidate generation itself is replayed, so the check covers
+    LSH recall behavior, not just the verify stage."""
+    from vectordb_cloud_spark.operators.dedup import MINHASH_P, minhash_affine_params
+
+    ab = minhash_affine_params(32)
+    a_list = "[" + ", ".join(str(a) for a, _ in ab) + "]::BIGINT[]"
+    b_list = "[" + ", ".join(str(b) for _, b in ab) + "]::BIGINT[]"
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, {_SQL_SHINGLES3} AS sh FROM documents
+    ),
+    m AS (
+      SELECT doc_id, ('0x' || substr(md5(unnest(sh)), 1, 8))::BIGINT AS m
+      FROM sh
+    ),
+    sigs AS (
+      SELECT doc_id, i,
+             min((m * ({a_list})[i+1] + ({b_list})[i+1]) % {MINHASH_P})::BIGINT AS mh
+      FROM m, range(32) t(i)
+      GROUP BY doc_id, i
+    ),
+    bands AS (
+      SELECT doc_id, (i // 4) AS band,
+             array_to_string(list(mh::VARCHAR ORDER BY i), ',') AS bucket
+      FROM sigs GROUP BY doc_id, (i // 4)
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.id_a
+    JOIN sh b ON b.doc_id = c.id_b
+    WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.2
+    """
+
+
+@_q("minhash_lsh_near_dup", _minhash_oracle_sql())
 def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates (band-bucket join + exact-Jaccard
-    verify) — dedup op #2. Rows-only check: xxhash64 is Spark-specific."""
+    verify) — dedup op #2, oracle-checked end to end including candidate
+    generation (md5_60 affine permutations; see _minhash_oracle_sql)."""
     docs = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, num_hashes=32, bands=8, shingle_n=3, jaccard_threshold=0.2)
+    return minhash_lsh_pairs(docs, num_hashes=32, bands=8, shingle_n=3,
+                             jaccard_threshold=0.2, hash_fn="md5_60")
 
 
-@_q("simhash_near_dup_pairs")
+def _simhash_oracle_sql() -> str:
+    """DuckDB twin of SimHash near-dup under md5_60. The banded join has a
+    pigeonhole recall guarantee and the verify is exact, so the output IS
+    the brute-force set {(a,b): hamming(simhash(a), simhash(b)) <= 3} —
+    the oracle computes the 60-bit simhash per doc (same 2-gram shingles,
+    same md5 bits, same +1/-1 votes) and brute-forces the pairs."""
+    shingles2 = (
+        r"""CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) < 2
+             THEN [array_to_string(regexp_split_to_array(trim(text), '\s+'), ' ')]
+             ELSE list_transform(
+               range(1, len(regexp_split_to_array(trim(text), '\s+'))),
+               i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+1], ' '))
+        END"""
+    )
+    return f"""
+    WITH sh AS (SELECT doc_id, {shingles2} AS sh FROM documents),
+    h AS (
+      SELECT doc_id, ('0x' || substr(md5(unnest(sh)), 1, 15))::BIGINT AS h
+      FROM sh
+    ),
+    v AS (
+      SELECT doc_id, i,
+             sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM h, range(60) t(i)
+      GROUP BY doc_id, i
+    ),
+    s AS (
+      SELECT doc_id,
+             sum(CASE WHEN vote > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END)::BIGINT
+               AS simhash
+      FROM v GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+
+@_q("simhash_near_dup_pairs", _simhash_oracle_sql())
 def simhash_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs — dedup op #3, now exercising the banded
+    """SimHash near-dup pairs — dedup op #3, exercising the banded
     (band_idx, band_value) equi-join with the pigeonhole recall guarantee
-    (bands = max_hamming + 1; see operators/dedup.py). Rows-only check:
-    xxhash64 has no DuckDB twin; exactness vs brute-force hamming is gated in
-    tests/test_dedup.py."""
+    (bands = max_hamming + 1; see operators/dedup.py). Oracle-checked: under
+    md5_60 the guaranteed-recall output equals brute-force hamming pairs,
+    which DuckDB re-derives from scratch (_simhash_oracle_sql); banding ==
+    brute-force is additionally gated in tests/test_dedup.py."""
     docs = _t(spark, sf_dir, "documents")
-    return simhash_near_dup_pairs(docs, max_hamming=3)
+    return simhash_near_dup_pairs(docs, max_hamming=3, hash_fn="md5_60")
 
 
 # ---------------------------------------------------------------------------
@@ -1072,12 +1240,26 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.select("vec_id", F.round("dist", 6).alias("dist"))
 
 
-@_q("lsh_similarity_join_pairs")
+def _lsh_joinpairs_oracle_sql() -> str:
+    l2 = _SQL_L2.format(a="va.embedding", b="vb.embedding")
+    return f"""
+    WITH {_lsh_cand_sql(2.0, 4)}
+    SELECT c.id_a, c.id_b, round({l2}, 6) AS dist
+    FROM cand c
+    JOIN embeddings va ON va.vec_id = c.id_a
+    JOIN embeddings vb ON vb.vec_id = c.id_b
+    WHERE {l2} < 1.2
+    """
+
+
+@_q("lsh_similarity_join_pairs", _lsh_joinpairs_oracle_sql())
 def lsh_similarity_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs L2 similarity join via LSH bucket collision (MLlib
-    approxSimilarityJoin) — the distributed substitute for O(n²) all-pairs
-    (SURVEY.md §4b). Rows-only: LSH bucketing has no SQL twin; the pairs it
-    returns are exact-verified by the distCol threshold."""
+    """All-pairs L2 similarity join via LSH bucket collision (the halved
+    banded self-join form of MLlib approxSimilarityJoin, ann.py:
+    lsh_self_join_pairs) — the distributed substitute for O(n²) all-pairs
+    (SURVEY.md §4b). Oracle-checked end to end: DuckDB replays the bucket
+    collision over the materialized hyperplanes + the strict < exact-L2
+    verify (_lsh_joinpairs_oracle_sql)."""
     from vectordb_cloud_spark.operators.ann import lsh_self_join_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
