@@ -87,6 +87,63 @@ def test_simhash_banding_pigeonhole_guarantee(spark, documents):
     assert got == expected  # no misses (guarantee) and no extras (verify)
 
 
+def test_simhash_md5_variant_matches_python_reference(spark, documents):
+    """hash_fn='md5_60' (the oracle-checkable primitive) must equal an
+    independent Python re-derivation: md5 top-60-bit shingle hashes, +1/-1
+    votes, sign pack — and the banded pair search must still equal brute
+    force under the pigeonhole guarantee."""
+    import hashlib
+
+    docs = documents.limit(40).select("doc_id", "text")
+    rows = docs.collect()
+
+    def py_simhash(text, n=2):
+        ws = (text or "").split()
+        shingles = [" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)] if len(ws) >= n \
+            else [" ".join(ws)]
+        votes = [0] * 60
+        for s in shingles:
+            h = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+            for i in range(60):
+                votes[i] += 1 if (h >> i) & 1 else -1
+        return sum((1 << i) for i, v in enumerate(votes) if v > 0)
+
+    expected = {r["doc_id"]: py_simhash(r["text"]) for r in rows if r["text"] is not None}
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash64(docs, hash_fn="md5_60").collect()
+    }
+    assert {k: got[k] for k in expected} == expected
+    max_h = 3
+    brute = {
+        (a, b)
+        for i, a in enumerate(sorted(expected))
+        for b in sorted(expected)[i + 1:]
+        if bin(expected[a] ^ expected[b]).count("1") <= max_h
+    }
+    banded = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_dup_pairs(docs, max_hamming=max_h, hash_fn="md5_60").collect()
+    }
+    assert banded == brute
+
+
+def test_minhash_md5_variant_same_shape_as_xxhash(corpus):
+    """The md5_60 affine-permutation path must behave like the xxhash64
+    path on the canonical corpus: exact dups always pair, the clean doc
+    never does, and jaccard values (verify stage, hash-independent) agree
+    exactly for shared pairs."""
+    kwargs = dict(num_hashes=32, bands=16, shingle_n=2, jaccard_threshold=0.5)
+    p_xx = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in minhash_lsh_pairs(corpus, **kwargs).collect()}
+    p_md5 = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in minhash_lsh_pairs(corpus, hash_fn="md5_60", **kwargs).collect()}
+    assert (4, 5) in p_md5  # exact dups collide under any permutation set
+    assert all(a != 6 and b != 6 for a, b in p_md5)
+    for pair in set(p_xx) & set(p_md5):
+        assert p_xx[pair] == p_md5[pair]  # verify stage is hash-independent
+
+
 def test_dup_components_transitive_closure(spark):
     """a~b, b~c must land in one component even though a~c was never a
     pair; disjoint pairs stay separate; chain forces >1 propagation round."""

@@ -96,6 +96,11 @@ def build_parser() -> argparse.ArgumentParser:
                      help="candidate categories, literal-\\n separated (reference quirk)")
     cls.add_argument("--title", type=str, required=True)
 
+    srv = sub.add_parser("serve", parents=[shared],
+                         help="run the HTTP service (/root/reference/app.py:173-178)")
+    srv.add_argument("--host", type=str, default="0.0.0.0")
+    srv.add_argument("--port", type=int, default=8000)
+
     return p
 
 
@@ -128,6 +133,11 @@ def run(argv: Sequence[str], spark) -> str:
         return str(svc.remove_all_by_regex(args.user_id, args.regex))
     if args.cmd == "classify":
         return svc.get_category_for_title(args.user_id, args.cats, args.title)
+    if args.cmd == "serve":  # pragma: no cover - blocking server loop
+        from vectordb_cloud_spark.http_app import serve
+
+        serve(svc, host=args.host, port=args.port)
+        return ""
     raise AssertionError(f"unhandled subcommand {args.cmd!r}")  # pragma: no cover
 
 
