@@ -88,11 +88,14 @@ def lsh_self_join_pairs(model, points: DataFrame, threshold: float,
         F.col(id_col).alias("id"),
         F.col(vector_col).cast("array<double>").alias("vec"),
         "__features",
-    )
+    ).cache()  # read once; reused by both join-back sides
     hashed = model.transform(pts)
     banded = hashed.select(
         "id", F.posexplode("__hashes").alias("table", "__hv")
-    ).select("id", "table", vector_to_array("__hv")[0].cast("long").alias("bucket"))
+    ).select("id", "table", vector_to_array("__hv")[0].cast("long").alias("bucket")).cache()
+    # ^ skinny (id, table, bucket) rows cached: the self-join would otherwise
+    # run the MLlib hash transform once PER SIDE (same pattern as
+    # operators/dedup.py:embedding_near_dup_lsh)
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(r, (F.col("l.table") == F.col("r.table"))
