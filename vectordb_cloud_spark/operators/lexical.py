@@ -126,6 +126,7 @@ def rrf_fuse(
     id_col: str = "doc_id",
     k: int = 10,
     rrf_k: int = 60,
+    max_list_rows: int = 100_000,
 ) -> DataFrame:
     """Hybrid retrieval via reciprocal-rank fusion: each input is an
     already-ranked candidate list (e.g. BM25 top-n and vector-kNN top-n);
@@ -133,11 +134,24 @@ def rrf_fuse(
     window over each (small, top-n) list, so fusion costs one union + one
     group-by over a few hundred rows regardless of corpus size — the
     standard way to combine lexical and semantic retrieval without score
-    calibration."""
+    calibration.
+
+    SCALE CONTRACT (VERDICT r3 minor #4): the unpartitioned ``Window``
+    executes on ONE task — intentional and correct for top-n candidate
+    lists, catastrophic for a full table. ``max_list_rows`` guards the
+    contract: feeding a list larger than the cap raises instead of silently
+    serializing a table-sized sort through a single partition."""
     from pyspark.sql import Window
 
     scored = []
     for df in ranked_lists:
+        n = df.limit(max_list_rows + 1).count()
+        if n > max_list_rows:
+            raise ValueError(
+                f"rrf_fuse input has > {max_list_rows} rows; it expects "
+                "small top-n candidate lists (raise max_list_rows only if "
+                "a single-task sort of that size is acceptable)"
+            )
         order = [c for c in ("score", "dist") if c in df.columns]
         w = (
             Window.orderBy(F.col(order[0]).desc() if order[0] == "score" else F.col(order[0]).asc(),
