@@ -33,6 +33,27 @@ def test_curate_removes_junk_and_exact_dups(messy_corpus):
     assert {"quality", "n_tokens", "lang_pred", "fingerprint"}.issubset(set(curated.columns))
 
 
+def test_curate_scrub_pii_redacts_before_fingerprint(spark):
+    """scrub_pii=True must redact secrets in the surviving text AND make
+    redaction-identical docs exact-dedup together (fingerprint runs on the
+    scrubbed text)."""
+    rows = [
+        (1, "reach me at alice@example.com about the large distributed query engine"),
+        (2, "reach me at bob@elsewhere.org about the large distributed query engine"),
+        (3, "a completely unrelated document describing shuffle partitioning basics"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    curated = curate_corpus(docs, near_dup=False, min_quality=None, min_tokens=3,
+                            scrub_pii=True)
+    got = {r["doc_id"]: r["text"] for r in curated.select("doc_id", "text").collect()}
+    assert all("@" not in t for t in got.values())
+    # docs 1 and 2 become identical after redaction -> lower id survives
+    assert set(got) == {1, 3}
+    assert "[PII]" in got[1]
+    # audit struct attached
+    assert "__pii" in curated.columns
+
+
 def test_curate_near_dup_stage_drops_paraphrases(spark):
     rows = [
         (1, "the quick brown fox jumps over the lazy dog and then runs far away home"),

@@ -43,6 +43,7 @@ def curate_corpus(
     decontaminate_n: int = 13,
     near_dup: bool = True,
     jaccard_threshold: float = 0.8,
+    scrub_pii: bool = False,
 ) -> DataFrame:
     """Filter + dedup a document corpus for training.
 
@@ -54,7 +55,16 @@ def curate_corpus(
     only corpus-vs-corpus join) runs last over the surviving rows. Returns
     the curated corpus with ``quality``, ``n_tokens``, ``lang_pred`` and
     ``fingerprint`` columns attached for auditability.
+
+    ``scrub_pii=True`` redacts emails/phones/IPs/SSNs/Luhn-valid card
+    numbers (functions/pii.py) BEFORE fingerprinting, so secrets never reach
+    shards and redaction-identical docs dedup together; still scan-stage
+    column algebra, no extra pass.
     """
+    if scrub_pii:
+        from vectordb_cloud_spark.functions.pii import scrub_corpus
+
+        docs = scrub_corpus(docs, text_col=text_col)
     annotated = docs.withColumn("quality", quality_score(text_col)).withColumn(
         "n_tokens", token_count(text_col)
     ).withColumn("lang_pred", lang_id_expr(text_col))
