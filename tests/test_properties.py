@@ -63,3 +63,43 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="module")
 def spark_global(spark):
     return spark
+
+
+_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=200
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(t=_text)
+def test_pii_redaction_idempotent(spark_global, t):
+    """redact(redact(x)) == redact(x): the token itself must never match a
+    PII pattern, so scrubbing is safe to re-run (pipeline re-entry)."""
+    from vectordb_cloud_spark.functions.pii import redact_pii
+
+    df = spark_global.createDataFrame([(t,)], "text string")
+    once, twice = df.select(
+        redact_pii("text").alias("a")
+    ).select("a", redact_pii("a").alias("b")).collect()[0]
+    assert once == twice
+
+
+@settings(max_examples=30, deadline=None)
+@given(digits=st.text(alphabet="0123456789", min_size=13, max_size=19))
+def test_luhn_expression_matches_python(spark_global, digits):
+    from vectordb_cloud_spark.functions.pii import luhn_valid
+
+    def py_luhn(ds):
+        total = 0
+        for i, ch in enumerate(reversed(ds)):
+            d = int(ch)
+            if i % 2 == 1:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            total += d
+        return total % 10 == 0
+
+    df = spark_global.createDataFrame([(digits,)], "d string")
+    got = df.select(luhn_valid(F.col("d")).alias("v")).collect()[0]["v"]
+    assert got == py_luhn(digits)
