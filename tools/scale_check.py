@@ -112,7 +112,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--out", default=str(Path(__file__).resolve().parents[1] / "SCALE.md"))
+    ap.add_argument("--vector-points", default="100000,1000000,10000000",
+                    help="comma-separated vector-table sizes (a 100x series "
+                         "by default: the ANN paths are the scale story)")
     args = ap.parse_args()
+    vec_points = tuple(int(x) for x in args.vector_points.split(","))
 
     from pyspark.sql import functions as F
 
@@ -129,9 +133,9 @@ def main():
     q = [((h * 2654435761) % 2000 - 1000) / 1000.0 for h in range(64)]
 
     try:
-        # ---- vectors: materialize to parquet so both scales read from disk
+        # ---- vectors: materialize to parquet so every scale reads from disk
         vec_paths = {}
-        for n in (100_000, 1_000_000):
+        for n in vec_points:
             p = os.path.join(tmp, f"vecs_{n}")
             synth_vectors(spark, n).write.mode("overwrite").parquet(p)
             vec_paths[n] = p
@@ -228,32 +232,37 @@ def main():
 
     # ---- report
     lines = [
-        "# SCALE — 1x vs 10x wall-clock (local[32], medians of "
+        "# SCALE — wall-clock vs row count (local[32], medians of "
         f"{args.runs} runs; generated by tools/scale_check.py)",
         "",
-        "Synthetic 10x scaling because the largest driver fixture is 600k rows",
-        "(TESTDATA.md). `ratio` = t(big)/t(small) for a 10x row increase;",
-        "`rows` are actual input sizes. Design claims: upsert of a fixed",
-        "batch is ~flat in table size (bucket-scoped rewrite + manifest",
+        "Synthetic scaling because the largest driver fixture is 600k rows",
+        "(TESTDATA.md). Vector paths get a 100x series (100k -> 1M -> 10M);",
+        "the rest a 10x pair. `full ratio` = t(largest)/t(smallest) against",
+        "the row ratio in parentheses. Design claims: upsert of a fixed batch",
+        "is ~flat in table size (bucket-scoped rewrite + manifest",
         "probe-skip); IVF search scans nprobe/k of the files; everything else",
         "~linear. Index/collection builds are one-off ingest costs, reported",
         "unrationed.",
         "",
-        "| operator | rows small | t small (s) | rows big | t big (s) | ratio |",
-        "|---|---|---|---|---|---|",
+        "| operator | rows → seconds (each point) | full ratio (rows ratio) |",
+        "|---|---|---|",
     ]
     summary = {}
     for op, d in results.items():
-        (n1, t1), (n2, t2) = sorted(d.items())
-        ratio = round(t2 / t1, 2) if t1 > 0 else float("inf")
-        summary[op] = {"rows": [n1, n2], "sec": [t1, t2], "ratio": ratio}
-        lines.append(f"| {op} | {n1:,} | {t1} | {n2:,} | {t2} | {ratio}x |")
+        pts = sorted(d.items())
+        (n1, t1), (nk, tk) = pts[0], pts[-1]
+        ratio = round(tk / t1, 2) if t1 > 0 else float("inf")
+        rows_ratio = round(nk / n1) if n1 else 0
+        summary[op] = {"rows": [n for n, _ in pts], "sec": [t for _, t in pts],
+                       "ratio": ratio}
+        series = "; ".join(f"{n:,} → {t}s" for n, t in pts)
+        lines.append(f"| {op} | {series} | {ratio}x ({rows_ratio}x rows) |")
     lines += [
         "",
-        "Interpretation: a ratio well under 10x on a 10x scale-up means the",
+        "Interpretation: a time ratio well under the rows ratio means the",
         "operator is dominated by fixed plan/scheduling overhead at this",
-        "scale or by a pruned/partial read path (IVF, upsert); ~10x is",
-        "honest linear scaling; anything well above 10x would be a",
+        "scale or by a pruned/partial read path (IVF, upsert); ~rows-ratio is",
+        "honest linear scaling; anything well above it would be a",
         "scale-killer (none observed).",
         "",
     ]
