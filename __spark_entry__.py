@@ -3,8 +3,11 @@
 ``entry(spark)`` — flagship query smoke check on sf0.001.
 ``queries()`` — every implemented operator from SURVEY.md §2 (and the
 north-star extensions) as (spark, sf_dir) -> DataFrame callables.
-``oracle_sql()`` — matching DuckDB SQL for the correctness gate; ops with no
-SQL equivalent (xxhash64-based MinHash/SimHash) are rows-only by design.
+``oracle_sql()`` — matching DuckDB SQL for the correctness gate (48/50
+queries, including the ANN/LSH/PQ index searches, which the oracle REPLAYS
+over materialized index structures); the two rows-only entries are uuid3
+(DuckDB md5 cannot take the binary DNS namespace) and the fake multimodal
+decoder (numpy RNG, no SQL twin).
 
 Implementation lives in ``vectordb_cloud_spark/queries.py``.
 """
