@@ -86,6 +86,15 @@ def main():
         lambda: noop_write(qmod.price_percentiles_by_flag_approx(spark, sf_dir))
     )
 
+    # PII scrub over the full corpus (library-level, registry is at its
+    # 50-entry cap): redaction + audit counts as scan-stage column algebra
+    from vectordb_cloud_spark.functions.pii import scrub_corpus
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    results["pii_scrub_corpus"] = timed_median(
+        lambda: noop_write(scrub_corpus(docs))
+    )
+
     # vector-scan stress: the fixture embeddings table is small (2k rows at
     # sf0.1), so also measure exact filtered kNN over 100k synthetic 64-dim
     # vectors — generated JVM-side (xxhash64-seeded, deterministic), single

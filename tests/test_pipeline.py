@@ -88,6 +88,19 @@ def test_corpus_report_one_row(messy_corpus):
     assert r["n_docs"] == messy_corpus.count()
     assert r["total_tokens"] > 0 and 0.0 <= r["mean_quality"] <= 1.0
     assert sum(r["lang_mix"].values()) == r["n_docs"]
+    assert r["pii_docs"] >= 0
+
+
+def test_corpus_report_pii_counter_and_scrub_roundtrip(spark):
+    rows = [
+        (1, "mail me at leak@example.com today"),
+        (2, "nothing sensitive in this document at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    assert corpus_report(docs).collect()[0]["pii_docs"] == 1
+    scrubbed = curate_corpus(docs, near_dup=False, min_quality=None,
+                             min_tokens=1, scrub_pii=True)
+    assert corpus_report(scrubbed).collect()[0]["pii_docs"] == 0
 
 
 def test_build_training_set_end_to_end(spark, documents):

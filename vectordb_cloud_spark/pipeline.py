@@ -138,19 +138,30 @@ def build_training_set(
 
 
 def corpus_report(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """One-row corpus summary (docs, tokens, mean quality, language mix) —
-    the acceptance artifact for a curation run. One grouped pass builds the
-    language mix; the totals re-aggregate from the per-language partials
-    instead of rescanning the corpus."""
+    """One-row corpus summary (docs, tokens, mean quality, language mix,
+    PII leakage) — the acceptance artifact for a curation run. One grouped
+    pass builds the language mix; the totals re-aggregate from the
+    per-language partials instead of rescanning the corpus. ``pii_docs``
+    counts documents still containing any detectable PII — 0 is the
+    expected value after a ``scrub_pii=True`` curation."""
+    from vectordb_cloud_spark.functions.pii import pii_counts
+
+    pii = pii_counts(text_col)
+    any_pii = sum(
+        (F.coalesce(pii[k], F.lit(0)) for k in ("email", "ssn", "ipv4", "card", "phone")),
+        F.lit(0),
+    ) > 0
     per_lang = docs.groupBy(lang_id_expr(text_col).alias("lang_pred")).agg(
         F.count("*").alias("n"),
         F.sum(token_count(text_col)).alias("toks"),
         F.sum(quality_score(text_col)).alias("q_sum"),
+        F.sum(any_pii.cast("long")).alias("pii_n"),
     )
     return per_lang.agg(
         F.sum("n").alias("n_docs"),
         F.sum("toks").alias("total_tokens"),
         F.round(F.sum("q_sum") / F.sum("n"), 4).alias("mean_quality"),
+        F.sum("pii_n").alias("pii_docs"),
         F.map_from_entries(
             F.array_sort(F.collect_list(F.struct("lang_pred", "n")))
         ).alias("lang_mix"),
