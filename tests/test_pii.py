@@ -21,6 +21,12 @@ def corpus(spark):
         # 4242... is Luhn-valid (the classic test card); 1234567890123456 is
         # NOT (and an unbroken 16-digit run is too long for the phone shape)
         (4, "pay with 4242 4242 4242 4242 not 1234567890123456"),
+        # Luhn-INVALID but card-SHAPED (4-4-4-4 with spaces): must survive
+        # redaction entirely — the phone stage excludes uniform 4-groups
+        (8, "invoice id 1234 5678 9012 3456 stays"),
+        # a valid card embedded as a substring of a longer digit run: the
+        # longer run is not a validated candidate, so it must not be mangled
+        (9, "ref 94242424242424242 and card 4242424242424242"),
         (5, "call +1 (415) 555-0132 or 020-7946-0958"),
         (6, "clean text with plain numbers like 2026 and 31337"),
         (7, None),
@@ -50,6 +56,11 @@ def test_redaction_replaces_and_preserves(corpus):
     assert "1234567890123456" in red[4]  # Luhn-invalid run survives
     assert "clean text with plain numbers" in red[6]
     assert red[7] is None
+    # card-shaped Luhn-invalid run survives whole (no phone half-redaction)
+    assert red[8] == "invoice id 1234 5678 9012 3456 stays"
+    # substring-guarded literal replace: the 17-digit ref keeps its bytes,
+    # the standalone valid card is redacted
+    assert red[9] == "ref 94242424242424242 and card [PII]"
 
 
 def test_luhn_expression(spark):

@@ -5,13 +5,16 @@ driver fixture (sf0.1) is only 600k rows.
 Synthetic scaling, deterministic and JVM-generated (no Python in the data
 path):
 - vectors: xxhash64-seeded 64-dim float arrays (the bench's knn-stress
-  generator) at 100k and 1M rows
+  generator), default series 100k -> 1M -> 10M rows (a 100x span; the 10M
+  point writes a multi-GB parquet under /tmp — tune --vector-points down
+  for constrained machines)
 - documents: the sf0.1 corpus replicated with a per-replica suffix so
   replicas are NOT near-duplicates (pair counts stay a property of the
   original corpus, not of the replication)
 - lineitem/orders: replicated with key offsets (aggregate/join scaling)
 
-Claims checked (ratios are wall-clock t(10x)/t(1x), medians of N runs):
+Claims checked (ratios are wall-clock t(largest)/t(smallest) vs the rows
+ratio, medians of N runs):
 - exact filtered kNN: one map pass + TakeOrderedAndProject -> ~linear (<= ~13x)
 - IVF search over the persisted centroid-partitioned layout: scans
   nprobe/k_centroids of the files -> ~linear in rows but with the same

@@ -13,9 +13,10 @@ array) so prose like "1234 5678 9012 3456" isn't redacted unless the
 checksum actually validates — regex-only card scrubbing has a high false
 positive rate on numeric tables.
 
-Java regex dialect notes: patterns below avoid lookbehind and use explicit
-character classes so they mean the same thing to RE2-style engines if the
-expressions are ever pushed to a different scan engine.
+Java regex dialect notes: the phone pattern uses bounded lookaround (digit
+context guards), which Java/Spark regex supports but RE2-style engines do
+not — if these expressions are ever pushed to an RE2 scan engine, the phone
+pattern needs a rewrite; the other patterns are lookaround-free.
 """
 
 from __future__ import annotations
@@ -34,8 +35,14 @@ PII_PATTERNS: dict[str, str] = {
     # validated by Luhn before redaction
     "card": r"\b(?:\d[ \-]?){12,18}\d\b",
     # international-ish phone: optional +CC, then 7-14 digits with common
-    # separators; anchored on digit boundaries to avoid eating timestamps
-    "phone": r"(?<![\d.\-])\+?\d{1,3}[ \-.]?\(?\d{2,4}\)?[ \-.]?\d{3,4}[ \-.]?\d{3,4}(?![\d.\-])",
+    # separators; anchored on digit boundaries to avoid eating timestamps.
+    # The leading (?!(?:\d{4}[ \-]){2}\d) rejects matches that begin a
+    # uniform 4-4-4 digit-group run — the card shape — so a Luhn-INVALID
+    # card-shaped number is not half-eaten by the phone stage (the Luhn
+    # gate's decision stands); real phones group as 3-3-4 / 3-4-4 / +CC
+    # forms and still match.
+    "phone": r"(?<![\d.\-])(?!(?:\d{4}[ \-]){2}\d)"
+             r"\+?\d{1,3}[ \-.]?\(?\d{2,4}\)?[ \-.]?\d{3,4}[ \-.]?\d{3,4}(?![\d.\-])",
 }
 
 
@@ -76,13 +83,18 @@ def _redact_cards(col: Column, token: str) -> Column:
     valid = F.filter(
         cands, lambda s: luhn_valid(F.regexp_replace(s, r"[^0-9]", ""))
     )
-    # literal replace of each validated candidate (escape nothing: the
-    # candidates are digits/spaces/dashes, regex-safe except '-' in classes,
-    # which we quote with \Q...\E)
+    # literal replace of each validated candidate, quoted with \Q...\E and
+    # guarded by (?<!\d)/(?!\d) so a candidate that also occurs as a
+    # SUBSTRING of a longer digit run (which was not itself validated) is
+    # left alone — the extraction used \b boundaries, the replace must too
     return F.aggregate(
         valid,
         col,
-        lambda acc, s: F.regexp_replace(acc, F.concat(F.lit(r"\Q"), s, F.lit(r"\E")), token),
+        lambda acc, s: F.regexp_replace(
+            acc,
+            F.concat(F.lit(r"(?<!\d)\Q"), s, F.lit(r"\E(?!\d)")),
+            token,
+        ),
     )
 
 

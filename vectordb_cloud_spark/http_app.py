@@ -190,7 +190,11 @@ def create_app(service: VectorService):
     routes = _routes(service)
 
     def _bind(path: str, handler):
-        async def endpoint(request: Request):
+        # plain def, NOT async: handlers run blocking Spark driver work
+        # (collect() can take seconds); FastAPI dispatches sync endpoints to
+        # its threadpool, keeping the event loop free — an async def here
+        # would freeze every concurrent request for the job duration
+        def endpoint(request: Request):
             params = {k: v for k, v in request.query_params.items()}
             try:
                 return handler(params)

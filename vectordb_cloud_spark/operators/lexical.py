@@ -140,10 +140,14 @@ def rrf_fuse(
     executes on ONE task — intentional and correct for top-n candidate
     lists, catastrophic for a full table. ``max_list_rows`` guards the
     contract: feeding a list larger than the cap raises instead of silently
-    serializing a table-sized sort through a single partition."""
+    serializing a table-sized sort through a single partition. The guard
+    caches each (small) input before counting, so the fusion job reuses the
+    materialization instead of re-executing the candidate pipelines — the
+    check costs one cached count, not a second BM25/kNN run."""
     from pyspark.sql import Window
 
     scored = []
+    ranked_lists = [df.cache() for df in ranked_lists]
     for df in ranked_lists:
         n = df.limit(max_list_rows + 1).count()
         if n > max_list_rows:

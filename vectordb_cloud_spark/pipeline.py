@@ -144,11 +144,13 @@ def corpus_report(docs: DataFrame, text_col: str = "text") -> DataFrame:
     per-language partials instead of rescanning the corpus. ``pii_docs``
     counts documents still containing any detectable PII — 0 is the
     expected value after a ``scrub_pii=True`` curation."""
-    from vectordb_cloud_spark.functions.pii import pii_counts
+    from vectordb_cloud_spark.functions.pii import PII_PATTERNS, pii_counts
 
     pii = pii_counts(text_col)
+    # iterate the pattern registry (not a hardcoded list) so a new PII kind
+    # is counted here automatically
     any_pii = sum(
-        (F.coalesce(pii[k], F.lit(0)) for k in ("email", "ssn", "ipv4", "card", "phone")),
+        (F.coalesce(pii[k], F.lit(0)) for k in PII_PATTERNS),
         F.lit(0),
     ) > 0
     per_lang = docs.groupBy(lang_id_expr(text_col).alias("lang_pred")).agg(

@@ -710,30 +710,34 @@ def _lsh_planes_path(bucket_length: float, num_tables: int) -> str:
 def _lsh_model(spark: SparkSession, sf_dir: str, bucket_length: float, num_tables: int):
     key = (os.path.abspath(sf_dir), bucket_length, num_tables)
     if key not in _LSH_MODEL_CACHE:
-        import pyarrow as pa
-        import pyarrow.parquet as papq
-
         from vectordb_cloud_spark.operators.ann import lsh_fit
 
         emb = _t(spark, sf_dir, "embeddings")
         model, _ = lsh_fit(emb, bucket_length=bucket_length, num_hash_tables=num_tables)
         _LSH_MODEL_CACHE[key] = model
-        # materialize the (seeded, data-independent) hyperplanes for the
-        # oracle — same for every corpus of the same dim, so no staleness
-        # tracking needed
-        planes = [
-            [float(x) for x in v.toArray()]
-            for v in model._call_java("randUnitVectors")
-        ]
-        os.makedirs(_LSH_PLANES_BASE, exist_ok=True)
-        papq.write_table(
-            pa.table({
-                "tbl": pa.array(range(len(planes)), pa.int32()),
-                "u": pa.array(planes, pa.list_(pa.float64())),
-            }),
-            _lsh_planes_path(bucket_length, num_tables),
-        )
-    return _LSH_MODEL_CACHE[key]
+    # materialize the (seeded, data-independent) hyperplanes for the oracle
+    # on EVERY call, cache hit or not: the planes file is keyed only by
+    # (bucket_length, num_tables), so a corpus with a different embedding
+    # dim earlier in the process may have overwritten it with wrong-length
+    # vectors — rewriting from the model about to be used (a few KB) keeps
+    # file and model aligned unconditionally.
+    model = _LSH_MODEL_CACHE[key]
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    planes = [
+        [float(x) for x in v.toArray()]
+        for v in model._call_java("randUnitVectors")
+    ]
+    os.makedirs(_LSH_PLANES_BASE, exist_ok=True)
+    papq.write_table(
+        pa.table({
+            "tbl": pa.array(range(len(planes)), pa.int32()),
+            "u": pa.array(planes, pa.list_(pa.float64())),
+        }),
+        _lsh_planes_path(bucket_length, num_tables),
+    )
+    return model
 
 
 def _lsh_cand_sql(bucket_length: float, num_tables: int,
