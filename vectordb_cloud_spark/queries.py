@@ -699,6 +699,7 @@ def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (bucket = floor(dot(v, u_t) / bucket_length), MLlib's hashFunction).
 _LSH_MODEL_CACHE: dict[tuple, object] = {}
 _LSH_PLANES_BASE = f"/tmp/vdb_spark_lsh_planes_{os.getpid()}"
+_LSH_PLANES_WRITTEN: dict[str, int] = {}  # planes path -> dim last written
 
 
 def _lsh_planes_path(bucket_length: float, num_tables: int) -> str:
@@ -715,28 +716,33 @@ def _lsh_model(spark: SparkSession, sf_dir: str, bucket_length: float, num_table
         emb = _t(spark, sf_dir, "embeddings")
         model, _ = lsh_fit(emb, bucket_length=bucket_length, num_hash_tables=num_tables)
         _LSH_MODEL_CACHE[key] = model
-    # materialize the (seeded, data-independent) hyperplanes for the oracle
-    # on EVERY call, cache hit or not: the planes file is keyed only by
-    # (bucket_length, num_tables), so a corpus with a different embedding
-    # dim earlier in the process may have overwritten it with wrong-length
-    # vectors — rewriting from the model about to be used (a few KB) keeps
-    # file and model aligned unconditionally.
+    # materialize the (seeded, data-independent) hyperplanes for the oracle,
+    # kept aligned with the model about to be returned: the planes file is
+    # keyed only by (bucket_length, num_tables), so a corpus with a
+    # DIFFERENT embedding dim earlier in the process may have overwritten it
+    # with wrong-length vectors. The seed is fixed, so same dim => identical
+    # planes — tracking the written dim per path skips redundant rewrites
+    # while still rewriting exactly when staleness is possible.
     model = _LSH_MODEL_CACHE[key]
-    import pyarrow as pa
-    import pyarrow.parquet as papq
-
     planes = [
         [float(x) for x in v.toArray()]
         for v in model._call_java("randUnitVectors")
     ]
-    os.makedirs(_LSH_PLANES_BASE, exist_ok=True)
-    papq.write_table(
-        pa.table({
-            "tbl": pa.array(range(len(planes)), pa.int32()),
-            "u": pa.array(planes, pa.list_(pa.float64())),
-        }),
-        _lsh_planes_path(bucket_length, num_tables),
-    )
+    path = _lsh_planes_path(bucket_length, num_tables)
+    dim = len(planes[0]) if planes else 0
+    if _LSH_PLANES_WRITTEN.get(path) != dim or not os.path.exists(path):
+        import pyarrow as pa
+        import pyarrow.parquet as papq
+
+        os.makedirs(_LSH_PLANES_BASE, exist_ok=True)
+        papq.write_table(
+            pa.table({
+                "tbl": pa.array(range(len(planes)), pa.int32()),
+                "u": pa.array(planes, pa.list_(pa.float64())),
+            }),
+            path,
+        )
+        _LSH_PLANES_WRITTEN[path] = dim
     return model
 
 
