@@ -57,12 +57,57 @@ def make_fake_media(spark, n: int = 64, kind: str = "image") -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(max(1, n // 16))
 
 
+def _payload_seed(data: bytes) -> str:
+    """32-hex-char seed of a media payload (md5 of the first 64 bytes) —
+    the handle through which the SQL oracle reaches the fake pixel stream."""
+    return hashlib.md5(bytes(data[:64])).hexdigest()
+
+
 def _fake_decode(data: bytes, width: int, height: int) -> np.ndarray:
-    """Deterministic stand-in for a real image decode: seeds a uint8 HxWx3
-    array from the payload hash. Replace with PIL/libvips when available."""
-    seed = int.from_bytes(hashlib.md5(bytes(data[:64])).digest()[:4], "little")
-    rng = np.random.default_rng(seed)
-    return rng.integers(0, 256, size=(int(height), int(width), 3), dtype=np.uint8)
+    """Deterministic stand-in for a real image decode: expands the payload
+    seed into a uint8 HxWx3 array via an md5 counter chain — byte k of the
+    image is byte k%16 of md5(seed ':' k//16). Chosen over numpy RNG so a
+    SQL engine can replay the exact pixel stream (md5 + substr — see
+    queries._multimodal_oracle_sql), which is what makes the registry's
+    multimodal row oracle-checkable. Replace with PIL/libvips when
+    available."""
+    seed = _payload_seed(data)
+    n = int(width) * int(height) * 3
+    buf = b"".join(
+        hashlib.md5(f"{seed}:{b}".encode()).digest() for b in range((n + 15) // 16)
+    )
+    return (
+        np.frombuffer(buf[:n], dtype=np.uint8)
+        .reshape(int(height), int(width), 3)
+        .copy()
+    )
+
+
+def _image_feature_16(arr: np.ndarray, width: int, height: int, seed: str) -> list[float]:
+    """Canonical 16-dim fake-CNN feature: per-channel mean/std/min/max (12)
+    + width, height, pixel count, first seed byte (4).
+
+    Mean and std are computed from EXACT integer sums (counts/sums/sum-of-
+    squares fit in int64, so every intermediate double is exact) with the
+    same expression shape the SQL oracle uses — ``(ss - s*s/cnt)/cnt`` —
+    making the float64 results bit-identical across engines before the
+    float32 cast. np.std would walk a different float path (subtract-mean
+    first) and hash-mismatch."""
+    import math
+
+    chans = arr.reshape(-1, 3).astype(np.int64)
+    cnt = chans.shape[0]
+    out: list[float] = []
+    s = chans.sum(axis=0)
+    ss = (chans * chans).sum(axis=0)
+    out.extend(float(int(s[c]) / cnt) for c in range(3))
+    out.extend(
+        math.sqrt((int(ss[c]) - int(s[c]) * int(s[c]) / cnt) / cnt) for c in range(3)
+    )
+    out.extend(float(int(chans[:, c].min())) for c in range(3))
+    out.extend(float(int(chans[:, c].max())) for c in range(3))
+    out.extend([float(width), float(height), float(cnt), float(int(seed[:2], 16))])
+    return np.asarray(out, dtype=np.float32).tolist()
 
 
 def extract_image_features(media: DataFrame, decode_backend: str = "fake",
@@ -70,9 +115,13 @@ def extract_image_features(media: DataFrame, decode_backend: str = "fake",
     """Decode + feature-extract over image rows via mapInPandas.
 
     Output: (media_id, format, feature: array<float>) — the feature is the
-    per-channel mean/std pyramid of the decoded array (a deterministic,
-    library-free stand-in for a CNN embedding). Batches stream through Arrow;
-    one decode per row, vectorized math per batch.
+    canonical 16-dim per-channel stats vector of the decoded array (see
+    ``_image_feature_16``; a deterministic, library-free stand-in for a CNN
+    embedding, tiled/truncated to ``feature_dim`` when != 16). Batches
+    stream through Arrow; one decode per row, vectorized math per batch.
+    The fake path is exactly replayable in SQL (md5 pixel chain + integer
+    sums), which is what backs the registry oracle for
+    ``multimodal_image_features``.
     """
     if decode_backend == "real":  # pragma: no cover - codec libs absent here
         raise NotImplementedError(
@@ -90,14 +139,12 @@ def extract_image_features(media: DataFrame, decode_backend: str = "fake",
         for pdf in it:
             feats = []
             for data, w, h in zip(pdf["data"], pdf["width"], pdf["height"]):
-                arr = _fake_decode(data, w, h).astype(np.float64)
-                chans = arr.reshape(-1, 3)
-                f = np.concatenate([
-                    chans.mean(axis=0), chans.std(axis=0),
-                    np.percentile(chans, [25, 50, 75], axis=0).ravel(),
-                ])
-                f = np.resize(f, feature_dim).astype(np.float32)
-                feats.append(f.tolist())
+                arr = _fake_decode(data, w, h)
+                f16 = _image_feature_16(arr, int(w), int(h), _payload_seed(data))
+                feats.append(
+                    f16 if feature_dim == 16
+                    else np.resize(np.asarray(f16, np.float32), feature_dim).tolist()
+                )
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "format": pdf["format"],

@@ -57,6 +57,35 @@ def _q(name: str, oracle: str | None = None):
     return deco
 
 
+# All oracle index artifacts (LSH planes, IVF layout, PQ codes/codebooks,
+# classify/media parquets) live under ONE per-PID base directory. The name
+# is deliberately self-documenting: DuckDB resolves read_parquet paths at
+# BIND time (before any row is evaluated — a SQL-level existence guard can
+# never fire first, verified), so when an oracle runs standalone without its
+# paired Spark query, the no-files-found error it raises quotes a path that
+# says exactly what to do (ADVICE r5). One base also gives the atexit hook
+# a single tree to remove, so repeated harness runs don't accumulate
+# parquet trees in /tmp.
+_ORACLE_ART_BASE = (
+    f"/tmp/vdb_spark_oracle_artifacts_{os.getpid()}"
+    "__created_by_running_the_paired_spark_query_first__see_queries_py"
+)
+
+
+def _cleanup_oracle_artifacts() -> None:  # pragma: no cover - atexit hook
+    """Remove this process's per-PID /tmp oracle artifact tree so repeated
+    harness runs don't accumulate parquet trees (ADVICE r5). Registered at
+    import; per-PID paths mean concurrent processes never race."""
+    import shutil
+
+    shutil.rmtree(_ORACLE_ART_BASE, ignore_errors=True)
+
+
+import atexit  # noqa: E402  (placed with the cleanup hook it registers)
+
+atexit.register(_cleanup_oracle_artifacts)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # The driver runs these with its own SparkSession: pin the two runtime
     # confs correctness depends on (UTC so timestamps compare naive-UTC like
@@ -698,7 +727,7 @@ def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # to a per-PID parquet so the DuckDB oracle can replay the bucketing
 # (bucket = floor(dot(v, u_t) / bucket_length), MLlib's hashFunction).
 _LSH_MODEL_CACHE: dict[tuple, object] = {}
-_LSH_PLANES_BASE = f"/tmp/vdb_spark_lsh_planes_{os.getpid()}"
+_LSH_PLANES_BASE = os.path.join(_ORACLE_ART_BASE, "lsh_planes")
 _LSH_PLANES_WRITTEN: dict[str, int] = {}  # planes path -> dim last written
 
 
@@ -1170,7 +1199,7 @@ def uuid3_content_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # files; the PID suffix keeps concurrent harness processes apart. ORDERING
 # CONTRACT (same as classify): the Spark query fn materializes the index;
 # the harness runs it before the oracle SQL.
-_IVF_IDX_BASE = f"/tmp/vdb_spark_ivf_idx_{os.getpid()}"
+_IVF_IDX_BASE = os.path.join(_ORACLE_ART_BASE, "ivf_idx")
 _IVF_LAYOUT = os.path.join(_IVF_IDX_BASE, "ivf")
 _IVF_CENTERS_PARQUET = os.path.join(_IVF_IDX_BASE, "centers.parquet")
 _IVF_INDEX_CURRENT: tuple | None = None  # ((sf_dir, k_centroids), centers)
@@ -1283,7 +1312,7 @@ def lsh_similarity_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # parquet) so the DuckDB oracle can replay the ADC math over the same index.
 # Single-entry cache tracking the current (sf_dir, params); same ordering
 # contract as the classify/IVF oracles.
-_PQ_IDX_BASE = f"/tmp/vdb_spark_pq_idx_{os.getpid()}"
+_PQ_IDX_BASE = os.path.join(_ORACLE_ART_BASE, "pq_idx")
 _PQ_CODES = os.path.join(_PQ_IDX_BASE, "codes")
 _PQ_BOOKS_PARQUET = os.path.join(_PQ_IDX_BASE, "codebooks.parquet")
 _PQ_M, _PQ_SUBD = 8, 8  # registry/bench config: dim 64 = 8 subspaces x 8
@@ -1390,7 +1419,7 @@ _CLASSIFY_CATS = ["science", "sports", "politics", "technology"]
 # and tools/check_queries.py do). _CLASSIFY_ORACLE_CURRENT tracks WHICH
 # sf_dir's embeddings the file currently holds, so alternating sf_dirs in one
 # process rewrites instead of serving stale rows (ADVICE r4).
-_CLASSIFY_ORACLE_PARQUET = f"/tmp/vdb_spark_oracle_classify_emb_{os.getpid()}.parquet"
+_CLASSIFY_ORACLE_PARQUET = os.path.join(_ORACLE_ART_BASE, "classify_emb.parquet")
 _CLASSIFY_ORACLE_CURRENT: str | None = None
 
 
@@ -1425,6 +1454,7 @@ def _classify_oracle_materialize(spark: SparkSession, sf_dir: str) -> None:
             pa.list_(pa.float32()),
         ),
     })
+    os.makedirs(_ORACLE_ART_BASE, exist_ok=True)
     pq.write_table(table, _CLASSIFY_ORACLE_PARQUET)
     _CLASSIFY_ORACLE_CURRENT = key
 
@@ -1928,17 +1958,120 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-@_q("multimodal_image_features")
+# multimodal oracle support: the fake decoder is an md5 counter chain
+# (operators/multimodal.py:_fake_decode — byte k of the image is byte k%16
+# of md5(seed ':' k//16)) and the 16-dim feature is integer-sum stats, so
+# DuckDB can replay decode AND feature math bit-for-bit given only the
+# per-media (media_id, format, width, height, seed) metadata — materialized
+# to a per-PID parquet by the Spark query fn (same ordering contract as the
+# classify/IVF/PQ oracles). Media is synthetic (no media table in the
+# driver fixtures), so the metadata parquet is the oracle's whole input.
+_MM_MEDIA_PARQUET = os.path.join(_ORACLE_ART_BASE, "mm_media.parquet")
+_MM_MEDIA_WRITTEN = False
+_MM_MAX_BLOCKS = 1408  # ceil(max_w * max_h * 3 / 16) = ceil(95*79*3/16)
+
+
+def _multimodal_media_materialize(spark: SparkSession) -> None:
+    """Collect the synthetic media table's metadata + payload seeds (64
+    rows) to the oracle parquet. Derived from the same make_fake_media /
+    _payload_seed code path the Spark query uses, so the two can't drift."""
+    global _MM_MEDIA_WRITTEN
+    if _MM_MEDIA_WRITTEN and os.path.exists(_MM_MEDIA_PARQUET):
+        return
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from vectordb_cloud_spark.operators.multimodal import (
+        _payload_seed,
+        make_fake_media,
+    )
+
+    rows = (
+        make_fake_media(spark, n=64, kind="image")
+        .select("media_id", "format", "width", "height", "data")
+        .collect()
+    )
+    os.makedirs(_ORACLE_ART_BASE, exist_ok=True)
+    papq.write_table(
+        pa.table({
+            "media_id": pa.array([r["media_id"] for r in rows], pa.int64()),
+            "format": pa.array([r["format"] for r in rows], pa.string()),
+            "width": pa.array([r["width"] for r in rows], pa.int64()),
+            "height": pa.array([r["height"] for r in rows], pa.int64()),
+            "seed": pa.array([_payload_seed(r["data"]) for r in rows], pa.string()),
+        }),
+        _MM_MEDIA_PARQUET,
+    )
+    _MM_MEDIA_WRITTEN = True
+
+
+def _multimodal_oracle_sql() -> str:
+    """DuckDB twin of the fake decode + 16-dim feature pipeline: regenerate
+    the md5-chain pixel stream from each media row's seed, aggregate exact
+    integer per-channel stats, and assemble the same 16 feature slots with
+    the same expression shapes ((s*s)/cnt stays in exact-int64 range, so
+    every double matches bit-for-bit), including the float32 cast
+    (CAST AS REAL) the array<float> column applies Spark-side."""
+    return f"""
+    WITH m AS (
+      SELECT media_id, format, width, height, seed
+      FROM read_parquet('{_MM_MEDIA_PARQUET}')
+    ),
+    blocks AS (
+      SELECT m.media_id, m.width, m.height,
+             rb.b AS blk,
+             md5(m.seed || ':' || rb.b::VARCHAR) AS hx
+      FROM m
+      JOIN range(0, {_MM_MAX_BLOCKS}) rb(b)
+        ON rb.b < (m.width * m.height * 3 + 15) // 16
+    ),
+    bytes AS (
+      SELECT b.media_id,
+             ((b.blk * 16 + rj.j) % 3) AS c,
+             ('0x' || substr(b.hx, rj.j * 2 + 1, 2))::INT AS v
+      FROM blocks b
+      JOIN range(0, 16) rj(j) ON b.blk * 16 + rj.j < b.width * b.height * 3
+    ),
+    stats AS (
+      SELECT media_id, c,
+             COUNT(*)::BIGINT AS cnt, SUM(v)::BIGINT AS s,
+             SUM(v * v)::BIGINT AS ss,
+             MIN(v) AS mn, MAX(v) AS mx
+      FROM bytes GROUP BY media_id, c
+    ),
+    feats AS (
+      SELECT media_id, c::INT AS idx, s::DOUBLE / cnt AS value FROM stats
+      UNION ALL
+      SELECT media_id, (c + 3)::INT, sqrt((ss::DOUBLE - (s * s) / cnt) / cnt)
+      FROM stats
+      UNION ALL SELECT media_id, (c + 6)::INT, mn::DOUBLE FROM stats
+      UNION ALL SELECT media_id, (c + 9)::INT, mx::DOUBLE FROM stats
+      UNION ALL SELECT media_id, 12, width::DOUBLE FROM m
+      UNION ALL SELECT media_id, 13, height::DOUBLE FROM m
+      UNION ALL SELECT media_id, 14, (width * height)::DOUBLE FROM m
+      UNION ALL SELECT media_id, 15, ('0x' || substr(seed, 1, 2))::INT::DOUBLE
+      FROM m
+    )
+    SELECT f.media_id, m.format, f.idx,
+           round(CAST(f.value AS REAL)::DOUBLE, 6) AS value
+    FROM feats f JOIN m USING (media_id)
+    """
+
+
+@_q("multimodal_image_features", _multimodal_oracle_sql())
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing surface: binary image column -> mapInPandas decode
     (deterministic fake backend; real codecs stubbed per BASELINE.json) ->
-    feature vector. Rows-only: media is synthesized (no media table in the
-    driver fixtures) and the fake decode has no SQL twin."""
+    feature vector. Oracle-checked end to end since the fake decoder became
+    an md5 counter chain with integer-sum features: DuckDB regenerates the
+    pixel stream from the materialized payload seeds and replays the exact
+    stats math (_multimodal_oracle_sql)."""
     from vectordb_cloud_spark.operators.multimodal import (
         extract_image_features,
         make_fake_media,
     )
 
+    _multimodal_media_materialize(spark)
     media = make_fake_media(spark, n=64, kind="image")
     feats = extract_image_features(media, feature_dim=16)
     # posexplode the vector to scalar rows: the driver's canonicalizer sorts
