@@ -27,6 +27,27 @@ def test_stratified_sample_rejects_bad_fraction(documents):
         stratified_sample(documents, "lang", {"en": 1.5})
 
 
+def test_stratified_sample_default_fraction_covers_unlisted(documents):
+    out = stratified_sample(documents, "lang", {"en": 1.0}, default_fraction=1.0)
+    # every stratum kept whole: allowlist + default covers the corpus
+    assert out.count() == documents.count()
+
+
+def test_stratified_sample_guards_high_cardinality_strata(documents):
+    # doc_id is effectively unique per row — the driver-side distinct
+    # collect must refuse, not haul the whole keyspace
+    with pytest.raises(ValueError, match="max_strata"):
+        stratified_sample(
+            documents, "doc_id", {}, default_fraction=0.5, max_strata=10
+        )
+    # raising the cap explicitly restores the behavior
+    n = documents.count()
+    out = stratified_sample(
+        documents, "doc_id", {}, default_fraction=1.0, max_strata=n
+    )
+    assert out.count() == n
+
+
 def test_weighted_mixture_ratios_and_provenance(spark, documents):
     a = documents.filter(F.col("doc_id") % 2 == 0)
     b = documents.filter(F.col("doc_id") % 2 == 1)

@@ -41,6 +41,14 @@ PII_PATTERNS: dict[str, str] = {
     # card-shaped number is not half-eaten by the phone stage (the Luhn
     # gate's decision stands); real phones group as 3-3-4 / 3-4-4 / +CC
     # forms and still match.
+    # KNOWN RECALL GAP (ADVICE r5): locales that format phone numbers as
+    # uniform 4-4-4 digit groups (e.g. "0151 2345 6789") hit the same guard
+    # and escape redaction — a deliberate precision/recall trade favoring
+    # not corrupting the Luhn gate's verdict on card-shaped numbers. A
+    # "+CC 4-4-4" form still matches (the +CC prefix breaks the guard's
+    # anchor). If 4-4-4 phone recall matters for a corpus, narrow the guard
+    # to 13+ total digits (card length floor) or run a locale-specific
+    # pattern pass before this one.
     "phone": r"(?<![\d.\-])(?!(?:\d{4}[ \-]){2}\d)"
              r"\+?\d{1,3}[ \-.]?\(?\d{2,4}\)?[ \-.]?\d{3,4}[ \-.]?\d{3,4}(?![\d.\-])",
 }

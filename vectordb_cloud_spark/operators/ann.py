@@ -67,7 +67,8 @@ def lsh_similarity_join(model, a: DataFrame, b: DataFrame, threshold: float,
 
 def lsh_self_join_pairs(model, points: DataFrame, threshold: float,
                         id_col: str = "vec_id",
-                        vector_col: str = "embedding") -> DataFrame:
+                        vector_col: str = "embedding",
+                        eager: bool = False) -> DataFrame:
     """Self similarity join returning unordered pairs (id_a < id_b, dist).
 
     Produces the same pair set as ``approxSimilarityJoin(x, x, t)`` filtered
@@ -79,6 +80,18 @@ def lsh_self_join_pairs(model, points: DataFrame, threshold: float,
     filters after (VERDICT r3 "What's wrong" #3). The join ships only skinny
     (id, table, bucket) rows; vectors are joined back per surviving
     candidate, exactly like operators/dedup.py:embedding_near_dup_lsh.
+
+    CACHE CONTRACT (ADVICE r5): the input projection and the banded rows
+    are cached — the self-join needs both sides of ``banded`` and the
+    join-back needs ``pts`` twice, and without the cache the MLlib hash
+    transform runs once per side. Lazily-returned results keep those blocks
+    pinned until Spark's LRU evicts them, which is fine for one-shot batch
+    jobs but accumulates in a long-lived serving process: there, pass
+    ``eager=True`` to materialize the pair set now (``localCheckpoint``, so
+    the result survives the unpersist) and release both caches before
+    returning. Eager results trade lineage for storage: they cannot be
+    recomputed after executor loss, which is acceptable for a served result
+    set and wrong for a checkpoint-free batch pipeline — hence opt-in.
     """
     from pyspark.ml.functions import vector_to_array
 
@@ -112,7 +125,12 @@ def lsh_self_join_pairs(model, points: DataFrame, threshold: float,
     )
     # strict < matches MLlib approxSimilarityJoin's keyDistance < threshold
     # filter exactly (ADVICE r4): boundary-distance pairs are excluded.
-    return pairs.filter(F.col("dist") < threshold).select("id_a", "id_b", "dist")
+    out = pairs.filter(F.col("dist") < threshold).select("id_a", "id_b", "dist")
+    if eager:
+        out = out.localCheckpoint(eager=True)
+        pts.unpersist()
+        banded.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -126,7 +126,7 @@ def rrf_fuse(
     id_col: str = "doc_id",
     k: int = 10,
     rrf_k: int = 60,
-    max_list_rows: int = 100_000,
+    max_list_rows: int | None = 100_000,
 ) -> DataFrame:
     """Hybrid retrieval via reciprocal-rank fusion: each input is an
     already-ranked candidate list (e.g. BM25 top-n and vector-kNN top-n);
@@ -140,40 +140,61 @@ def rrf_fuse(
     executes on ONE task — intentional and correct for top-n candidate
     lists, catastrophic for a full table. ``max_list_rows`` guards the
     contract: feeding a list larger than the cap raises instead of silently
-    serializing a table-sized sort through a single partition. The guard
-    caches each (small) input before counting, so the fusion job reuses the
-    materialization instead of re-executing the candidate pipelines — the
-    check costs one cached count, not a second BM25/kNN run."""
+    serializing a table-sized sort through a single partition. Pass
+    ``max_list_rows=None`` on hot serving paths where the inputs are known
+    top-n lists — that skips both the guard counts and the caching.
+
+    The result is EAGER: fusion output is bounded at ``k`` rows, so it is
+    materialized here and returned as a local-relation DataFrame. That lets
+    the guard's caches (which keep the count from re-running each candidate
+    pipeline) be unpersisted before returning — repeated fusions in a
+    long-lived serving process no longer accumulate cached blocks (ADVICE
+    r5), and inputs the CALLER already persisted are left untouched."""
     from pyspark.sql import Window
 
-    scored = []
-    ranked_lists = [df.cache() for df in ranked_lists]
+    spark = ranked_lists[0].sparkSession
+    ours: list[DataFrame] = []
+    inputs: list[DataFrame] = []
     for df in ranked_lists:
-        n = df.limit(max_list_rows + 1).count()
-        if n > max_list_rows:
-            raise ValueError(
-                f"rrf_fuse input has > {max_list_rows} rows; it expects "
-                "small top-n candidate lists (raise max_list_rows only if "
-                "a single-task sort of that size is acceptable)"
+        already = df.storageLevel.useMemory or df.storageLevel.useDisk
+        if max_list_rows is not None and not already:
+            df = df.cache()
+            ours.append(df)
+        inputs.append(df)
+    try:
+        scored = []
+        for df in inputs:
+            if max_list_rows is not None:
+                n = df.limit(max_list_rows + 1).count()
+                if n > max_list_rows:
+                    raise ValueError(
+                        f"rrf_fuse input has > {max_list_rows} rows; it expects "
+                        "small top-n candidate lists (raise max_list_rows only if "
+                        "a single-task sort of that size is acceptable)"
+                    )
+            order = [c for c in ("score", "dist") if c in df.columns]
+            w = (
+                Window.orderBy(F.col(order[0]).desc() if order[0] == "score" else F.col(order[0]).asc(),
+                               F.col(id_col).asc())
+                if order
+                else Window.orderBy(F.col(id_col).asc())
             )
-        order = [c for c in ("score", "dist") if c in df.columns]
-        w = (
-            Window.orderBy(F.col(order[0]).desc() if order[0] == "score" else F.col(order[0]).asc(),
-                           F.col(id_col).asc())
-            if order
-            else Window.orderBy(F.col(id_col).asc())
-        )
-        scored.append(
-            df.withColumn("__rank", F.row_number().over(w)).select(
-                id_col, (F.lit(1.0) / (F.lit(rrf_k) + F.col("__rank"))).alias("__rrf")
+            scored.append(
+                df.withColumn("__rank", F.row_number().over(w)).select(
+                    id_col, (F.lit(1.0) / (F.lit(rrf_k) + F.col("__rank"))).alias("__rrf")
+                )
             )
+        unioned = scored[0]
+        for s in scored[1:]:
+            unioned = unioned.unionByName(s)
+        fused = (
+            unioned.groupBy(id_col)
+            .agg(F.round(F.sum("__rrf"), 6).alias("rrf_score"))
+            .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+            .limit(k)
         )
-    unioned = scored[0]
-    for s in scored[1:]:
-        unioned = unioned.unionByName(s)
-    return (
-        unioned.groupBy(id_col)
-        .agg(F.round(F.sum("__rrf"), 6).alias("rrf_score"))
-        .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
-        .limit(k)
-    )
+        rows, schema = fused.collect(), fused.schema
+    finally:
+        for df in ours:
+            df.unpersist()
+    return spark.createDataFrame(rows, schema)

@@ -23,6 +23,7 @@ def stratified_sample(
     fractions: dict,
     seed: int = 42,
     default_fraction: float = 0.0,
+    max_strata: int = 10_000,
 ) -> DataFrame:
     """Per-stratum Bernoulli sample (e.g. keep 100% of 'en', 30% of 'de').
 
@@ -30,9 +31,30 @@ def stratified_sample(
     the allowlist behavior a data recipe usually wants). Map-side only: each
     row flips one seeded coin, no shuffle, the filter composes with scan
     pruning.
+
+    ``default_fraction > 0`` needs the distinct strata keys driver-side
+    (``sampleBy`` takes an explicit per-key map), which is only sane for
+    bounded-cardinality strata (language, source, quality bucket). The
+    collect is guarded by ``max_strata``: above it, the call fails fast with
+    guidance instead of silently hauling millions of keys to the driver at
+    100 TB. A UNIFORM default rate over unbounded strata doesn't need
+    per-key coins — use ``docs.sample(default_fraction)`` plus this
+    function's allowlist for the named strata instead.
     """
     if default_fraction > 0:
-        keys = [r[0] for r in docs.select(strata_col).distinct().collect()]
+        # limit+1 bounds the driver transfer regardless of true cardinality
+        keys = [
+            r[0]
+            for r in docs.select(strata_col).distinct().limit(max_strata + 1).collect()
+        ]
+        if len(keys) > max_strata:
+            raise ValueError(
+                f"stratified_sample with default_fraction>0 collects distinct "
+                f"'{strata_col}' keys to the driver, but there are more than "
+                f"max_strata={max_strata}. Use a bounded strata column, raise "
+                f"max_strata explicitly, or sample unlisted strata uniformly "
+                f"with docs.sample({default_fraction}) instead."
+            )
         fractions = {**{k: default_fraction for k in keys}, **fractions}
     bad = {k: v for k, v in fractions.items() if not 0.0 <= v <= 1.0}
     if bad:
