@@ -52,24 +52,27 @@ def nearest_centroid(
 
 
 def label_centroids(points: DataFrame, label_col: str = "label", vec_col: str = "embedding") -> DataFrame:
-    """Mean vector per label — elementwise avg via posexplode + re-collect.
+    """Mean vector per label via MLlib's ``Summarizer.mean`` vector
+    aggregate.
 
-    The explode produces (label, pos, value) rows that partial-aggregate
-    map-side on (label, pos); with D dims and L labels the shuffle is just
-    L·D rows regardless of input size — scale-safe.
+    The previous shape (posexplode to (label, pos, value) rows, avg per
+    (label, pos), re-collect) was partial-agg-friendly but multiplied the
+    pre-combine row count by the vector dim — at dim 1024 the explode
+    dominates the stage cost (VERDICT r5 minor #4). ``Summarizer`` keeps
+    one D-length running (sum, count) buffer per label per task: no row
+    blowup, same single L-row shuffle of D-dim buffers, one groupBy. The
+    two shapes differ only in float summation order (both are plain double
+    accumulation), which downstream argmin consumers don't observe.
     """
-    exploded = points.select(
-        F.col(label_col), F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "v")
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.stat import Summarizer
+
+    vecs = points.select(
+        F.col(label_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("__v"),
     )
-    per_dim = exploded.groupBy(label_col, "pos").agg(F.avg("v").alias("mean_v"))
-    return (
-        per_dim.groupBy(label_col)
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "mean_v"))).alias("pairs"))
-        .select(
-            F.col(label_col),
-            F.transform(F.col("pairs"), lambda s: s["mean_v"]).alias("centroid"),
-        )
-    )
+    means = vecs.groupBy(label_col).agg(Summarizer.mean(F.col("__v")).alias("__mean"))
+    return means.select(F.col(label_col), vector_to_array(F.col("__mean")).alias("centroid"))
 
 
 def classify_title(spark, user_id: int, cats: str, title: str, dim: int = 64) -> str:
