@@ -15,6 +15,7 @@ except ImportError:
     torch_missing = True
 
 
+@pytest.mark.real
 @pytest.mark.skipif(torch_missing, reason="torch/transformers not installed")
 def test_embed_text_batched_end_to_end(spark):
     """Full predict_batch_udf path: runs only where torch is available."""
@@ -30,6 +31,7 @@ def test_embed_text_batched_end_to_end(spark):
     assert np.isfinite(v1).all()
 
 
+@pytest.mark.real
 @pytest.mark.skipif(torch_missing, reason="torch/transformers not installed")
 def test_embed_text_end_to_end(spark):
     from vectordb_cloud_spark.functions.embedding import embed_text

@@ -125,6 +125,27 @@ def test_unknown_route_404(server):
     assert status == 404
 
 
+@pytest.mark.real
+def test_fastapi_twin_end_to_end(spark, tmp_path):
+    """The FastAPI twin served in-process via TestClient — runs only where
+    the [real] extra (fastapi + httpx) is installed; the stdlib WSGI app
+    above carries the same route contract everywhere else."""
+    fastapi = pytest.importorskip("fastapi")  # noqa: F841
+    testclient = pytest.importorskip("fastapi.testclient")
+
+    svc = VectorService(spark, str(tmp_path / "cat3"), index_name="RealVDB", dim=16)
+    client = testclient.TestClient(create_app(svc))
+    r = client.get("/insert", params={
+        "id": 10, "user_id": 1, "text": "hello vector world",
+        "site": "s1", "lang": "en",
+    })
+    assert r.status_code == 200 and r.json() == 1
+    r = client.get("/search", params={"user_id": 1, "text": "hello", "limit": 5})
+    assert r.status_code == 200
+    hits = r.json()
+    assert [h["id"] for h in hits] == [10]
+
+
 def test_create_app_import_gate(spark, tmp_path):
     """Without fastapi installed create_app must raise the documented gate;
     with it installed it must build an app exposing the same routes."""
