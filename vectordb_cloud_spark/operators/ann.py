@@ -2,7 +2,10 @@
 
 The reference delegates ANN to Qdrant's server-side HNSW
 (/root/reference/search.py:43); Spark has no built-in HNSW, so this module
-provides the two idiomatic distributed substitutes (SURVEY.md §4):
+provides the two idiomatic distributed substitutes (SURVEY.md §4) — and
+``operators/graph_ann.py`` adds the graph family itself (distributed
+NSW-style kNN graph + beam search) for parity with what the reference's
+server runs:
 
 - **LSH** (MLlib ``BucketedRandomProjectionLSH``, L2-native): hash points
   into buckets; approx kNN / similarity join touch only colliding buckets.
