@@ -8,6 +8,7 @@ from vectordb_cloud_spark.operators.multimodal import (
     extract_audio_features,
     extract_image_features,
     make_fake_media,
+    make_real_media,
     resize_images,
     sample_video_frames,
 )
@@ -60,8 +61,70 @@ def test_audio_features_schema_and_determinism(media):
         assert again[r["media_id"]] == r["feature"]
 
 
-def test_real_backend_is_explicit_stub(media):
+@pytest.fixture(scope="module")
+def real_media(spark):
+    imgs = make_real_media(spark, n=8, kind="image")
+    auds = make_real_media(spark, n=4, kind="audio")
+    return imgs.unionByName(auds).cache()
+
+
+def test_real_image_features_match_numpy_truth(real_media):
+    """The real backend decodes the ACTUAL PNG payloads; per-channel
+    mean/min/max in the feature must match numpy over the pre-encode
+    array (round-tripped through the codec)."""
+    import numpy as np
+
+    from vectordb_cloud_spark.functions.codecs import decode_png
+
+    rows = {r["media_id"]: r for r in
+            extract_image_features(real_media, decode_backend="real").collect()}
+    assert len(rows) == 8
+    src = {r["media_id"]: r
+           for r in real_media.filter(F.col("kind") == "image").collect()}
+    for mid, row in rows.items():
+        arr = decode_png(bytes(src[mid]["data"])).reshape(-1, 3).astype(np.float64)
+        feat = row["feature"]
+        for c in range(3):
+            assert feat[c] == pytest.approx(arr[:, c].mean(), rel=1e-6)   # mean
+            assert feat[6 + c] == arr[:, c].min()                          # min
+            assert feat[9 + c] == arr[:, c].max()                          # max
+        # dims come from the FILE (here equal to the metadata by fixture)
+        assert (feat[12], feat[13]) == (float(src[mid]["width"]),
+                                        float(src[mid]["height"]))
+
+
+def test_real_audio_features_sine_rms(real_media):
+    """Real WAV decode: a 0.5+0.25 amplitude two-tone sine has RMS
+    ~= sqrt(0.5^2/2 + 0.25^2/2) per frame; ZCR is strictly positive."""
+    rows = extract_audio_features(real_media, decode_backend="real",
+                                  n_frames=4).collect()
+    assert len(rows) == 4
+    expected_rms = (0.5 ** 2 / 2 + 0.25 ** 2 / 2) ** 0.5
+    for r in rows:
+        *rms, zcr = r["feature"]
+        assert len(rms) == 4
+        for v in rms:
+            assert v == pytest.approx(expected_rms, rel=0.05)
+        assert zcr > 0.0
+
+
+def test_real_resize_roundtrips_valid_png(real_media):
+    from vectordb_cloud_spark.functions.codecs import decode_png
+
+    out = resize_images(real_media, 32, 24, decode_backend="real")
+    rows = out.collect()
+    assert len(rows) == 8
+    for r in rows:
+        arr = decode_png(bytes(r["data"]))  # still a decodable PNG
+        assert arr.shape == (24, 32, 3)
+        assert (r["width"], r["height"]) == (32, 24)
+
+
+def test_video_real_backend_is_explicit_stub(media):
     with pytest.raises(NotImplementedError):
-        extract_image_features(media, decode_backend="real")
-    with pytest.raises(NotImplementedError):
-        extract_audio_features(media, decode_backend="real")
+        sample_video_frames(media, decode_backend="real")
+
+
+def test_unknown_backend_rejected(media):
+    with pytest.raises(ValueError):
+        extract_image_features(media, decode_backend="magic")

@@ -2,11 +2,25 @@
 
 North-star requirement (BASELINE.json): treat media as ``binary`` columns
 with typed metadata and run decode / feature-extract / resize / frame-sample
-as Arrow-batched pandas iterators (``mapInPandas``). The decode kernels are
-STUBBED (image/audio libraries are not in this container) behind
-``decode_backend="fake"`` — a deterministic fake decoder — while everything
-Spark-side is real and tested: schema, batching, partition sizing, UDF
-signatures.
+as Arrow-batched pandas iterators (``mapInPandas``).
+
+Three decode backends:
+
+- ``"real"`` — actual codecs. PNG and WAV are decoded with the pure-stdlib
+  implementations in ``functions/codecs.py`` (zlib/struct/wave — no PIL or
+  ffmpeg needed); other image formats fall through to PIL when importable.
+  Video frame-sampling alone stays stubbed (container formats genuinely
+  need ffmpeg).
+- ``"pil"`` — import-gated PIL fast path for formats the stdlib decoder
+  doesn't cover (JPEG, WebP, ...). Raises ImportError here (PIL absent).
+- ``"fake"`` — the deterministic md5-chain pixel stream. This is what the
+  registry's ``multimodal_image_features`` uses, because its pixels are
+  exactly replayable in DuckDB SQL (the oracle), which a zlib-compressed
+  real PNG is not.
+
+Everything Spark-side is identical across backends and is the real
+contract: schema, Arrow batching, partition sizing, UDF signatures,
+metadata-driven pruning before any decode.
 
 Scale design: media rows are fat (MBs); ``repartition`` by size budget before
 mapInPandas so a batch of rows fits executor memory, and carry metadata in
@@ -54,6 +68,31 @@ def make_fake_media(spark, n: int = 64, kind: str = "image") -> DataFrame:
     # a tiny synthetic table scattered over default parallelism (32) makes
     # every downstream mapInPandas spin one Python worker per near-empty
     # partition; pack it into a few partitions sized ~16 rows each instead
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(max(1, n // 16))
+
+
+def make_real_media(spark, n: int = 64, kind: str = "image") -> DataFrame:
+    """Synthetic media table whose payloads are REAL encoded files:
+    deterministic uint8 noise images as true PNGs (kind='image') or summed
+    sine waves as true 16-bit PCM WAVs (kind='audio'), built with the
+    stdlib codecs. This is the fixture the real-backend tests decode."""
+    from ..functions.codecs import encode_png, encode_wav
+
+    rows = []
+    for i in range(n):
+        if kind == "image":
+            w, h = 64 + i % 32, 64 + i % 16
+            rng = np.random.default_rng(1000 + i)
+            payload = encode_png(rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
+            rows.append((i, kind, "png", bytearray(payload), w, h, 0))
+        else:
+            dur_ms = 1000 + i
+            rate = 8000
+            t = np.arange(int(rate * dur_ms / 1000)) / rate
+            pcm = 0.5 * np.sin(2 * np.pi * (110 + 7 * i) * t) \
+                + 0.25 * np.sin(2 * np.pi * (330 + 11 * i) * t)
+            payload = encode_wav(pcm, rate)
+            rows.append((i, "audio", "wav", bytearray(payload), 0, 0, dur_ms))
     return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(max(1, n // 16))
 
 
@@ -110,6 +149,27 @@ def _image_feature_16(arr: np.ndarray, width: int, height: int, seed: str) -> li
     return np.asarray(out, dtype=np.float32).tolist()
 
 
+def _as_hwc3(arr: np.ndarray) -> np.ndarray:
+    """Normalize a decoded image to HxWx3 uint8: grey is replicated across
+    channels, RGBA drops alpha (stats are over color planes)."""
+    if arr.ndim == 2:
+        return np.repeat(arr[:, :, None], 3, axis=2)
+    if arr.shape[2] == 1:
+        return np.repeat(arr, 3, axis=2)
+    return arr[:, :, :3]
+
+
+def _decode_hwc3(data: bytes, width: int, height: int, backend: str) -> np.ndarray:
+    """One image payload -> HxWx3 uint8 under the chosen backend. The real
+    backend trusts the FILE's dimensions, not the metadata columns (a real
+    pipeline validates metadata against payloads, not the reverse)."""
+    if backend == "fake":
+        return _fake_decode(data, width, height)
+    from ..functions.codecs import decode_image
+
+    return _as_hwc3(decode_image(data))
+
+
 def extract_image_features(media: DataFrame, decode_backend: str = "fake",
                            feature_dim: int = 16) -> DataFrame:
     """Decode + feature-extract over image rows via mapInPandas.
@@ -123,11 +183,8 @@ def extract_image_features(media: DataFrame, decode_backend: str = "fake",
     sums), which is what backs the registry oracle for
     ``multimodal_image_features``.
     """
-    if decode_backend == "real":  # pragma: no cover - codec libs absent here
-        raise NotImplementedError(
-            "real image decoding requires PIL/opencv, not present in this "
-            "container; use decode_backend='fake'"
-        )
+    if decode_backend not in ("fake", "real"):
+        raise ValueError(f"unknown decode_backend {decode_backend!r}")
 
     out_schema = StructType([
         StructField("media_id", LongType()),
@@ -139,8 +196,9 @@ def extract_image_features(media: DataFrame, decode_backend: str = "fake",
         for pdf in it:
             feats = []
             for data, w, h in zip(pdf["data"], pdf["width"], pdf["height"]):
-                arr = _fake_decode(data, w, h)
-                f16 = _image_feature_16(arr, int(w), int(h), _payload_seed(data))
+                arr = _decode_hwc3(data, w, h, decode_backend)
+                h2, w2 = arr.shape[:2]
+                f16 = _image_feature_16(arr, int(w2), int(h2), _payload_seed(data))
                 feats.append(
                     f16 if feature_dim == 16
                     else np.resize(np.asarray(f16, np.float32), feature_dim).tolist()
@@ -160,17 +218,14 @@ def extract_audio_features(media: DataFrame, decode_backend: str = "fake",
     """Decode + feature-extract over audio rows via mapInPandas.
 
     Output: (media_id, format, feature: array<float>) — per-frame RMS energy
-    plus a global zero-crossing rate over a deterministic fake PCM waveform
-    seeded from the payload (length ∝ duration_ms, so metadata drives shape
-    exactly like a real decoder). Replace ``_fake_pcm`` with soundfile/ffmpeg
-    when codec libs exist; the Spark plumbing (Arrow batches, schema,
-    partitioning) is the real contract.
+    plus a global zero-crossing rate. Backend 'real' decodes actual WAV PCM
+    with the stdlib codec (multi-channel is mono-ized by channel mean);
+    'fake' expands a deterministic waveform seeded from the payload (length
+    ∝ duration_ms, so metadata drives shape exactly like a real decoder).
+    The Spark plumbing (Arrow batches, schema, partitioning) is shared.
     """
-    if decode_backend == "real":  # pragma: no cover - codec libs absent here
-        raise NotImplementedError(
-            "real audio decoding requires soundfile/ffmpeg, not present in "
-            "this container; use decode_backend='fake'"
-        )
+    if decode_backend not in ("fake", "real"):
+        raise ValueError(f"unknown decode_backend {decode_backend!r}")
 
     out_schema = StructType([
         StructField("media_id", LongType()),
@@ -184,11 +239,17 @@ def extract_audio_features(media: DataFrame, decode_backend: str = "fake",
         n_samples = max(int(duration_ms) * 8, n_frames)  # 8 kHz-ish
         return rng.standard_normal(n_samples).astype(np.float64)
 
+    def _real_pcm(data: bytes) -> np.ndarray:
+        from ..functions.codecs import decode_wav
+
+        pcm, _rate = decode_wav(data)
+        return pcm.mean(axis=1) if pcm.ndim == 2 else pcm
+
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             feats = []
             for data, dur in zip(pdf["data"], pdf["duration_ms"]):
-                pcm = _fake_pcm(data, dur)
+                pcm = _real_pcm(data) if decode_backend == "real" else _fake_pcm(data, dur)
                 frames = np.array_split(pcm, n_frames)
                 rms = [float(np.sqrt((f * f).mean())) for f in frames]
                 zcr = float((np.diff(np.signbit(pcm)) != 0).mean())
@@ -205,19 +266,26 @@ def extract_audio_features(media: DataFrame, decode_backend: str = "fake",
 
 def resize_images(media: DataFrame, target_w: int, target_h: int,
                   decode_backend: str = "fake") -> DataFrame:
-    """Decode -> resize -> re-encode pipeline shape. With the fake backend
-    the 'resize' re-seeds at the target dims; the plumbing (schema
-    preservation, metadata update, binary round-trip) is real."""
-    if decode_backend == "real":  # pragma: no cover
-        raise NotImplementedError("real resize requires PIL/opencv")
+    """Decode -> resize -> re-encode pipeline. Backend 'real' is a true
+    PNG round-trip: stdlib decode, nearest-neighbor resample, stdlib
+    re-encode — the output column holds valid PNGs at the target dims.
+    The fake backend re-seeds at the target dims (plumbing-only)."""
+    if decode_backend not in ("fake", "real"):
+        raise ValueError(f"unknown decode_backend {decode_backend!r}")
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if decode_backend == "real":
+            from ..functions.codecs import decode_image, encode_png, resize_nearest
         for pdf in it:
             out = pdf.copy()
             new_payloads = []
             for data in pdf["data"]:
-                arr = _fake_decode(data, target_w, target_h)
-                new_payloads.append(arr.tobytes()[:1024])
+                if decode_backend == "real":
+                    arr = resize_nearest(decode_image(bytes(data)), target_w, target_h)
+                    new_payloads.append(encode_png(arr))
+                else:
+                    arr = _fake_decode(data, target_w, target_h)
+                    new_payloads.append(arr.tobytes()[:1024])
             out["data"] = new_payloads
             out["width"] = target_w
             out["height"] = target_h
