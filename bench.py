@@ -128,10 +128,37 @@ def main():
         lambda: noop_write(knn_search(vecs, q100k, k=10, filters=F.col("tenant") == 7))
     )
 
-    # index/collection build time (embed + partitioned write) — mirrors the
-    # reference's "Index creation Time" instrumentation (BASELINE.md)
+    # graph ANN (the HNSW-class family): NSW-style kNN-graph build is a
+    # one-off index cost; beam search is the per-query latency. Uses the
+    # fixture embeddings like the other ANN families.
     import shutil
     import tempfile
+
+    from vectordb_cloud_spark.operators.graph_ann import (
+        graph_beam_search,
+        knn_graph_build,
+        knn_graph_persist,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    gdir = tempfile.mkdtemp(prefix="bench_graph_")
+    try:
+        t0 = time.time()
+        g = knn_graph_build(emb, degree=8, refine_rounds=1)
+        knn_graph_persist(g, os.path.join(gdir, "adj"))
+        builds["graph_index_build"] = round(time.time() - t0, 3)
+        adj = spark.read.parquet(os.path.join(gdir, "adj"))
+        qv = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
+        results["ann_graph_topk"] = timed_median(
+            lambda: noop_write(
+                graph_beam_search(emb, adj, qv, k=10, beam=16, max_hops=4)
+            )
+        )
+    finally:
+        shutil.rmtree(gdir, ignore_errors=True)
+
+    # index/collection build time (embed + partitioned write) — mirrors the
+    # reference's "Index creation Time" instrumentation (BASELINE.md)
 
     from pyspark.sql import functions as F
 

@@ -82,3 +82,44 @@ def test_hash_shard_stable_and_complete(spark, documents):
 
     c = Counter(m1.values())
     assert max(c.values()) <= 3 * max(1, min(c.values()))
+
+
+def test_token_share_fractions_hit_targets(spark):
+    from vectordb_cloud_spark.operators.sampling import token_share_fractions
+
+    # en docs are 10x longer than fr docs: row-weighted sampling would
+    # miss token targets badly; token-share planning must correct for it
+    rows = [(i, "en", "w " * 100) for i in range(100)] + [
+        (1000 + i, "fr", "w " * 10) for i in range(100)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    fracs = token_share_fractions(docs, {"en": 0.5, "fr": 0.5}, "lang")
+    # fr is token-constrained -> kept whole; en downsampled to match fr tokens
+    assert fracs["fr"] == 1.0
+    assert fracs["en"] == pytest.approx(11 / 101, rel=1e-6)  # 11 fr tokens per 101-token en doc ("w "*N splits to N+1)
+
+
+def test_mixture_by_token_share_is_seeded_subset(spark, documents):
+    from vectordb_cloud_spark.operators.sampling import mixture_by_token_share
+
+    langs = [r["lang"] for r in documents.select("lang").distinct().collect()]
+    shares = {lang: 1.0 for lang in langs[:2]}
+    out1 = mixture_by_token_share(documents, shares, "lang", seed=7)
+    out2 = mixture_by_token_share(documents, shares, "lang", seed=7)
+    assert sorted(r["doc_id"] for r in out1.collect()) == \
+        sorted(r["doc_id"] for r in out2.collect())
+    assert set(r["lang"] for r in out1.select("lang").distinct().collect()) \
+        <= set(shares)
+    # a true subset of the corpus
+    assert out1.join(documents, "doc_id", "left_anti").count() == 0
+
+
+def test_token_share_fractions_validates(spark, documents):
+    import pytest as _pytest
+
+    from vectordb_cloud_spark.operators.sampling import token_share_fractions
+
+    with _pytest.raises(ValueError, match="zero"):
+        token_share_fractions(documents, {"en": 0.0})
+    with _pytest.raises(ValueError, match="no tokens"):
+        token_share_fractions(documents, {"klingon": 1.0})

@@ -55,3 +55,83 @@ def test_range_join_matches_theta(spark):
     assert g == w and len(g) > 0
     # overlapping ranges produce both matches
     assert (119, "b") in g and (119, "c") in g
+
+
+# ---------------------------------------------------------------------------
+# SCD2
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def changelog(spark):
+    rows = [
+        # key, ts, tier, license
+        (1, 10, "low", "mit"),
+        (1, 20, "low", "mit"),      # no change -> collapses
+        (1, 30, "high", "mit"),     # tier change
+        (1, 40, "high", "apache"),  # license change
+        (2, 15, "mid", None),       # null attr
+        (2, 25, "mid", "bsd"),      # null -> value IS a change
+        (3, 5, "low", "mit"),       # single-version key
+    ]
+    return spark.createDataFrame(
+        rows, "source_id long, ts long, tier string, license string"
+    )
+
+
+def test_scd2_snapshot_versions_and_intervals(changelog):
+    from vectordb_cloud_spark.operators.temporal import scd2_snapshot
+
+    dim = scd2_snapshot(changelog, "source_id", "ts", ["tier", "license"])
+    rows = {(r["source_id"], r["valid_from"]): r for r in dim.collect()}
+    assert len(rows) == 6  # 3 + 2 + 1 versions, the no-op row collapsed
+    assert rows[(1, 10)]["valid_to"] == 30 and not rows[(1, 10)]["is_current"]
+    assert rows[(1, 30)]["valid_to"] == 40
+    assert rows[(1, 40)]["valid_to"] is None and rows[(1, 40)]["is_current"]
+    # null -> value transition is a real version boundary
+    assert rows[(2, 15)]["valid_to"] == 25
+    assert rows[(3, 5)]["is_current"]
+
+
+def test_scd2_apply_changes_rebuilds_touched_keys_only(spark, changelog):
+    from vectordb_cloud_spark.operators.temporal import (
+        scd2_apply_changes,
+        scd2_snapshot,
+    )
+
+    dim = scd2_snapshot(changelog, "source_id", "ts", ["tier", "license"])
+    batch = spark.createDataFrame(
+        [
+            (1, 50, "high", "gpl"),   # append-style change
+            (2, 18, "mid", "bsd"),    # LATE change inside key-2 history
+            (4, 60, "new", "mit"),    # brand-new key
+        ],
+        "source_id long, ts long, tier string, license string",
+    )
+    out = scd2_apply_changes(dim, batch, "source_id", "ts", ["tier", "license"])
+    # equivalent to rebuilding from the full merged changelog
+    truth = scd2_snapshot(
+        changelog.unionByName(batch), "source_id", "ts", ["tier", "license"]
+    )
+    from collections import Counter
+
+    got = Counter(map(tuple, out.collect()))
+    assert got == Counter(map(tuple, truth.collect()))
+    # untouched key 3 survived verbatim
+    assert any(r[0] == 3 for r in got)
+
+
+def test_scd2_apply_identical_change_is_noop(spark, changelog):
+    from vectordb_cloud_spark.operators.temporal import (
+        scd2_apply_changes,
+        scd2_snapshot,
+    )
+
+    dim = scd2_snapshot(changelog, "source_id", "ts", ["tier", "license"])
+    batch = spark.createDataFrame(
+        [(1, 45, "high", "apache")],  # same attrs as current version of key 1
+        "source_id long, ts long, tier string, license string",
+    )
+    out = scd2_apply_changes(dim, batch, "source_id", "ts", ["tier", "license"])
+    from collections import Counter
+
+    assert Counter(map(tuple, out.collect())) == Counter(map(tuple, dim.collect()))

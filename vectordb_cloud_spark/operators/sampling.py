@@ -108,3 +108,60 @@ def hash_shard(docs: DataFrame, n_shards: int, id_col: str = "doc_id",
     return docs.withColumn(
         shard_col, F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
     )
+
+
+def token_share_fractions(
+    docs: DataFrame,
+    target_shares: dict[str, float],
+    domain_col: str = "lang",
+    token_expr=None,
+) -> dict[str, float]:
+    """Per-domain keep-fractions that realize a target TOKEN distribution.
+
+    Training mixtures are specified in token share ("30% code, 20%
+    multilingual"), but sampling operates on rows — and domains have very
+    different tokens-per-doc, so row-weighted mixing (``weighted_mixture``)
+    does not hit token targets. This computes, from one aggregate over the
+    corpus, the Bernoulli fraction per domain such that expected sampled
+    tokens match ``target_shares`` (normalized), scaled so the most
+    token-constrained domain is kept whole and nothing is oversampled.
+
+    Driver-side state is one row per domain (mixtures name a handful of
+    domains, never high-cardinality — same bound as ``weighted_mixture``).
+    Domains absent from ``target_shares`` get fraction 0.0 (dropped).
+    """
+    if token_expr is None:
+        token_expr = F.size(F.split(F.col("text"), r"\s+"))
+    shares = {k: v for k, v in target_shares.items() if v > 0}
+    if not shares:
+        raise ValueError("all target shares are zero — nothing to mix")
+    total_share = sum(shares.values())
+    shares = {k: v / total_share for k, v in shares.items()}
+    tokens = {
+        r["__d"]: r["__t"]
+        for r in docs.filter(F.col(domain_col).isin(list(shares)))
+        .groupBy(F.col(domain_col).alias("__d"))
+        .agg(F.sum(token_expr).alias("__t"))
+        .collect()
+    }
+    missing = set(shares) - set(tokens)
+    if missing:
+        raise ValueError(f"domains with no tokens in corpus: {sorted(missing)}")
+    # largest feasible total token budget: the domain with the smallest
+    # tokens-per-share ratio caps the mixture (kept at fraction 1.0)
+    budget = min(tokens[d] / shares[d] for d in shares)
+    return {d: min(1.0, (shares[d] * budget) / tokens[d]) for d in shares}
+
+
+def mixture_by_token_share(
+    docs: DataFrame,
+    target_shares: dict[str, float],
+    domain_col: str = "lang",
+    token_expr=None,
+    seed: int = 42,
+) -> DataFrame:
+    """Sample ``docs`` so expected token mass per domain matches
+    ``target_shares``: plan fractions with ``token_share_fractions``, then
+    one map-side seeded ``sampleBy`` — no shuffle, reproducible."""
+    fracs = token_share_fractions(docs, target_shares, domain_col, token_expr)
+    return docs.sampleBy(domain_col, fracs, seed=seed)
