@@ -63,8 +63,7 @@ def main():
     qmod._pq_index(spark, sf_dir)
     builds["pq_index_build"] = round(time.time() - t0, 3)
     t0 = time.time()
-    qmod._lsh_model(spark, sf_dir, 4.0, 4)
-    qmod._lsh_model(spark, sf_dir, 2.0, 4)
+    qmod._lsh_model(spark, sf_dir, qmod._LSH_BL, qmod._LSH_G * qmod._LSH_TABLES)
     builds["lsh_model_fit"] = round(time.time() - t0, 3)
     t0 = time.time()
     qmod._bm25_index(spark, sf_dir)

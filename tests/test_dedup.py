@@ -199,3 +199,59 @@ def test_embedding_near_dup_lsh_subset_of_exact(spark, embeddings):
     # with several hash tables the blocked join should recover most pairs
     if exact:
         assert len(lsh) / len(exact) >= 0.5
+
+
+def test_embedding_near_dup_lsh_compound_buckets_recall_and_pruning(spark, embeddings):
+    """Compound (AND g, OR b) buckets on a unit-norm corpus with planted
+    near-dups: high recall on the planted pairs AND a candidate space that
+    is a small fraction of n² — the property single-projection buckets lose
+    on unit vectors (round-6 finding: bucket_length 2.0 collapsed the whole
+    corpus into 2 buckets per table)."""
+    from pyspark.sql import functions as F
+
+    from vectordb_cloud_spark.operators.ann import (
+        lsh_bucket_columns,
+        lsh_fit,
+        lsh_planes,
+    )
+
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    # plant a perturbed copy of every 5th vector (deterministic jitter)
+    pert = (
+        emb.filter(F.col("vec_id") % 5 == 0)
+        .select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: x + (F.pmod(F.xxhash64(F.col("vec_id"), i), F.lit(100))
+                                  .cast("double") / 100.0 * 0.06 - 0.03),
+            ).alias("embedding"),
+        )
+    )
+    aug = emb.unionByName(pert)
+    n = aug.count()
+    planted = emb.filter(F.col("vec_id") % 5 == 0).count()
+
+    bl, g, b = 0.075, 3, 6
+    model, _ = lsh_fit(aug, bucket_length=bl, num_hash_tables=g * b)
+    pairs = embedding_near_dup_lsh(
+        aug, threshold=0.9, model=model, projections_per_table=g
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    hits = sum(1 for a, b2 in got if b2 == a + 100000)
+    assert hits / planted >= 0.85  # recall on planted near-dups
+
+    # candidate-space selectivity: distinct colliding pairs << n^2/2
+    buckets = lsh_bucket_columns(
+        F.col("embedding"), lsh_planes(model), bl, projections_per_table=g
+    )
+    banded = aug.select("vec_id", F.posexplode(F.array(*buckets)).alias("t", "bk"))
+    l, r = banded.alias("l"), banded.alias("r")
+    n_cand = (
+        l.join(r, (F.col("l.t") == F.col("r.t")) & (F.col("l.bk") == F.col("r.bk"))
+               & (F.col("l.vec_id") < F.col("r.vec_id")))
+        .select("l.vec_id", "r.vec_id").distinct().count()
+    )
+    assert n_cand <= 0.15 * n * (n - 1) / 2, f"candidates {n_cand} vs n²/2"

@@ -68,10 +68,54 @@ def lsh_similarity_join(model, a: DataFrame, b: DataFrame, threshold: float,
     return model.approxSimilarityJoin(ta, tb, threshold, distCol="dist")
 
 
+def lsh_planes(model) -> list[list[float]]:
+    """Extract a fitted BucketedRandomProjectionLSH model's random unit
+    vectors (data-independent, seeded) as plain Python lists — the planes
+    are what the hash IS; with them in hand, bucketing is pure column
+    algebra and the MLlib transform machinery is unnecessary."""
+    return [[float(x) for x in v.toArray()] for v in model._call_java("randUnitVectors")]
+
+
+def lsh_bucket_columns(vec, planes: list[list[float]], bucket_length: float,
+                       projections_per_table: int = 1):
+    """MLlib-BRP-identical bucket ids as JVM expressions:
+    ``floor(dot(vec, plane) / bucketLength)``. Sequential fold in element
+    order — the same double-summation order as MLlib's dot and the DuckDB
+    oracle, so bucket boundaries agree bit-for-bit.
+
+    ``projections_per_table`` > 1 AND-composes consecutive planes into one
+    compound bucket per table (a string key "h1:h2:...") — the classic
+    (AND g, OR b) construction MLlib's BRP lacks. One projection on a
+    unit-norm corpus spreads over only ~±4/√dim, so single-projection
+    buckets stop discriminating as n grows; AND-ing g projections drives a
+    random pair's collision odds down multiplicatively while a near-pair
+    (whose projected gap is << bucket_length) keeps most of its odds.
+    """
+    g = projections_per_table
+    if len(planes) % g:
+        raise ValueError(f"{len(planes)} planes not divisible by group {g}")
+    floors = []
+    for u in planes:
+        dot = F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(float(x)) for x in u]),
+                       lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        floors.append(F.floor(dot / F.lit(float(bucket_length))).cast("long"))
+    if g == 1:
+        return floors
+    return [
+        F.concat_ws(":", *[f.cast("string") for f in floors[t * g:(t + 1) * g]])
+        for t in range(len(planes) // g)
+    ]
+
+
 def lsh_self_join_pairs(model, points: DataFrame, threshold: float,
                         id_col: str = "vec_id",
                         vector_col: str = "embedding",
-                        eager: bool = False) -> DataFrame:
+                        eager: bool = False,
+                        projections_per_table: int = 1) -> DataFrame:
     """Self similarity join returning unordered pairs (id_a < id_b, dist).
 
     Produces the same pair set as ``approxSimilarityJoin(x, x, t)`` filtered
@@ -84,34 +128,27 @@ def lsh_self_join_pairs(model, points: DataFrame, threshold: float,
     (id, table, bucket) rows; vectors are joined back per surviving
     candidate, exactly like operators/dedup.py:embedding_near_dup_lsh.
 
-    CACHE CONTRACT (ADVICE r5): the input projection and the banded rows
-    are cached — the self-join needs both sides of ``banded`` and the
-    join-back needs ``pts`` twice, and without the cache the MLlib hash
-    transform runs once per side. Lazily-returned results keep those blocks
-    pinned until Spark's LRU evicts them, which is fine for one-shot batch
-    jobs but accumulates in a long-lived serving process: there, pass
-    ``eager=True`` to materialize the pair set now (``localCheckpoint``, so
-    the result survives the unpersist) and release both caches before
-    returning. Eager results trade lineage for storage: they cannot be
-    recomputed after executor loss, which is acceptable for a served result
-    set and wrong for a checkpoint-free batch pipeline — hence opt-in.
+    The model's hyperplanes are folded in as LITERALS and the buckets
+    computed with ``lsh_bucket_columns`` — one whole-stage-codegen scan per
+    side, no MLlib transform, no caching (the r5 cache contract existed to
+    amortize the transform; with expression-side hashing a re-scan is just
+    a columnar projection, so nothing needs pinning). ``eager=True`` still
+    materializes the result via ``localCheckpoint`` for serving paths that
+    reuse the pair set many times.
     """
-    from pyspark.ml.functions import vector_to_array
-
     from vectordb_cloud_spark.functions.vector import l2_distance
 
-    pts = _to_vector_col(points, vector_col, "__features").select(
+    planes = lsh_planes(model)
+    bucket_length = float(model.getBucketLength())
+    pts = points.select(
         F.col(id_col).alias("id"),
         F.col(vector_col).cast("array<double>").alias("vec"),
-        "__features",
-    ).cache()  # read once; reused by both join-back sides
-    hashed = model.transform(pts)
-    banded = hashed.select(
-        "id", F.posexplode("__hashes").alias("table", "__hv")
-    ).select("id", "table", vector_to_array("__hv")[0].cast("long").alias("bucket")).cache()
-    # ^ skinny (id, table, bucket) rows cached: the self-join would otherwise
-    # run the MLlib hash transform once PER SIDE (same pattern as
-    # operators/dedup.py:embedding_near_dup_lsh)
+    )
+    buckets = lsh_bucket_columns(F.col("vec"), planes, bucket_length,
+                                 projections_per_table)
+    banded = pts.select(
+        "id", F.posexplode(F.array(*buckets)).alias("table", "bucket")
+    )
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(r, (F.col("l.table") == F.col("r.table"))
@@ -131,8 +168,6 @@ def lsh_self_join_pairs(model, points: DataFrame, threshold: float,
     out = pairs.filter(F.col("dist") < threshold).select("id_a", "id_b", "dist")
     if eager:
         out = out.localCheckpoint(eager=True)
-        pts.unpersist()
-        banded.unpersist()
     return out
 
 

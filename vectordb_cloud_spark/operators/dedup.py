@@ -403,6 +403,7 @@ def embedding_near_dup_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     model=None,
+    projections_per_table: int = 1,
 ) -> DataFrame:
     """Embedding near-dup pairs blocked by LSH buckets — the 100 TB-safe
     blocking key (VERDICT round 1: blocking on a low-cardinality label is
@@ -420,29 +421,35 @@ def embedding_near_dup_lsh(
     the fit only draws seeded random hyperplanes (it is data-independent),
     so callers may legitimately fit once per (dim, params) and share it.
     """
-    from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector
-
     from vectordb_cloud_spark.functions.vector import dot_product, l2_norm
+    from vectordb_cloud_spark.operators.ann import (
+        lsh_bucket_columns,
+        lsh_fit,
+        lsh_planes,
+    )
 
     pts = _parallelize(vectors).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
         l2_norm(F.col(vec_col)).alias("norm"),
-    ).withColumn("__features", array_to_vector("vec")).cache()
+    )
     if model is None:
-        lsh = BucketedRandomProjectionLSH(
-            inputCol="__features", outputCol="__hashes",
-            bucketLength=bucket_length, numHashTables=num_tables, seed=42,
+        model, _ = lsh_fit(
+            vectors, vector_col=vec_col, bucket_length=bucket_length,
+            num_hash_tables=num_tables * projections_per_table,
         )
-        model = lsh.fit(pts)
-    hashed = model.transform(pts)
-    from pyspark.ml.functions import vector_to_array
-
+    # hash with the model's planes as literal expressions (one codegen scan,
+    # no MLlib transform / caching); bucket math is MLlib-identical —
+    # floor(dot/L) in element order; projections_per_table > 1 AND-composes
+    # planes into compound buckets (ann.lsh_bucket_columns)
+    buckets = lsh_bucket_columns(
+        F.col("vec"), lsh_planes(model), float(model.getBucketLength()),
+        projections_per_table,
+    )
     # skinny (id, table, bucket) rows — the join never shuffles vectors
-    banded = hashed.select(
-        "id", F.posexplode("__hashes").alias("table", "__hv")
-    ).select("id", "table", vector_to_array("__hv")[0].cast("long").alias("bucket"))
+    banded = pts.select(
+        "id", F.posexplode(F.array(*buckets)).alias("table", "bucket")
+    )
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(r, (F.col("l.table") == F.col("r.table"))

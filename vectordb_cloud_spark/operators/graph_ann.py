@@ -56,28 +56,72 @@ def knn_graph_build(
     degree: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    bucket_length: float = 2.0,
-    num_tables: int = 4,
+    n_blocks: int | None = None,
+    n_blockings: int = 2,
     refine_rounds: int = 1,
+    seed: int = 42,
+    max_train_rows: int = 100_000,
 ) -> DataFrame:
     """Build a symmetric kNN graph: ``(src, dst, dist)`` with up to
     ``degree`` out-edges per node.
 
-    Candidates = LSH bucket collisions (the scale-safe generator — pair
-    space is bucket occupancy, not n²), exact L2 verify, top-``degree``
-    per node after symmetrization. Each ``refine_round`` then does one
-    NN-descent step: propose neighbors-of-neighbors, score, re-select —
-    this is what recovers edges LSH bucketing missed. Every stage is an
-    equi-join or a bounded per-key top-k; nothing is quadratic.
+    Candidates come from ``n_blockings`` INDEPENDENT k-means partitions of
+    the corpus (different seeds over one driver-side sample — the
+    random-partition-tree idea, flattened): nodes in the same cluster of
+    any partition are candidate neighbors, so the pair space is
+    Σ block_size² per blocking — n²/n_blocks in expectation, never n².
+    (Round 6 replaced the earlier unthresholded-LSH generator: on a
+    unit-norm corpus its single-projection buckets collapsed to ~2 per
+    table, which IS n².) A second blocking with a different seed recovers
+    neighbors split across the first partition's boundaries; each
+    ``refine_round`` then runs one NN-descent step (Dong et al., WWW'11) —
+    propose neighbors-of-neighbors, score, re-select — which repairs the
+    remaining recall. Every stage is an equi-join on a block/centroid key
+    or a bounded per-key top-k; nothing is quadratic, and the only
+    driver-side state is the sampled k-means fit.
     """
-    from vectordb_cloud_spark.operators.ann import lsh_self_join_pairs, lsh_fit
+    import numpy as np
 
-    model, _ = lsh_fit(points, vector_col=vec_col,
-                       bucket_length=bucket_length, num_hash_tables=num_tables)
-    # threshold=inf is not expressible; use a huge bound — the per-node
-    # top-degree selection below is the real pruning
-    pairs = lsh_self_join_pairs(model, points, threshold=float("1e18"),
-                                id_col=id_col, vector_col=vec_col)
+    from vectordb_cloud_spark.operators.ann import _lloyd_fit, ivf_assign
+
+    vecs0 = points.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    if n_blocks is None:
+        # target ~128 rows per block: Σ block² stays ~128·n while blocks
+        # keep enough neighbors for the NN-descent rounds to bootstrap.
+        # (Very large corpora want recursive partitioning below this —
+        # build shards via hash_shard and union the graphs, then refine.)
+        n_blocks = max(2, int(points.count()) // 128)
+    sample = vecs0.select("vec").limit(max_train_rows).collect()
+    X = np.asarray([r["vec"] for r in sample], dtype=np.float64)
+    banded_parts = []
+    for s in range(n_blockings):
+        centers_np = _lloyd_fit(X, n_blocks, seed + s)
+        centers = [(i, [float(x) for x in c]) for i, c in enumerate(centers_np)]
+        assigned = ivf_assign(vecs0, centers, "vec").select(
+            "id",
+            (F.lit(s) * (n_blocks + 1) + F.col("centroid_id")).alias("block"),
+        )
+        banded_parts.append(assigned)
+    banded = banded_parts[0]
+    for p in banded_parts[1:]:
+        banded = banded.unionByName(p)
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(r, (F.col("l.block") == F.col("r.block"))
+               & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    side = vecs0
+    pairs = (
+        cand.join(side.select(F.col("id").alias("id_a"), F.col("vec").alias("va")), "id_a")
+        .join(side.select(F.col("id").alias("id_b"), F.col("vec").alias("vb")), "id_b")
+        .withColumn("dist", l2_distance(F.col("va"), F.col("vb")))
+        .select("id_a", "id_b", "dist")
+    )
     # symmetrize: an (a,b) candidate is an edge candidate for BOTH endpoints
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "dist"

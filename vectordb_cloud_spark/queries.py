@@ -775,18 +775,33 @@ def _lsh_model(spark: SparkSession, sf_dir: str, bucket_length: float, num_table
     return model
 
 
-def _lsh_cand_sql(bucket_length: float, num_tables: int,
-                  source: str = "embeddings", id_col: str = "vec_id") -> str:
+def _lsh_cand_sql(bucket_length: float, num_planes: int,
+                  source: str = "embeddings", id_col: str = "vec_id",
+                  group: int = 1) -> str:
     """DuckDB fragment: DISTINCT candidate pairs (id_a < id_b) colliding in
-    >= 1 LSH table, replaying MLlib's bucket = floor(dot(v, u)/L) over the
-    materialized hyperplanes."""
+    >= 1 LSH table, replaying bucket = floor(dot(v, u)/L) over the
+    materialized hyperplanes. ``group`` > 1 AND-composes consecutive planes
+    into one compound "h1:h2:..." bucket per table — the exact string
+    ``ann.lsh_bucket_columns`` builds with concat_ws."""
     dot = _SQL_DOT.format(a="e.embedding", b="p.u")
-    return f"""
-    b AS (
+    per_plane = f"""
+    ph AS (
       SELECT e.{id_col} AS id, p.tbl,
-             CAST(floor({dot} / {bucket_length}) AS BIGINT) AS bucket
-      FROM {source} e, read_parquet('{_lsh_planes_path(bucket_length, num_tables)}') p
-    ),
+             CAST(floor({dot} / {bucket_length}) AS BIGINT) AS h
+      FROM {source} e, read_parquet('{_lsh_planes_path(bucket_length, num_planes)}') p
+    )"""
+    if group == 1:
+        bucket_tbl = "b AS (SELECT id, tbl, h::VARCHAR AS bucket FROM ph)"
+    else:
+        bucket_tbl = f"""
+    b AS (
+      SELECT id, tbl // {group} AS tbl,
+             string_agg(h::VARCHAR, ':' ORDER BY tbl) AS bucket
+      FROM ph GROUP BY id, tbl // {group}
+    )"""
+    return f"""
+    {per_plane},
+    {bucket_tbl},
     cand AS (
       SELECT DISTINCT l.id AS id_a, r.id AS id_b
       FROM b l JOIN b r ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.id < r.id
@@ -794,39 +809,109 @@ def _lsh_cand_sql(bucket_length: float, num_tables: int,
     """
 
 
+# --- injected embedding near-dups -----------------------------------------
+# The fixture embeddings are uniform random unit vectors: NO pair exceeds
+# cosine ~0.6, so a near-dup query over the raw table is vacuous and any
+# LSH tuned to find its "pairs" degenerates to all-pairs (round-6 finding:
+# bucket_length 2.0 put the whole corpus in 2 buckets/table). Mirroring the
+# exact_dup_groups precedent (r2), the near-dup queries run over the corpus
+# UNIONed with a deterministically perturbed copy of every 10th vector
+# (element i jitters by (md5_60(id:i) % 1000)/1000*0.08 - 0.04, cosine to
+# the original ≈ 0.98) — true near-dups the blocking must recover, replayed
+# verbatim in the oracle.
+_AUG_OFFSET = 1_000_000
+_EMB_DIM = 64  # fixture embedding dim (TESTDATA.md), all sf dirs
+# compound LSH config shared by the two near-dup registry queries:
+# (AND 3 projections, OR 6 tables) at bucket_length 0.075 -> 18 planes.
+# On unit vectors sigma_projection = 1/sqrt(dim) = 0.125: a random pair's
+# per-projection collision odds ~ L*phi(0)/sigma ~ 0.17 -> ~0.005 per
+# compound table; an injected near-dup pair (projected gap sigma 0.023)
+# keeps ~0.43 per table -> ~97% recall across 6 tables with ~3% of the
+# pair space scored (measured in test_dedup.py).
+_LSH_BL, _LSH_G, _LSH_TABLES = 0.075, 3, 6
+
+
+def _aug_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ perturbed copies of vec_id % 10 == 0 (ids + 1e6)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+
+    def jit(i):
+        s = F.concat_ws(":", F.col("vec_id").cast("string"), i.cast("string"))
+        h = F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+        return (h % 1000).cast("double") / 1000.0 * 0.08 - 0.04
+
+    pert = (
+        emb.filter(F.col("vec_id") % 10 == 0)
+        .select(
+            F.col("vec_id"),
+            F.transform("embedding", lambda x, i: x + jit(i)).alias("embedding"),
+        )
+        .select((F.col("vec_id") + _AUG_OFFSET).alias("vec_id"), "embedding")
+    )
+    return emb.unionByName(pert)
+
+
+def _aug_sql() -> str:
+    """DuckDB twin of _aug_embeddings (fragment defining ``aug``)."""
+    return f"""
+    aug AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding
+      FROM embeddings
+      UNION ALL
+      SELECT q.vec_id + {_AUG_OFFSET}, list(q.p ORDER BY q.i)
+      FROM (
+        SELECT e.vec_id, t.i,
+               e.embedding[t.i + 1]::DOUBLE
+               + ((('0x' || substr(md5(e.vec_id::VARCHAR || ':' || t.i::VARCHAR), 1, 15))::BIGINT
+                   % 1000)::DOUBLE / 1000.0 * 0.08 - 0.04) AS p
+        FROM embeddings e, range({_EMB_DIM}) t(i)
+        WHERE e.vec_id % 10 = 0
+      ) q
+      GROUP BY q.vec_id
+    )
+    """
+
+
 def _embedding_lsh_oracle_sql() -> str:
-    """DuckDB twin of the LSH-blocked embedding near-dup: candidate
-    generation via the materialized hyperplanes (bucket collision in any of
-    the 4 tables) + the exact cosine verify — the same end-to-end pipeline,
-    so the hash check covers the blocking behavior itself."""
+    """DuckDB twin of the LSH-blocked embedding near-dup over the augmented
+    corpus: replay the injected perturbation (_aug_sql), the compound
+    (AND 3, OR 6) bucket collision over the materialized hyperplanes, and
+    the exact cosine verify — the same end-to-end pipeline, so the hash
+    check covers the injection AND the blocking behavior."""
     cos = (
         f"{_SQL_DOT.format(a='va.embedding', b='vb.embedding')}"
         f" / ({_SQL_NORM.format(a='va.embedding')} * {_SQL_NORM.format(a='vb.embedding')})"
     )
     return f"""
-    WITH {_lsh_cand_sql(4.0, 4)}
+    WITH {_aug_sql()},
+    {_lsh_cand_sql(_LSH_BL, _LSH_G * _LSH_TABLES, source="aug", group=_LSH_G)}
     SELECT c.id_a, c.id_b, round({cos}, 6) AS cosine
     FROM cand c
-    JOIN embeddings va ON va.vec_id = c.id_a
-    JOIN embeddings vb ON vb.vec_id = c.id_b
-    WHERE {cos} >= 0.3
+    JOIN aug va ON va.vec_id = c.id_a
+    JOIN aug vb ON vb.vec_id = c.id_b
+    WHERE {cos} >= 0.9
     """
 
 
 @_q("embedding_near_dup_lsh", _embedding_lsh_oracle_sql())
 def embedding_near_dup_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs blocked by LSH buckets — the 100 TB blocking
-    key (bucket occupancy is constant in n, vs n²/|labels| for the label
-    block). Oracle-checked end to end: DuckDB replays the random-projection
-    bucketing over the materialized hyperplanes plus the exact cosine verify
-    (_embedding_lsh_oracle_sql); subset-of-exact + recall are additionally
-    gated in tests/test_dedup.py."""
+    """Embedding near-dup pairs blocked by compound LSH buckets — the
+    100 TB blocking key (compound-bucket occupancy is constant in n, vs
+    n²/|labels| for the label block), over the corpus with injected
+    perturbed near-dups (see _aug_embeddings: raw fixture vectors have no
+    cos>0.9 pairs, and a single-projection LSH tuned to a loose threshold
+    degenerates to all-pairs). Oracle-checked end to end: DuckDB replays
+    injection + bucketing + exact cosine verify (_embedding_lsh_oracle_sql);
+    recall vs brute force is additionally gated in tests/test_dedup.py."""
     from vectordb_cloud_spark.operators.dedup import embedding_near_dup_lsh
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _aug_embeddings(spark, sf_dir)
     return embedding_near_dup_lsh(
-        emb, threshold=0.3, bucket_length=4.0, num_tables=4,
-        model=_lsh_model(spark, sf_dir, 4.0, 4),
+        emb, threshold=0.9,
+        model=_lsh_model(spark, sf_dir, _LSH_BL, _LSH_G * _LSH_TABLES),
+        projections_per_table=_LSH_G,
     )
 
 
@@ -1282,28 +1367,32 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _lsh_joinpairs_oracle_sql() -> str:
     l2 = _SQL_L2.format(a="va.embedding", b="vb.embedding")
     return f"""
-    WITH {_lsh_cand_sql(2.0, 4)}
+    WITH {_aug_sql()},
+    {_lsh_cand_sql(_LSH_BL, _LSH_G * _LSH_TABLES, source="aug", group=_LSH_G)}
     SELECT c.id_a, c.id_b, round({l2}, 6) AS dist
     FROM cand c
-    JOIN embeddings va ON va.vec_id = c.id_a
-    JOIN embeddings vb ON vb.vec_id = c.id_b
-    WHERE {l2} < 1.2
+    JOIN aug va ON va.vec_id = c.id_a
+    JOIN aug vb ON vb.vec_id = c.id_b
+    WHERE {l2} < 0.5
     """
 
 
 @_q("lsh_similarity_join_pairs", _lsh_joinpairs_oracle_sql())
 def lsh_similarity_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs L2 similarity join via LSH bucket collision (the halved
-    banded self-join form of MLlib approxSimilarityJoin, ann.py:
-    lsh_self_join_pairs) — the distributed substitute for O(n²) all-pairs
-    (SURVEY.md §4b). Oracle-checked end to end: DuckDB replays the bucket
-    collision over the materialized hyperplanes + the strict < exact-L2
-    verify (_lsh_joinpairs_oracle_sql)."""
+    """All-pairs L2 similarity join via compound LSH bucket collision (the
+    halved banded self-join form of MLlib approxSimilarityJoin with AND-
+    composed buckets, ann.py:lsh_self_join_pairs) — the distributed
+    substitute for O(n²) all-pairs (SURVEY.md §4b), over the corpus with
+    injected near-dups (_aug_embeddings; dist < 0.5 on the raw fixture is
+    the empty set). Oracle-checked end to end: DuckDB replays injection +
+    compound bucketing over the materialized hyperplanes + the strict <
+    exact-L2 verify (_lsh_joinpairs_oracle_sql)."""
     from vectordb_cloud_spark.operators.ann import lsh_self_join_pairs
 
-    emb = _t(spark, sf_dir, "embeddings")
-    model = _lsh_model(spark, sf_dir, 2.0, 4)
-    pairs = lsh_self_join_pairs(model, emb, threshold=1.2)
+    emb = _aug_embeddings(spark, sf_dir)
+    model = _lsh_model(spark, sf_dir, _LSH_BL, _LSH_G * _LSH_TABLES)
+    pairs = lsh_self_join_pairs(model, emb, threshold=0.5,
+                                projections_per_table=_LSH_G)
     return pairs.select("id_a", "id_b", F.round("dist", 6).alias("dist"))
 
 
