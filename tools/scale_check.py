@@ -23,6 +23,10 @@ ratio, medians of N runs):
   + manifest probe-skip -> near-FLAT in table size (the key design claim)
 - MinHash near-dup: banded candidate join -> candidates stay bounded by
   bucket occupancy, ~linear, never quadratic
+- compound-LSH embedding near-dup: the AND-width grows with log n (the
+  g-schedule), holding the verify stage ~linear across a 10x row jump
+- graph kNN build: multi-seed k-means blocking -> ~128·n candidate pairs
+  per blocking, linear
 - TPC-H q1 aggregate / q3 join: partial-agg + broadcast dims -> ~linear
 
 Usage: python tools/scale_check.py [--runs 3] [--out SCALE.md]
@@ -207,6 +211,56 @@ def main():
                 ),
                 args.runs,
             )
+
+        # Compound-LSH embedding near-dup under the g-SCHEDULE: with fixed
+        # params banded candidates are a fixed FRACTION of n² (quadratic with
+        # a small constant); growing the AND-width g with log n multiplies
+        # the false-positive rate down (~0.03x per extra projection here)
+        # so the verify stage stays ~linear, while extra OR-tables hold
+        # recall. 50k rows at (AND 4, OR 8) vs 500k at (AND 5, OR 10),
+        # 10% planted near-dups each.
+        from vectordb_cloud_spark.operators.ann import lsh_fit
+        from vectordb_cloud_spark.operators.dedup import embedding_near_dup_lsh
+
+        for n, (g_and, b_or) in ((50_000, (4, 8)), (500_000, (5, 10))):
+            base = synth_vectors(spark, n)
+            pert = base.filter(F.col("vec_id") % 10 == 0).select(
+                (F.col("vec_id") + 10_000_000).alias("vec_id"),
+                F.transform(
+                    "embedding",
+                    lambda x, i: x + (F.pmod(F.xxhash64(F.col("vec_id"), i),
+                                             F.lit(100)).cast("double")
+                                      / 100.0 * 0.04 - 0.02),
+                ).cast("array<float>").alias("embedding"),
+                "tenant",
+            )
+            p = os.path.join(tmp, f"auglsh_{n}")
+            base.unionByName(pert).write.mode("overwrite").parquet(p)
+            aug = spark.read.parquet(p)
+            model, _ = lsh_fit(aug, bucket_length=0.05,
+                               num_hash_tables=g_and * b_or)
+            results.setdefault("lsh_compound_near_dup", {})[n] = timed(
+                lambda aug=aug, model=model, g_and=g_and: noop(
+                    embedding_near_dup_lsh(aug, threshold=0.99, model=model,
+                                           projections_per_table=g_and)
+                ),
+                args.runs,
+            )
+
+        # graph kNN build (multi-seed k-means blocking + NN-descent):
+        # candidate pairs = ~128·n per blocking -> linear; one-off build
+        from vectordb_cloud_spark.operators.graph_ann import knn_graph_build
+
+        for n in (10_000, 100_000):
+            p = os.path.join(tmp, f"gvecs_{n}")
+            if n not in vec_paths:
+                synth_vectors(spark, n).write.mode("overwrite").parquet(p)
+            else:
+                p = vec_paths[n]
+            df = spark.read.parquet(p)
+            t0 = time.time()
+            noop(knn_graph_build(df, degree=8, refine_rounds=1))
+            results.setdefault("graph_knn_build", {})[n] = round(time.time() - t0, 3)
 
         # TPC-H q1 aggregate: 600k vs 6M lineitem rows
         for factor in (1, 10):
