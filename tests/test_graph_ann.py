@@ -66,3 +66,38 @@ def test_wider_beam_does_not_reduce_recall(spark, embeddings, graph):
     r_narrow = recall_at_k(narrow, exact, "vec_id")
     r_wide = recall_at_k(wide, exact, "vec_id")
     assert r_wide >= r_narrow
+
+
+def test_graph_append_incremental(spark, embeddings):
+    from vectordb_cloud_spark.operators.graph_ann import knn_graph_append
+
+    base = embeddings.filter(F.col("vec_id") < 400)
+    new = embeddings.filter(F.col("vec_id") >= 400)
+    g0, centers_multi = knn_graph_build(base, degree=8, with_blocking=True)
+    g0 = g0.cache()
+    g1 = knn_graph_append(embeddings, new, g0, centers_multi, degree=8).cache()
+
+    n_new = new.count()
+    # every appended node got edges; degree bound holds everywhere
+    new_srcs = {r["src"] for r in g1.select("src").distinct().collect()}
+    appended = {r["vec_id"] for r in new.select("vec_id").collect()}
+    assert len(appended & new_srcs) >= 0.9 * n_new
+    per_src = g1.groupBy("src").agg(F.count("*").alias("d")).collect()
+    assert all(r["d"] <= 8 for r in per_src)
+    assert g1.filter(F.col("src") == F.col("dst")).count() == 0
+
+    # beam search over the appended graph can reach appended nodes
+    qv = [float(x) for x in new.limit(1).first()["embedding"]]
+    got = graph_beam_search(embeddings, g1, qv, k=5, beam=16, max_hops=4)
+    ids = [r["vec_id"] for r in got.collect()]
+    assert any(i >= 400 for i in ids)
+
+    # nodes in untouched blocks keep their exact edge lists
+    from collections import Counter
+    old_edges = Counter((r["src"], r["dst"]) for r in g0.collect())
+    new_edges = Counter((r["src"], r["dst"]) for r in g1.collect())
+    # old edges can only disappear on nodes that received incoming edges
+    incoming = {s for (s, d) in new_edges if d >= 400 or s >= 400}
+    for (s, d) in old_edges:
+        if s not in incoming:
+            assert (s, d) in new_edges

@@ -103,3 +103,96 @@ def test_luhn_expression_matches_python(spark_global, digits):
     df = spark_global.createDataFrame([(digits,)], "d string")
     got = df.select(luhn_valid(F.col("d")).alias("v")).collect()[0]["v"]
     assert got == py_luhn(digits)
+
+
+# ---------------------------------------------------------------------------
+# codecs: encode/decode are exact inverses on arbitrary uint8 images and
+# quantization-bounded inverses on arbitrary PCM
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 12), w=st.integers(1, 12), c=st.sampled_from([1, 3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_property(h, w, c, seed):
+    from vectordb_cloud_spark.functions.codecs import decode_png, encode_png
+
+    arr = np.random.default_rng(seed).integers(0, 256, (h, w, c), dtype=np.uint8)
+    out = decode_png(encode_png(arr))
+    want = arr[:, :, 0] if c == 1 else arr
+    np.testing.assert_array_equal(out, want)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(1, 400), ch=st.integers(1, 2), rate=st.sampled_from([8000, 44100]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_roundtrip_property(n, ch, rate, seed):
+    from vectordb_cloud_spark.functions.codecs import decode_wav, encode_wav
+
+    pcm = np.random.default_rng(seed).uniform(-0.999, 0.999, (n, ch))
+    out, r = decode_wav(encode_wav(pcm, rate))
+    assert r == rate
+    out2 = out.reshape(n, ch)
+    np.testing.assert_allclose(out2, pcm, atol=2.0 / 32767)
+
+
+# ---------------------------------------------------------------------------
+# SCD2: applying any change batch must equal rebuilding from the merged log
+# ---------------------------------------------------------------------------
+
+_changes = st.lists(
+    st.tuples(
+        st.integers(1, 4),                 # key
+        st.integers(0, 50),                # ts
+        st.sampled_from(["a", "b", "c"]),  # attr
+    ),
+    min_size=1, max_size=12,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(log=_changes, batch=_changes)
+def test_scd2_apply_equals_full_rebuild(spark_global, log, batch):
+    from collections import Counter
+
+    from vectordb_cloud_spark.operators.temporal import (
+        scd2_apply_changes,
+        scd2_snapshot,
+    )
+
+    schema = "k long, ts long, attr string"
+    # duplicate (k, ts) rows with different attrs are ambiguous input;
+    # dedupe to the deterministic min-attr row like an ingest layer would
+    def dedup(rows):
+        best = {}
+        for k, ts, a in rows:
+            best[(k, ts)] = min(a, best.get((k, ts), a))
+        return [(k, ts, a) for (k, ts), a in best.items()]
+
+    def collapse(rows):
+        # drop re-assertion events (same attrs as the key's previous event):
+        # scd2_snapshot collapses them, so they are not retained in the
+        # dimension and cannot influence later applies (documented in
+        # scd2_apply_changes) — the property holds for collapse-free logs
+        out, prev = [], {}
+        for k, ts, a in sorted(rows):
+            if prev.get(k) != a:
+                out.append((k, ts, a))
+            prev[k] = a
+        return out
+
+    log = collapse(dedup(log))
+    batch = dedup(batch)
+    batch = [r for r in batch if r[:2] not in {x[:2] for x in log}]
+    if not batch:
+        return
+    ldf = spark_global.createDataFrame(log, schema)
+    bdf = spark_global.createDataFrame(batch, schema)
+    dim = scd2_snapshot(ldf, "k", "ts", ["attr"])
+    applied = scd2_apply_changes(dim, bdf, "k", "ts", ["attr"])
+    truth = scd2_snapshot(ldf.unionByName(bdf), "k", "ts", ["attr"])
+    assert Counter(map(tuple, applied.collect())) == \
+        Counter(map(tuple, truth.collect()))

@@ -51,6 +51,25 @@ def _top_per_src(pairs: DataFrame, degree: int) -> DataFrame:
     )
 
 
+def _banded(vecs: DataFrame, centers_multi: list) -> DataFrame:
+    """(id, block) rows for every blocking: block ids are namespaced per
+    blocking so two partitions never alias. ``vecs`` must carry (id, vec)."""
+    from vectordb_cloud_spark.operators.ann import ivf_assign
+
+    parts = []
+    for s, centers in enumerate(centers_multi):
+        width = len(centers) + 1
+        parts.append(
+            ivf_assign(vecs, centers, "vec").select(
+                "id", (F.lit(s) * width + F.col("centroid_id")).alias("block")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def knn_graph_build(
     points: DataFrame,
     degree: int = 8,
@@ -61,7 +80,8 @@ def knn_graph_build(
     refine_rounds: int = 1,
     seed: int = 42,
     max_train_rows: int = 100_000,
-) -> DataFrame:
+    with_blocking: bool = False,
+):
     """Build a symmetric kNN graph: ``(src, dst, dist)`` with up to
     ``degree`` out-edges per node.
 
@@ -96,18 +116,12 @@ def knn_graph_build(
         n_blocks = max(2, int(points.count()) // 128)
     sample = vecs0.select("vec").limit(max_train_rows).collect()
     X = np.asarray([r["vec"] for r in sample], dtype=np.float64)
-    banded_parts = []
-    for s in range(n_blockings):
-        centers_np = _lloyd_fit(X, n_blocks, seed + s)
-        centers = [(i, [float(x) for x in c]) for i, c in enumerate(centers_np)]
-        assigned = ivf_assign(vecs0, centers, "vec").select(
-            "id",
-            (F.lit(s) * (n_blocks + 1) + F.col("centroid_id")).alias("block"),
-        )
-        banded_parts.append(assigned)
-    banded = banded_parts[0]
-    for p in banded_parts[1:]:
-        banded = banded.unionByName(p)
+    centers_multi = [
+        [(i, [float(x) for x in c])
+         for i, c in enumerate(_lloyd_fit(X, n_blocks, seed + s))]
+        for s in range(n_blockings)
+    ]
+    banded = _banded(vecs0, centers_multi)
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(r, (F.col("l.block") == F.col("r.block"))
@@ -153,7 +167,74 @@ def knn_graph_build(
             .select("src", "dst", "dist")
         )
         graph = _top_per_src(scored, degree)
+    if with_blocking:
+        return graph, centers_multi
     return graph
+
+
+def knn_graph_append(
+    points: DataFrame,
+    new_points: DataFrame,
+    graph: DataFrame,
+    centers_multi: list,
+    degree: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incrementally add a batch of vectors to an existing kNN graph — the
+    graph family's ``ivf_append``: no rebuild, no full-corpus pair join.
+
+    ``points`` is the FULL post-append corpus (old ∪ new; vectors live in
+    the base table, the graph holds only ids), ``centers_multi`` the
+    blocking kept from ``knn_graph_build(..., with_blocking=True)``. The
+    batch is routed to its blocks, candidate pairs are (new × members of
+    touched blocks) only — O(batch · block_size), not O(n) — and each new
+    edge updates BOTH endpoints' adjacency lists (the existing node keeps
+    its old edges and re-selects top-``degree`` from old ∪ incoming, like
+    HNSW's bidirectional link repair). Centroids drift as data grows;
+    monitor block occupancy and rebuild when imbalanced, the same operating
+    cycle as IVF (ann.ivf_partition_stats).
+    """
+    vecs_all = points.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    vecs_new = new_points.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    banded_new = _banded(vecs_new, centers_multi)
+    # members of touched blocks only: the semi join prunes the corpus scan
+    # to the blocks the batch landed in
+    banded_all = _banded(vecs_all, centers_multi).join(
+        banded_new.select("block").distinct(), "block", "left_semi"
+    )
+    ln, r = banded_new.alias("l"), banded_all.alias("r")
+    cand = (
+        ln.join(r, (F.col("l.block") == F.col("r.block"))
+                & (F.col("l.id") != F.col("r.id")))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = (
+        cand.join(vecs_all.select(F.col("id").alias("id_a"), F.col("vec").alias("va")), "id_a")
+        .join(vecs_all.select(F.col("id").alias("id_b"), F.col("vec").alias("vb")), "id_b")
+        .withColumn("dist", l2_distance(F.col("va"), F.col("vb")))
+        .select("id_a", "id_b", "dist")
+    )
+    new_edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "dist"
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"), "dist")
+    )
+    # existing nodes NOT touched by any new edge pass through untouched;
+    # touched nodes re-select top-degree from (old edges ∪ incoming)
+    touched = new_edges.select("src").distinct()
+    untouched = graph.join(touched, "src", "left_anti")
+    merged = _top_per_src(
+        graph.join(touched, "src", "left_semi").unionByName(new_edges), degree
+    )
+    return untouched.unionByName(merged)
 
 
 def knn_graph_persist(graph: DataFrame, path: str) -> None:

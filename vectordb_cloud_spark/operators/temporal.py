@@ -155,6 +155,14 @@ def scd2_apply_changes(
     the current version. Untouched keys pass through with no shuffle — the
     common case when a batch touches a tiny fraction of a 100 TB dimension
     (semi/anti joins on the broadcast-able touched-key set).
+
+    Information note: the dimension is the system of record, not the
+    original change log — a log event that RE-ASSERTED the then-current
+    attrs was collapsed by ``scd2_snapshot`` and is not retained, so a
+    late change landing inside such a collapsed interval treats the
+    interval's state as constant (it will not re-split at the collapsed
+    event's timestamp). Equivalent to rebuilding from the dimension's own
+    change events plus the batch; property-tested in test_properties.py.
     """
     touched = changes.select(key).distinct()
     untouched = dim.join(touched, key, "left_anti")
