@@ -103,6 +103,15 @@ def main():
         lambda: noop_write(scrub_corpus(docs))
     )
 
+    # real lexical embeddings (hashed TF-IDF + signed random projection,
+    # all JVM-side): embed the corpus and run an exact cosine top-k — the
+    # weights-free executable twin of the reference's embed->search path
+    from vectordb_cloud_spark.functions.embedding import similar_documents
+
+    results["tfidf_embed_similar"] = timed_median(
+        lambda: noop_write(similar_documents(docs, query_doc_id=1, k=10))
+    )
+
     # vector-scan stress: the fixture embeddings table is small (2k rows at
     # sf0.1), so also measure exact filtered kNN over 100k synthetic 64-dim
     # vectors — generated JVM-side (xxhash64-seeded, deterministic), single
