@@ -51,18 +51,81 @@ def _top_per_src(pairs: DataFrame, degree: int) -> DataFrame:
     )
 
 
+def _fit_blocking(X, n_blocks: int, seed: int):
+    """Fit one blocking over the driver-side sample. Small block counts get
+    a flat k-means; large ones a TWO-LEVEL (coarse -> sub) tree, because
+    flat assignment is O(n · n_blocks · dim) and n_blocks grows with n —
+    measured as the one scale-killer in SCALE.md round 6 (29x at 10x rows).
+    Two-level routing costs O(n · 2·sqrt(n_blocks) · dim).
+
+    Returns ('flat', centers) or ('tree', coarse, subs, k2_max) where
+    ``subs[c]`` are the sub-centers of coarse cell c (ragged allowed).
+    Every Lloyd fit sees at most 256 sample rows per centroid (FAISS's
+    train-size rule) so driver-side fit cost stays bounded too.
+    """
+    from vectordb_cloud_spark.operators.ann import _lloyd_fit
+
+    def fit(Xs, k, s):
+        cap = min(len(Xs), k * 256)
+        return _lloyd_fit(Xs[:cap], k, s)
+
+    if n_blocks <= 64:
+        return ("flat", fit(X, n_blocks, seed))
+    import math
+
+    k1 = max(2, int(math.sqrt(n_blocks)))
+    k2 = max(2, (n_blocks + k1 - 1) // k1)
+    coarse = fit(X, k1, seed)
+    d2 = ((X * X).sum(1)[:, None] + (coarse * coarse).sum(1)[None, :]
+          - 2.0 * (X @ coarse.T))
+    cid = d2.argmin(1)
+    subs = []
+    for c in range(len(coarse)):
+        Xc = X[cid == c]
+        if len(Xc) == 0:
+            subs.append(coarse[c:c + 1])
+        else:
+            subs.append(fit(Xc, min(k2, len(Xc)), seed + 1 + c))
+    return ("tree", coarse, subs, k2)
+
+
+def _l2sq_to(vec, center):
+    return F.aggregate(
+        F.zip_with(vec, center, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+
+
+def _lit_mat(mat):
+    return F.array(*[F.array(*[F.lit(float(x)) for x in row]) for row in mat])
+
+
+def _block_expr(blocking):
+    """(block-id expression over column ``vec``, id-space width)."""
+    vec = F.col("vec")
+    if blocking[0] == "flat":
+        centers = blocking[1]
+        dists = F.transform(_lit_mat(centers), lambda c: _l2sq_to(vec, c))
+        return (F.array_position(dists, F.array_min(dists)) - 1,
+                len(centers) + 1)
+    _, coarse, subs, k2 = blocking
+    cdists = F.transform(_lit_mat(coarse), lambda c: _l2sq_to(vec, c))
+    cid = F.array_position(cdists, F.array_min(cdists)) - 1
+    subs_lit = F.array(*[_lit_mat(s) for s in subs])
+    mysubs = F.element_at(subs_lit, cid.cast("int") + 1)
+    sdists = F.transform(mysubs, lambda c: _l2sq_to(vec, c))
+    sid = F.array_position(sdists, F.array_min(sdists)) - 1
+    return cid * k2 + sid, len(coarse) * k2 + 1
+
+
 def _banded(vecs: DataFrame, centers_multi: list) -> DataFrame:
     """(id, block) rows for every blocking: block ids are namespaced per
     blocking so two partitions never alias. ``vecs`` must carry (id, vec)."""
-    from vectordb_cloud_spark.operators.ann import ivf_assign
-
     parts = []
-    for s, centers in enumerate(centers_multi):
-        width = len(centers) + 1
+    for s, blocking in enumerate(centers_multi):
+        block, width = _block_expr(blocking)
         parts.append(
-            ivf_assign(vecs, centers, "vec").select(
-                "id", (F.lit(s) * width + F.col("centroid_id")).alias("block")
-            )
+            vecs.select("id", (F.lit(s) * width + block).alias("block"))
         )
     out = parts[0]
     for p in parts[1:]:
@@ -102,8 +165,6 @@ def knn_graph_build(
     """
     import numpy as np
 
-    from vectordb_cloud_spark.operators.ann import _lloyd_fit, ivf_assign
-
     vecs0 = points.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
@@ -117,9 +178,7 @@ def knn_graph_build(
     sample = vecs0.select("vec").limit(max_train_rows).collect()
     X = np.asarray([r["vec"] for r in sample], dtype=np.float64)
     centers_multi = [
-        [(i, [float(x) for x in c])
-         for i, c in enumerate(_lloyd_fit(X, n_blocks, seed + s))]
-        for s in range(n_blockings)
+        _fit_blocking(X, n_blocks, seed + 7919 * s) for s in range(n_blockings)
     ]
     banded = _banded(vecs0, centers_multi)
     l, r = banded.alias("l"), banded.alias("r")
