@@ -162,6 +162,15 @@ def main():
                 graph_beam_search(emb, adj, qv, k=10, beam=16, max_hops=4)
             )
         )
+
+        # recall@10 vs exact for every ANN family (VERDICT r5 #6): latency
+        # alone can't catch an ANN change that got faster by dropping
+        # recall, so the per-round artifact now records quality too. Reuses
+        # the indexes built above (same parameters as the timed queries).
+        from vectordb_cloud_spark.recall import ann_recall_report
+
+        recall = ann_recall_report(spark, sf_dir, k=10, n_queries=8,
+                                   graph=adj)
     finally:
         shutil.rmtree(gdir, ignore_errors=True)
 
@@ -212,6 +221,7 @@ def main():
         "value": suite,
         "unit": "sec",
         "queries": results,
+        "recall": recall,
         "builds": builds,
         "build_seconds": build,
         "total_seconds": round(suite + build, 3),

@@ -1,0 +1,46 @@
+"""Recall floors for the driver-visible ANN recall artifact (VERDICT r5 #6).
+
+The per-family recall gates in test_ann/test_pq/test_graph_ann exercise
+hand-built indexes; this gate runs ``ann_recall_report`` — the exact code
+path bench.py and tools/recall_check.py use — so the artifact itself is
+what's protected: if a registry index parameter change (queries.py
+_lsh_model/_ivf_index/_pq_index) tanks recall, this fails before a bench
+round records it.
+"""
+
+import pytest
+
+from vectordb_cloud_spark.recall import ann_recall_report
+
+
+@pytest.fixture(scope="module")
+def report(spark, sf_dir):
+    return ann_recall_report(spark, sf_dir, k=10, n_queries=4)
+
+
+def test_report_covers_every_family(report):
+    assert set(report) == {
+        "lsh_knn", "ann_ivf_topk", "pq_adc_topk", "ann_graph_topk",
+    }
+    assert all(0.0 <= r <= 1.0 for r in report.values())
+
+
+def test_ivf_recall_floor(report):
+    # nprobe=3 of 8 lists; fixture corpus is small enough that the query's
+    # true neighbors concentrate in the probed lists
+    assert report["ann_ivf_topk"] >= 0.5
+
+
+def test_graph_recall_floor(report):
+    # degree=8 / beam=16 / 4 hops — same floor as test_graph_ann
+    assert report["ann_graph_topk"] >= 0.6
+
+
+def test_pq_recall_floor(report):
+    # 8x16 codebooks on 64-dim: coarse, but top-10 overlap must be real
+    assert report["pq_adc_topk"] >= 0.3
+
+
+def test_lsh_recall_floor(report):
+    # loose floor for random 64-dim data (matches test_ann's gate)
+    assert report["lsh_knn"] >= 0.3

@@ -1,0 +1,106 @@
+"""Recall@k measurement for every ANN family, as a driver-visible artifact.
+
+Recall gates have lived in tests since round 3 (tests/test_ann.py,
+test_pq.py, test_graph_ann.py), but the per-round driver artifacts
+(BENCH_r{N}.json) only recorded latency — an ANN change that got faster by
+silently dropping recall would pass every gate the driver sees (VERDICT r5
+item 6). ``ann_recall_report`` closes that hole: it measures recall@k
+against exact brute force for each approximate family, averaged over
+``n_queries`` fixture vectors, using the SAME index artifacts and
+parameters the registry queries use (queries.py ``_lsh_model`` /
+``_ivf_index`` / ``_pq_index``), so the number describes the exact
+configuration being benchmarked.
+
+Consumed by bench.py (emits a ``recall`` dict next to ``queries`` in the
+one-line JSON), tools/recall_check.py (writes RECALL.md), and
+tests/test_recall_report.py (asserts floors, so a recall regression fails
+CI before it ever reaches a bench artifact).
+
+Reference parity note: the reference delegates search quality entirely to
+Qdrant's HNSW defaults (/root/reference/search.py:43) and never measures
+recall; measuring it is part of owning the index families ourselves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+# Registry-matching knobs (see queries.py ann_ivf_topk / pq_adc_topk):
+IVF_K_CENTROIDS = 8
+IVF_NPROBE = 3
+GRAPH_DEGREE = 8
+GRAPH_BEAM = 16
+GRAPH_MAX_HOPS = 4
+
+
+def ann_recall_report(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    n_queries: int = 8,
+    graph=None,
+) -> dict[str, float]:
+    """Average recall@``k`` vs exact for each ANN family.
+
+    Query vectors are the first ``n_queries`` ``vec_id``s of the fixture
+    embeddings table — deterministic, so round-over-round numbers are
+    comparable. ``graph`` lets bench.py pass the adjacency DataFrame it
+    already built; when None a graph is built here with the bench
+    parameters.
+
+    Returns ``{"lsh_knn": r, "ann_ivf_topk": r, "pq_adc_topk": r,
+    "ann_graph_topk": r}`` with each r in [0, 1], rounded to 3 digits.
+    """
+    from vectordb_cloud_spark import queries as qmod
+    from vectordb_cloud_spark.operators.ann import (
+        brute_force_topk,
+        ivf_search_persisted,
+        lsh_knn,
+        recall_at_k,
+    )
+    from vectordb_cloud_spark.operators.graph_ann import (
+        graph_beam_search,
+        knn_graph_build,
+    )
+    from vectordb_cloud_spark.operators.pq import pq_search
+
+    emb = qmod._t(spark, sf_dir, "embeddings").cache()
+    qrows = (
+        emb.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(n_queries)
+        .collect()
+    )
+    queries = [[float(x) for x in r["embedding"]] for r in qrows]
+
+    lsh_model = qmod._lsh_model(spark, sf_dir, qmod._LSH_BL,
+                                qmod._LSH_G * qmod._LSH_TABLES)
+    centers, ivf_path = qmod._ivf_index(spark, sf_dir,
+                                        k_centroids=IVF_K_CENTROIDS)
+    codebooks, pq_path = qmod._pq_index(spark, sf_dir)
+    encoded = spark.read.parquet(pq_path).cache()
+    if graph is None:
+        graph = knn_graph_build(emb, degree=GRAPH_DEGREE, refine_rounds=1)
+    graph = graph.cache()
+
+    sums = {"lsh_knn": 0.0, "ann_ivf_topk": 0.0, "pq_adc_topk": 0.0,
+            "ann_graph_topk": 0.0}
+    for qv in queries:
+        exact = brute_force_topk(emb, qv, k=k)
+        sums["lsh_knn"] += recall_at_k(
+            lsh_knn(lsh_model, emb, qv, k=k), exact, "vec_id")
+        sums["ann_ivf_topk"] += recall_at_k(
+            ivf_search_persisted(spark, ivf_path, centers, qv, k=k,
+                                 nprobe=IVF_NPROBE, tiebreak="vec_id"),
+            exact, "vec_id")
+        sums["pq_adc_topk"] += recall_at_k(
+            pq_search(encoded, codebooks, qv, k=k, tiebreak="vec_id"),
+            exact, "vec_id")
+        sums["ann_graph_topk"] += recall_at_k(
+            graph_beam_search(emb, graph, qv, k=k, beam=GRAPH_BEAM,
+                              max_hops=GRAPH_MAX_HOPS),
+            exact, "vec_id")
+    emb.unpersist()
+    encoded.unpersist()
+    graph.unpersist()
+    return {name: round(s / len(queries), 3) for name, s in sums.items()}
