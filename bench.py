@@ -163,6 +163,43 @@ def main():
             )
         )
 
+        # scalar + binary quantization (the other two Qdrant compression
+        # modes next to PQ): train+encode is a build cost; searches scan
+        # codes only (4x / 32x fewer bytes than raw vectors)
+        from vectordb_cloud_spark.operators.sq import (
+            bq_encode,
+            bq_search,
+            bq_train,
+            sq_encode,
+            sq_search,
+            sq_train,
+        )
+
+        t0 = time.time()
+        mins, maxs = sq_train(emb)
+        sq_enc = sq_encode(emb, mins, maxs).select("vec_id", "sq_code")
+        sq_enc.write.mode("overwrite").parquet(os.path.join(gdir, "sq"))
+        builds["sq_index_build"] = round(time.time() - t0, 3)
+        sq_codes = spark.read.parquet(os.path.join(gdir, "sq"))
+        results["sq_adc_topk"] = timed_median(
+            lambda: noop_write(
+                sq_search(sq_codes, mins, maxs, qv, k=10, tiebreak="vec_id")
+            )
+        )
+
+        t0 = time.time()
+        thr = bq_train(emb)
+        bq_enc = bq_encode(emb, thr).select("vec_id", "bq_code")
+        bq_enc.write.mode("overwrite").parquet(os.path.join(gdir, "bq"))
+        builds["bq_index_build"] = round(time.time() - t0, 3)
+        bq_codes = spark.read.parquet(os.path.join(gdir, "bq"))
+        results["bq_hamming_rescore_topk"] = timed_median(
+            lambda: noop_write(
+                bq_search(bq_codes, emb, thr, qv, k=10, oversample=4,
+                          tiebreak="vec_id")
+            )
+        )
+
         # recall@10 vs exact for every ANN family (VERDICT r5 #6): latency
         # alone can't catch an ANN change that got faster by dropping
         # recall, so the per-round artifact now records quality too. Reuses

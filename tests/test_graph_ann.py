@@ -101,3 +101,36 @@ def test_graph_append_incremental(spark, embeddings):
     for (s, d) in old_edges:
         if s not in incoming:
             assert (s, d) in new_edges
+
+
+def test_filtered_beam_search(spark, embeddings, graph):
+    """Metadata predicate composes with graph search (reference's filtered
+    search on the graph family): only matching ids come back, and against
+    the filtered exact baseline the overlap is real."""
+    qv = [float(x) for x in
+          embeddings.filter(F.col("vec_id") == 0).first()["embedding"]]
+    got = graph_beam_search(embeddings, graph, qv, k=5, beam=32, max_hops=6,
+                            filters=F.col("label") == 2)
+    rows = got.collect()
+    labels = {
+        r["label"]
+        for r in embeddings.filter(
+            F.col("vec_id").isin([x["vec_id"] for x in rows])
+        ).collect()
+    }
+    assert labels <= {2}
+    assert 0 < len(rows) <= 5
+    exact = brute_force_topk(embeddings, qv, k=5, filters=F.col("label") == 2)
+    assert recall_at_k(got, exact, "vec_id") >= 0.2
+
+
+def test_filtered_beam_search_matches_unfiltered_when_filter_is_true(
+        spark, embeddings, graph):
+    qv = [float(x) for x in
+          embeddings.filter(F.col("vec_id") == 7).first()["embedding"]]
+    a = graph_beam_search(embeddings, graph, qv, k=5).collect()
+    b = graph_beam_search(embeddings, graph, qv, k=5,
+                          filters=F.lit(True)).collect()
+    assert [(r["vec_id"], round(r["dist"], 9)) for r in a] == [
+        (r["vec_id"], round(r["dist"], 9)) for r in b
+    ]

@@ -21,6 +21,7 @@ def report(spark, sf_dir):
 def test_report_covers_every_family(report):
     assert set(report) == {
         "lsh_knn", "ann_ivf_topk", "pq_adc_topk", "ann_graph_topk",
+        "sq_adc_topk", "bq_hamming_rescore_topk",
     }
     assert all(0.0 <= r <= 1.0 for r in report.values())
 
@@ -44,3 +45,13 @@ def test_pq_recall_floor(report):
 def test_lsh_recall_floor(report):
     # loose floor for random 64-dim data (matches test_ann's gate)
     assert report["lsh_knn"] >= 0.3
+
+
+def test_sq_recall_floor(report):
+    # int8 per-dim quantization on 64 dims is near-lossless for top-k
+    assert report["sq_adc_topk"] >= 0.8
+
+
+def test_bq_recall_floor(report):
+    # 1 bit/dim + 4x oversample rescore: coarse but must be non-trivial
+    assert report["bq_hamming_rescore_topk"] >= 0.3

@@ -1,0 +1,136 @@
+"""Scalar (int8) and binary quantization — codes valid, reconstruction
+error bounded, recall vs exact, full-oversample == exact, JVM-only plans.
+Same gate style as test_pq.py (the third member of the quantization
+family)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_cloud_spark.operators.ann import brute_force_topk, recall_at_k
+from vectordb_cloud_spark.operators.sq import (
+    bq_encode,
+    bq_search,
+    bq_train,
+    sq_encode,
+    sq_search,
+    sq_train,
+)
+
+
+@pytest.fixture(scope="module")
+def qvec(embeddings):
+    row = embeddings.filter(F.col("vec_id") == 0).first()
+    return [float(x) for x in row["embedding"]]
+
+
+@pytest.fixture(scope="module")
+def sq_stats(embeddings):
+    return sq_train(embeddings)
+
+
+@pytest.fixture(scope="module")
+def sq_encoded(embeddings, sq_stats):
+    mins, maxs = sq_stats
+    return sq_encode(embeddings, mins, maxs).cache()
+
+
+def test_sq_codes_are_int8_and_bounded(sq_encoded):
+    row = sq_encoded.select("sq_code").first()
+    codes = row["sq_code"]
+    assert len(codes) == 64
+    assert all(-128 <= c <= 127 for c in codes)
+
+
+def test_sq_reconstruction_error_within_half_step(sq_encoded, sq_stats):
+    """Equal-width quantization guarantee: |dequant(x) - x| <= step/2."""
+    mins, maxs = sq_stats
+    step = (np.asarray(maxs) - np.asarray(mins)) / 255.0
+    rows = sq_encoded.select("embedding", "sq_code").limit(50).collect()
+    for r in rows:
+        x = np.asarray(r["embedding"], dtype=np.float64)
+        deq = (np.asarray(r["sq_code"], dtype=np.float64) + 128.0) * step + mins
+        assert np.all(np.abs(deq - x) <= step / 2 + 1e-9)
+
+
+def test_sq_search_recall_vs_exact(embeddings, sq_encoded, sq_stats, qvec):
+    """int8 on 64 dims loses little: near-exact top-k expected."""
+    mins, maxs = sq_stats
+    exact = brute_force_topk(embeddings, qvec, k=10)
+    approx = sq_search(sq_encoded, mins, maxs, qvec, k=10, tiebreak="vec_id")
+    assert recall_at_k(approx, exact, "vec_id") >= 0.8
+
+
+def test_sq_search_with_filter(sq_encoded, sq_stats, qvec):
+    mins, maxs = sq_stats
+    got = sq_search(sq_encoded, mins, maxs, qvec, k=5,
+                    filters=F.col("label") == 2, tiebreak="vec_id")
+    assert all(r["label"] == 2 for r in got.collect())
+
+
+def test_sq_search_plan_is_jvm_only(sq_encoded, sq_stats, qvec):
+    from vectordb_cloud_spark.plans.inspect import explain_str
+
+    mins, maxs = sq_stats
+    plan = explain_str(sq_search(sq_encoded, mins, maxs, qvec, k=10),
+                       mode="simple")
+    assert not any(tok in plan for tok in
+                   ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"))
+
+
+@pytest.fixture(scope="module")
+def bq_thresholds(embeddings):
+    return bq_train(embeddings)
+
+
+@pytest.fixture(scope="module")
+def bq_encoded(embeddings, bq_thresholds):
+    return bq_encode(embeddings, bq_thresholds).cache()
+
+
+def test_bq_words_match_numpy_packing(bq_encoded, bq_thresholds):
+    t = np.asarray(bq_thresholds)
+    rows = bq_encoded.select("embedding", "bq_code").limit(20).collect()
+    for r in rows:
+        x = np.asarray(r["embedding"], dtype=np.float64)
+        want = 0
+        for j, b in enumerate((x > t).astype(int)):
+            want |= int(b) << j
+        if want >= 1 << 63:
+            want -= 1 << 64
+        assert len(r["bq_code"]) == 1  # 64 dims -> one word
+        assert r["bq_code"][0] == want
+
+
+def test_bq_full_oversample_equals_exact(embeddings, bq_encoded,
+                                         bq_thresholds, qvec):
+    """Rescoring every row (oversample >= corpus) IS brute force."""
+    n = embeddings.count()
+    exact = brute_force_topk(embeddings, qvec, k=10)
+    got = bq_search(bq_encoded, embeddings, bq_thresholds, qvec, k=10,
+                    oversample=n, tiebreak="vec_id")
+    assert recall_at_k(got, exact, "vec_id") == 1.0
+
+
+def test_bq_search_recall_with_modest_oversample(embeddings, bq_encoded,
+                                                 bq_thresholds, qvec):
+    exact = brute_force_topk(embeddings, qvec, k=10)
+    got = bq_search(bq_encoded, embeddings, bq_thresholds, qvec, k=10,
+                    oversample=8, tiebreak="vec_id")
+    assert got.count() == 10
+    assert recall_at_k(got, exact, "vec_id") >= 0.3
+
+
+def test_bq_hamming_phase_is_jvm_only(bq_encoded, bq_thresholds, qvec):
+    """The scan phase (codes -> hamming) must stay in codegen; the rescore
+    runs through knn-style exact scoring which is plan-gated elsewhere."""
+    from vectordb_cloud_spark.plans.inspect import explain_str
+
+    code = F.col("bq_code")
+    probe = bq_encoded.withColumn(
+        "hamming",
+        F.bit_count(F.element_at(code, 1).bitwiseXOR(F.lit(0).cast("long"))),
+    )
+    plan = explain_str(probe, mode="simple")
+    assert not any(tok in plan for tok in
+                   ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"))

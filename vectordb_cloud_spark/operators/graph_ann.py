@@ -315,6 +315,7 @@ def graph_beam_search(
     entry_points: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    filters=None,
 ) -> DataFrame:
     """Greedy beam search over the kNN graph — HNSW's search loop with the
     frontier as the only driver-side state.
@@ -328,6 +329,17 @@ def graph_beam_search(
     node than the current worst beam member. Returns exact distances of
     the best ``k`` visited.
 
+    ``filters`` (a Column predicate over the base table) gives the graph
+    family the same filtered-search semantics as the IVF/SQ/exact paths
+    (the reference's metadata-filtered search): navigation stays
+    UNFILTERED — restricting hops to matching nodes can disconnect the
+    graph, the standard filtered-HNSW pitfall — while results are drawn
+    only from visited nodes that match. Selective predicates therefore
+    want a wider ``beam``/``max_hops`` (more visited nodes → more
+    matching candidates); at very high selectivity prefer brute force
+    over the filtered subset, exactly as HNSW engines fall back to
+    payload-index scans.
+
     Per hop this is: one filtered scan of the adjacency table + one
     filtered scan of the base table + a driver-side top-``beam`` over
     ≤ beam×degree scored rows — at 100 TB with a src-bucketed adjacency
@@ -335,14 +347,26 @@ def graph_beam_search(
     shuffled.
     """
     dist_to_q = lambda col: l2_distance_to(col, query_vector)  # noqa: E731
+    match_flag = (
+        F.lit(True) if filters is None else filters.cast("boolean")
+    ).alias("match")
 
     seeds = (
         points.select(F.col(id_col).alias("id"),
-                      dist_to_q(F.col(vec_col)).alias("dist"))
+                      dist_to_q(F.col(vec_col)).alias("dist"), match_flag)
         .orderBy(F.col("id").asc())
         .limit(entry_points)
     )
-    visited: dict[int, float] = {r["id"]: r["dist"] for r in seeds.collect()}
+    visited: dict[int, float] = {}
+    matches: dict[int, float] = {}
+
+    def _absorb(rows):
+        for r in rows:
+            visited[r["id"]] = r["dist"]
+            if r["match"]:
+                matches[r["id"]] = r["dist"]
+
+    _absorb(seeds.collect())
     beam_ids = sorted(visited, key=lambda i: (visited[i], i))[:beam]
 
     for _ in range(max_hops):
@@ -356,20 +380,18 @@ def graph_beam_search(
             break
         scored = (
             points.filter(F.col(id_col).isin(new_ids))
-            .select(F.col(id_col).alias("id"), dist_to_q(F.col(vec_col)).alias("dist"))
+            .select(F.col(id_col).alias("id"),
+                    dist_to_q(F.col(vec_col)).alias("dist"), match_flag)
             .collect()
         )
         worst_beam = max(visited[i] for i in beam_ids)
-        improved = False
-        for r in scored:
-            visited[r["id"]] = r["dist"]
-            if r["dist"] < worst_beam:
-                improved = True
+        improved = any(r["dist"] < worst_beam for r in scored)
+        _absorb(scored)
         beam_ids = sorted(visited, key=lambda i: (visited[i], i))[:beam]
         if not improved:
             break
 
-    best = sorted(visited.items(), key=lambda kv: (kv[1], kv[0]))[:k]
+    best = sorted(matches.items(), key=lambda kv: (kv[1], kv[0]))[:k]
     spark = points.sparkSession
     return spark.createDataFrame(
         [(int(i), float(d)) for i, d in best], f"{id_col} long, dist double"

@@ -49,7 +49,8 @@ def ann_recall_report(
     parameters.
 
     Returns ``{"lsh_knn": r, "ann_ivf_topk": r, "pq_adc_topk": r,
-    "ann_graph_topk": r}`` with each r in [0, 1], rounded to 3 digits.
+    "ann_graph_topk": r, "sq_adc_topk": r, "bq_hamming_rescore_topk": r}``
+    with each r in [0, 1], rounded to 3 digits.
     """
     from vectordb_cloud_spark import queries as qmod
     from vectordb_cloud_spark.operators.ann import (
@@ -63,6 +64,14 @@ def ann_recall_report(
         knn_graph_build,
     )
     from vectordb_cloud_spark.operators.pq import pq_search
+    from vectordb_cloud_spark.operators.sq import (
+        bq_encode,
+        bq_search,
+        bq_train,
+        sq_encode,
+        sq_search,
+        sq_train,
+    )
 
     emb = qmod._t(spark, sf_dir, "embeddings").cache()
     qrows = (
@@ -82,9 +91,14 @@ def ann_recall_report(
     if graph is None:
         graph = knn_graph_build(emb, degree=GRAPH_DEGREE, refine_rounds=1)
     graph = graph.cache()
+    mins, maxs = sq_train(emb)
+    sq_codes = sq_encode(emb, mins, maxs).select("vec_id", "sq_code").cache()
+    thresholds = bq_train(emb)
+    bq_codes = bq_encode(emb, thresholds).select("vec_id", "bq_code").cache()
 
     sums = {"lsh_knn": 0.0, "ann_ivf_topk": 0.0, "pq_adc_topk": 0.0,
-            "ann_graph_topk": 0.0}
+            "ann_graph_topk": 0.0, "sq_adc_topk": 0.0,
+            "bq_hamming_rescore_topk": 0.0}
     for qv in queries:
         exact = brute_force_topk(emb, qv, k=k)
         sums["lsh_knn"] += recall_at_k(
@@ -100,7 +114,16 @@ def ann_recall_report(
             graph_beam_search(emb, graph, qv, k=k, beam=GRAPH_BEAM,
                               max_hops=GRAPH_MAX_HOPS),
             exact, "vec_id")
+        sums["sq_adc_topk"] += recall_at_k(
+            sq_search(sq_codes, mins, maxs, qv, k=k, tiebreak="vec_id"),
+            exact, "vec_id")
+        sums["bq_hamming_rescore_topk"] += recall_at_k(
+            bq_search(bq_codes, emb, thresholds, qv, k=k, oversample=4,
+                      tiebreak="vec_id"),
+            exact, "vec_id")
     emb.unpersist()
     encoded.unpersist()
     graph.unpersist()
+    sq_codes.unpersist()
+    bq_codes.unpersist()
     return {name: round(s / len(queries), 3) for name, s in sums.items()}
