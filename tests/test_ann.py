@@ -194,3 +194,46 @@ def test_ivf_append_rejects_null_or_wrong_dim_vectors(spark, embeddings, tmp_pat
     )
     with pytest.raises(ValueError, match="NULL or dimension"):
         ivf_append(bad, centers, path)
+
+
+def test_ivf_compact_merges_small_files(spark, embeddings, tmp_path):
+    """Streaming appends leave one file per (batch, list); compaction
+    rewrites each list to few files without changing search results."""
+    import os
+
+    from vectordb_cloud_spark.operators.ann import (
+        ivf_append,
+        ivf_compact,
+        ivf_search_persisted,
+    )
+
+    centers, assigned = ivf_build(embeddings, k_centroids=4)
+    path = str(tmp_path / "ivf_compact")
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+    # simulate 5 streamed micro-batches
+    for i in range(5):
+        batch = embeddings.filter(F.col("vec_id") % 20 == i).select(
+            (F.col("vec_id") + 10_000 * (i + 1)).alias("vec_id"), "embedding",
+            "label",
+        )
+        ivf_append(batch, centers, path)
+
+    def n_files(p):
+        return sum(
+            len([f for f in os.listdir(os.path.join(p, d)) if f.endswith(".parquet")])
+            for d in os.listdir(p) if d.startswith("centroid_id=")
+        )
+
+    qv = [float(x) for x in embeddings.first()["embedding"]]
+    before_files = n_files(path)
+    before = ivf_search_persisted(spark, path, centers, qv, k=10, nprobe=4,
+                                  tiebreak="vec_id").collect()
+    rewritten = ivf_compact(spark, path, target_rows_per_file=1_000_000)
+    assert rewritten > 0
+    assert n_files(path) < before_files
+    after = ivf_search_persisted(spark, path, centers, qv, k=10, nprobe=4,
+                                 tiebreak="vec_id").collect()
+    assert [(r["vec_id"], round(r["dist"], 9)) for r in before] == [
+        (r["vec_id"], round(r["dist"], 9)) for r in after
+    ]

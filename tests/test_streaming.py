@@ -315,3 +315,121 @@ def test_interval_join_rejects_ambiguous_columns(spark, events):
         stream_stream_interval_join(a, b, key="user_id", left_ts="t1", right_ts="t2")
     with pytest.raises(ValueError, match="rename"):
         stream_stream_interval_join(a, a, key="user_id", left_ts="t1", right_ts="t1")
+
+
+def test_indexed_ingest_stream_keeps_ivf_fresh(spark, tmp_path):
+    """Streaming index maintenance: the stream upserts the collection AND
+    appends to the persisted IVF layout, so ivf_search_persisted finds the
+    new vectors without a rebuild; epoch markers make replays no-ops."""
+    from vectordb_cloud_spark.functions.embedding import mock_embed
+    from vectordb_cloud_spark.operators.ann import (
+        ivf_build,
+        ivf_persist,
+        ivf_search_persisted,
+    )
+    from vectordb_cloud_spark.streaming.ingest import (
+        index_maintaining_batch,
+        start_indexed_ingest_stream,
+    )
+
+    # seed collection + initial IVF layout from a small base corpus
+    base = spark.range(100).select(
+        F.col("id"),
+        F.concat(F.lit("base doc "), F.col("id")).alias("text"),
+    ).withColumn("embedding", mock_embed("text", 64))
+    centers, assigned = ivf_build(base.select("id", "embedding"),
+                                  k_centroids=4)
+    ivf_path = str(tmp_path / "ivf")
+    ivf_persist(assigned, ivf_path)
+
+    catalog = CollectionCatalog(spark, str(tmp_path / "cat"))
+    catalog.create("idx_col", dim=64)
+    catalog.upsert("idx_col", base.select(
+        "id", F.lit(0).alias("text_id"), "text",
+        F.lit(1).alias("user_id"), F.lit("s").alias("site"),
+        F.lit("en").alias("lang"), "embedding",
+    ))
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    rows = [
+        {"id": 1000 + i, "text_id": i, "text": f"streamed indexed doc {i}",
+         "user_id": 5, "site": "s", "lang": "en"}
+        for i in range(20)
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+    rebuilds = []
+    q = start_indexed_ingest_stream(
+        spark, str(src), catalog, "idx_col", centers, ivf_path,
+        checkpoint_dir=str(tmp_path / "ckpt_idx"),
+        on_rebuild_needed=lambda stats: rebuilds.append(stats),
+        max_imbalance=1000.0,  # don't trigger in this small test
+    )
+    q.awaitTermination(60)
+
+    assert catalog.read("idx_col").count() == 120
+    # a streamed doc's own embedding must come back as its top hit
+    target = next(r for r in rows if r["id"] == 1005)
+    qv = [float(x) for x in
+          spark.range(1).select(
+              mock_embed(F.lit(target["text"]), 64).alias("e")
+          ).first()["e"]]
+    hits = ivf_search_persisted(spark, ivf_path, centers, qv, k=3, nprobe=4,
+                                vector_col="embedding", tiebreak="id")
+    assert hits.first()["id"] == 1005
+    assert not rebuilds
+
+    # replaying the same epoch is a no-op for the index (marker skip)
+    n_before = spark.read.parquet(ivf_path).count()
+    batch = spark.createDataFrame(
+        [(r["id"], r["text_id"], r["text"], r["user_id"], r["site"],
+          r["lang"]) for r in rows],
+        "id long, text_id long, text string, user_id long, site string, "
+        "lang string",
+    ).withColumn("embedding", mock_embed("text", 64))
+    ran = index_maintaining_batch(batch, 0, catalog, "idx_col", centers,
+                                  ivf_path)
+    assert ran is False
+    assert spark.read.parquet(ivf_path).count() == n_before
+
+
+def test_indexed_ingest_rebuild_trigger_fires(spark, tmp_path):
+    """A skewed append (every new vector lands in one list) trips the
+    imbalance trigger and invokes the callback with the stats frame."""
+    from vectordb_cloud_spark.functions.embedding import mock_embed
+    from vectordb_cloud_spark.operators.ann import ivf_build, ivf_persist
+    from vectordb_cloud_spark.streaming.ingest import start_indexed_ingest_stream
+
+    base = spark.range(40).select(
+        F.col("id"), F.concat(F.lit("seed "), F.col("id")).alias("text"),
+    ).withColumn("embedding", mock_embed("text", 64))
+    centers, assigned = ivf_build(base.select("id", "embedding"),
+                                  k_centroids=4)
+    ivf_path = str(tmp_path / "ivf_skew")
+    ivf_persist(assigned, ivf_path)
+
+    catalog = CollectionCatalog(spark, str(tmp_path / "cat_skew"))
+    catalog.create("skew_col", dim=64)
+
+    src = tmp_path / "in_skew"
+    src.mkdir()
+    # identical text => identical embedding => one inverted list gets all
+    rows = [
+        {"id": 2000 + i, "text_id": i, "text": "same text every time",
+         "user_id": 1, "site": "s", "lang": "en"}
+        for i in range(400)
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+    rebuilds = []
+    q = start_indexed_ingest_stream(
+        spark, str(src), catalog, "skew_col", centers, ivf_path,
+        checkpoint_dir=str(tmp_path / "ckpt_skew"),
+        on_rebuild_needed=lambda stats: rebuilds.append(stats.collect()),
+        max_imbalance=2.0,
+    )
+    q.awaitTermination(60)
+    assert len(rebuilds) == 1
+    counts = sorted(r["n"] for r in rebuilds[0])
+    assert counts[-1] > 2.0 * (sum(counts) / len(counts))

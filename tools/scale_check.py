@@ -212,6 +212,20 @@ def main():
                 args.runs,
             )
 
+        # SimHash near-dup over the same replicated corpora (VERDICT r5 #3):
+        # banded (band_idx, band_value) equi-join + exact hamming verify —
+        # candidates are bounded by band-bucket occupancy, ~linear
+        from vectordb_cloud_spark.operators.dedup import simhash_near_dup_pairs
+
+        for factor in (1, 10):
+            p = os.path.join(tmp, f"docs_{factor}")  # written by the minhash loop
+            d = spark.read.parquet(p)
+            n = d.count()
+            results.setdefault("simhash_near_dup_pairs", {})[n] = timed(
+                lambda d=d: noop(simhash_near_dup_pairs(d, max_hamming=3)),
+                args.runs,
+            )
+
         # Compound-LSH embedding near-dup under the g-SCHEDULE: with fixed
         # params banded candidates are a fixed FRACTION of n² (quadratic with
         # a small constant); growing the AND-width g with log n multiplies

@@ -39,6 +39,20 @@ from vectordb_cloud_spark.operators.pq import (
     pq_search,
     pq_train,
 )
+from vectordb_cloud_spark.operators.graph_ann import (
+    graph_beam_search,
+    knn_graph_append,
+    knn_graph_build,
+    knn_graph_persist,
+)
+from vectordb_cloud_spark.operators.sq import (
+    bq_encode,
+    bq_search,
+    bq_train,
+    sq_encode,
+    sq_search,
+    sq_train,
+)
 from vectordb_cloud_spark.operators.packing import pack_sequences, packing_efficiency
 from vectordb_cloud_spark.operators.repetition import filter_repetitive, repetition_stats
 from vectordb_cloud_spark.operators.sampling import (
@@ -88,6 +102,16 @@ __all__ = [
     "hybrid_search",
     "rrf_fuse",
     "ivfpq_build",
+    "graph_beam_search",
+    "knn_graph_append",
+    "knn_graph_build",
+    "knn_graph_persist",
+    "bq_encode",
+    "bq_search",
+    "bq_train",
+    "sq_encode",
+    "sq_search",
+    "sq_train",
     "ivfpq_search",
     "pq_encode",
     "pq_search",

@@ -322,6 +322,54 @@ def ivf_append(new_points: DataFrame, centers: list, path: str,
     assigned.write.mode("append").partitionBy("centroid_id").parquet(path)
 
 
+def ivf_compact(spark, path: str, target_rows_per_file: int = 1_000_000,
+                only_centroids: list[int] | None = None) -> int:
+    """Compact the small files streaming appends leave in the IVF layout.
+
+    Each ``ivf_append`` micro-batch adds one file per touched inverted list;
+    after N batches a probe opens N small files per list — the classic
+    streaming small-file problem, paid on every query. This rewrites each
+    inverted list to ``ceil(rows / target_rows_per_file)`` files. Listing
+    and rewriting is per-partition-directory, so only the lists named in
+    ``only_centroids`` (default: all) are touched and the rewrite
+    parallelizes across lists; at 100 TB run it per-list from the
+    imbalance/partition stats rather than wholesale. Epoch markers
+    (``_epochs/``) are preserved — compaction changes layout, not content,
+    so replay idempotence survives. Returns the number of lists rewritten.
+    """
+    import math
+    import os
+    import shutil
+
+    listed = [
+        d for d in os.listdir(path)
+        if d.startswith("centroid_id=") and os.path.isdir(os.path.join(path, d))
+    ]
+    if only_centroids is not None:
+        keep = {f"centroid_id={c}" for c in only_centroids}
+        listed = [d for d in listed if d in keep]
+    rewritten = 0
+    for d in listed:
+        part_dir = os.path.join(path, d)
+        files = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+        if len(files) <= 1:
+            continue
+        df = spark.read.parquet(part_dir)
+        n = df.count()
+        n_files = max(1, math.ceil(n / target_rows_per_file))
+        staging = part_dir + ".compact"
+        df.coalesce(n_files).write.mode("overwrite").parquet(staging)
+        shutil.rmtree(part_dir)
+        os.rename(staging, part_dir)
+        # drop the _SUCCESS/CRC clutter the staging write added at this level
+        for junk in ("_SUCCESS", "._SUCCESS.crc"):
+            j = os.path.join(part_dir, junk)
+            if os.path.exists(j):
+                os.remove(j)
+        rewritten += 1
+    return rewritten
+
+
 def ivf_partition_stats(spark, path: str, centers: list,
                         vector_col: str = "embedding") -> DataFrame:
     """Per-inverted-list health: row count and mean squared distance to the

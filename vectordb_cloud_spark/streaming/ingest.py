@@ -51,6 +51,106 @@ def start_ingest_stream(
     return writer.start()
 
 
+def index_maintaining_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    catalog,
+    collection: str,
+    centers: list,
+    ivf_path: str,
+    vector_col: str = "embedding",
+) -> bool:
+    """One micro-batch of the index-maintaining ingest: upsert the rows into
+    the collection AND route+append them into the persisted IVF layout, so
+    approximate search stays fresh without any rebuild.
+
+    Idempotent per epoch: the collection MERGE is idempotent by id, and the
+    index append is guarded by an ``_epochs/<id>`` marker under the layout —
+    a foreachBatch replay (at-least-once delivery) skips the append instead
+    of duplicating inverted-list rows. The marker is written AFTER the
+    append; a crash exactly between the two can still duplicate one batch,
+    which the IVF layout tolerates (duplicate rows share a centroid and
+    score identically — results stay correct, the list is just fatter until
+    the next retrain/compaction). Exposed module-level so tests and batch
+    backfills can drive it without a stream.
+
+    Returns True if the index append ran, False if skipped (empty batch or
+    already-processed epoch).
+    """
+    import os
+
+    if batch_df.isEmpty():
+        return False
+    catalog.upsert(collection, batch_df)
+    marker = os.path.join(ivf_path, "_epochs", str(epoch_id))
+    if os.path.exists(marker):
+        return False
+    from vectordb_cloud_spark.operators.ann import ivf_append
+
+    ivf_append(
+        batch_df.select("id", F.col(vector_col)),
+        centers,
+        ivf_path,
+        vector_col=vector_col,
+    )
+    os.makedirs(os.path.dirname(marker), exist_ok=True)
+    with open(marker, "w") as f:
+        f.write("done")
+    return True
+
+
+def start_indexed_ingest_stream(
+    spark,
+    source_dir: str,
+    catalog,
+    collection: str,
+    centers: list,
+    ivf_path: str,
+    schema: str = "id long, text_id long, text string, user_id long, site string, lang string",
+    dim: int = 64,
+    checkpoint_dir: str | None = None,
+    on_rebuild_needed=None,
+    max_imbalance: float = 4.0,
+):
+    """Ingest stream that keeps the ANN index fresh: new files land ->
+    embed -> upsert collection -> route to nearest existing centroids ->
+    append to the partitioned IVF layout (``operators.ann.ivf_append`` —
+    O(batch) per micro-batch, never a rewrite). The reference achieves
+    "searchable immediately after insert" by delegating to Qdrant's
+    in-server indexing (/root/reference/insert.py:70-83); here the same
+    contract is the stream maintaining the layout that
+    ``ivf_search_persisted`` prunes.
+
+    Centroids drift as data grows: after each appended batch the per-list
+    stats are checked and, when the largest inverted list exceeds
+    ``max_imbalance``x the mean, ``on_rebuild_needed(stats_df)`` is invoked
+    (once per trigger). The callback should schedule a retrain
+    (ivf_build + ivf_persist) OUTSIDE the stream — rebuilds are minutes-long
+    batch jobs, not micro-batch work; the classic add-then-retrain cycle.
+    """
+    from vectordb_cloud_spark.operators.ann import (
+        ivf_needs_rebuild,
+        ivf_partition_stats,
+    )
+
+    stream = spark.readStream.schema(schema).json(source_dir)
+    embedded = stream.withColumn("embedding", mock_embed("text", dim))
+
+    def _batch(batch_df: DataFrame, epoch_id: int) -> None:
+        appended = index_maintaining_batch(
+            batch_df, epoch_id, catalog, collection, centers, ivf_path
+        )
+        if appended and on_rebuild_needed is not None:
+            stats = ivf_partition_stats(batch_df.sparkSession, ivf_path, centers)
+            if ivf_needs_rebuild(stats, max_imbalance=max_imbalance):
+                on_rebuild_needed(stats)
+
+    writer = embedded.writeStream.foreachBatch(_batch).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def tumbling_window_stats(events: DataFrame, window: str = "1 hour",
                           watermark: str = "2 hours") -> DataFrame:
     """Watermarked tumbling-window counts/sums per event_type. Works on both
