@@ -134,3 +134,35 @@ def test_bq_hamming_phase_is_jvm_only(bq_encoded, bq_thresholds, qvec):
     plan = explain_str(probe, mode="simple")
     assert not any(tok in plan for tok in
                    ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"))
+
+
+def test_ivf_sq_layout_prunes_and_rescores(spark, embeddings, sq_stats, qvec,
+                                           tmp_path):
+    """IVF + SQ8 composed: partition pruning AND compressed lists, exact
+    distances after rescore; full-probe full-oversample == brute force."""
+    from vectordb_cloud_spark.operators.ann import ivf_build
+    from vectordb_cloud_spark.operators.sq import ivf_sq_persist, ivf_sq_search
+
+    mins, maxs = sq_stats
+    centers, _ = ivf_build(embeddings, k_centroids=4)
+    path = str(tmp_path / "ivf_sq")
+    ivf_sq_persist(embeddings, centers, mins, maxs, path)
+
+    # layout holds codes, not vectors
+    cols = set(spark.read.parquet(path).columns)
+    assert cols == {"vec_id", "sq_code", "centroid_id"}
+
+    n = embeddings.count()
+    exact = brute_force_topk(embeddings, qvec, k=10)
+    full = ivf_sq_search(spark, path, embeddings, centers, mins, maxs, qvec,
+                         k=10, nprobe=4, oversample=n)
+    assert recall_at_k(full, exact, "vec_id") == 1.0
+    # rescored distances are EXACT (match brute force bit-for-bit)
+    de = {r["vec_id"]: r["dist"] for r in exact.collect()}
+    for r in full.collect():
+        assert abs(r["dist"] - de[r["vec_id"]]) < 1e-9
+
+    part = ivf_sq_search(spark, path, embeddings, centers, mins, maxs, qvec,
+                         k=10, nprobe=3, oversample=2)
+    assert part.count() == 10
+    assert recall_at_k(part, exact, "vec_id") >= 0.5

@@ -105,6 +105,58 @@ def sq_search(encoded: DataFrame, mins: list[float], maxs: list[float],
 # BQ: 1 bit/dimension, 64 dims per BIGINT word, hamming + exact rescore
 # ---------------------------------------------------------------------------
 
+def ivf_sq_persist(points: DataFrame, centers: list, mins: list[float],
+                   maxs: list[float], path: str, id_col: str = "vec_id",
+                   vector_col: str = "embedding") -> None:
+    """Persist an IVF layout whose inverted lists hold SQ8 codes instead of
+    raw vectors — the two scan-cost dials composed: ``centroid_id``
+    partitioning prunes FILES (nprobe/k of the directories are opened) and
+    int8 codes shrink the BYTES of every file that is opened by ~4x. The
+    original vectors stay in the base table for rescoring; the index
+    duplicates only codes. The Qdrant-style 'quantized index + original
+    vectors' storage split, as a parquet layout."""
+    from vectordb_cloud_spark.operators.ann import ivf_assign
+
+    assigned = ivf_assign(points, centers, vector_col=vector_col)
+    encoded = sq_encode(assigned, mins, maxs, vector_col=vector_col)
+    encoded.select(id_col, "sq_code", "centroid_id").write.mode(
+        "overwrite"
+    ).partitionBy("centroid_id").parquet(path)
+
+
+def ivf_sq_search(spark, path: str, points: DataFrame, centers: list,
+                  mins: list[float], maxs: list[float],
+                  query_vector: list[float], k: int = 10, nprobe: int = 3,
+                  oversample: int = 2, id_col: str = "vec_id",
+                  vector_col: str = "embedding") -> DataFrame:
+    """Search the SQ-compressed IVF layout: route to ``nprobe`` lists
+    (partition-pruned scan), ADC top-(k·oversample) over the int8 codes,
+    exact L2 rescore of the survivors against the base table (an ``isin``
+    probe of k·oversample ids). Returns (id, dist) exact distances."""
+    import math
+
+    def _l2(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    probe = sorted(centers, key=lambda c: _l2(c[1], query_vector))[:nprobe]
+    probe_ids = [c[0] for c in probe]
+    codes = spark.read.parquet(path).filter(
+        F.col("centroid_id").isin(probe_ids)
+    )
+    cand = sq_search(codes, mins, maxs, query_vector, k=k * oversample,
+                     tiebreak=id_col).select(id_col).collect()
+    ids = [r[0] for r in cand]
+    rescored = (
+        points.filter(F.col(id_col).isin(ids))
+        .withColumn("dist", l2_distance_to(F.col(vector_col), query_vector))
+    )
+    return (
+        rescored.select(id_col, "dist")
+        .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def bq_train(points: DataFrame, vector_col: str = "embedding") -> list[float]:
     """Per-dimension mean — the sign threshold. One aggregate row."""
     vec = F.col(vector_col).cast("array<double>")
