@@ -134,3 +134,50 @@ def test_filtered_beam_search_matches_unfiltered_when_filter_is_true(
     assert [(r["vec_id"], round(r["dist"], 9)) for r in a] == [
         (r["vec_id"], round(r["dist"], 9)) for r in b
     ]
+
+
+def test_graph_knn_join_batch_recall(spark, embeddings, graph):
+    """Batch beam search: k rows per query, exact distances, recall vs the
+    per-query exact baseline — the graph twin of ivf_knn_join's gate."""
+    from vectordb_cloud_spark.operators.graph_ann import graph_knn_join
+
+    queries = embeddings.filter(F.col("vec_id").isin([0, 7, 42])).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = graph_knn_join(embeddings, graph, queries, k=5, beam=16, max_hops=4)
+    rows = got.collect()
+    assert len(rows) == 15  # 5 per query
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert set(per_q) == {0, 7, 42}
+    total_recall = 0.0
+    for qid, hits in per_q.items():
+        qv = [float(x) for x in
+              embeddings.filter(F.col("vec_id") == qid).first()["embedding"]]
+        exact = brute_force_topk(embeddings, qv, k=5)
+        approx = spark.createDataFrame(
+            [(r["vec_id"],) for r in hits], "vec_id long")
+        total_recall += recall_at_k(approx, exact, "vec_id")
+        # distances are exact L2 (each query finds itself at dist 0)
+        assert min(r["dist"] for r in hits) < 1e-9
+    assert total_recall / 3 >= 0.6
+
+
+def test_graph_knn_join_matches_reasonable_single_query(spark, embeddings,
+                                                        graph):
+    """Single-query beam search and the batch join explore the same graph
+    with the same parameters; their result sets should overlap heavily
+    (not required identical: the driver loop early-stops, the batch form
+    runs fixed hops)."""
+    from vectordb_cloud_spark.operators.graph_ann import graph_knn_join
+
+    qv = [float(x) for x in
+          embeddings.filter(F.col("vec_id") == 7).first()["embedding"]]
+    single = {r["vec_id"] for r in graph_beam_search(
+        embeddings, graph, qv, k=10, beam=16, max_hops=4).collect()}
+    queries = embeddings.filter(F.col("vec_id") == 7).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    batch = {r["vec_id"] for r in graph_knn_join(
+        embeddings, graph, queries, k=10, beam=16, max_hops=4).collect()}
+    assert len(single & batch) >= 7

@@ -122,8 +122,19 @@ def main():
     ap.add_argument("--vector-points", default="100000,1000000,10000000",
                     help="comma-separated vector-table sizes (a 100x series "
                          "by default: the ANN paths are the scale story)")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated section names to run (default all): "
+                         "knn,ivf,collection,minhash,simhash,lshcompound,"
+                         "graph,tpch,sq,beam — partial runs merge into the "
+                         "sidecar (SCALE.json) and regenerate SCALE.md")
     args = ap.parse_args()
     vec_points = tuple(int(x) for x in args.vector_points.split(","))
+    all_sections = {"knn", "ivf", "collection", "minhash", "simhash",
+                    "lshcompound", "graph", "tpch", "sq", "beam"}
+    only = set(args.only.split(",")) if args.only else all_sections
+    unknown = only - all_sections
+    if unknown:
+        raise SystemExit(f"unknown --only sections: {sorted(unknown)}")
 
     from pyspark.sql import functions as F
 
@@ -142,89 +153,126 @@ def main():
     try:
         # ---- vectors: materialize to parquet so every scale reads from disk
         vec_paths = {}
-        for n in vec_points:
-            p = os.path.join(tmp, f"vecs_{n}")
-            synth_vectors(spark, n).write.mode("overwrite").parquet(p)
-            vec_paths[n] = p
+        if only & {"knn", "ivf", "sq", "graph", "beam"}:
+            for n in vec_points:
+                p = os.path.join(tmp, f"vecs_{n}")
+                synth_vectors(spark, n).write.mode("overwrite").parquet(p)
+                vec_paths[n] = p
 
         # exact filtered kNN (tenant predicate + TakeOrderedAndProject)
-        for n, p in vec_paths.items():
-            df = spark.read.parquet(p)
-            results.setdefault("knn_exact_filtered", {})[n] = timed(
-                lambda df=df: noop(knn_search(df, q, k=10, filters=F.col("tenant") == 7)),
-                args.runs,
-            )
+        if "knn" in only:
+            for n, p in vec_paths.items():
+                df = spark.read.parquet(p)
+                results.setdefault("knn_exact_filtered", {})[n] = timed(
+                    lambda df=df: noop(knn_search(df, q, k=10, filters=F.col("tenant") == 7)),
+                    args.runs,
+                )
 
         # IVF: build (reported once) + pruned search
-        for n, p in vec_paths.items():
-            df = spark.read.parquet(p)
-            t0 = time.time()
-            centers, assigned = ivf_build(df, k_centroids=8, sample_fraction=min(1.0, 100_000 / n))
-            layout = os.path.join(tmp, f"ivf_{n}")
-            ivf_persist(assigned, layout)
-            results.setdefault("ivf_index_build", {})[n] = round(time.time() - t0, 3)
-            results.setdefault("ivf_search_persisted", {})[n] = timed(
-                lambda: noop(
-                    ivf_search_persisted(spark, layout, centers, q, k=10, nprobe=3)
-                ),
-                args.runs,
+        if "ivf" in only:
+            for n, p in vec_paths.items():
+                df = spark.read.parquet(p)
+                t0 = time.time()
+                centers, assigned = ivf_build(df, k_centroids=8, sample_fraction=min(1.0, 100_000 / n))
+                layout = os.path.join(tmp, f"ivf_{n}")
+                ivf_persist(assigned, layout)
+                results.setdefault("ivf_index_build", {})[n] = round(time.time() - t0, 3)
+                results.setdefault("ivf_search_persisted", {})[n] = timed(
+                    lambda: noop(
+                        ivf_search_persisted(spark, layout, centers, q, k=10, nprobe=3)
+                    ),
+                    args.runs,
+                )
+
+        # SQ8: the compressed-scan story — the search reads an int8-codes
+        # table 4x smaller than the raw vectors, so the 100x series shows
+        # the byte-bound path (train/encode is a one-off ingest cost)
+        if "sq" in only:
+            from vectordb_cloud_spark.operators.sq import (
+                sq_encode,
+                sq_search,
+                sq_train,
             )
+
+            for n, p in vec_paths.items():
+                df = spark.read.parquet(p)
+                t0 = time.time()
+                mins, maxs = sq_train(df.limit(100_000))
+                cp = os.path.join(tmp, f"sq_{n}")
+                sq_encode(df, mins, maxs).select("vec_id", "sq_code").write.mode(
+                    "overwrite"
+                ).parquet(cp)
+                results.setdefault("sq_index_build", {})[n] = round(time.time() - t0, 3)
+                codes = spark.read.parquet(cp)
+                results.setdefault("sq_adc_search", {})[n] = timed(
+                    lambda codes=codes, mins=mins, maxs=maxs: noop(
+                        sq_search(codes, mins, maxs, q, k=10, tiebreak="vec_id")
+                    ),
+                    args.runs,
+                )
 
         # upsert of a FIXED 1k batch into 100k vs 1M row collections
-        cat = CollectionCatalog(spark, os.path.join(tmp, "cat"))
-        batch = (
-            spark.range(1000)
-            .select(
-                (F.col("id") + 5_000_000).alias("id"),
-                F.array(*[F.lit(0.5)] * 8).cast("array<float>").alias("embedding"),
-                F.concat(F.lit("doc "), F.col("id")).alias("text"),
-                F.pmod(F.col("id"), F.lit(100)).alias("user_id"),
+        if "collection" in only:
+            cat = CollectionCatalog(spark, os.path.join(tmp, "cat"))
+            batch = (
+                spark.range(1000)
+                .select(
+                    (F.col("id") + 5_000_000).alias("id"),
+                    F.array(*[F.lit(0.5)] * 8).cast("array<float>").alias("embedding"),
+                    F.concat(F.lit("doc "), F.col("id")).alias("text"),
+                    F.pmod(F.col("id"), F.lit(100)).alias("user_id"),
+                )
             )
-        )
-        for n in (100_000, 1_000_000):
-            name = f"c{n}"
-            cat.create(name, dim=8)
-            base = spark.range(n).select(
-                F.col("id"),
-                F.array(*[F.lit(0.25)] * 8).cast("array<float>").alias("embedding"),
-                F.concat(F.lit("doc "), F.col("id")).alias("text"),
-                F.pmod(F.col("id"), F.lit(100)).alias("user_id"),
-            )
-            t0 = time.time()
-            cat.upsert(name, base)
-            results.setdefault("collection_build", {})[n] = round(time.time() - t0, 3)
-            results.setdefault("upsert_fixed_1k_batch", {})[n] = timed(
-                lambda name=name: cat.upsert(name, batch), args.runs
-            )
+            for n in (100_000, 1_000_000):
+                name = f"c{n}"
+                cat.create(name, dim=8)
+                base = spark.range(n).select(
+                    F.col("id"),
+                    F.array(*[F.lit(0.25)] * 8).cast("array<float>").alias("embedding"),
+                    F.concat(F.lit("doc "), F.col("id")).alias("text"),
+                    F.pmod(F.col("id"), F.lit(100)).alias("user_id"),
+                )
+                t0 = time.time()
+                cat.upsert(name, base)
+                results.setdefault("collection_build", {})[n] = round(time.time() - t0, 3)
+                results.setdefault("upsert_fixed_1k_batch", {})[n] = timed(
+                    lambda name=name: cat.upsert(name, batch), args.runs
+                )
+
+        # replicated documents corpora (shared by minhash + simhash)
+        doc_paths = {}
+        if only & {"minhash", "simhash"}:
+            for factor in (1, 10):
+                p = os.path.join(tmp, f"docs_{factor}")
+                replicate_docs(spark, SF_DIR, factor).write.mode("overwrite").parquet(p)
+                doc_paths[factor] = p
 
         # MinHash near-dup: 5k vs 50k docs (perturbed replicas)
-        for factor in (1, 10):
-            docs = replicate_docs(spark, SF_DIR, factor)
-            p = os.path.join(tmp, f"docs_{factor}")
-            docs.write.mode("overwrite").parquet(p)
-            d = spark.read.parquet(p)
-            n = d.count()
-            results.setdefault("minhash_lsh_near_dup", {})[n] = timed(
-                lambda d=d: noop(
-                    minhash_lsh_pairs(d, num_hashes=32, bands=8, shingle_n=3,
-                                      jaccard_threshold=0.2)
-                ),
-                args.runs,
-            )
+        if "minhash" in only:
+            for factor, p in doc_paths.items():
+                d = spark.read.parquet(p)
+                n = d.count()
+                results.setdefault("minhash_lsh_near_dup", {})[n] = timed(
+                    lambda d=d: noop(
+                        minhash_lsh_pairs(d, num_hashes=32, bands=8, shingle_n=3,
+                                          jaccard_threshold=0.2)
+                    ),
+                    args.runs,
+                )
 
-        # SimHash near-dup over the same replicated corpora (VERDICT r5 #3):
-        # banded (band_idx, band_value) equi-join + exact hamming verify —
-        # candidates are bounded by band-bucket occupancy, ~linear
-        from vectordb_cloud_spark.operators.dedup import simhash_near_dup_pairs
+        # SimHash near-dup (VERDICT r5 #3): banded (band_idx, band_value)
+        # equi-join + exact hamming verify — candidates bounded by
+        # band-bucket occupancy, ~linear
+        if "simhash" in only:
+            from vectordb_cloud_spark.operators.dedup import simhash_near_dup_pairs
 
-        for factor in (1, 10):
-            p = os.path.join(tmp, f"docs_{factor}")  # written by the minhash loop
-            d = spark.read.parquet(p)
-            n = d.count()
-            results.setdefault("simhash_near_dup_pairs", {})[n] = timed(
-                lambda d=d: noop(simhash_near_dup_pairs(d, max_hamming=3)),
-                args.runs,
-            )
+            for factor, p in doc_paths.items():
+                d = spark.read.parquet(p)
+                n = d.count()
+                results.setdefault("simhash_near_dup_pairs", {})[n] = timed(
+                    lambda d=d: noop(simhash_near_dup_pairs(d, max_hamming=3)),
+                    args.runs,
+                )
 
         # Compound-LSH embedding near-dup under the g-SCHEDULE: with fixed
         # params banded candidates are a fixed FRACTION of n² (quadratic with
@@ -233,73 +281,114 @@ def main():
         # so the verify stage stays ~linear, while extra OR-tables hold
         # recall. 50k rows at (AND 4, OR 8) vs 500k at (AND 5, OR 10),
         # 10% planted near-dups each.
-        from vectordb_cloud_spark.operators.ann import lsh_fit
-        from vectordb_cloud_spark.operators.dedup import embedding_near_dup_lsh
+        if "lshcompound" in only:
+            from vectordb_cloud_spark.operators.ann import lsh_fit
+            from vectordb_cloud_spark.operators.dedup import embedding_near_dup_lsh
 
-        for n, (g_and, b_or) in ((50_000, (4, 8)), (500_000, (5, 10))):
-            base = synth_vectors(spark, n)
-            pert = base.filter(F.col("vec_id") % 10 == 0).select(
-                (F.col("vec_id") + 10_000_000).alias("vec_id"),
-                F.transform(
-                    "embedding",
-                    lambda x, i: x + (F.pmod(F.xxhash64(F.col("vec_id"), i),
-                                             F.lit(100)).cast("double")
-                                      / 100.0 * 0.04 - 0.02),
-                ).cast("array<float>").alias("embedding"),
-                "tenant",
-            )
-            p = os.path.join(tmp, f"auglsh_{n}")
-            base.unionByName(pert).write.mode("overwrite").parquet(p)
-            aug = spark.read.parquet(p)
-            model, _ = lsh_fit(aug, bucket_length=0.05,
-                               num_hash_tables=g_and * b_or)
-            results.setdefault("lsh_compound_near_dup", {})[n] = timed(
-                lambda aug=aug, model=model, g_and=g_and: noop(
-                    embedding_near_dup_lsh(aug, threshold=0.99, model=model,
-                                           projections_per_table=g_and)
-                ),
-                args.runs,
-            )
-
-        # graph kNN build (multi-seed k-means blocking + NN-descent):
-        # candidate pairs = ~128·n per blocking -> linear; one-off build
-        from vectordb_cloud_spark.operators.graph_ann import knn_graph_build
-
-        for n in (10_000, 100_000):
-            p = os.path.join(tmp, f"gvecs_{n}")
-            if n not in vec_paths:
-                synth_vectors(spark, n).write.mode("overwrite").parquet(p)
-            else:
-                p = vec_paths[n]
-            df = spark.read.parquet(p)
-            t0 = time.time()
-            noop(knn_graph_build(df, degree=8, refine_rounds=1))
-            results.setdefault("graph_knn_build", {})[n] = round(time.time() - t0, 3)
-
-        # TPC-H q1 aggregate: 600k vs 6M lineitem rows
-        for factor in (1, 10):
-            li10 = replicate_lineitem(spark, SF_DIR, factor)
-            p = os.path.join(tmp, f"lineitem_{factor}")
-            li10.write.mode("overwrite").parquet(p)
-            li = spark.read.parquet(p)
-            n = li.count()
-            disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-
-            def q1(li=li, disc=disc):
-                noop(
-                    li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
-                    .groupBy("l_returnflag", "l_linestatus")
-                    .agg(
-                        F.sum("l_quantity").alias("sum_qty"),
-                        F.sum(disc).alias("sum_disc_price"),
-                        F.avg("l_extendedprice").alias("avg_price"),
-                        F.count("*").alias("n"),
-                    )
+            for n, (g_and, b_or) in ((50_000, (4, 8)), (500_000, (5, 10))):
+                base = synth_vectors(spark, n)
+                pert = base.filter(F.col("vec_id") % 10 == 0).select(
+                    (F.col("vec_id") + 10_000_000).alias("vec_id"),
+                    F.transform(
+                        "embedding",
+                        lambda x, i: x + (F.pmod(F.xxhash64(F.col("vec_id"), i),
+                                                 F.lit(100)).cast("double")
+                                          / 100.0 * 0.04 - 0.02),
+                    ).cast("array<float>").alias("embedding"),
+                    "tenant",
+                )
+                p = os.path.join(tmp, f"auglsh_{n}")
+                base.unionByName(pert).write.mode("overwrite").parquet(p)
+                aug = spark.read.parquet(p)
+                model, _ = lsh_fit(aug, bucket_length=0.05,
+                                   num_hash_tables=g_and * b_or)
+                results.setdefault("lsh_compound_near_dup", {})[n] = timed(
+                    lambda aug=aug, model=model, g_and=g_and: noop(
+                        embedding_near_dup_lsh(aug, threshold=0.99, model=model,
+                                               projections_per_table=g_and)
+                    ),
+                    args.runs,
                 )
 
-            results.setdefault("tpch_q1_aggregate", {})[n] = timed(q1, args.runs)
+        # graph kNN build (multi-seed k-means blocking + NN-descent):
+        # candidate pairs = ~128·n per blocking -> linear; one-off build.
+        # The built graphs feed the "beam" section: per-query search cost
+        # is frontier-bounded (beam×degree probes per hop), so latency
+        # should be ~FLAT in corpus size — the HNSW-style property.
+        if only & {"graph", "beam"}:
+            from vectordb_cloud_spark.operators.graph_ann import (
+                graph_beam_search,
+                knn_graph_build,
+                knn_graph_persist,
+            )
+
+            for n in (10_000, 100_000):
+                p = os.path.join(tmp, f"gvecs_{n}")
+                if n not in vec_paths:
+                    synth_vectors(spark, n).write.mode("overwrite").parquet(p)
+                else:
+                    p = vec_paths[n]
+                df = spark.read.parquet(p)
+                gpath = os.path.join(tmp, f"graph_{n}")
+                t0 = time.time()
+                g = knn_graph_build(df, degree=8, refine_rounds=1)
+                knn_graph_persist(g, gpath)
+                if "graph" in only:
+                    results.setdefault("graph_knn_build", {})[n] = round(
+                        time.time() - t0, 3)
+                if "beam" in only:
+                    adj = spark.read.parquet(gpath)
+                    results.setdefault("graph_beam_search", {})[n] = timed(
+                        lambda df=df, adj=adj: noop(
+                            graph_beam_search(df, adj, q, k=10, beam=16,
+                                              max_hops=4)
+                        ),
+                        args.runs,
+                    )
+
+        # TPC-H q1 aggregate: 600k vs 6M lineitem rows
+        if "tpch" in only:
+            for factor in (1, 10):
+                li10 = replicate_lineitem(spark, SF_DIR, factor)
+                p = os.path.join(tmp, f"lineitem_{factor}")
+                li10.write.mode("overwrite").parquet(p)
+                li = spark.read.parquet(p)
+                n = li.count()
+                disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+                def q1(li=li, disc=disc):
+                    noop(
+                        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+                        .groupBy("l_returnflag", "l_linestatus")
+                        .agg(
+                            F.sum("l_quantity").alias("sum_qty"),
+                            F.sum(disc).alias("sum_disc_price"),
+                            F.avg("l_extendedprice").alias("avg_price"),
+                            F.count("*").alias("n"),
+                        )
+                    )
+
+                results.setdefault("tpch_q1_aggregate", {})[n] = timed(q1, args.runs)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+    # ---- merge with the sidecar so partial (--only) runs keep other rows
+    sidecar = Path(args.out).with_suffix(".json")
+    merged: dict[str, dict] = {}
+    if sidecar.exists():
+        try:
+            merged = {
+                op: {int(n): t for n, t in pts.items()}
+                for op, pts in json.loads(sidecar.read_text()).items()
+            }
+        except (ValueError, AttributeError):
+            merged = {}
+    for op, pts in results.items():
+        merged[op] = dict(pts)
+    sidecar.write_text(json.dumps(
+        {op: {str(n): t for n, t in pts.items()} for op, pts in merged.items()},
+        indent=1,
+    ))
 
     # ---- report
     lines = [
@@ -311,15 +400,16 @@ def main():
         "the rest a 10x pair. `full ratio` = t(largest)/t(smallest) against",
         "the row ratio in parentheses. Design claims: upsert of a fixed batch",
         "is ~flat in table size (bucket-scoped rewrite + manifest",
-        "probe-skip); IVF search scans nprobe/k of the files; everything else",
-        "~linear. Index/collection builds are one-off ingest costs, reported",
-        "unrationed.",
+        "probe-skip); IVF search scans nprobe/k of the files; SQ8 ADC search",
+        "scans a 4x-smaller codes table; graph beam search is frontier-",
+        "bounded (~flat per query); everything else ~linear. Index and",
+        "collection builds are one-off ingest costs, reported unrationed.",
         "",
         "| operator | rows → seconds (each point) | full ratio (rows ratio) |",
         "|---|---|---|",
     ]
     summary = {}
-    for op, d in results.items():
+    for op, d in merged.items():
         pts = sorted(d.items())
         (n1, t1), (nk, tk) = pts[0], pts[-1]
         ratio = round(tk / t1, 2) if t1 > 0 else float("inf")
@@ -332,14 +422,15 @@ def main():
         "",
         "Interpretation: a time ratio well under the rows ratio means the",
         "operator is dominated by fixed plan/scheduling overhead at this",
-        "scale or by a pruned/partial read path (IVF, upsert); ~rows-ratio is",
-        "honest linear scaling; anything well above it would be a",
-        "scale-killer (none observed).",
+        "scale or by a pruned/partial/frontier-bounded read path (IVF, SQ,",
+        "upsert, beam search); ~rows-ratio is honest linear scaling;",
+        "anything well above it would be a scale-killer (none observed).",
         "",
     ]
     with open(args.out, "w") as f:
         f.write("\n".join(lines))
-    print(json.dumps({"metric": "scale_check", "results": summary}))
+    print(json.dumps({"metric": "scale_check", "results": summary,
+                      "sections": sorted(only)}))
 
 
 if __name__ == "__main__":

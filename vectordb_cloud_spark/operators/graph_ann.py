@@ -296,6 +296,93 @@ def knn_graph_append(
     return untouched.unionByName(merged)
 
 
+def graph_knn_join(
+    points: DataFrame,
+    graph: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    beam: int = 16,
+    max_hops: int = 4,
+    entry_points: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch beam search: every query's beam advances together, one
+    distributed round per hop — the graph family's ``ivf_knn_join``.
+
+    ``graph_beam_search`` loops on the driver per query; for a query TABLE
+    that serializes. Here the whole frontier lives in a DataFrame
+    ``(qid, node, dist)`` and each hop is set algebra: window top-``beam``
+    per query -> equi-join the adjacency on ``src`` -> anti-join already-
+    visited -> join vectors -> score against the (broadcast) query vectors.
+    Per-hop state is ≤ queries × (entry_points + hops·beam·degree) rows —
+    bounded by the workload, independent of corpus size — and the corpus
+    itself is only touched through the two equi-joins, so it is never
+    collected, never crossed, and shuffles at most on the candidate ids.
+    ``localCheckpoint`` truncates the per-hop lineage (same contract as
+    ``dup_components``). No per-query early stop (a fixed ``max_hops``
+    rounds); wider beams buy recall exactly as in the single-query form.
+
+    ``queries`` must be modest (it is broadcast to score candidates);
+    route bigger workloads in slices. Returns (query_id, vec_id, dist),
+    ``k`` rows per query, exact distances.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(query_id_col).alias("qid"),
+        F.col(query_vec_col).cast("array<double>").alias("__qv"),
+    )
+    base = points.select(
+        F.col(id_col).alias("node"),
+        F.col(vec_col).cast("array<double>").alias("__nv"),
+    )
+    seeds = base.orderBy(F.col("node").asc()).limit(entry_points)
+    visited = (
+        F.broadcast(q)
+        .crossJoin(seeds)
+        .withColumn("dist", l2_distance(F.col("__qv"), F.col("__nv")))
+        .select("qid", "node", "dist")
+        .localCheckpoint()
+    )
+
+    def _top(df: DataFrame, n: int) -> DataFrame:
+        w = Window.partitionBy("qid").orderBy(
+            F.col("dist").asc(), F.col("node").asc())
+        return (
+            df.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= n)
+            .drop("__rk")
+        )
+
+    adj = graph.select(F.col("src"), F.col("dst"))
+    for _ in range(max_hops):
+        frontier = (
+            _top(visited, beam)
+            .join(adj, F.col("node") == F.col("src"))
+            .select("qid", F.col("dst").alias("node"))
+            .dropDuplicates(["qid", "node"])
+            .join(visited.select("qid", "node"), ["qid", "node"], "left_anti")
+        )
+        scored = (
+            frontier.join(base, "node")
+            .join(F.broadcast(q), "qid")
+            .withColumn("dist", l2_distance(F.col("__qv"), F.col("__nv")))
+            .select("qid", "node", "dist")
+        )
+        if scored.isEmpty():
+            break
+        visited = visited.unionByName(scored).localCheckpoint()
+
+    return _top(visited, k).select(
+        F.col("qid").alias(query_id_col),
+        F.col("node").alias(id_col),
+        "dist",
+    )
+
+
 def knn_graph_persist(graph: DataFrame, path: str) -> None:
     """Write the adjacency table. Kept as plain (src, dst, dist) parquet —
     at real scale write it bucketed by ``src`` (sources/bucketed.py) so a
