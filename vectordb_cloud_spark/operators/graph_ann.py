@@ -427,11 +427,11 @@ def graph_beam_search(
     over the filtered subset, exactly as HNSW engines fall back to
     payload-index scans.
 
-    Per hop this is: one filtered scan of the adjacency table + one
-    filtered scan of the base table + a driver-side top-``beam`` over
-    ≤ beam×degree scored rows — at 100 TB with a src-bucketed adjacency
-    layout, both scans are file-pruned probes, and the corpus is never
-    shuffled.
+    Per hop this is ONE Spark job: a filtered scan of the adjacency table
+    broadcast-joined into a filtered scan of the base table, then a
+    driver-side top-``beam`` over ≤ beam×degree scored rows — at 100 TB
+    with a src-bucketed adjacency layout, both scans are file-pruned
+    probes, and the corpus is never shuffled.
     """
     dist_to_q = lambda col: l2_distance_to(col, query_vector)  # noqa: E731
     match_flag = (
@@ -457,20 +457,27 @@ def graph_beam_search(
     beam_ids = sorted(visited, key=lambda i: (visited[i], i))[:beam]
 
     for _ in range(max_hops):
-        frontier_edges = graph.filter(F.col("src").isin(list(beam_ids)))
-        new_ids = [
-            r["dst"]
-            for r in frontier_edges.select("dst").distinct().collect()
-            if r["dst"] not in visited
-        ]
-        if not new_ids:
-            break
+        # ONE job per hop: pruned adjacency probe -> drop already-visited
+        # (the visited set is driver-bounded: entry + hops·beam·degree ids,
+        # folded in as an isin literal) -> join the base table -> score.
+        # Fusing the old frontier-collect + scoring jobs halves per-hop
+        # round trips, the dominant cost of a beam query locally.
+        cand = (
+            graph.filter(F.col("src").isin(list(beam_ids)))
+            .select(F.col("dst").alias("__cand"))
+            .distinct()
+            .filter(~F.col("__cand").isin(list(visited)))
+        )
         scored = (
-            points.filter(F.col(id_col).isin(new_ids))
+            points.join(
+                F.broadcast(cand), F.col(id_col) == F.col("__cand"), "inner"
+            )
             .select(F.col(id_col).alias("id"),
                     dist_to_q(F.col(vec_col)).alias("dist"), match_flag)
             .collect()
         )
+        if not scored:
+            break
         worst_beam = max(visited[i] for i in beam_ids)
         improved = any(r["dist"] < worst_beam for r in scored)
         _absorb(scored)

@@ -144,10 +144,9 @@ def ivf_sq_search(spark, path: str, points: DataFrame, centers: list,
         F.col("centroid_id").isin(probe_ids)
     )
     cand = sq_search(codes, mins, maxs, query_vector, k=k * oversample,
-                     tiebreak=id_col).select(id_col).collect()
-    ids = [r[0] for r in cand]
+                     tiebreak=id_col).select(F.col(id_col).alias("__cand"))
     rescored = (
-        points.filter(F.col(id_col).isin(ids))
+        points.join(F.broadcast(cand), F.col(id_col) == F.col("__cand"))
         .withColumn("dist", l2_distance_to(F.col(vector_col), query_vector))
     )
     return (
@@ -228,16 +227,17 @@ def bq_search(encoded: DataFrame, points: DataFrame, thresholds: list[float],
     order = [F.col("hamming").asc()]
     if tiebreak is not None:
         order.append(F.col(tiebreak).asc())
+    # TakeOrderedAndProject over the codes scan feeds the rescore join
+    # directly (broadcast of k*oversample ids) — no driver round trip, the
+    # whole search is one lazily-planned DataFrame
     cand = (
         encoded.withColumn("hamming", ham)
         .orderBy(*order)
         .limit(k * oversample)
-        .select(id_col)
-        .collect()
+        .select(F.col(id_col).alias("__cand"))
     )
-    ids = [r[0] for r in cand]
     rescored = (
-        points.filter(F.col(id_col).isin(ids))
+        points.join(F.broadcast(cand), F.col(id_col) == F.col("__cand"))
         .withColumn("dist", l2_distance_to(F.col(vector_col), query_vector))
     )
     order2 = [F.col("dist").asc()]
