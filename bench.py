@@ -104,13 +104,36 @@ def main():
     )
 
     # real lexical embeddings (hashed TF-IDF + signed random projection,
-    # all JVM-side): embed the corpus and run an exact cosine top-k — the
-    # weights-free executable twin of the reference's embed->search path
-    from vectordb_cloud_spark.functions.embedding import similar_documents
+    # all JVM-side) — the weights-free executable twin of the reference's
+    # embed->search path. Embedding the corpus is ingest work (persist
+    # once, like the IVF/PQ builds); the timed query searches the
+    # persisted embeddings.
+    import shutil
+    import tempfile
 
-    results["tfidf_embed_similar"] = timed_median(
-        lambda: noop_write(similar_documents(docs, query_doc_id=1, k=10))
-    )
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from vectordb_cloud_spark.functions.embedding import hashed_tfidf_embed
+    from vectordb_cloud_spark.operators.knn import knn_search
+
+    tdir = tempfile.mkdtemp(prefix="bench_tfidf_")
+    try:
+        t0 = time.time()
+        hashed_tfidf_embed(docs).write.mode("overwrite").parquet(
+            os.path.join(tdir, "emb")
+        )
+        builds["tfidf_embed_build"] = round(time.time() - t0, 3)
+        temb = spark.read.parquet(os.path.join(tdir, "emb"))
+        tqv = [float(x) for x in
+               temb.filter(F.col("doc_id") == 1).first()["embedding"]]
+        results["tfidf_knn_topk"] = timed_median(
+            lambda: noop_write(
+                knn_search(temb, tqv, k=11, metric="cosine",
+                           vector_col="embedding", tiebreak="doc_id")
+            )
+        )
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
 
     # vector-scan stress: the fixture embeddings table is small (2k rows at
     # sf0.1), so also measure exact filtered kNN over 100k synthetic 64-dim

@@ -51,3 +51,63 @@ def test_no_false_positives_on_fixture(spark, documents):
     )
     assert find_contaminated(documents, eval_set, n=13).count() == 0
     assert decontaminate(documents, eval_set, n=13).count() == documents.count()
+
+
+@pytest.fixture(scope="module")
+def fuzzy_corpora(spark):
+    # eval doc, and a PARAPHRASED leak: every ~6th word changed, so no
+    # 13-gram survives verbatim but shingle-level Jaccard stays high
+    eval_text = ("which planet in the solar system has the most moons "
+                 "answer saturn with one hundred forty six confirmed moons "
+                 "as of the latest count in recent astronomical surveys done")
+    paraphrased = ("which planet in the solar system holds the most moons "
+                   "answer saturn with one hundred forty six verified moons "
+                   "as of the newest count in recent astronomical surveys made")
+    train = spark.createDataFrame(
+        [
+            (1, "unrelated text about parquet row groups and shuffle sizes"),
+            (2, paraphrased),
+            (3, eval_text),  # verbatim leak too
+        ],
+        "doc_id long, text string",
+    )
+    eval_set = spark.createDataFrame(
+        [(200, eval_text)], "doc_id long, text string"
+    )
+    return train, eval_set
+
+
+def test_exact_ngram_misses_paraphrase(fuzzy_corpora):
+    train, eval_set = fuzzy_corpora
+    exact = {r["doc_id"] for r in
+             find_contaminated(train, eval_set, n=13).collect()}
+    assert 3 in exact      # verbatim found
+    assert 2 not in exact  # paraphrase slips through the verbatim check
+
+
+def test_fuzzy_catches_paraphrase(fuzzy_corpora):
+    from vectordb_cloud_spark.operators.decontaminate import (
+        find_contaminated_fuzzy,
+    )
+
+    train, eval_set = fuzzy_corpora
+    hits = find_contaminated_fuzzy(train, eval_set, jaccard_threshold=0.4,
+                                   bands=16).collect()
+    got = {(r["doc_id"], r["eval_id"]) for r in hits}
+    assert (2, 200) in got and (3, 200) in got
+    assert all(r["doc_id"] != 1 for r in hits)
+    # verbatim pair has jaccard 1.0; paraphrase strictly between
+    by_doc = {r["doc_id"]: r["jaccard"] for r in hits}
+    assert by_doc[3] == 1.0
+    assert 0.4 <= by_doc[2] < 1.0
+
+
+def test_decontaminate_fuzzy_removes_both_kinds(fuzzy_corpora):
+    from vectordb_cloud_spark.operators.decontaminate import (
+        decontaminate_fuzzy,
+    )
+
+    train, eval_set = fuzzy_corpora
+    clean = decontaminate_fuzzy(train, eval_set, jaccard_threshold=0.4,
+                                bands=16)
+    assert [r["doc_id"] for r in clean.collect()] == [1]

@@ -427,8 +427,9 @@ def graph_beam_search(
     over the filtered subset, exactly as HNSW engines fall back to
     payload-index scans.
 
-    Per hop this is ONE Spark job: a filtered scan of the adjacency table
-    broadcast-joined into a filtered scan of the base table, then a
+    Per hop this is one action: a filtered scan of the adjacency table
+    broadcast-joined into a filtered scan of the base table (Spark
+    materializes the broadcast side as its own small job), then a
     driver-side top-``beam`` over ≤ beam×degree scored rows — at 100 TB
     with a src-bucketed adjacency layout, both scans are file-pruned
     probes, and the corpus is never shuffled.

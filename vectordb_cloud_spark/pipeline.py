@@ -41,6 +41,7 @@ def curate_corpus(
     max_dup_gram_fraction: float | None = None,
     eval_set: DataFrame | None = None,
     decontaminate_n: int = 13,
+    decontaminate_fuzzy_threshold: float | None = None,
     near_dup: bool = True,
     jaccard_threshold: float = 0.8,
     scrub_pii: bool = False,
@@ -82,12 +83,26 @@ def curate_corpus(
             kept, max_dup_gram_fraction, id_col=id_col, text_col=text_col
         )
     if eval_set is not None:
-        from vectordb_cloud_spark.operators.decontaminate import decontaminate
+        if decontaminate_fuzzy_threshold is not None:
+            # belt and braces: verbatim n-gram check + MinHash paraphrase
+            # check (find_contaminated_fuzzy) in one anti-join pass
+            from vectordb_cloud_spark.operators.decontaminate import (
+                decontaminate_fuzzy,
+            )
 
-        kept = decontaminate(
-            kept, eval_set, n=decontaminate_n,
-            train_id=id_col, train_text=text_col,
-        )
+            kept = decontaminate_fuzzy(
+                kept, eval_set, decontaminate_fuzzy_threshold,
+                n=decontaminate_n, train_id=id_col, train_text=text_col,
+            )
+        else:
+            from vectordb_cloud_spark.operators.decontaminate import (
+                decontaminate,
+            )
+
+            kept = decontaminate(
+                kept, eval_set, n=decontaminate_n,
+                train_id=id_col, train_text=text_col,
+            )
     kept = dedup_keep_first(kept, id_col=id_col, text_col=text_col)
     if near_dup:
         pairs = minhash_lsh_pairs(
