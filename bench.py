@@ -182,7 +182,7 @@ def main():
         qv = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
         results["ann_graph_topk"] = timed_median(
             lambda: noop_write(
-                graph_beam_search(emb, adj, qv, k=10, beam=16, max_hops=4)
+                graph_beam_search(emb, adj, qv, k=10, beam=32, max_hops=4)
             )
         )
 
