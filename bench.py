@@ -223,6 +223,19 @@ def main():
             )
         )
 
+        # PQ two-stage rerank (the production PQ path): codes-only ADC
+        # candidates -> exact rescore join
+        from vectordb_cloud_spark.operators.pq import pq_search_rerank
+
+        pq_codebooks, pq_path = qmod._pq_index(spark, sf_dir)
+        pq_codes = spark.read.parquet(pq_path)
+        results["pq_adc_rerank_topk"] = timed_median(
+            lambda: noop_write(
+                pq_search_rerank(pq_codes, pq_codebooks, emb,
+                                 [float(x) for x in qv], k=10, oversample=4)
+            )
+        )
+
         # recall@10 vs exact for every ANN family (VERDICT r5 #6): latency
         # alone can't catch an ANN change that got faster by dropping
         # recall, so the per-round artifact now records quality too. Reuses

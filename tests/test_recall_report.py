@@ -21,7 +21,7 @@ def report(spark, sf_dir):
 def test_report_covers_every_family(report):
     assert set(report) == {
         "lsh_knn", "ann_ivf_topk", "pq_adc_topk", "ann_graph_topk",
-        "sq_adc_topk", "bq_hamming_rescore_topk",
+        "sq_adc_topk", "bq_hamming_rescore_topk", "pq_adc_rerank_topk",
     }
     assert all(0.0 <= r <= 1.0 for r in report.values())
 
@@ -50,6 +50,12 @@ def test_lsh_recall_floor(report):
 def test_sq_recall_floor(report):
     # int8 per-dim quantization on 64 dims is near-lossless for top-k
     assert report["sq_adc_topk"] >= 0.8
+
+
+def test_pq_rerank_beats_pure_adc(report):
+    # the rescore stage exists to recover what coarse codebooks lose
+    assert report["pq_adc_rerank_topk"] >= report["pq_adc_topk"]
+    assert report["pq_adc_rerank_topk"] >= 0.5
 
 
 def test_bq_recall_floor(report):

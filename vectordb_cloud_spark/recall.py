@@ -49,7 +49,8 @@ def ann_recall_report(
     parameters.
 
     Returns ``{"lsh_knn": r, "ann_ivf_topk": r, "pq_adc_topk": r,
-    "ann_graph_topk": r, "sq_adc_topk": r, "bq_hamming_rescore_topk": r}``
+    "ann_graph_topk": r, "sq_adc_topk": r, "bq_hamming_rescore_topk": r,
+    "pq_adc_rerank_topk": r}``
     with each r in [0, 1], rounded to 3 digits.
     """
     from vectordb_cloud_spark import queries as qmod
@@ -63,7 +64,7 @@ def ann_recall_report(
         graph_beam_search,
         knn_graph_build,
     )
-    from vectordb_cloud_spark.operators.pq import pq_search
+    from vectordb_cloud_spark.operators.pq import pq_search, pq_search_rerank
     from vectordb_cloud_spark.operators.sq import (
         bq_encode,
         bq_search,
@@ -98,7 +99,7 @@ def ann_recall_report(
 
     sums = {"lsh_knn": 0.0, "ann_ivf_topk": 0.0, "pq_adc_topk": 0.0,
             "ann_graph_topk": 0.0, "sq_adc_topk": 0.0,
-            "bq_hamming_rescore_topk": 0.0}
+            "bq_hamming_rescore_topk": 0.0, "pq_adc_rerank_topk": 0.0}
     for qv in queries:
         exact = brute_force_topk(emb, qv, k=k)
         sums["lsh_knn"] += recall_at_k(
@@ -109,6 +110,9 @@ def ann_recall_report(
             exact, "vec_id")
         sums["pq_adc_topk"] += recall_at_k(
             pq_search(encoded, codebooks, qv, k=k, tiebreak="vec_id"),
+            exact, "vec_id")
+        sums["pq_adc_rerank_topk"] += recall_at_k(
+            pq_search_rerank(encoded, codebooks, emb, qv, k=k, oversample=4),
             exact, "vec_id")
         sums["ann_graph_topk"] += recall_at_k(
             graph_beam_search(emb, graph, qv, k=k, beam=GRAPH_BEAM,
