@@ -75,3 +75,64 @@ def test_chunk_and_embed_shape(spark):
     rows = chunk_and_embed(_doc(spark, text), dim=8, chunk_tokens=16, overlap=4).collect()
     assert all(len(r["embedding"]) == 8 for r in rows)
     assert len(rows) >= 3
+
+
+def test_chunk_tfidf_index_and_passage_topk(spark):
+    """Passage retrieval end to end: a query phrased like one doc's MIDDLE
+    passage must surface that doc via max-pooled chunk scores, with the
+    right chunk pinned for snippeting."""
+    from vectordb_cloud_spark.operators.chunking import (
+        chunk_tfidf_index,
+        passage_topk,
+    )
+
+    filler_a = " ".join(f"alpha{i} beta{i}" for i in range(30))
+    filler_b = " ".join(f"gamma{i} delta{i}" for i in range(30))
+    target_passage = ("the rare saturn moon count answer lives in this "
+                      "exact middle passage of the long document here")
+    docs = spark.createDataFrame(
+        [
+            (1, f"{filler_a} {target_passage} {filler_a}"),
+            (2, f"{filler_b} nothing about planets here at all {filler_b}"),
+            (3, "short unrelated document about parquet files"),
+        ],
+        "doc_id long, text string",
+    )
+    index = chunk_tfidf_index(docs, chunk_tokens=20, overlap=5).cache()
+    # chunk table shape: composite key + text + real embedding
+    assert {"doc_id", "chunk_idx", "chunk_text", "n_tokens", "embedding"} <= \
+        set(index.columns)
+    assert index.filter(F.size("embedding") != 64).count() == 0
+    # doc 1 produced multiple chunks; exactly one holds the target phrase
+    hits = index.filter(F.col("chunk_text").contains("saturn moon count"))
+    assert hits.count() >= 1
+    target_chunk = hits.first()["chunk_idx"]
+
+    # query = the target passage itself, embedded in the SAME chunk space:
+    # reuse its indexed embedding as the query vector
+    qv = [float(x) for x in hits.first()["embedding"]]
+    got = passage_topk(index, qv, k=2, per_doc="max")
+    rows = got.collect()
+    assert rows[0]["doc_id"] == 1
+    assert rows[0]["best_chunk_idx"] == target_chunk
+    assert rows[0]["score"] > rows[1]["score"]
+
+    # avg pooling ranks doc 1 first too (its other chunks share no terms,
+    # but competitors share zero as well)
+    avg = passage_topk(index, qv, k=3, per_doc="avg").collect()
+    assert avg[0]["doc_id"] == 1
+
+
+def test_passage_topk_plan_is_jvm_only(spark):
+    from vectordb_cloud_spark.operators.chunking import (
+        chunk_tfidf_index,
+        passage_topk,
+    )
+    from vectordb_cloud_spark.plans.inspect import explain_str
+
+    docs = spark.createDataFrame(
+        [(1, "some words " * 30)], "doc_id long, text string")
+    index = chunk_tfidf_index(docs, chunk_tokens=10, overlap=2)
+    plan = explain_str(passage_topk(index, [0.1] * 64, k=5), mode="simple")
+    assert not any(tok in plan for tok in
+                   ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"))

@@ -76,3 +76,71 @@ def chunk_and_embed(
 
     chunked = chunk_documents(docs, id_col, text_col, chunk_tokens, overlap)
     return chunked.withColumn("embedding", mock_embed("chunk_text", dim))
+
+
+def chunk_tfidf_index(
+    docs: DataFrame,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Chunk the corpus and embed every chunk with the REAL (weights-free)
+    hashed-TF-IDF embedder — the passage-retrieval index. Output:
+    (id_col, chunk_idx, chunk_text, n_tokens, embedding), ready to persist
+    and search with any ANN family keyed by the composite (doc, chunk).
+
+    IDF statistics are computed over CHUNKS (each chunk is a "document" to
+    the embedder) — the standard passage-indexing choice: a term frequent
+    across one long document but rare in the corpus keeps its
+    discriminative weight at the passage level."""
+    from vectordb_cloud_spark.functions.embedding import hashed_tfidf_embed
+
+    chunked = chunk_documents(docs, id_col, text_col, chunk_tokens, overlap)
+    with_key = chunked.withColumn(
+        "__ck", F.xxhash64(F.col(id_col), F.col("chunk_idx"))
+    )
+    emb = hashed_tfidf_embed(with_key, id_col="__ck", text_col="chunk_text",
+                             dim=dim)
+    return with_key.join(emb, "__ck").drop("__ck")
+
+
+def passage_topk(
+    chunk_index: DataFrame,
+    query_vector: list[float],
+    k: int = 10,
+    per_doc: str = "max",
+    id_col: str = "doc_id",
+    vector_col: str = "embedding",
+    filters=None,
+) -> DataFrame:
+    """Document top-k from a chunk-level index: score every chunk against
+    the query (cosine), aggregate per document (``max`` = best passage —
+    the late-interaction reduction; ``avg`` = whole-doc relevance), return
+    the k best documents with their best chunk pinned for snippeting.
+
+    One narrow scan (chunk scoring is fused column algebra), one partial
+    agg on doc_id, one TakeOrderedAndProject — no joins, no Python. At
+    100 TB the chunk index is the table being scanned, so pair it with an
+    IVF/SQ layout over the chunk embeddings and pass the probe predicate
+    as ``filters``.
+    """
+    from vectordb_cloud_spark.functions.vector import cosine_similarity_to
+
+    if per_doc not in ("max", "avg"):
+        raise ValueError(f"per_doc must be 'max' or 'avg', got {per_doc!r}")
+    df = chunk_index if filters is None else chunk_index.filter(filters)
+    scored = df.withColumn(
+        "__score", cosine_similarity_to(F.col(vector_col), query_vector)
+    )
+    agg = (
+        F.max("__score") if per_doc == "max" else F.avg("__score")
+    ).alias("score")
+    best_chunk = F.max_by("chunk_idx", F.col("__score")).alias("best_chunk_idx")
+    return (
+        scored.groupBy(id_col)
+        .agg(F.round(agg, 6).alias("score"), best_chunk)
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
