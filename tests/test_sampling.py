@@ -123,3 +123,37 @@ def test_token_share_fractions_validates(spark, documents):
         token_share_fractions(documents, {"en": 0.0})
     with _pytest.raises(ValueError, match="no tokens"):
         token_share_fractions(documents, {"klingon": 1.0})
+
+
+def test_temperature_shares_upweights_low_resource(spark):
+    """alpha < 1 moves share from the dominant domain to the rare one;
+    alpha=1 reproduces the natural token distribution."""
+    from vectordb_cloud_spark.operators.sampling import temperature_shares
+
+    docs = spark.createDataFrame(
+        [(i, "en", "word " * 100) for i in range(90)]
+        + [(1000 + i, "sw", "neno " * 100) for i in range(10)],
+        "doc_id long, lang string, text string",
+    )
+    natural = temperature_shares(docs, alpha=1.0)
+    cooled = temperature_shares(docs, alpha=0.3)
+    assert abs(natural["en"] - 0.9) < 0.01 and abs(natural["sw"] - 0.1) < 0.01
+    assert cooled["sw"] > natural["sw"]
+    assert cooled["en"] < natural["en"]
+    assert abs(sum(cooled.values()) - 1.0) < 1e-9
+    # composes with the token-share mixer: fractions in (0, 1], rare domain
+    # kept whole (it is the most token-constrained after upweighting)
+    from vectordb_cloud_spark.operators.sampling import token_share_fractions
+
+    fr = token_share_fractions(docs, cooled, domain_col="lang")
+    assert fr["sw"] == 1.0 and 0.0 < fr["en"] < 1.0
+
+
+def test_temperature_shares_validates_alpha(spark):
+    from vectordb_cloud_spark.operators.sampling import temperature_shares
+
+    docs = spark.createDataFrame([(1, "en", "x")], "doc_id long, lang string, text string")
+    with pytest.raises(ValueError):
+        temperature_shares(docs, alpha=0.0)
+    with pytest.raises(ValueError):
+        temperature_shares(docs, alpha=1.5)

@@ -165,3 +165,40 @@ def mixture_by_token_share(
     one map-side seeded ``sampleBy`` — no shuffle, reproducible."""
     fracs = token_share_fractions(docs, target_shares, domain_col, token_expr)
     return docs.sampleBy(domain_col, fracs, seed=seed)
+
+
+def temperature_shares(
+    docs: DataFrame,
+    alpha: float = 0.3,
+    domain_col: str = "lang",
+    token_expr=None,
+) -> dict[str, float]:
+    """Temperature-scaled target shares: share(d) ∝ tokens(d)^alpha — the
+    multilingual-LM sampling convention (alpha=1 keeps the natural
+    distribution, alpha→0 approaches uniform; 0.3 is the published
+    mBERT/XLM-R style upweighting of low-resource domains).
+
+    Computes natural token counts in one aggregate (one driver-side row per
+    domain, the same bounded-cardinality contract as the other mixture
+    helpers) and returns normalized shares to feed
+    ``token_share_fractions`` / ``mixture_by_token_share``:
+
+        shares = temperature_shares(docs, alpha=0.3)
+        mixed = mixture_by_token_share(docs, shares)
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if token_expr is None:
+        token_expr = F.size(F.split(F.col("text"), r"\s+"))
+    tokens = {
+        r["__d"]: r["__t"]
+        for r in docs.filter(F.col(domain_col).isNotNull())
+        .groupBy(F.col(domain_col).alias("__d"))
+        .agg(F.sum(token_expr).alias("__t"))
+        .collect()
+    }
+    if not tokens:
+        raise ValueError(f"no non-null {domain_col!r} values in corpus")
+    powered = {d: float(t) ** alpha for d, t in tokens.items()}
+    z = sum(powered.values())
+    return {d: p / z for d, p in powered.items()}
