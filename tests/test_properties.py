@@ -196,3 +196,56 @@ def test_scd2_apply_equals_full_rebuild(spark_global, log, batch):
     truth = scd2_snapshot(ldf.unionByName(bdf), "k", "ts", ["attr"])
     assert Counter(map(tuple, applied.collect())) == \
         Counter(map(tuple, truth.collect()))
+
+
+@settings(max_examples=10, deadline=None)
+@given(seed=st.integers(min_value=0, max_value=10_000))
+def test_sq_roundtrip_error_bound_property(spark_global, seed):
+    """For ANY corpus, int8 dequantization error is within half a step per
+    dimension — the equal-width quantizer's defining guarantee."""
+    from vectordb_cloud_spark.operators.sq import sq_encode, sq_train
+
+    rng = np.random.default_rng(seed)
+    mat = rng.normal(scale=rng.uniform(0.01, 100), size=(30, 6))
+    df = spark_global.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    mins, maxs = sq_train(df)
+    rows = sq_encode(df, mins, maxs).select("embedding", "sq_code").collect()
+    step = (np.asarray(maxs) - np.asarray(mins)) / 255.0
+    for r in rows:
+        x = np.asarray(r["embedding"], dtype=np.float64)
+        deq = (np.asarray(r["sq_code"], dtype=np.float64) + 128.0) * step + mins
+        assert np.all(np.abs(deq - x) <= step / 2 + 1e-9)
+        assert all(-128 <= c <= 127 for c in r["sq_code"])
+
+
+@settings(max_examples=10, deadline=None)
+@given(seed=st.integers(min_value=0, max_value=10_000),
+       dim=st.sampled_from([3, 64, 70, 130]))
+def test_bq_packing_matches_numpy_any_dim(spark_global, seed, dim):
+    """Bit packing parity with numpy for dims below/at/above word
+    boundaries (3, 64, 70, 130 -> 1, 1, 2, 3 words)."""
+    from vectordb_cloud_spark.operators.sq import bq_encode, bq_train
+
+    rng = np.random.default_rng(seed)
+    mat = rng.normal(size=(10, dim))
+    df = spark_global.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    thr = bq_train(df)
+    t = np.asarray(thr)
+    n_words = (dim + 63) // 64
+    for r in bq_encode(df, thr).select("embedding", "bq_code").collect():
+        x = np.asarray(r["embedding"], dtype=np.float64)
+        bits = (x > t).astype(int)
+        assert len(r["bq_code"]) == n_words
+        for w in range(n_words):
+            want = 0
+            for j, b in enumerate(bits[w * 64:(w + 1) * 64]):
+                want |= int(b) << j
+            if want >= 1 << 63:
+                want -= 1 << 64
+            assert r["bq_code"][w] == want
