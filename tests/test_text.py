@@ -74,3 +74,66 @@ def test_mock_embedder_truncates_at_128_tokens(spark):
     a = mock_vector(base, 8)
     b = mock_vector(extended, 8)
     assert a == b
+
+
+class TestGopherQualityFlags:
+    """Each Gopher rule trips on a crafted violator and passes on healthy
+    prose; `passes` is the AND of all."""
+
+    def _flags(self, spark, text, **kw):
+        from vectordb_cloud_spark.functions.text import gopher_quality_flags
+
+        df = spark.createDataFrame([(text,)], "text string")
+        return df.select(gopher_quality_flags("text", **kw).alias("g")).first()["g"]
+
+    def _healthy(self):
+        base = ("the quick brown fox jumps over a lazy dog and then runs to "
+                "the forest with great speed so that every animal can have "
+                "some peace of mind during the long warm afternoon hours ")
+        return base * 3  # ~100 words, prose-shaped
+
+    def test_healthy_prose_passes_all(self, spark):
+        g = self._flags(spark, self._healthy())
+        assert all(g[k] for k in g.asDict())
+
+    def test_too_short_fails_word_count_only_that_rule(self, spark):
+        g = self._flags(spark, "the cat sat with that hat of mine and left")
+        assert not g["word_count_ok"] and not g["passes"]
+        assert g["stopwords_ok"]
+
+    def test_symbol_soup_fails_symbol_ratio(self, spark):
+        g = self._flags(spark, self._healthy() + " #tag " * 30)
+        assert not g["symbol_ratio_ok"] and not g["passes"]
+
+    def test_bullet_wall_fails_bullet_fraction(self, spark):
+        doc = "\n".join("- item number " + str(i) for i in range(40))
+        g = self._flags(spark, doc, min_words=10)
+        assert not g["bullet_lines_ok"] and not g["passes"]
+
+    def test_ellipsis_teasers_fail_ellipsis_fraction(self, spark):
+        doc = "\n".join(
+            ("the story continues with more of that..." if i % 2 == 0 else
+             "a normal line of prose that have an end with the word")
+            for i in range(20)
+        )
+        g = self._flags(spark, doc, min_words=10)
+        assert not g["ellipsis_lines_ok"] and not g["passes"]
+
+    def test_numeric_noise_fails_alpha_fraction(self, spark):
+        g = self._flags(spark, self._healthy() + " 12345 " * 120)
+        assert not g["alpha_words_ok"] and not g["passes"]
+
+    def test_no_english_stopwords_fails_stopword_rule(self, spark):
+        doc = " ".join(f"zanzibar{i} kilimanjaro{i}" for i in range(40))
+        g = self._flags(spark, doc)
+        assert not g["stopwords_ok"] and not g["passes"]
+
+    def test_plan_is_jvm_only(self, spark):
+        from vectordb_cloud_spark.functions.text import gopher_quality_flags
+        from vectordb_cloud_spark.plans.inspect import explain_str
+
+        df = spark.createDataFrame([("some text",)], "text string")
+        plan = explain_str(
+            df.select(gopher_quality_flags("text").alias("g")), mode="simple")
+        assert not any(tok in plan for tok in
+                       ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"))

@@ -133,3 +133,80 @@ def char_ngrams(col: Column | str, n: int = 5) -> Column:
     return F.when(k < n, F.array(t)).otherwise(
         F.transform(F.sequence(F.lit(1), k - F.lit(n - 1)), lambda i: F.substring(t, i, n))
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher document-quality rules (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", §A1.1 — the published
+# rule battery most large-corpus pipelines start from). Each rule is a
+# boolean column; everything is fused scan-stage column algebra.
+# ---------------------------------------------------------------------------
+
+_GOPHER_REQUIRED_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(
+    col: Column | str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_required_stopwords: int = 2,
+) -> Column:
+    """Struct of the Gopher quality-rule booleans plus the combined verdict.
+
+    Fields: ``word_count_ok`` (50..100k words), ``mean_word_len_ok``
+    (3..10 chars), ``symbol_ratio_ok`` (hash/ellipsis per word < 0.1),
+    ``bullet_lines_ok`` (< 90% of lines bullet-led), ``ellipsis_lines_ok``
+    (< 30% of lines ellipsis-ended), ``alpha_words_ok`` (≥ 80% of words
+    contain a letter), ``stopwords_ok`` (≥ 2 of the/be/to/of/and/that/
+    have/with), and ``passes`` = AND of all. The repetition side of
+    Gopher's battery (duplicate line/paragraph/n-gram fractions) lives in
+    ``operators.repetition`` — combine both for the full filter.
+    """
+    t = _c(col)
+    w = words(col)
+    n_words = F.size(w)
+    nz = F.greatest(n_words, F.lit(1)).cast("double")
+
+    word_count_ok = (n_words >= min_words) & (n_words <= max_words)
+    mwl = mean_word_length(col)
+    mean_word_len_ok = (mwl >= min_mean_word_len) & (mwl <= max_mean_word_len)
+    n_symbols = (F.regexp_count(t, F.lit(r"#"))
+                 + F.regexp_count(t, F.lit(r"\.\.\.|…")))
+    symbol_ratio_ok = (n_symbols / nz) < max_symbol_word_ratio
+    lines = F.split(t, r"\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_lines = F.size(F.filter(
+        lines, lambda l: F.trim(l).rlike(r"^([•‣◦\-\*] )")
+    ))
+    bullet_lines_ok = (bullet_lines / n_lines) < max_bullet_line_frac
+    ellipsis_lines = F.size(F.filter(
+        lines, lambda l: F.trim(l).rlike(r"(\.\.\.|…)$")
+    ))
+    ellipsis_lines_ok = (ellipsis_lines / n_lines) < max_ellipsis_line_frac
+    alpha_words = F.size(F.filter(w, lambda x: x.rlike(r"[A-Za-z]")))
+    alpha_words_ok = (alpha_words / nz) >= min_alpha_word_frac
+    stop_hits = F.size(F.filter(
+        F.array(*[F.lit(s) for s in _GOPHER_REQUIRED_STOPWORDS]),
+        lambda s: F.array_contains(F.transform(w, F.lower), s),
+    ))
+    stopwords_ok = stop_hits >= min_required_stopwords
+
+    passes = (word_count_ok & mean_word_len_ok & symbol_ratio_ok
+              & bullet_lines_ok & ellipsis_lines_ok & alpha_words_ok
+              & stopwords_ok)
+    return F.struct(
+        word_count_ok.alias("word_count_ok"),
+        mean_word_len_ok.alias("mean_word_len_ok"),
+        symbol_ratio_ok.alias("symbol_ratio_ok"),
+        bullet_lines_ok.alias("bullet_lines_ok"),
+        ellipsis_lines_ok.alias("ellipsis_lines_ok"),
+        alpha_words_ok.alias("alpha_words_ok"),
+        stopwords_ok.alias("stopwords_ok"),
+        passes.alias("passes"),
+    )
