@@ -155,3 +155,24 @@ def test_curate_with_repetition_and_decontamination_stages(spark):
         max_dup_gram_fraction=0.3, eval_set=eval_set,
     )
     assert {r["doc_id"] for r in curated.collect()} == {1}
+
+
+def test_curate_corpus_gopher_rules_drop_violators(spark):
+    """gopher_rules=True removes rule-battery violators the base quality
+    score alone passes (a bullet wall has fine stopword/punct stats)."""
+    from vectordb_cloud_spark.pipeline import curate_corpus
+
+    healthy = ("the quick brown fox jumps over a lazy dog and then runs to "
+               "the forest with great speed so that every animal can have "
+               "some peace of mind during the long warm afternoon hours ") * 3
+    bullets = "\n".join(
+        "- the item of that list with more of the same and have it" for _ in range(40)
+    )
+    docs = spark.createDataFrame(
+        [(1, healthy), (2, bullets)], "doc_id long, text string")
+    base = curate_corpus(docs, min_quality=None, min_tokens=None,
+                         near_dup=False)
+    assert {r["doc_id"] for r in base.collect()} == {1, 2}
+    strict = curate_corpus(docs, min_quality=None, min_tokens=None,
+                           gopher_rules=True, near_dup=False)
+    assert {r["doc_id"] for r in strict.collect()} == {1}

@@ -37,6 +37,7 @@ def curate_corpus(
     text_col: str = "text",
     min_quality: float | None = 0.3,
     min_tokens: int | None = 5,
+    gopher_rules: bool = False,
     langs: list[str] | None = None,
     max_dup_gram_fraction: float | None = None,
     eval_set: DataFrame | None = None,
@@ -72,6 +73,12 @@ def curate_corpus(
     kept = annotated
     if min_quality is not None:
         kept = kept.filter(F.col("quality") >= min_quality)
+    if gopher_rules:
+        # the published Gopher SA1.1 battery, still scan-stage (the struct
+        # is computed and consumed inside the same filter expression)
+        from vectordb_cloud_spark.functions.text import gopher_quality_flags
+
+        kept = kept.filter(gopher_quality_flags(text_col)["passes"])
     if min_tokens is not None:
         kept = kept.filter(F.col("n_tokens") >= min_tokens)
     if langs:
@@ -119,6 +126,7 @@ def build_training_set(
     text_col: str = "text",
     min_quality: float | None = 0.3,
     min_tokens: int | None = 5,
+    gopher_rules: bool = False,
     lang_fractions: dict | None = None,
     n_shards: int = 16,
     max_tokens: int | None = None,
