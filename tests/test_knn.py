@@ -84,3 +84,46 @@ def test_search_response_shape(embeddings, emb_np):
     rows = resp.collect()
     assert len(rows) == 3
     assert rows[0]["score"] <= rows[-1]["score"]
+
+
+def test_facet_counts_one_pass_melt(spark, embeddings):
+    """Counts match per-column groupBy truth; NULLs excluded; top-N by
+    count with deterministic value tiebreak."""
+    from vectordb_cloud_spark.operators.knn import facet_counts
+
+    df = embeddings.withColumn(
+        "parity", F.when(F.col("vec_id") % 2 == 0, "even").otherwise("odd")
+    ).withColumn(
+        "band",
+        F.when(F.col("vec_id") < 100, F.lit(None).cast("string"))
+        .otherwise((F.col("vec_id") % 3).cast("string")),
+    )
+    got = facet_counts(df, ["parity", "band"])
+    rows = {(r["facet"], r["value"]): r["n"] for r in got.collect()}
+    truth_parity = {r["parity"]: r["n"] for r in
+                    df.groupBy("parity").agg(F.count("*").alias("n")).collect()}
+    assert rows[("parity", "even")] == truth_parity["even"]
+    assert rows[("parity", "odd")] == truth_parity["odd"]
+    # NULL band rows (vec_id < 100) are excluded from the band facet
+    assert sum(n for (f, v), n in rows.items() if f == "band") == \
+        df.filter(F.col("band").isNotNull()).count()
+
+    capped = facet_counts(df, ["band"], max_values_per_facet=2)
+    assert capped.count() == 2
+
+
+def test_search_with_facets_same_filter_scope(spark, embeddings):
+    from vectordb_cloud_spark.operators.knn import search_with_facets
+
+    qv = [float(x) for x in
+          embeddings.filter(F.col("vec_id") == 0).first()["embedding"]]
+    hits, facets = search_with_facets(
+        embeddings, qv, ["label"], k=5,
+        filters=F.col("label").isin(1, 2), tiebreak="vec_id",
+    )
+    hrows = hits.collect()
+    assert len(hrows) == 5 and all(r["label"] in (1, 2) for r in hrows)
+    frows = facets.collect()
+    assert {r["value"] for r in frows} == {"1", "2"}
+    assert sum(r["n"] for r in frows) == \
+        embeddings.filter(F.col("label").isin(1, 2)).count()

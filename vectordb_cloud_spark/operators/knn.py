@@ -145,3 +145,69 @@ def search_response(hits: DataFrame, id_col: str = "text_id", text_col: str = "t
         F.col(text_col).alias("string"),
         F.col(dist_col).alias("score"),
     )
+
+
+def facet_counts(
+    points: DataFrame,
+    facet_cols: list[str],
+    filters: Column | None = None,
+    max_values_per_facet: int = 20,
+) -> DataFrame:
+    """Per-facet value counts under a filter — the facet API vector engines
+    expose next to search (Qdrant's /facet), relationally.
+
+    All facets are counted in ONE pass: each row is melted to
+    (facet, value) pairs via an inline array-of-structs explode (no
+    ``stack``-per-column rescans), then a single partial-agg groupBy
+    counts, and a per-facet window keeps the ``max_values_per_facet`` most
+    frequent values (count desc, value asc — deterministic). NULLs are
+    excluded, matching facet-API semantics. Returns
+    (facet, value, n) ordered for display.
+    """
+    from pyspark.sql import Window
+
+    if not facet_cols:
+        raise ValueError("facet_cols must name at least one column")
+    df = points if filters is None else points.filter(filters)
+    melted = df.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("facet"),
+                    F.col(c).cast("string").alias("value"),
+                )
+                for c in facet_cols
+            ])
+        ).alias("fv")
+    ).select("fv.facet", "fv.value").filter(F.col("value").isNotNull())
+    counts = melted.groupBy("facet", "value").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("facet").orderBy(
+        F.col("n").desc(), F.col("value").asc())
+    return (
+        counts.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= max_values_per_facet)
+        .drop("__rk")
+        .orderBy("facet", F.col("n").desc(), "value")
+    )
+
+
+def search_with_facets(
+    points: DataFrame,
+    query_vector: list[float],
+    facet_cols: list[str],
+    k: int = 5,
+    vector_col: str = "embedding",
+    filters: Column | None = None,
+    metric: str = "l2",
+    tiebreak: str | None = None,
+    max_values_per_facet: int = 20,
+) -> tuple[DataFrame, DataFrame]:
+    """Top-k hits plus facet counts over the SAME filtered corpus — the
+    faceted-search response shape. Two scans of the filtered set (top-k +
+    one-pass facet agg); cache the filtered frame upstream if both run hot.
+    Returns (hits, facets)."""
+    hits = knn_search(points, query_vector, k=k, vector_col=vector_col,
+                      filters=filters, metric=metric, tiebreak=tiebreak)
+    facets = facet_counts(points, facet_cols, filters=filters,
+                          max_values_per_facet=max_values_per_facet)
+    return hits, facets
