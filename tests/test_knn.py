@@ -127,3 +127,57 @@ def test_search_with_facets_same_filter_scope(spark, embeddings):
     assert {r["value"] for r in frows} == {"1", "2"}
     assert sum(r["n"] for r in frows) == \
         embeddings.filter(F.col("label").isin(1, 2)).count()
+
+
+def test_recommend_average_vector_strategy(spark, embeddings):
+    """Query = mean(pos) - mean(neg); examples excluded; parity with a
+    hand-built numpy query vector."""
+    import numpy as np
+
+    from vectordb_cloud_spark.operators.knn import recommend
+
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in embeddings.filter(F.col("vec_id") < 6).collect()}
+    got = recommend(embeddings, positive_ids=[0, 1], negative_ids=[2],
+                    k=5, tiebreak="vec_id").collect()
+    ids = [r["vec_id"] for r in got]
+    assert len(ids) == 5 and not {0, 1, 2} & set(ids)
+    q = (vecs[0] + vecs[1]) / 2 - vecs[2]
+    want = knn_search(
+        embeddings, [float(x) for x in q], k=8, tiebreak="vec_id"
+    ).filter(~F.col("vec_id").isin([0, 1, 2])).limit(5).collect()
+    assert ids == [r["vec_id"] for r in want]
+
+
+def test_recommend_validates_examples(spark, embeddings):
+    from vectordb_cloud_spark.operators.knn import recommend
+
+    with pytest.raises(ValueError, match="positive"):
+        recommend(embeddings, positive_ids=[])
+    with pytest.raises(ValueError, match="not found"):
+        recommend(embeddings, positive_ids=[10_000_000]).collect()
+
+
+def test_search_groups_dedups_flooding_group(spark, embeddings):
+    """Groups ranked by their best hit; each contributes at most
+    hits_per_group rows; plain top-k flooded by one label is spread."""
+    from vectordb_cloud_spark.operators.knn import search_groups
+
+    qv = [float(x) for x in
+          embeddings.filter(F.col("vec_id") == 0).first()["embedding"]]
+    got = search_groups(embeddings, qv, group_by="label", k_groups=3,
+                        hits_per_group=2, id_col="vec_id").collect()
+    assert len(got) <= 6
+    per_group = {}
+    for r in got:
+        per_group.setdefault(r["label"], []).append(r)
+    assert len(per_group) == 3
+    assert all(len(v) <= 2 for v in per_group.values())
+    # group_rank 1 contains the global nearest hit (vec_id 0 itself)
+    rank1 = [r for r in got if r["group_rank"] == 1]
+    assert min(r["dist"] for r in rank1) < 1e-9
+    # groups are ordered by their best distance
+    best = {g: min(r["dist"] for r in rows) for g, rows in per_group.items()}
+    ranks = {g: rows[0]["group_rank"] for g, rows in per_group.items()}
+    ordered = sorted(best, key=lambda g: best[g])
+    assert [ranks[g] for g in ordered] == [1, 2, 3]

@@ -211,3 +211,97 @@ def search_with_facets(
     facets = facet_counts(points, facet_cols, filters=filters,
                           max_values_per_facet=max_values_per_facet)
     return hits, facets
+
+
+def recommend(
+    points: DataFrame,
+    positive_ids: list,
+    negative_ids: list | None = None,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    filters: Column | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Recommendation search from example points — the /recommend API
+    (Qdrant's average_vector strategy): the query vector is
+    mean(positive vectors) − mean(negative vectors), example points are
+    excluded from results.
+
+    The example vectors are fetched with one bounded ``isin`` probe (a few
+    ids, file-skippable at scale); the search itself is the ordinary exact
+    filtered top-k — compose with the ANN layouts by passing their probe
+    predicate as ``filters``.
+    """
+    import numpy as np
+
+    negative_ids = list(negative_ids or [])
+    positive_ids = list(positive_ids)
+    if not positive_ids:
+        raise ValueError("recommend needs at least one positive example id")
+    all_ids = positive_ids + negative_ids
+    rows = (
+        points.filter(F.col(id_col).isin(all_ids))
+        .select(F.col(id_col).alias("__id"),
+                F.col(vector_col).cast("array<double>").alias("__v"))
+        .collect()
+    )
+    found = {r["__id"]: np.asarray(r["__v"], dtype=np.float64) for r in rows}
+    missing = [i for i in all_ids if i not in found]
+    if missing:
+        raise ValueError(f"example ids not found in collection: {missing}")
+    q = np.mean([found[i] for i in positive_ids], axis=0)
+    if negative_ids:
+        q = q - np.mean([found[i] for i in negative_ids], axis=0)
+    not_example = ~F.col(id_col).isin(all_ids)
+    pred = not_example if filters is None else (filters & not_example)
+    return knn_search(points, [float(x) for x in q], k=k,
+                      vector_col=vector_col, filters=pred, tiebreak=tiebreak)
+
+
+def search_groups(
+    points: DataFrame,
+    query_vector: list[float],
+    group_by: str,
+    k_groups: int = 5,
+    hits_per_group: int = 3,
+    vector_col: str = "embedding",
+    filters: Column | None = None,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Grouped search — the /search_groups API shape: the best
+    ``hits_per_group`` hits per ``group_by`` value, for the ``k_groups``
+    groups whose BEST hit is nearest. De-duplicates result lists where one
+    group (a source document, a product, a site) would otherwise flood
+    plain top-k.
+
+    One scored scan + one window per group (partial top-n inside each
+    group partition) + a group-rank window over k_groups × hits_per_group
+    rows. NULL groups are excluded. Returns the hit rows plus
+    ``group_rank`` (1 = nearest group) and ``hit_rank`` within the group.
+    """
+    from pyspark.sql import Window
+
+    df = points if filters is None else points.filter(filters)
+    df = df.filter(F.col(group_by).isNotNull())
+    scored = df.withColumn(
+        "dist", l2_distance_to(F.col(vector_col), query_vector)
+    )
+    order = [F.col("dist").asc()]
+    if id_col is not None:
+        order.append(F.col(id_col).asc())
+    in_group = Window.partitionBy(group_by).orderBy(*order)
+    top_hits = (
+        scored.withColumn("hit_rank", F.row_number().over(in_group))
+        .filter(F.col("hit_rank") <= hits_per_group)
+    )
+    group_order = Window.orderBy(F.col("__best").asc(), F.col(group_by).asc())
+    best = top_hits.withColumn(
+        "__best", F.min("dist").over(Window.partitionBy(group_by))
+    )
+    ranked = best.withColumn("group_rank", F.dense_rank().over(group_order))
+    return (
+        ranked.filter(F.col("group_rank") <= k_groups)
+        .drop("__best")
+        .orderBy("group_rank", "hit_rank")
+    )
