@@ -1,0 +1,112 @@
+"""Sparse vector search (SPLADE-style dot product): hand-checked scores,
+scan vs inverted-layout parity, partition pruning of the persisted
+postings, JVM-only plans."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_cloud_spark.operators.sparse import (
+    sparse_invert,
+    sparse_persist_inverted,
+    sparse_topk,
+    sparse_topk_inverted,
+)
+
+
+@pytest.fixture(scope="module")
+def sparse_docs(spark):
+    # (doc_id, indices, values) — indices sorted, vocab of 10 dims
+    rows = [
+        (1, [0, 3, 7], [1.0, 2.0, 0.5]),
+        (2, [3, 5], [4.0, 1.0]),
+        (3, [1, 7, 9], [3.0, 1.0, 2.0]),
+        (4, [2, 4], [5.0, 5.0]),        # no overlap with the test query
+        (5, [0, 3, 5, 7], [0.5, 0.5, 0.5, 0.5]),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, indices array<int>, values array<float>"
+    ).cache()
+
+
+QI, QV = [0, 3, 7], [1.0, 1.0, 1.0]
+# hand scores: d1 = 1+2+0.5 = 3.5; d2 = 4; d3 = 1; d4 = 0 (excluded); d5 = 1.5
+
+
+def test_sparse_topk_hand_scores(sparse_docs):
+    got = sparse_topk(sparse_docs, QI, QV, k=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (2, 4.0), (1, 3.5), (5, 1.5), (3, 1.0),
+    ]
+
+
+def test_sparse_topk_with_filter(sparse_docs):
+    got = sparse_topk(sparse_docs, QI, QV, k=10,
+                      filters=F.col("doc_id") != 2).collect()
+    assert got[0]["doc_id"] == 1
+
+
+def test_inverted_parity_with_scan(sparse_docs):
+    postings = sparse_invert(sparse_docs)
+    a = sparse_topk(sparse_docs, QI, QV, k=10).collect()
+    b = sparse_topk_inverted(postings, QI, QV, k=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in a] == [
+        (r["id"], r["score"]) for r in b
+    ]
+
+
+def test_persisted_postings_prune_partitions(spark, sparse_docs, tmp_path):
+    import os
+
+    path = str(tmp_path / "postings")
+    sparse_persist_inverted(sparse_invert(sparse_docs), path)
+    # layout has one directory per dim; the query touches only its dims
+    dims_on_disk = {d for d in os.listdir(path) if d.startswith("dim=")}
+    assert {"dim=0", "dim=3", "dim=7"} <= dims_on_disk
+    postings = spark.read.parquet(path)
+    probe = postings.filter(F.col("dim").isin(QI))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "dim" in plan
+    got = sparse_topk_inverted(postings, QI, QV, k=10).collect()
+    assert [r["id"] for r in got] == [2, 1, 5, 3]
+
+
+def test_query_validation(sparse_docs):
+    with pytest.raises(ValueError):
+        sparse_topk(sparse_docs, [1, 2], [1.0])
+    with pytest.raises(ValueError):
+        sparse_topk_inverted(sparse_invert(sparse_docs), [1], [])
+
+
+def test_plans_are_jvm_only(sparse_docs):
+    from vectordb_cloud_spark.plans.inspect import explain_str
+
+    p1 = explain_str(sparse_topk(sparse_docs, QI, QV, k=5), mode="simple")
+    p2 = explain_str(
+        sparse_topk_inverted(sparse_invert(sparse_docs), QI, QV, k=5),
+        mode="simple")
+    for plan in (p1, p2):
+        assert not any(tok in plan for tok in
+                       ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"))
+
+
+def test_sparse_fuses_with_dense_via_rrf(spark, sparse_docs, embeddings):
+    """Hybrid sparse+dense: sparse_topk's (id, score) list drops straight
+    into rrf_fuse next to a dense kNN list — the SPLADE+dense fusion
+    pattern."""
+    from vectordb_cloud_spark.operators.knn import knn_search
+    from vectordb_cloud_spark.operators.lexical import rrf_fuse
+
+    sparse_hits = sparse_topk(sparse_docs, QI, QV, k=4).withColumnRenamed(
+        "doc_id", "vec_id")
+    qv = [float(x) for x in
+          embeddings.filter(F.col("vec_id") == 0).first()["embedding"]]
+    dense_hits = knn_search(
+        embeddings.filter(F.col("vec_id") <= 5), qv, k=4, tiebreak="vec_id"
+    ).select("vec_id", "dist")
+    fused = rrf_fuse([sparse_hits.select("vec_id", "score"), dense_hits],
+                     id_col="vec_id", k=5).collect()
+    assert len(fused) == 5
+    # ids from BOTH lists surface
+    ids = {r["vec_id"] for r in fused}
+    assert ids & {2, 1, 5, 3}            # sparse side
+    assert 0 in ids                      # dense side's self-hit

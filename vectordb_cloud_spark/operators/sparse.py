@@ -1,0 +1,127 @@
+"""Sparse vector search: dot-product top-k over (indices, values) vectors.
+
+Qdrant exposes sparse vectors (SPLADE / BM25-style learned-lexical weights)
+as a first-class point type next to dense embeddings, scored by dot
+product over the shared nonzero dimensions. Here a sparse vector is two
+aligned array columns — ``indices`` (sorted int dimension ids) and
+``values`` (float weights) — and search comes in the two standard shapes:
+
+- **Scan scoring** (`sparse_topk`): the query's nonzero dims fold into the
+  plan as literals; per row the score is |q| sorted-array lookups
+  (``array_position`` on the sorted indices) — pure codegen, right when
+  the corpus scan is already filtered down (tenant predicates).
+- **Inverted layout** (`sparse_invert` + `sparse_topk_inverted`): postings
+  table (dim, id, value) partitioned by dim; a query touches only its
+  nonzero dims' partitions (file pruning, exactly the IVF story), the
+  per-posting work is one multiply, and the per-doc sum is a partial agg.
+  This is THE 100 TB shape: scan bytes ∝ query's posting lists, not the
+  corpus — the same layout BM25 uses (operators/lexical.py) generalized to
+  arbitrary weights.
+
+Dot product is the metric (higher = better), matching the sparse-vector
+convention (weights are non-negative relevance scores, not coordinates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def sparse_dot_to(idx_col: Column | str, val_col: Column | str,
+                  query_indices: list[int],
+                  query_values: list[float]) -> Column:
+    """Dot product of a sparse (indices, values) row against a constant
+    sparse query — |q| sorted-array lookups per row, all codegen."""
+    idx = F.col(idx_col) if isinstance(idx_col, str) else idx_col
+    val = F.col(val_col) if isinstance(val_col, str) else val_col
+    score = F.lit(0.0)
+    for qi, qv in zip(query_indices, query_values):
+        pos = F.array_position(idx, int(qi))
+        score = score + F.when(
+            pos > 0, F.lit(float(qv)) * F.element_at(val, pos.cast("int"))
+        ).otherwise(F.lit(0.0))
+    return score
+
+
+def sparse_topk(
+    points: DataFrame,
+    query_indices: list[int],
+    query_values: list[float],
+    k: int = 10,
+    id_col: str = "doc_id",
+    idx_col: str = "indices",
+    val_col: str = "values",
+    filters=None,
+) -> DataFrame:
+    """Exact sparse top-k by scan scoring. Rows sharing no dimension with
+    the query score 0 and are excluded (sparse-search convention: only
+    overlapping points are candidates)."""
+    if len(query_indices) != len(query_values):
+        raise ValueError("query_indices and query_values must align")
+    df = points if filters is None else points.filter(filters)
+    scored = df.withColumn(
+        "score",
+        F.round(sparse_dot_to(idx_col, val_col, query_indices, query_values), 6),
+    )
+    return (
+        scored.filter(F.col("score") != 0.0)
+        .select(id_col, "score")
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def sparse_invert(
+    points: DataFrame,
+    id_col: str = "doc_id",
+    idx_col: str = "indices",
+    val_col: str = "values",
+) -> DataFrame:
+    """Posting rows (dim, id, value) from sparse vectors — one explode of
+    the zipped arrays. Persist partitioned/bucketed by ``dim`` so a query
+    reads only its own dims' files (`sparse_persist_inverted`)."""
+    return points.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.arrays_zip(F.col(idx_col).alias("dim"),
+                               F.col(val_col).alias("value"))).alias("p"),
+    ).select(F.col("p.dim").alias("dim"), "id", F.col("p.value").alias("value"))
+
+
+def sparse_persist_inverted(postings: DataFrame, path: str) -> None:
+    """Write the postings partitioned by dim: the ``dim IN (query dims)``
+    probe becomes PartitionFilters file pruning, the IVF story applied to
+    sparse search. Vocabulary-sized dim spaces (30-100k for SPLADE) give
+    that many directories — at real scale bucket ranges of dims instead."""
+    postings.write.mode("overwrite").partitionBy("dim").parquet(path)
+
+
+def sparse_topk_inverted(
+    postings: DataFrame,
+    query_indices: list[int],
+    query_values: list[float],
+    k: int = 10,
+) -> DataFrame:
+    """Sparse top-k over the inverted layout: filter postings to the
+    query's dims (partition-pruned when persisted via
+    ``sparse_persist_inverted``), multiply by the matching query weight
+    (a literal map lookup), partial-agg sum per id, TakeOrderedAndProject.
+    Identical results to ``sparse_topk`` (parity-tested); scan cost is the
+    query's posting lists only."""
+    if len(query_indices) != len(query_values):
+        raise ValueError("query_indices and query_values must align")
+    qmap = F.map_from_arrays(
+        F.array(*[F.lit(int(i)) for i in query_indices]),
+        F.array(*[F.lit(float(v)) for v in query_values]),
+    )
+    hits = postings.filter(F.col("dim").isin([int(i) for i in query_indices]))
+    contrib = hits.withColumn(
+        "__c", F.col("value") * F.element_at(qmap, F.col("dim"))
+    )
+    return (
+        contrib.groupBy("id")
+        .agg(F.round(F.sum("__c"), 6).alias("score"))
+        .filter(F.col("score") != 0.0)
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(k)
+    )
