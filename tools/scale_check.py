@@ -125,12 +125,12 @@ def main():
     ap.add_argument("--only", default=None,
                     help="comma-separated section names to run (default all): "
                          "knn,ivf,collection,minhash,simhash,lshcompound,"
-                         "graph,tpch,sq,beam — partial runs merge into the "
+                         "graph,tpch,sq,beam,sparse — partial runs merge into the "
                          "sidecar (SCALE.json) and regenerate SCALE.md")
     args = ap.parse_args()
     vec_points = tuple(int(x) for x in args.vector_points.split(","))
     all_sections = {"knn", "ivf", "collection", "minhash", "simhash",
-                    "lshcompound", "graph", "tpch", "sq", "beam"}
+                    "lshcompound", "graph", "tpch", "sq", "beam", "sparse"}
     only = set(args.only.split(",")) if args.only else all_sections
     unknown = only - all_sections
     if unknown:
@@ -345,6 +345,54 @@ def main():
                         ),
                         args.runs,
                     )
+
+        # Sparse vector search over the dim-partitioned postings layout:
+        # the query probes its |q| dims' partitions only, so search cost
+        # tracks posting-list length (corpus/vocab · |q|), not corpus size
+        if "sparse" in only:
+            from vectordb_cloud_spark.operators.sparse import (
+                sparse_invert,
+                sparse_persist_inverted,
+                sparse_topk_inverted,
+            )
+
+            VOCAB, NNZ = 1000, 20
+            qi = sorted({(h * 7919) % VOCAB for h in range(NNZ)})
+            qv = [1.0 + (i % 7) / 7.0 for i in range(len(qi))]
+            for n in (100_000, 1_000_000):
+                docs = (
+                    spark.range(n)
+                    .select(
+                        F.col("id"),
+                        F.array_sort(F.array_distinct(F.transform(
+                            F.sequence(F.lit(0), F.lit(NNZ - 1)),
+                            lambda i: F.pmod(F.xxhash64(F.col("id"), i),
+                                             F.lit(VOCAB)).cast("int"),
+                        ))).alias("indices"),
+                    )
+                    .withColumn(
+                        "values",
+                        F.transform(
+                            "indices",
+                            lambda d: 1.0 + F.pmod(F.xxhash64(F.col("id"), d),
+                                                   F.lit(100)) / 100.0,
+                        ).cast("array<float>"),
+                    )
+                    .withColumnRenamed("id", "doc_id")
+                )
+                p = os.path.join(tmp, f"sparse_{n}")
+                t0 = time.time()
+                sparse_persist_inverted(
+                    sparse_invert(docs, id_col="doc_id"), p)
+                results.setdefault("sparse_invert_build", {})[n] = round(
+                    time.time() - t0, 3)
+                postings = spark.read.parquet(p)
+                results.setdefault("sparse_topk_inverted", {})[n] = timed(
+                    lambda postings=postings: noop(
+                        sparse_topk_inverted(postings, qi, qv, k=10)
+                    ),
+                    args.runs,
+                )
 
         # TPC-H q1 aggregate: 600k vs 6M lineitem rows
         if "tpch" in only:
