@@ -132,6 +132,28 @@ def main():
                            vector_col="embedding", tiebreak="doc_id")
             )
         )
+        # sparse lexical search (SPLADE-shaped): hashed-TF-IDF sparse
+        # vectors -> dim-partitioned postings layout (build) -> posting-
+        # pruned dot-product top-k (query)
+        from vectordb_cloud_spark.functions.embedding import hashed_tfidf_sparse
+        from vectordb_cloud_spark.operators.sparse import (
+            sparse_invert,
+            sparse_persist_inverted,
+            sparse_topk_inverted,
+        )
+
+        t0 = time.time()
+        sv = hashed_tfidf_sparse(docs, vocab_size=4096)
+        spath = os.path.join(tdir, "postings")
+        sparse_persist_inverted(sparse_invert(sv), spath)
+        builds["sparse_index_build"] = round(time.time() - t0, 3)
+        postings = spark.read.parquet(spath)
+        sq_row = sv.filter(F.col("doc_id") == 1).first()
+        sqi = [int(i) for i in sq_row["indices"]]
+        sqv = [float(v) for v in sq_row["values"]]
+        results["sparse_topk_inverted"] = timed_median(
+            lambda: noop_write(sparse_topk_inverted(postings, sqi, sqv, k=10))
+        )
     finally:
         shutil.rmtree(tdir, ignore_errors=True)
 

@@ -110,3 +110,35 @@ def test_sparse_fuses_with_dense_via_rrf(spark, sparse_docs, embeddings):
     ids = {r["vec_id"] for r in fused}
     assert ids & {2, 1, 5, 3}            # sparse side
     assert 0 in ids                      # dense side's self-hit
+
+
+def test_hashed_tfidf_sparse_real_corpus_retrieval(spark, sf_dir):
+    """Sparse lexical vectors from the fixture corpus: shape invariants
+    (sorted unique indices in vocab, unit norm) and real retrieval — a
+    doc's own sparse vector as the query returns that doc first."""
+    import numpy as np
+
+    from vectordb_cloud_spark.functions.embedding import hashed_tfidf_sparse
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    sv = hashed_tfidf_sparse(docs, vocab_size=4096).cache()
+    rows = sv.limit(20).collect()
+    for r in rows:
+        idx = list(r["indices"])
+        assert idx == sorted(set(idx))
+        assert all(0 <= i < 4096 for i in idx)
+        assert abs(np.linalg.norm(r["values"]) - 1.0) < 1e-5
+        assert len(idx) == len(r["values"])
+
+    target = sv.filter(F.col("doc_id") == rows[0]["doc_id"]).first()
+    got = sparse_topk(sv, list(target["indices"]),
+                      [float(v) for v in target["values"]], k=3)
+    top = got.first()
+    assert top["doc_id"] == target["doc_id"]
+    assert abs(top["score"] - 1.0) < 1e-4  # self-cosine of a unit vector
+
+    # inverted layout agrees on the real corpus too
+    inv = sparse_topk_inverted(sparse_invert(sv), list(target["indices"]),
+                               [float(v) for v in target["values"]], k=3)
+    assert [r["id"] for r in inv.collect()] == \
+        [r["doc_id"] for r in got.collect()]

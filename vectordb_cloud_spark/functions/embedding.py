@@ -260,6 +260,60 @@ def hashed_tfidf_embed(docs, id_col: str = "doc_id", text_col: str = "text",
     )
 
 
+def hashed_tfidf_sparse(docs, id_col: str = "doc_id", text_col: str = "text",
+                        vocab_size: int = 4096, seed: int = 42):
+    """Sparse TF-IDF vectors via the hashing trick — the (indices, values)
+    twin of ``hashed_tfidf_embed``: instead of projecting to a dense
+    ``dim``-vector, each term keeps its own hashed dimension
+    ``xxhash64(term, seed) mod vocab_size``, colliding terms sum. Output
+    ``(id_col, indices array<int> SORTED, values array<float>)`` plugs
+    straight into ``operators.sparse`` (scan scoring, inverted postings
+    layout, RRF fusion with dense kNN) — the SPLADE-shaped lexical side of
+    hybrid search, weights-free and executable in-container.
+
+    Same tokenization/IDF as the dense variant (128-token cap, smoothed
+    sklearn IDF); values are L2-normalized per doc so dot products are
+    cosine-comparable across documents. One shuffle on term (DF counts),
+    one on (doc, dim) (collision sum), one on doc (array assembly).
+    """
+    n_docs = docs.count()
+    terms = (
+        docs.select(
+            F.col(id_col),
+            F.explode(
+                F.slice(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                        1, MAX_TOKENS)
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = terms.groupBy("term").agg(F.count("*").alias("df"))
+    weighted = terms.join(df_t, "term").select(
+        F.col(id_col),
+        F.pmod(F.xxhash64("term", F.lit(seed)), F.lit(vocab_size))
+        .cast("int").alias("dim"),
+        (F.col("tf")
+         * (F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1.0)) + 1.0)
+         ).alias("w"),
+    )
+    by_dim = weighted.groupBy(id_col, "dim").agg(F.sum("w").alias("w"))
+    assembled = (
+        by_dim.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "w"))).alias("__p"))
+    )
+    vals = F.transform(F.col("__p"), lambda p: p["w"])
+    norm = F.sqrt(F.aggregate(F.transform(vals, lambda x: x * x),
+                              F.lit(0.0), lambda a, x: a + x))
+    return assembled.select(
+        F.col(id_col),
+        F.transform(F.col("__p"), lambda p: p["dim"]).alias("indices"),
+        F.transform(vals, lambda x: x / norm).cast("array<float>")
+        .alias("values"),
+    )
+
+
 def similar_documents(docs, query_doc_id: int, k: int = 10,
                       id_col: str = "doc_id", text_col: str = "text",
                       dim: int = DEFAULT_DIM, seed: int = 42):
