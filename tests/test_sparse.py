@@ -142,3 +142,13 @@ def test_hashed_tfidf_sparse_real_corpus_retrieval(spark, sf_dir):
                                [float(v) for v in target["values"]], k=3)
     assert [r["id"] for r in inv.collect()] == \
         [r["doc_id"] for r in got.collect()]
+
+
+def test_duplicate_query_dims_rejected_everywhere(sparse_docs):
+    """Duplicates would crash one path and silently double-count the
+    other; both must reject identically up front."""
+    with pytest.raises(ValueError, match="duplicate"):
+        sparse_topk(sparse_docs, [3, 3, 7], [1.0, 1.0, 1.0])
+    with pytest.raises(ValueError, match="duplicate"):
+        sparse_topk_inverted(sparse_invert(sparse_docs),
+                             [3, 3, 7], [1.0, 1.0, 1.0])

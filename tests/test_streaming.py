@@ -433,3 +433,36 @@ def test_indexed_ingest_rebuild_trigger_fires(spark, tmp_path):
     assert len(rebuilds) == 1
     counts = sorted(r["n"] for r in rebuilds[0])
     assert counts[-1] > 2.0 * (sum(counts) / len(counts))
+
+
+def test_indexed_ingest_epoch_collision_fails_loudly(spark, tmp_path):
+    """Same epoch id + DIFFERENT content (reused checkpoint / restarted
+    backfill) must raise, not silently drop the index append."""
+    from vectordb_cloud_spark.functions.embedding import mock_embed
+    from vectordb_cloud_spark.operators.ann import ivf_build, ivf_persist
+    from vectordb_cloud_spark.streaming.ingest import index_maintaining_batch
+
+    base = spark.range(30).select(
+        F.col("id"), F.concat(F.lit("seed "), F.col("id")).alias("text"),
+    ).withColumn("embedding", mock_embed("text", 64))
+    centers, assigned = ivf_build(base.select("id", "embedding"),
+                                  k_centroids=2)
+    ivf_path = str(tmp_path / "ivf_coll")
+    ivf_persist(assigned, ivf_path)
+    catalog = CollectionCatalog(spark, str(tmp_path / "cat_coll"))
+    catalog.create("coll_col", dim=64)
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id"), F.concat(F.lit("doc "), F.col("id")).alias("text"),
+        ).withColumn("embedding", mock_embed("text", 64))
+
+    assert index_maintaining_batch(batch(100, 110), 0, catalog, "coll_col",
+                                   centers, ivf_path) is True
+    # exact replay: no-op
+    assert index_maintaining_batch(batch(100, 110), 0, catalog, "coll_col",
+                                   centers, ivf_path) is False
+    # different rows under the same epoch id: loud failure
+    with pytest.raises(ValueError, match="already committed"):
+        index_maintaining_batch(batch(200, 210), 0, catalog, "coll_col",
+                                centers, ivf_path)

@@ -227,6 +227,22 @@ def ivf_build(points: DataFrame, k_centroids: int = 16, vector_col: str = "embed
     return centers, assigned
 
 
+def route_probe_ids(centers: list, query_vector: list[float],
+                    nprobe: int) -> list:
+    """Driver-side centroid routing shared by every IVF-family search
+    (ivf_search, ivf_sq_search): the query's ``nprobe`` nearest centroid
+    ids. Stable sort — equal-distance centroids keep centroid_id order, so
+    probe selection is deterministic (the DuckDB oracle mirrors this with
+    ORDER BY dist, centroid_id)."""
+    import math
+
+    def _l2(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    probe = sorted(centers, key=lambda c: _l2(c[1], query_vector))[:nprobe]
+    return [c[0] for c in probe]
+
+
 def ivf_search(assigned: DataFrame, centers: list, query_vector: list[float],
                k: int = 5, nprobe: int = 2, vector_col: str = "embedding",
                filters=None, tiebreak: str | None = None) -> DataFrame:
@@ -237,16 +253,7 @@ def ivf_search(assigned: DataFrame, centers: list, query_vector: list[float],
     rows); the ``centroid_id IN (...)`` predicate prunes partitions/files at
     the scan, so the exact search touches nprobe/k of the collection.
     """
-    import math
-
-    def _l2(a, b):
-        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
-
-    # stable sort: equal-distance centroids keep centroid_id order, so probe
-    # selection is deterministic (the DuckDB oracle mirrors this with
-    # ORDER BY dist, centroid_id)
-    probe = sorted(centers, key=lambda c: _l2(c[1], query_vector))[:nprobe]
-    probe_ids = [c[0] for c in probe]
+    probe_ids = route_probe_ids(centers, query_vector, nprobe)
     pred = F.col("centroid_id").isin(probe_ids)
     if filters is not None:
         pred = pred & filters
@@ -357,15 +364,28 @@ def ivf_compact(spark, path: str, target_rows_per_file: int = 1_000_000,
         df = spark.read.parquet(part_dir)
         n = df.count()
         n_files = max(1, math.ceil(n / target_rows_per_file))
-        staging = part_dir + ".compact"
+        # staging/backup names are DOT-prefixed: Spark's file index ignores
+        # hidden dirs, so a crash mid-swap never leaves a directory that
+        # partition discovery would misparse as a centroid_id value. Swap is
+        # rename(live -> .old) + rename(.staging -> live) + delete(.old):
+        # the data always exists under some name; the only crash window
+        # (between the two renames) leaves the list recoverable in .old
+        # rather than silently merged or type-corrupting the layout. Run
+        # compaction offline of queries — a reader mid-swap can still see a
+        # missing list for an instant.
+        staging = os.path.join(path, f".compact_{d}")
+        backup = os.path.join(path, f".old_{d}")
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(backup, ignore_errors=True)
         df.coalesce(n_files).write.mode("overwrite").parquet(staging)
-        shutil.rmtree(part_dir)
-        os.rename(staging, part_dir)
-        # drop the _SUCCESS/CRC clutter the staging write added at this level
+        # drop _SUCCESS/CRC clutter before the dir goes live
         for junk in ("_SUCCESS", "._SUCCESS.crc"):
-            j = os.path.join(part_dir, junk)
+            j = os.path.join(staging, junk)
             if os.path.exists(j):
                 os.remove(j)
+        os.rename(part_dir, backup)
+        os.rename(staging, part_dir)
+        shutil.rmtree(backup)
         rewritten += 1
     return rewritten
 

@@ -98,8 +98,12 @@ def chunk_tfidf_index(
     from vectordb_cloud_spark.functions.embedding import hashed_tfidf_embed
 
     chunked = chunk_documents(docs, id_col, text_col, chunk_tokens, overlap)
+    # composite STRING key, not a 64-bit hash: at billions of chunks the
+    # birthday bound makes xxhash64 collisions expected, and a collision
+    # here would merge two unrelated chunks' TF statistics and fan the
+    # wrong vector out through the join
     with_key = chunked.withColumn(
-        "__ck", F.xxhash64(F.col(id_col), F.col("chunk_idx"))
+        "__ck", F.concat_ws(":", F.col(id_col), F.col("chunk_idx"))
     )
     emb = hashed_tfidf_embed(with_key, id_col="__ck", text_col="chunk_text",
                              dim=dim)

@@ -101,8 +101,6 @@ def find_contaminated_fuzzy(
     Returns (train doc id, eval_id, jaccard) — one row per contaminated
     (train, eval) pair above the threshold.
     """
-    from vectordb_cloud_spark.operators.dedup import minhash_signatures
-
     def _prep(docs, idc, textc, side):
         shingles = docs.select(
             F.col(idc).alias(f"{side}_id"),
@@ -110,10 +108,19 @@ def find_contaminated_fuzzy(
                 ngram_shingles(F.lower(F.col(textc)), shingle_n)
             ).alias(f"{side}_sh"),
         )
-        sigs = minhash_signatures(
-            docs.select(F.col(idc).alias("doc_id"),
-                        F.lower(F.col(textc)).alias("text")),
-            num_hashes=num_hashes, shingle_n=shingle_n,
+        # signatures derive from the SAME shingle arrays the verify stage
+        # uses (one tokenize+shingle pass per side, not two — the multi-TB
+        # train scan is the dominant cost); the minhash math matches
+        # dedup.minhash_signatures' xxhash64 form exactly
+        sigs = shingles.select(
+            F.col(f"{side}_id").alias("doc_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+                lambda i: F.array_min(
+                    F.transform(F.col(f"{side}_sh"),
+                                lambda sh: F.xxhash64(sh, i))
+                ),
+            ).alias("signature"),
         )
         rows_per_band = num_hashes // bands
         banded = sigs.select(

@@ -371,10 +371,17 @@ def graph_knn_join(
             .join(F.broadcast(q), "qid")
             .withColumn("dist", l2_distance(F.col("__qv"), F.col("__nv")))
             .select("qid", "node", "dist")
+            # checkpoint BEFORE the emptiness test: localCheckpoint is
+            # eager, so the hop pipeline runs once and both isEmpty and
+            # the union read the materialized result (un-checkpointed,
+            # isEmpty would execute the joins a second time)
+            .localCheckpoint()
         )
         if scored.isEmpty():
             break
-        visited = visited.unionByName(scored).localCheckpoint()
+        # both sides are checkpointed; the union's lineage stays max_hops
+        # unions deep — no further truncation needed
+        visited = visited.unionByName(scored)
 
     return _top(visited, k).select(
         F.col("qid").alias(query_id_col),

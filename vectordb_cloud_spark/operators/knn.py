@@ -147,6 +147,33 @@ def search_response(hits: DataFrame, id_col: str = "text_id", text_col: str = "t
     )
 
 
+def exact_rescore_topk(
+    points: "DataFrame",
+    candidates: "DataFrame",
+    query_vector: list[float],
+    k: int,
+    id_col: str,
+    vector_col: str = "embedding",
+) -> "DataFrame":
+    """Shared second stage of every two-stage ANN path (PQ rerank, BQ
+    hamming, IVF-SQ): ``candidates`` is a one-column frame of ids (any
+    column name) produced by a cheap first pass; it broadcasts into the
+    base-table join (no driver round trip), survivors get exact L2 against
+    the query, deterministic (dist, id) top-k comes back."""
+    cand = candidates.select(
+        F.col(candidates.columns[0]).alias("__cand")
+    )
+    rescored = (
+        points.join(F.broadcast(cand), F.col(id_col) == F.col("__cand"))
+        .withColumn("dist", l2_distance_to(F.col(vector_col), query_vector))
+    )
+    return (
+        rescored.select(id_col, "dist")
+        .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def facet_counts(
     points: DataFrame,
     facet_cols: list[str],
@@ -275,10 +302,13 @@ def search_groups(
     group (a source document, a product, a site) would otherwise flood
     plain top-k.
 
-    One scored scan + one window per group (partial top-n inside each
-    group partition) + a group-rank window over k_groups × hits_per_group
-    rows. NULL groups are excluded. Returns the hit rows plus
-    ``group_rank`` (1 = nearest group) and ``hit_rank`` within the group.
+    One scored scan + one per-group top-n window (partitioned by group, so
+    it distributes at any group cardinality); group selection is a
+    per-group MIN aggregate followed by TakeOrderedAndProject down to
+    ``k_groups`` rows, so the only unpartitioned window in the plan ranks
+    those k_groups rows — never all groups. NULL groups are excluded.
+    Returns the hit rows plus ``group_rank`` (1 = nearest group) and
+    ``hit_rank`` within the group.
     """
     from pyspark.sql import Window
 
@@ -295,13 +325,19 @@ def search_groups(
         scored.withColumn("hit_rank", F.row_number().over(in_group))
         .filter(F.col("hit_rank") <= hits_per_group)
     )
-    group_order = Window.orderBy(F.col("__best").asc(), F.col(group_by).asc())
-    best = top_hits.withColumn(
-        "__best", F.min("dist").over(Window.partitionBy(group_by))
+    winners = (
+        scored.groupBy(group_by)
+        .agg(F.min("dist").alias("__best"))
+        .orderBy(F.col("__best").asc(), F.col(group_by).asc())
+        .limit(k_groups)
     )
-    ranked = best.withColumn("group_rank", F.dense_rank().over(group_order))
+    ranked_groups = winners.withColumn(
+        "group_rank",
+        F.row_number().over(
+            Window.orderBy(F.col("__best").asc(), F.col(group_by).asc())
+        ),
+    ).select(group_by, "group_rank")
     return (
-        ranked.filter(F.col("group_rank") <= k_groups)
-        .drop("__best")
+        top_hits.join(F.broadcast(ranked_groups), group_by)
         .orderBy("group_rank", "hit_rank")
     )

@@ -188,21 +188,14 @@ def pq_search_rerank(
     candidate limit feeds the rescore join as a broadcast — no driver
     round trip, one lazily-planned DataFrame. Returns (id, dist) exact
     distances."""
-    from vectordb_cloud_spark.functions.vector import l2_distance_to
+    from vectordb_cloud_spark.operators.knn import exact_rescore_topk
 
     cand = pq_search(
         encoded, codebooks, query_vector, k=k * oversample,
         code_col=code_col, filters=filters, tiebreak=id_col,
-    ).select(F.col(id_col).alias("__cand"))
-    rescored = (
-        points.join(F.broadcast(cand), F.col(id_col) == F.col("__cand"))
-        .withColumn("dist", l2_distance_to(F.col(vector_col), query_vector))
-    )
-    return (
-        rescored.select(id_col, "dist")
-        .orderBy(F.col("dist").asc(), F.col(id_col).asc())
-        .limit(k)
-    )
+    ).select(id_col)
+    return exact_rescore_topk(points, cand, query_vector, k, id_col,
+                              vector_col)
 
 
 # ---------------------------------------------------------------------------

@@ -28,6 +28,21 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _check_query(query_indices: list[int], query_values: list[float]) -> None:
+    """Shared query validation: aligned arrays, no duplicate dimensions.
+    Duplicates would crash the inverted path (map_from_arrays duplicate
+    key under Spark's default EXCEPTION dedup policy) while the scan path
+    silently double-counted — fail identically up front instead."""
+    if len(query_indices) != len(query_values):
+        raise ValueError("query_indices and query_values must align")
+    if len(set(query_indices)) != len(query_indices):
+        dupes = sorted({i for i in query_indices if query_indices.count(i) > 1})
+        raise ValueError(
+            f"duplicate query dimensions {dupes}: sum their values into one "
+            "entry per dimension before searching"
+        )
+
+
 def sparse_dot_to(idx_col: Column | str, val_col: Column | str,
                   query_indices: list[int],
                   query_values: list[float]) -> Column:
@@ -57,8 +72,7 @@ def sparse_topk(
     """Exact sparse top-k by scan scoring. Rows sharing no dimension with
     the query score 0 and are excluded (sparse-search convention: only
     overlapping points are candidates)."""
-    if len(query_indices) != len(query_values):
-        raise ValueError("query_indices and query_values must align")
+    _check_query(query_indices, query_values)
     df = points if filters is None else points.filter(filters)
     scored = df.withColumn(
         "score",
@@ -117,8 +131,7 @@ def sparse_topk_inverted(
     (a literal map lookup), partial-agg sum per id, TakeOrderedAndProject.
     Identical results to ``sparse_topk`` (parity-tested); scan cost is the
     query's posting lists only."""
-    if len(query_indices) != len(query_values):
-        raise ValueError("query_indices and query_values must align")
+    _check_query(query_indices, query_values)
     qmap = F.map_from_arrays(
         F.array(*[F.lit(int(i)) for i in query_indices]),
         F.array(*[F.lit(float(v)) for v in query_values]),

@@ -133,27 +133,17 @@ def ivf_sq_search(spark, path: str, points: DataFrame, centers: list,
     (partition-pruned scan), ADC top-(k·oversample) over the int8 codes,
     exact L2 rescore of the survivors against the base table (an ``isin``
     probe of k·oversample ids). Returns (id, dist) exact distances."""
-    import math
+    from vectordb_cloud_spark.operators.ann import route_probe_ids
+    from vectordb_cloud_spark.operators.knn import exact_rescore_topk
 
-    def _l2(a, b):
-        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
-
-    probe = sorted(centers, key=lambda c: _l2(c[1], query_vector))[:nprobe]
-    probe_ids = [c[0] for c in probe]
+    probe_ids = route_probe_ids(centers, query_vector, nprobe)
     codes = spark.read.parquet(path).filter(
         F.col("centroid_id").isin(probe_ids)
     )
     cand = sq_search(codes, mins, maxs, query_vector, k=k * oversample,
-                     tiebreak=id_col).select(F.col(id_col).alias("__cand"))
-    rescored = (
-        points.join(F.broadcast(cand), F.col(id_col) == F.col("__cand"))
-        .withColumn("dist", l2_distance_to(F.col(vector_col), query_vector))
-    )
-    return (
-        rescored.select(id_col, "dist")
-        .orderBy(F.col("dist").asc(), F.col(id_col).asc())
-        .limit(k)
-    )
+                     tiebreak=id_col).select(id_col)
+    return exact_rescore_topk(points, cand, query_vector, k, id_col,
+                              vector_col)
 
 
 def bq_train(points: DataFrame, vector_col: str = "embedding") -> list[float]:
@@ -227,20 +217,16 @@ def bq_search(encoded: DataFrame, points: DataFrame, thresholds: list[float],
     order = [F.col("hamming").asc()]
     if tiebreak is not None:
         order.append(F.col(tiebreak).asc())
-    # TakeOrderedAndProject over the codes scan feeds the rescore join
-    # directly (broadcast of k*oversample ids) — no driver round trip, the
-    # whole search is one lazily-planned DataFrame
+    # TakeOrderedAndProject over the codes scan feeds the shared rescore
+    # stage (knn.exact_rescore_topk) — no driver round trip, the whole
+    # search is one lazily-planned DataFrame
+    from vectordb_cloud_spark.operators.knn import exact_rescore_topk
+
     cand = (
         encoded.withColumn("hamming", ham)
         .orderBy(*order)
         .limit(k * oversample)
-        .select(F.col(id_col).alias("__cand"))
+        .select(id_col)
     )
-    rescored = (
-        points.join(F.broadcast(cand), F.col(id_col) == F.col("__cand"))
-        .withColumn("dist", l2_distance_to(F.col(vector_col), query_vector))
-    )
-    order2 = [F.col("dist").asc()]
-    if tiebreak is not None:
-        order2.append(F.col(tiebreak).asc())
-    return rescored.select(id_col, "dist").orderBy(*order2).limit(k)
+    return exact_rescore_topk(points, cand, query_vector, k, id_col,
+                              vector_col)

@@ -147,6 +147,7 @@ def build_training_set(
     curated = curate_corpus(
         docs, id_col=id_col, text_col=text_col,
         min_quality=min_quality, min_tokens=min_tokens,
+        gopher_rules=gopher_rules,
     )
     if lang_fractions:
         curated = stratified_sample(curated, "lang_pred", lang_fractions, seed=seed)

@@ -64,27 +64,50 @@ def index_maintaining_batch(
     the collection AND route+append them into the persisted IVF layout, so
     approximate search stays fresh without any rebuild.
 
-    Idempotent per epoch: the collection MERGE is idempotent by id, and the
-    index append is guarded by an ``_epochs/<id>`` marker under the layout —
-    a foreachBatch replay (at-least-once delivery) skips the append instead
-    of duplicating inverted-list rows. The marker is written AFTER the
-    append; a crash exactly between the two can still duplicate one batch,
-    which the IVF layout tolerates (duplicate rows share a centroid and
-    score identically — results stay correct, the list is just fatter until
-    the next retrain/compaction). Exposed module-level so tests and batch
-    backfills can drive it without a stream.
+    Idempotent per (epoch, content): the collection MERGE is idempotent by
+    id, and the index append is guarded by an ``_epochs/<id>`` marker under
+    the layout that stores a content fingerprint (count + id-hash sum) of
+    the batch it committed. A foreachBatch replay (at-least-once delivery,
+    same epoch AND same rows) skips the append; a DIFFERENT batch arriving
+    under a reused epoch id — new checkpoint dir, a second stream on the
+    same layout, a backfill restarting at epoch 0 — fails loudly instead of
+    silently dropping its rows from the index. The marker is written AFTER
+    the append; a crash exactly between the two can still duplicate one
+    batch, which the IVF layout tolerates (duplicate rows share a centroid
+    and score identically — results stay correct, the list is just fatter
+    until the next retrain/compaction). Exposed module-level so tests and
+    batch backfills can drive it without a stream.
 
     Returns True if the index append ran, False if skipped (empty batch or
-    already-processed epoch).
+    an exact replay). Raises ValueError on an epoch-id collision with
+    different content.
     """
     import os
 
     if batch_df.isEmpty():
         return False
     catalog.upsert(collection, batch_df)
+    # content fingerprint: one tiny agg over the (already-loaded) batch.
+    # pmod bounds each hash term so the ANSI-mode sum cannot overflow
+    # (raw xxhash64 values are full-range 64-bit)
+    fp_row = batch_df.select(
+        F.count("*").alias("n"),
+        F.sum(F.pmod(F.xxhash64("id"), F.lit(1_000_000_007))).alias("h"),
+    ).first()
+    fingerprint = f"{fp_row['n']}:{fp_row['h']}"
     marker = os.path.join(ivf_path, "_epochs", str(epoch_id))
     if os.path.exists(marker):
-        return False
+        with open(marker) as f:
+            seen = f.read().strip()
+        if seen == fingerprint:
+            return False
+        raise ValueError(
+            f"epoch id {epoch_id} was already committed to {ivf_path} with "
+            f"different content (marker {seen!r} != batch {fingerprint!r}) — "
+            "a reused checkpoint/epoch sequence would silently drop this "
+            "batch from the index; use a fresh _epochs namespace (new "
+            "ivf_path or clear _epochs) or distinct epoch ids"
+        )
     from vectordb_cloud_spark.operators.ann import ivf_append
 
     ivf_append(
@@ -95,7 +118,7 @@ def index_maintaining_batch(
     )
     os.makedirs(os.path.dirname(marker), exist_ok=True)
     with open(marker, "w") as f:
-        f.write("done")
+        f.write(fingerprint)
     return True
 
 
