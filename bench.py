@@ -311,7 +311,7 @@ def main():
 
     suite = round(sum(results.values()), 3)
     build = round(sum(builds.values()), 3)
-    print(json.dumps({
+    line = json.dumps({
         "metric": "suite_seconds",
         "value": suite,
         "unit": "sec",
@@ -321,7 +321,14 @@ def main():
         "build_seconds": build,
         "total_seconds": round(suite + build, 3),
         "sf": sf,
-    }))
+    })
+    # also persist to a file: the driver captures stdout through a bounded
+    # tail buffer, and BENCH_r06 lost the HEAD of this line to truncation
+    # (VERDICT r6 "What's wrong" #4) — the file copy survives regardless
+    Path(__file__).resolve().parent.joinpath("bench_out.json").write_text(
+        line + "\n"
+    )
+    print(line)
 
 
 if __name__ == "__main__":

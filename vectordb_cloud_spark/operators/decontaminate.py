@@ -107,7 +107,12 @@ def find_contaminated_fuzzy(
             F.array_distinct(
                 ngram_shingles(F.lower(F.col(textc)), shingle_n)
             ).alias(f"{side}_sh"),
-        )
+        ).filter(F.size(f"{side}_sh") > 0)
+        # shingle-less docs (shorter than one n-gram) are dropped up front:
+        # their all-null signatures would band on hash(empty string), lumping
+        # every short train doc with every short eval doc — candidates the
+        # jaccard verify (0/0 -> null) filters anyway, but the band join
+        # would inflate to short_train x short_eval pairs first (ADVICE r6)
         # signatures derive from the SAME shingle arrays the verify stage
         # uses (one tokenize+shingle pass per side, not two — the multi-TB
         # train scan is the dominant cost); the minhash math matches

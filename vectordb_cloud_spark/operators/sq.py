@@ -85,7 +85,14 @@ def sq_search(encoded: DataFrame, mins: list[float], maxs: list[float],
     """Asymmetric top-k: dequantize each code against the full-precision
     query. dist² = Σ ((c+128)·step_d − (q_d − min_d))² — the query/min terms
     fold into one literal array, so the per-row work is one fused
-    zip_with/aggregate over the int8 codes. Returns ``sq_dist`` ascending."""
+    zip_with/aggregate over the int8 codes. Returns ``sq_dist`` ascending.
+
+    ``tiebreak`` defaults to the conventional ``vec_id`` column when the
+    frame has one: distance ties straddling the LIMIT cutoff would
+    otherwise make the survivor set nondeterministic between runs (matters
+    most when callers use this as a candidate stage, e.g. ivf_sq_search)."""
+    if tiebreak is None and "vec_id" in encoded.columns:
+        tiebreak = "vec_id"
     step = _lit_doubles([(mx - mn) / 255.0 for mn, mx in zip(mins, maxs)])
     qadj = _lit_doubles([q - mn for q, mn in zip(query_vector, mins)])
     code = F.col(code_col).cast("array<double>")
@@ -193,8 +200,15 @@ def bq_search(encoded: DataFrame, points: DataFrame, thresholds: list[float],
     vectors); the query's code is a literal word array, per-row cost is
     n_words XOR + bit_count + adds. Survivor ids come back to the driver
     (k·oversample ints) and prune the base-table scan via ``isin`` — at
-    scale, a file-skippable probe, never a shuffle."""
+    scale, a file-skippable probe, never a shuffle.
+
+    ``tiebreak`` defaults to ``id_col``: hamming ties straddling the
+    k·oversample cutoff would otherwise make the candidate set — and so the
+    exact-rescored top-k — nondeterministic between runs (ADVICE r6)."""
     import numpy as np  # driver-side only: pack the query's code
+
+    if tiebreak is None:
+        tiebreak = id_col
 
     q = np.asarray(query_vector, dtype=np.float64)
     t = np.asarray(thresholds, dtype=np.float64)

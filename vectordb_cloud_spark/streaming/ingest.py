@@ -66,33 +66,46 @@ def index_maintaining_batch(
 
     Idempotent per (epoch, content): the collection MERGE is idempotent by
     id, and the index append is guarded by an ``_epochs/<id>`` marker under
-    the layout that stores a content fingerprint (count + id-hash sum) of
-    the batch it committed. A foreachBatch replay (at-least-once delivery,
-    same epoch AND same rows) skips the append; a DIFFERENT batch arriving
-    under a reused epoch id — new checkpoint dir, a second stream on the
-    same layout, a backfill restarting at epoch 0 — fails loudly instead of
-    silently dropping its rows from the index. The marker is written AFTER
-    the append; a crash exactly between the two can still duplicate one
-    batch, which the IVF layout tolerates (duplicate rows share a centroid
-    and score identically — results stay correct, the list is just fatter
-    until the next retrain/compaction). Exposed module-level so tests and
-    batch backfills can drive it without a stream.
+    the layout that stores a content fingerprint (count + hash of id AND
+    the indexed vector bytes) of the batch it committed. A foreachBatch
+    replay (at-least-once delivery, same epoch AND same rows) skips both
+    the upsert and the append; a DIFFERENT batch arriving under a reused
+    epoch id — new checkpoint dir, a second stream on the same layout, a
+    backfill restarting at epoch 0, or the same ids re-embedded with new
+    vectors — fails loudly BEFORE mutating the collection, so the
+    collection and the index can never silently diverge. The marker is
+    written AFTER the append (atomically: temp file + rename, so a crash
+    mid-write leaves no truncated marker to wedge the stream); a crash
+    exactly between append and rename can still duplicate one batch, which
+    the IVF layout tolerates (duplicate rows share a centroid and score
+    identically — results stay correct, the list is just fatter until the
+    next retrain/compaction). Exposed module-level so tests and batch
+    backfills can drive it without a stream.
 
     Returns True if the index append ran, False if skipped (empty batch or
     an exact replay). Raises ValueError on an epoch-id collision with
     different content.
     """
     import os
+    import tempfile
 
     if batch_df.isEmpty():
         return False
-    catalog.upsert(collection, batch_df)
     # content fingerprint: one tiny agg over the (already-loaded) batch.
+    # Hashing (id, vector-as-string) — not id alone — means a replayed epoch
+    # whose rows were re-embedded counts as DIFFERENT content: it must fail
+    # here, before the upsert below applies the new vectors, or the
+    # collection would take the new rows while the index append is skipped.
     # pmod bounds each hash term so the ANSI-mode sum cannot overflow
     # (raw xxhash64 values are full-range 64-bit)
     fp_row = batch_df.select(
         F.count("*").alias("n"),
-        F.sum(F.pmod(F.xxhash64("id"), F.lit(1_000_000_007))).alias("h"),
+        F.sum(
+            F.pmod(
+                F.xxhash64("id", F.col(vector_col).cast("array<double>").cast("string")),
+                F.lit(1_000_000_007),
+            )
+        ).alias("h"),
     ).first()
     fingerprint = f"{fp_row['n']}:{fp_row['h']}"
     marker = os.path.join(ivf_path, "_epochs", str(epoch_id))
@@ -108,6 +121,7 @@ def index_maintaining_batch(
             "batch from the index; use a fresh _epochs namespace (new "
             "ivf_path or clear _epochs) or distinct epoch ids"
         )
+    catalog.upsert(collection, batch_df)
     from vectordb_cloud_spark.operators.ann import ivf_append
 
     ivf_append(
@@ -116,9 +130,19 @@ def index_maintaining_batch(
         ivf_path,
         vector_col=vector_col,
     )
-    os.makedirs(os.path.dirname(marker), exist_ok=True)
-    with open(marker, "w") as f:
-        f.write(fingerprint)
+    epochs_dir = os.path.dirname(marker)
+    os.makedirs(epochs_dir, exist_ok=True)
+    # atomic marker: a crash mid-write must leave the marker ABSENT (replay
+    # re-appends, tolerated) rather than truncated (replay raises forever)
+    fd, tmp_path = tempfile.mkstemp(dir=epochs_dir, prefix=".tmp_marker_")
+    try:
+        with os.fdopen(fd, "w") as f:
+            f.write(fingerprint)
+        os.rename(tmp_path, marker)
+    except BaseException:
+        if os.path.exists(tmp_path):
+            os.unlink(tmp_path)
+        raise
     return True
 
 
