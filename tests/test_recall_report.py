@@ -33,13 +33,14 @@ def test_ivf_recall_floor(report):
 
 
 def test_graph_recall_floor(report):
-    # degree=8 / beam=16 / 4 hops — same floor as test_graph_ann
-    assert report["ann_graph_topk"] >= 0.6
+    # degree=8 / beam=48 / 4 hops / 16 medoid entries — measured 0.94 at
+    # sf0.1 (r7); floor leaves slack for the smaller test corpus
+    assert report["ann_graph_topk"] >= 0.8
 
 
 def test_pq_recall_floor(report):
-    # 8x16 codebooks on 64-dim: coarse, but top-10 overlap must be real
-    assert report["pq_adc_topk"] >= 0.3
+    # 16x256 codebooks on 64-dim (r7; the 8x16 toy config floored at 0.3)
+    assert report["pq_adc_topk"] >= 0.5
 
 
 def test_lsh_recall_floor(report):
@@ -53,11 +54,13 @@ def test_sq_recall_floor(report):
 
 
 def test_pq_rerank_beats_pure_adc(report):
-    # the rescore stage exists to recover what coarse codebooks lose
+    # the rescore stage exists to recover what coarse codebooks lose;
+    # at M=16/K=256 + oversample 4 it measures 0.988 at sf0.1 (r7)
     assert report["pq_adc_rerank_topk"] >= report["pq_adc_topk"]
-    assert report["pq_adc_rerank_topk"] >= 0.5
+    assert report["pq_adc_rerank_topk"] >= 0.9
 
 
 def test_bq_recall_floor(report):
-    # 1 bit/dim + 4x oversample rescore: coarse but must be non-trivial
-    assert report["bq_hamming_rescore_topk"] >= 0.3
+    # 1 bit/dim + 48x oversample rescore (r7; 4x floored at 0.3/measured
+    # 0.35 — not production-grade, VERDICT r6 #1)
+    assert report["bq_hamming_rescore_topk"] >= 0.9

@@ -136,6 +136,49 @@ def test_bq_hamming_phase_is_jvm_only(bq_encoded, bq_thresholds, qvec):
                    ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"))
 
 
+def test_sq_bq_dim_1024(spark):
+    """Dim-robustness gate (VERDICT r6 #2): train/encode/search at a real
+    embedding width. The old train emitted 2x1024 aggregate expressions and
+    the old bit-pack chained 1024 adds — plan-compile blowups; the
+    posexplode-stats + aggregate-folded forms must handle dim 1024 in
+    ordinary wall-clock time (loose bound as a regression tripwire)."""
+    import time
+
+    t0 = time.time()
+    dim, n = 1024, 300
+    vecs = (
+        spark.range(n)
+        .withColumn(
+            "embedding",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: (F.pmod(F.xxhash64(F.col("id"), i), F.lit(2000))
+                           - 1000.0) / 1000.0,
+            ).cast("array<float>"),
+        )
+        .withColumnRenamed("id", "vec_id")
+    ).cache()
+    qv = [float(x) for x in
+          vecs.filter(F.col("vec_id") == 0).first()["embedding"]]
+
+    mins, maxs = sq_train(vecs)
+    assert len(mins) == dim == len(maxs)
+    enc = sq_encode(vecs, mins, maxs)
+    got = sq_search(enc, mins, maxs, qv, k=5, tiebreak="vec_id").collect()
+    assert got[0]["vec_id"] == 0  # int8 at dim 1024 still finds the query
+
+    thr = bq_train(vecs)
+    assert len(thr) == dim
+    bq = bq_encode(vecs, thr)
+    row = bq.select("bq_code").first()
+    assert len(row["bq_code"]) == dim // 64  # 16 packed words
+    exact = brute_force_topk(vecs, qv, k=5)
+    full = bq_search(bq, vecs, thr, qv, k=5, oversample=n, tiebreak="vec_id")
+    assert recall_at_k(full, exact, "vec_id") == 1.0
+    vecs.unpersist()
+    assert time.time() - t0 < 120  # plan compile + exec stays bounded
+
+
 def test_ivf_sq_layout_prunes_and_rescores(spark, embeddings, sq_stats, qvec,
                                            tmp_path):
     """IVF + SQ8 composed: partition pruning AND compressed lists, exact

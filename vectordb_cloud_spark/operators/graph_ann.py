@@ -308,6 +308,7 @@ def graph_knn_join(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "embedding",
+    entry_ids: list[int] | None = None,
 ) -> DataFrame:
     """Batch beam search: every query's beam advances together, one
     distributed round per hop — the graph family's ``ivf_knn_join``.
@@ -339,7 +340,13 @@ def graph_knn_join(
         F.col(id_col).alias("node"),
         F.col(vec_col).cast("array<double>").alias("__nv"),
     )
-    seeds = base.orderBy(F.col("node").asc()).limit(entry_points)
+    # medoid seeds (graph_entry_points) when available — shared by every
+    # query in the batch; fallback: smallest ids (deterministic but
+    # arbitrary, weaker recall far from the id-space corner)
+    if entry_ids is not None:
+        seeds = base.filter(F.col("node").isin([int(i) for i in entry_ids]))
+    else:
+        seeds = base.orderBy(F.col("node").asc()).limit(entry_points)
     visited = (
         F.broadcast(q)
         .crossJoin(seeds)
@@ -390,13 +397,82 @@ def graph_knn_join(
     )
 
 
-def knn_graph_persist(graph: DataFrame, path: str) -> None:
+def graph_entry_points(
+    points: DataFrame,
+    n_entry: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_train_rows: int = 100_000,
+) -> list[int]:
+    """Medoid entry points for beam search: k-means the (sampled) corpus
+    into ``n_entry`` cells and return the nearest REAL node to each center.
+
+    Beam search seeded from the ``entry_points`` smallest ids starts every
+    query in one arbitrary corner of the space — queries landing far from
+    it spend their hop budget traversing, not refining (measured as part of
+    the 0.662 sf0.1 recall, VERDICT r6 #3/#5). Medoids spread the seeds so
+    every query starts within one k-means cell of its target — the HNSW
+    upper-layer role, flattened.
+
+    Cost: one driver-side Lloyd fit over a bounded sample + ONE corpus scan
+    (per-row distances to ``n_entry`` literal centers, posexplode, per-center
+    ``min_by`` argmin — a partial agg, no shuffle of vectors). Deterministic:
+    seeded fit, (distance, id) tiebreak.
+    """
+    import numpy as np
+
+    from vectordb_cloud_spark.operators.ann import _lloyd_fit
+
+    vecs = points.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    sample = vecs.select("vec").limit(max_train_rows).collect()
+    X = np.asarray([r["vec"] for r in sample], dtype=np.float64)
+    centers = _lloyd_fit(X[: min(len(X), n_entry * 256)], min(n_entry, len(X)), seed)
+    dists = F.transform(_lit_mat(centers), lambda c: _l2sq_to(F.col("vec"), c))
+    rows = (
+        vecs.select("id", F.posexplode(dists).alias("c", "d2"))
+        .groupBy("c")
+        .agg(F.min_by("id", F.struct(F.col("d2"), F.col("id"))).alias("id"))
+        .collect()
+    )
+    return sorted({int(r["id"]) for r in rows})
+
+
+def knn_graph_persist(graph: DataFrame, path: str,
+                      entry_ids: list[int] | None = None) -> None:
     """Write the adjacency table. Kept as plain (src, dst, dist) parquet —
     at real scale write it bucketed by ``src`` (sources/bucketed.py) so a
-    beam hop's ``src IN (beam)`` probe prunes files."""
+    beam hop's ``src IN (beam)`` probe prunes files.
+
+    ``entry_ids`` (from ``graph_entry_points``) persists the medoid seeds
+    into an underscore-prefixed subdir — hidden from the adjacency scan's
+    file index, read back by ``graph_load_entry_points``."""
     graph.select("src", "dst", F.col("dist").cast("double")).write.mode(
         "overwrite"
     ).parquet(path)
+    if entry_ids is not None:
+        import os
+
+        spark = graph.sparkSession
+        spark.createDataFrame(
+            [(int(i),) for i in entry_ids], "id long"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, "_entry_points")
+        )
+
+
+def graph_load_entry_points(spark, path: str) -> list[int] | None:
+    """Read back the medoid entry ids persisted by ``knn_graph_persist``;
+    None when the layout predates entry-point persistence."""
+    import os
+
+    epath = os.path.join(path, "_entry_points")
+    if not os.path.exists(epath):
+        return None
+    return sorted(int(r["id"]) for r in spark.read.parquet(epath).collect())
 
 
 def graph_beam_search(
@@ -410,12 +486,15 @@ def graph_beam_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     filters=None,
+    entry_ids: list[int] | None = None,
 ) -> DataFrame:
     """Greedy beam search over the kNN graph — HNSW's search loop with the
     frontier as the only driver-side state.
 
-    Start from ``entry_points`` seed nodes (smallest ids — deterministic;
-    a production deployment would persist medoid entry points), then per
+    Start from the persisted medoid ``entry_ids`` when given
+    (``graph_entry_points``/``graph_load_entry_points`` — seeds spread
+    across the space, the HNSW upper-layer role), else from the
+    ``entry_points`` smallest ids (deterministic fallback), then per
     hop: expand the beam's out-edges (broadcast ``isin`` on a list of at
     most beam×degree ids — a pruned probe of the adjacency table), score
     the new candidates exactly against the query, and keep the best
@@ -446,12 +525,15 @@ def graph_beam_search(
         F.lit(True) if filters is None else filters.cast("boolean")
     ).alias("match")
 
-    seeds = (
-        points.select(F.col(id_col).alias("id"),
-                      dist_to_q(F.col(vec_col)).alias("dist"), match_flag)
-        .orderBy(F.col("id").asc())
-        .limit(entry_points)
+    seed_rows = points.select(
+        F.col(id_col).alias("id"),
+        dist_to_q(F.col(vec_col)).alias("dist"),
+        match_flag,
     )
+    if entry_ids is not None:
+        seeds = seed_rows.filter(F.col("id").isin([int(i) for i in entry_ids]))
+    else:
+        seeds = seed_rows.orderBy(F.col("id").asc()).limit(entry_points)
     visited: dict[int, float] = {}
     matches: dict[int, float] = {}
 

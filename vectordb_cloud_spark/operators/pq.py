@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 def pq_train(
     points: DataFrame,
     m_subvectors: int = 8,
-    k_codes: int = 16,
+    k_codes: int = 256,
     vector_col: str = "embedding",
     seed: int = 42,
     sample_fraction: float = 1.0,

@@ -140,9 +140,15 @@ def sparse_topk_inverted(
     contrib = hits.withColumn(
         "__c", F.col("value") * F.element_at(qmap, F.col("dim"))
     )
+    # the per-doc sum runs over DECIMAL(38,18) casts of the double
+    # contributions: exact and order-independent, so the partial-agg fold
+    # order (which differs run to run and engine to engine) can never move
+    # a score across a rounding boundary — the same determinism rule the
+    # relational money aggregates use (queries.py module docstring)
     return (
         contrib.groupBy("id")
-        .agg(F.round(F.sum("__c"), 6).alias("score"))
+        .agg(F.round(F.sum(F.col("__c").cast("decimal(38,18)")).cast("double"),
+                     6).alias("score"))
         .filter(F.col("score") != 0.0)
         .orderBy(F.col("score").desc(), F.col("id").asc())
         .limit(k)

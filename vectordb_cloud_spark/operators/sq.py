@@ -22,8 +22,12 @@ operators/pq.py covers PQ, this module covers the other two, Spark-first:
 At 100 TB the point of both is scan bytes: a quantized-codes table is the
 only thing the first pass reads (4x / 32x fewer bytes than raw vectors),
 and the exact rerank touches base-table rows only for the survivors.
-Train stats are one tiny driver-side aggregate row (2 x dim doubles) —
-broadcast as plan literals exactly like PQ's lookup table.
+Train stats come back to the driver as dim rows via posexplode +
+groupBy(pos) — one bounded shuffle, plan size independent of dim — then
+broadcast as plan literals exactly like PQ's lookup table. (Encode/search
+fold those literals with single zip_with/aggregate expressions, so the
+whole family stays codegen-friendly at 1024+ dims; gated by the dim-1024
+test in tests/test_sq.py.)
 """
 
 from __future__ import annotations
@@ -43,20 +47,30 @@ def _lit_doubles(xs: list[float]) -> Column:
 # ---------------------------------------------------------------------------
 
 def sq_train(points: DataFrame, vector_col: str = "embedding") -> tuple[list[float], list[float]]:
-    """Per-dimension (min, max) over the corpus — one aggregate, two
-    dim-length rows back to the driver. Equal-width int8 quantization is
-    range-based, so this IS the whole training step (contrast PQ's KMeans)."""
+    """Per-dimension (min, max) over the corpus. Equal-width int8
+    quantization is range-based, so this IS the whole training step
+    (contrast PQ's KMeans).
+
+    Computed as posexplode -> groupBy(pos) min/max — ONE shuffle of ≤
+    dim × n_partitions partially-aggregated rows, dim rows to the driver.
+    The earlier form emitted 2×dim aggregate EXPRESSIONS in one stage,
+    which at real embedding widths (384-1024+) is thousands of codegen
+    expressions — a plan-compile blowup, not a data cost (VERDICT r6 #2).
+    min/max are exact, so the two forms return identical stats."""
     vec = F.col(vector_col).cast("array<double>")
-    dim = len(points.select(vector_col).first()[0])
-    row = points.select(
-        *[F.min(vec[d]).alias(f"mn{d}") for d in range(dim)],
-        *[F.max(vec[d]).alias(f"mx{d}") for d in range(dim)],
-    ).first()
-    mins = [float(row[f"mn{d}"]) for d in range(dim)]
+    rows = (
+        points.select(F.posexplode(vec).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .collect()
+    )
+    by_pos = {r["pos"]: (float(r["mn"]), float(r["mx"])) for r in rows}
+    dim = len(by_pos)
+    mins = [by_pos[d][0] for d in range(dim)]
     # guard degenerate dims (max == min): width 0 would divide by zero in
     # encode; any positive width maps the constant dim to code -128
-    maxs = [float(row[f"mx{d}"]) if row[f"mx{d}"] > row[f"mn{d}"]
-            else float(row[f"mn{d}"]) + 1e-12 for d in range(dim)]
+    maxs = [by_pos[d][1] if by_pos[d][1] > by_pos[d][0]
+            else by_pos[d][0] + 1e-12 for d in range(dim)]
     return mins, maxs
 
 
@@ -154,18 +168,37 @@ def ivf_sq_search(spark, path: str, points: DataFrame, centers: list,
 
 
 def bq_train(points: DataFrame, vector_col: str = "embedding") -> list[float]:
-    """Per-dimension mean — the sign threshold. One aggregate row."""
+    """Per-dimension mean — the sign threshold.
+
+    posexplode -> groupBy(pos), like ``sq_train`` (the dim-wide aggregate
+    EXPRESSION form was codegen-hostile past a few hundred dims — VERDICT
+    r6 #2). The mean sums DECIMAL(38,18) casts so the threshold is
+    order-independent: a double sum's partial-agg fold order varies run to
+    run, and a threshold that wobbles across rebuilds would flip sign bits
+    of points sitting on it."""
     vec = F.col(vector_col).cast("array<double>")
-    dim = len(points.select(vector_col).first()[0])
-    row = points.select(
-        *[F.avg(vec[d]).alias(f"m{d}") for d in range(dim)]
-    ).first()
-    return [float(row[f"m{d}"]) for d in range(dim)]
+    rows = (
+        points.select(F.posexplode(vec).alias("pos", "x"))
+        .groupBy("pos")
+        .agg((F.sum(F.col("x").cast("decimal(38,18)")) / F.count("x"))
+             .cast("double").alias("m"))
+        .collect()
+    )
+    by_pos = {r["pos"]: float(r["m"]) for r in rows}
+    return [by_pos[d] for d in range(len(by_pos))]
 
 
 def _bq_words(vec: Column, thresholds: list[float]) -> Column:
     """Pack sign bits (x > threshold) into ceil(dim/64) BIGINT words,
-    little-endian within each word. Plain integer column algebra."""
+    little-endian within each word.
+
+    Each word folds its 64 bits with ONE ``aggregate`` over a zipped
+    (bit, shift) array instead of a 64-deep chain of Add nodes per word —
+    at dim 1024 the chained form put ~1000 nested adds into a single
+    projection (codegen-hostile, VERDICT r6 #2); this form is n_words
+    bounded-depth expressions regardless of dim. shiftleft(1, 63) wraps to
+    the sign bit (bitwise ops are not ANSI-range-checked), and the partial
+    sums of bits 0..62 stay under 2^63, so the fold never overflows."""
     dim = len(thresholds)
     n_words = (dim + 63) // 64
     thr = _lit_doubles(thresholds)
@@ -175,10 +208,19 @@ def _bq_words(vec: Column, thresholds: list[float]) -> Column:
     words = []
     for w in range(n_words):
         lo, hi = w * 64, min((w + 1) * 64, dim)
-        word = F.lit(0).cast("long")
-        for j in range(lo, hi):
-            word = word + F.shiftleft(F.element_at(bits, j + 1), j - lo)
-        words.append(word)
+        chunk = F.slice(bits, lo + 1, hi - lo)
+        shifts = F.sequence(F.lit(0), F.lit(hi - lo - 1))
+        words.append(
+            F.aggregate(
+                F.zip_with(
+                    chunk, shifts,
+                    lambda b, s: F.call_function("shiftleft", b,
+                                                 s.cast("int")),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+        )
     return F.array(*words)
 
 
@@ -190,7 +232,7 @@ def bq_encode(points: DataFrame, thresholds: list[float],
 
 
 def bq_search(encoded: DataFrame, points: DataFrame, thresholds: list[float],
-              query_vector: list[float], k: int = 10, oversample: int = 4,
+              query_vector: list[float], k: int = 10, oversample: int = 16,
               id_col: str = "vec_id", vector_col: str = "embedding",
               code_col: str = "bq_code", tiebreak: str | None = None) -> DataFrame:
     """Hamming top-(k·oversample) over the packed codes, then exact L2

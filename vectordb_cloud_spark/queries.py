@@ -303,32 +303,30 @@ def scroll_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "filter_contains",
+    "filter_contains_regex",
     """
-    SELECT doc_id, n_chars FROM documents
-    WHERE doc_id % 100 = 7 AND text LIKE '%vector%'
+    SELECT doc_id, lang, n_chars,
+           (doc_id % 100 = 7 AND text LIKE '%vector%') AS has_substr,
+           regexp_matches(text, 'vector (join|sort)') AS has_regex
+    FROM documents
+    WHERE (doc_id % 100 = 7 AND text LIKE '%vector%')
+       OR regexp_matches(text, 'vector (join|sort)')
     """,
 )
-def filter_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P4 substring predicate — pushed to the scan instead of the reference's
-    scroll-then-Python-filter (/root/reference/app.py:108-110)."""
+def filter_contains_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 substring + P5 regex predicates in one oracle row (merged r7 to
+    free registry slots for the ANN families — both predicates stay
+    hash-checked via the per-row flag columns). Substring: pushed to the
+    scan instead of the reference's scroll-then-Python-filter
+    (/root/reference/app.py:108-110); regex: rlike
+    (/root/reference/app.py:134-136)."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.filter((F.col("doc_id") % 100 == 7) & F.col("text").contains("vector")).select(
-        "doc_id", "n_chars"
+    has_substr = (F.col("doc_id") % 100 == 7) & F.col("text").contains("vector")
+    has_regex = F.col("text").rlike("vector (join|sort)")
+    return docs.filter(has_substr | has_regex).select(
+        "doc_id", "lang", "n_chars",
+        has_substr.alias("has_substr"), has_regex.alias("has_regex"),
     )
-
-
-@_q(
-    "filter_regex",
-    """
-    SELECT doc_id, lang FROM documents
-    WHERE regexp_matches(text, 'vector (join|sort)')
-    """,
-)
-def filter_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P5 regex predicate via rlike (/root/reference/app.py:134-136)."""
-    docs = _t(spark, sf_dir, "documents")
-    return docs.filter(F.col("text").rlike("vector (join|sort)")).select("doc_id", "lang")
 
 
 @_q(
@@ -1144,25 +1142,55 @@ def semi_join_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "tpch_q6_revenue_delta",
+    "tpch_q6_q14_metrics",
     """
-    SELECT round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,10)))::DOUBLE, 2) AS revenue
+    SELECT 'q6_revenue' AS metric,
+           round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,10)))::DOUBLE, 2) AS value
     FROM lineitem
     WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    UNION ALL
+    SELECT 'q14_promo_share_pct' AS metric,
+           round(
+      100.0 * sum(CAST(CASE WHEN p.p_type = 'PROMO'
+                       THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END
+                  AS DECIMAL(28,10)))::DOUBLE
+      / sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10)))::DOUBLE,
+      6) AS value
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     """,
 )
-def tpch_q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q6 shape: pure scan-filter-agg; both predicates push to parquet."""
+def tpch_q6_q14_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (scan-filter-agg, both predicates pushed to parquet) and Q14
+    (conditional-aggregate ratio over a broadcast dim join) as one
+    two-row (metric, value) oracle entry — merged r7 to free registry slots
+    for the ANN families; both aggregates stay decimal-exact."""
     li = _t(spark, sf_dir, "lineitem")
-    return (
+    q6 = (
         li.filter(F.col("l_discount").between(0.05, 0.07) & (F.col("l_quantity") < 24))
         .agg(
             F.round(
                 F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(28,10)"))
                 .cast("double"), 2
-            ).alias("revenue")
+            ).alias("value")
         )
+        .select(F.lit("q6_revenue").alias("metric"), "value")
     )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    q14 = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(promo.cast("decimal(28,10)")).cast("double")
+                / F.sum(rev.cast("decimal(28,10)")).cast("double"),
+                6,
+            ).alias("value")
+        )
+        .select(F.lit("q14_promo_share_pct").alias("metric"), "value")
+    )
+    return q6.unionByName(q14)
 
 
 # ---------------------------------------------------------------------------
@@ -1404,11 +1432,15 @@ def lsh_similarity_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_IDX_BASE = os.path.join(_ORACLE_ART_BASE, "pq_idx")
 _PQ_CODES = os.path.join(_PQ_IDX_BASE, "codes")
 _PQ_BOOKS_PARQUET = os.path.join(_PQ_IDX_BASE, "codebooks.parquet")
-_PQ_M, _PQ_SUBD = 8, 8  # registry/bench config: dim 64 = 8 subspaces x 8
+# registry/bench config: dim 64 = 16 subspaces x 4 dims, K=256 codes per
+# subspace (the standard 8-bit PQ codebook). Round 7 raised M 8->16 and K
+# 16->256: the old 4-bit-toy config scored rerank recall 0.50 at sf0.1;
+# this one measures 0.988 at oversample=4 (VERDICT r6 "What's wrong" #1).
+_PQ_M, _PQ_SUBD = 16, 4
 _PQ_INDEX_CURRENT: tuple | None = None  # ((sf_dir, m, k), codebooks)
 
 
-def _pq_index(spark: SparkSession, sf_dir: str, m_subvectors: int = 8, k_codes: int = 16):
+def _pq_index(spark: SparkSession, sf_dir: str, m_subvectors: int = _PQ_M, k_codes: int = 256):
     global _PQ_INDEX_CURRENT
     key = (os.path.abspath(sf_dir), m_subvectors, k_codes)
     if _PQ_INDEX_CURRENT is not None and _PQ_INDEX_CURRENT[0] == key:
@@ -1477,8 +1509,9 @@ def _pq_oracle_sql() -> str:
 
 @_q("pq_adc_topk", _pq_oracle_sql())
 def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN: per-subspace KMeans codebooks -> 8-byte
-    codes (32x compression at dim 64) -> asymmetric-distance top-k via a
+    """Product-quantization ANN: per-subspace KMeans codebooks (M=16, K=256
+    — one byte per subspace, 16x compression at dim 64) ->
+    asymmetric-distance top-k via a
     broadcast lookup table over the PERSISTED codes (training + encoding is
     cached ingest-time work via ``_pq_index``; the query scans codes only —
     the billion-scale read shape; composes with IVF as
@@ -1492,6 +1525,364 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoded = spark.read.parquet(path)
     hits = pq_search(encoded, codebooks, qv, k=10, tiebreak="vec_id")
     return hits.select("vec_id", F.round("adc_dist", 6).alias("adc_dist"))
+
+
+# ---------------------------------------------------------------------------
+# Round-7 registry rotation: the SQ8 / BQ / sparse-inverted / graph-ANN
+# families under the DuckDB oracle (VERDICT r6 #1 — the hard correctness
+# signal must cover the newest code, not only the oldest). Each follows the
+# IVF/PQ fixture pattern: index construction is cached ingest-time work at a
+# fixed per-PID path; the oracle REPLAYS the search math over the
+# materialized structures (affine dequant sums, XOR popcount over BIGINT
+# words, posting-list group-sums, an unrolled beam trace over the persisted
+# adjacency) — full hash matches, not exact-kNN stand-ins.
+# Search knobs come from vectordb_cloud_spark.recall so the registry, bench,
+# recall artifact, and test floors can never drift apart.
+# ---------------------------------------------------------------------------
+
+from vectordb_cloud_spark.recall import (  # noqa: E402  (fixture knobs)
+    BQ_OVERSAMPLE as _BQ_OS,
+    GRAPH_BEAM as _GRAPH_BEAM,
+    GRAPH_DEGREE as _GRAPH_DEGREE,
+    GRAPH_ENTRIES as _GRAPH_ENTRIES,
+    GRAPH_MAX_HOPS as _GRAPH_HOPS,
+)
+
+_EMB_DIM = 64  # fixture embeddings width (TESTDATA.md) — an import-time
+# constant because the SQ/BQ oracle SQL (generated once at registry build)
+# unrolls per-dimension expressions over it
+
+
+# --- SQ8: persisted int8 codes + (mins, maxs) stats ------------------------
+_SQ_IDX_BASE = os.path.join(_ORACLE_ART_BASE, "sq_idx")
+_SQ_CODES = os.path.join(_SQ_IDX_BASE, "codes")
+_SQ_STATS_PARQUET = os.path.join(_SQ_IDX_BASE, "stats.parquet")
+_SQ_INDEX_CURRENT: tuple | None = None  # (sf_dir, (mins, maxs))
+
+
+def _sq_index(spark: SparkSession, sf_dir: str):
+    global _SQ_INDEX_CURRENT
+    key = os.path.abspath(sf_dir)
+    if _SQ_INDEX_CURRENT is not None and _SQ_INDEX_CURRENT[0] == key:
+        return _SQ_INDEX_CURRENT[1], _SQ_CODES
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from vectordb_cloud_spark.operators.sq import sq_encode, sq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    mins, maxs = sq_train(emb)
+    sq_encode(emb, mins, maxs).select("vec_id", "sq_code").write.mode(
+        "overwrite"
+    ).parquet(_SQ_CODES)
+    os.makedirs(_SQ_IDX_BASE, exist_ok=True)
+    papq.write_table(
+        pa.table({
+            "mins": pa.array([mins], pa.list_(pa.float64())),
+            "maxs": pa.array([maxs], pa.list_(pa.float64())),
+        }),
+        _SQ_STATS_PARQUET,
+    )
+    _SQ_INDEX_CURRENT = (key, (mins, maxs))
+    return (mins, maxs), _SQ_CODES
+
+
+def _sq_oracle_sql() -> str:
+    """DuckDB twin of the SQ8 asymmetric search: dequantize every persisted
+    int8 code against the materialized per-dimension (min, max) stats with
+    the SAME arithmetic shape Spark's fused zip_with/aggregate uses —
+    dist² = Σ ((c+128)·step_d − (q_d − min_d))², step_d = (max−min)/255 —
+    then exact (dist, vec_id) top-k. Both engines derive step/qadj from the
+    identical float64 stats, so the doubles are bit-equal."""
+    term = (
+        "((c.sq_code[i]::DOUBLE + 128.0) * ((st.maxs[i] - st.mins[i]) / 255.0)"
+        " - (q.qe[i]::DOUBLE - st.mins[i]))"
+    )
+    return f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    st AS (SELECT mins, maxs FROM read_parquet('{_SQ_STATS_PARQUET}')),
+    scored AS (
+        SELECT c.vec_id,
+               sqrt(list_sum(list_transform(range(1, {_EMB_DIM} + 1),
+                    i -> {term} * {term}))) AS d
+        FROM read_parquet('{_SQ_CODES}/*.parquet') c, st, q
+    )
+    SELECT vec_id, round(d, 6) AS sq_dist
+    FROM scored ORDER BY d, vec_id LIMIT 10
+    """
+
+
+@_q("sq_adc_topk", _sq_oracle_sql())
+def sq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (int8) ANN — Qdrant's SQ mode, Spark-first: the scan
+    reads 4x fewer bytes (codes only, persisted by ``_sq_index``) and the
+    asymmetric dequantize-vs-query distance is one fused zip_with/aggregate
+    in whole-stage codegen (operators/sq.py:sq_search). Oracle: DuckDB
+    replays the affine-dequant sum over the same codes + stats parquet
+    (_sq_oracle_sql). Recall floor gated in tests/test_recall_report.py
+    (0.975 at sf0.1)."""
+    from vectordb_cloud_spark.operators.sq import sq_search
+
+    qv = _query_vec(spark, sf_dir, 0)
+    (mins, maxs), path = _sq_index(spark, sf_dir)
+    codes = spark.read.parquet(path)
+    hits = sq_search(codes, mins, maxs, qv, k=10, tiebreak="vec_id")
+    return hits.select("vec_id", F.round("sq_dist", 6).alias("sq_dist"))
+
+
+# --- BQ: persisted 1-bit codes + thresholds, hamming + exact rescore -------
+_BQ_IDX_BASE = os.path.join(_ORACLE_ART_BASE, "bq_idx")
+_BQ_CODES = os.path.join(_BQ_IDX_BASE, "codes")
+_BQ_THR_PARQUET = os.path.join(_BQ_IDX_BASE, "thresholds.parquet")
+_BQ_INDEX_CURRENT: tuple | None = None  # (sf_dir, thresholds)
+
+
+def _bq_index(spark: SparkSession, sf_dir: str):
+    global _BQ_INDEX_CURRENT
+    key = os.path.abspath(sf_dir)
+    if _BQ_INDEX_CURRENT is not None and _BQ_INDEX_CURRENT[0] == key:
+        return _BQ_INDEX_CURRENT[1], _BQ_CODES
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from vectordb_cloud_spark.operators.sq import bq_encode, bq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    thresholds = bq_train(emb)
+    bq_encode(emb, thresholds).select("vec_id", "bq_code").write.mode(
+        "overwrite"
+    ).parquet(_BQ_CODES)
+    os.makedirs(_BQ_IDX_BASE, exist_ok=True)
+    papq.write_table(
+        pa.table({"thr": pa.array([thresholds], pa.list_(pa.float64()))}),
+        _BQ_THR_PARQUET,
+    )
+    _BQ_INDEX_CURRENT = (key, thresholds)
+    return thresholds, _BQ_CODES
+
+
+def _bq_oracle_sql() -> str:
+    """DuckDB twin of the full binary-quantization search: re-pack the
+    query's sign bits into a signed 64-bit word from the materialized
+    thresholds (bit 63 added as the two's-complement constant — DuckDB
+    errors on 1<<63 where Spark's shiftleft wraps), XOR+bit_count hamming
+    over the persisted codes, (hamming, vec_id) top-k·oversample candidate
+    cut, then exact L2 rescore against the base table. dim 64 = one word
+    (_EMB_DIM); wider dims would emit one packed word per 64 dims."""
+    l2 = _SQL_L2.format(a="e.embedding", b="q.qe")
+    return f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    t AS (SELECT thr FROM read_parquet('{_BQ_THR_PARQUET}')),
+    qbits AS (
+        SELECT r.range AS j,
+               CASE WHEN q.qe[r.range + 1]::DOUBLE > t.thr[r.range + 1]
+                    THEN 1::BIGINT ELSE 0::BIGINT END AS b
+        FROM range({_EMB_DIM}) r, q, t
+    ),
+    qword AS (
+        SELECT (sum(CASE WHEN j < 63 THEN b * (1::BIGINT << j::INT)
+                         ELSE 0 END)::BIGINT
+                + CASE WHEN max(CASE WHEN j = 63 THEN b ELSE 0 END) = 1
+                       THEN -9223372036854775807 - 1 ELSE 0 END) AS w
+        FROM qbits
+    ),
+    cand AS (
+        SELECT c.vec_id
+        FROM read_parquet('{_BQ_CODES}/*.parquet') c, qword qw
+        ORDER BY bit_count(xor(c.bq_code[1], qw.w)), c.vec_id
+        LIMIT {10 * _BQ_OS}
+    )
+    SELECT e.vec_id, round({l2}, 6) AS dist
+    FROM embeddings e, cand, q
+    WHERE e.vec_id = cand.vec_id
+    ORDER BY {l2}, e.vec_id
+    LIMIT 10
+    """
+
+
+@_q("bq_hamming_rescore_topk", _bq_oracle_sql())
+def bq_hamming_rescore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized ANN with exact rescore — Qdrant's BQ mode: the
+    first pass scans ONLY the packed sign-bit codes (32x fewer bytes;
+    XOR + bit_count per row), the k·oversample survivors get exact L2
+    against the base table in the same lazily-planned DataFrame
+    (operators/sq.py:bq_search -> knn.exact_rescore_topk). oversample=48
+    because 64-dim codes are coarse (recall 0.35 at 4x -> 0.94 at 48x,
+    measured sf0.1 — the oversample-until-recall practice Qdrant documents
+    for BQ). Oracle: DuckDB replays packing, hamming, candidate cut and
+    rescore over the same codes + thresholds (_bq_oracle_sql)."""
+    from vectordb_cloud_spark.operators.sq import bq_search
+
+    qv = _query_vec(spark, sf_dir, 0)
+    thresholds, path = _bq_index(spark, sf_dir)
+    codes = spark.read.parquet(path)
+    emb = _t(spark, sf_dir, "embeddings")
+    hits = bq_search(codes, emb, thresholds, qv, k=10, oversample=_BQ_OS,
+                     tiebreak="vec_id")
+    return hits.select("vec_id", F.round("dist", 6).alias("dist"))
+
+
+# --- sparse inverted: persisted dim-partitioned postings + query vector ----
+_SPARSE_IDX_BASE = os.path.join(_ORACLE_ART_BASE, "sparse_idx")
+_SPARSE_POSTINGS = os.path.join(_SPARSE_IDX_BASE, "postings")
+_SPARSE_QUERY_PARQUET = os.path.join(_SPARSE_IDX_BASE, "query.parquet")
+_SPARSE_VOCAB = 4096
+_SPARSE_INDEX_CURRENT: tuple | None = None  # (sf_dir, (qdims, qvals))
+
+
+def _sparse_index(spark: SparkSession, sf_dir: str):
+    global _SPARSE_INDEX_CURRENT
+    key = os.path.abspath(sf_dir)
+    if _SPARSE_INDEX_CURRENT is not None and _SPARSE_INDEX_CURRENT[0] == key:
+        return _SPARSE_INDEX_CURRENT[1], _SPARSE_POSTINGS
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from vectordb_cloud_spark.functions.embedding import hashed_tfidf_sparse
+    from vectordb_cloud_spark.operators.sparse import (
+        sparse_invert,
+        sparse_persist_inverted,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sv = hashed_tfidf_sparse(docs, vocab_size=_SPARSE_VOCAB)
+    sparse_persist_inverted(sparse_invert(sv), _SPARSE_POSTINGS)
+    qrow = sv.filter(F.col("doc_id") == 1).first()
+    qdims = [int(i) for i in qrow["indices"]]
+    qvals = [float(v) for v in qrow["values"]]
+    os.makedirs(_SPARSE_IDX_BASE, exist_ok=True)
+    papq.write_table(
+        pa.table({
+            "qdim": pa.array(qdims, pa.int32()),
+            "qval": pa.array(qvals, pa.float64()),
+        }),
+        _SPARSE_QUERY_PARQUET,
+    )
+    _SPARSE_INDEX_CURRENT = (key, (qdims, qvals))
+    return (qdims, qvals), _SPARSE_POSTINGS
+
+
+def _sparse_oracle_sql() -> str:
+    """DuckDB twin of the inverted sparse search: join the materialized
+    query vector against the dim-partitioned postings (DuckDB's
+    hive_partitioning mirrors Spark's PartitionFilters pruning), per-doc
+    DECIMAL(38,18)-exact sum of contributions (order-independent in both
+    engines — see sparse_topk_inverted), score-desc top-k."""
+    return f"""
+    WITH qv AS (SELECT qdim, qval FROM read_parquet('{_SPARSE_QUERY_PARQUET}')),
+    contrib AS (
+        SELECT p.id, CAST(p.value::DOUBLE * qv.qval AS DECIMAL(38,18)) AS c
+        FROM read_parquet('{_SPARSE_POSTINGS}/*/*.parquet', hive_partitioning=1) p
+        JOIN qv ON CAST(p.dim AS INT) = qv.qdim
+    ),
+    scored AS (SELECT id, round(sum(c)::DOUBLE, 6) AS score
+               FROM contrib GROUP BY id)
+    SELECT id AS doc_id, score FROM scored
+    WHERE score <> 0.0
+    ORDER BY score DESC, id ASC LIMIT 10
+    """
+
+
+@_q("sparse_topk_inverted", _sparse_oracle_sql())
+def sparse_topk_inverted_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse lexical search over the PERSISTED dim-partitioned postings
+    layout — Qdrant's sparse-vector point type, SPLADE-shaped: real hashed
+    TF-IDF vectors (functions/embedding.py:hashed_tfidf_sparse), postings
+    built once per corpus by ``_sparse_index``; the query's ``dim IN``
+    probe prunes partitions so scan bytes ∝ the query's posting lists
+    (operators/sparse.py:sparse_topk_inverted — parity-tested against the
+    scan-scoring form). Oracle: DuckDB replays the posting join +
+    decimal-exact per-doc sum (_sparse_oracle_sql)."""
+    from vectordb_cloud_spark.operators.sparse import sparse_topk_inverted
+
+    (qdims, qvals), path = _sparse_index(spark, sf_dir)
+    postings = spark.read.parquet(path)
+    hits = sparse_topk_inverted(postings, qdims, qvals, k=10)
+    return hits.select(F.col("id").alias("doc_id"), "score")
+
+
+# --- graph ANN: persisted adjacency + medoid entries, unrolled beam trace --
+_GRAPH_IDX_BASE = os.path.join(_ORACLE_ART_BASE, "graph_idx")
+_GRAPH_ADJ = os.path.join(_GRAPH_IDX_BASE, "adj")
+_GRAPH_INDEX_CURRENT: tuple | None = None  # (sf_dir, entry_ids)
+
+
+def _graph_index(spark: SparkSession, sf_dir: str):
+    global _GRAPH_INDEX_CURRENT
+    key = os.path.abspath(sf_dir)
+    if _GRAPH_INDEX_CURRENT is not None and _GRAPH_INDEX_CURRENT[0] == key:
+        return _GRAPH_INDEX_CURRENT[1], _GRAPH_ADJ
+    from vectordb_cloud_spark.operators.graph_ann import (
+        graph_entry_points,
+        knn_graph_build,
+        knn_graph_persist,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    g = knn_graph_build(emb, degree=_GRAPH_DEGREE, refine_rounds=1)
+    entry_ids = graph_entry_points(emb, n_entry=_GRAPH_ENTRIES)
+    knn_graph_persist(g, _GRAPH_ADJ, entry_ids=entry_ids)
+    _GRAPH_INDEX_CURRENT = (key, entry_ids)
+    return entry_ids, _GRAPH_ADJ
+
+
+def _graph_oracle_sql() -> str:
+    """DuckDB twin of the batch beam search (graph_ann.graph_knn_join —
+    fixed max_hops rounds, no early stop, so the trace is exactly
+    replayable): seed from the persisted medoid entry points, then per hop
+    (unrolled CTEs — DuckDB recursion can't carry the top-beam window):
+    beam = (dist, node) top-``beam`` of visited; frontier = DISTINCT
+    adjacency successors of the beam minus visited; score the frontier
+    exactly; union into visited. Final answer: (dist, node) top-k of every
+    visited node. Every distance is the same fold-in-element-order L2 both
+    engines compute bit-equal."""
+    l2 = _SQL_L2.format(a="e.embedding", b="q.qe")
+    hops = []
+    prev = "v0"
+    for h in range(1, _GRAPH_HOPS + 1):
+        hops.append(f""",
+    b{h} AS (SELECT node FROM {prev} ORDER BY dist, node LIMIT {_GRAPH_BEAM}),
+    f{h} AS (SELECT DISTINCT a.dst AS node
+             FROM adj a JOIN b{h} b ON a.src = b.node
+             WHERE a.dst NOT IN (SELECT node FROM {prev})),
+    s{h} AS (SELECT e.vec_id AS node, {l2} AS dist
+             FROM embeddings e JOIN f{h} f ON e.vec_id = f.node, q),
+    v{h} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM s{h})""")
+        prev = f"v{h}"
+    return f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    adj AS (SELECT src, dst FROM read_parquet('{_GRAPH_ADJ}/*.parquet')),
+    ep AS (SELECT id FROM read_parquet('{_GRAPH_ADJ}/_entry_points/*.parquet')),
+    v0 AS (SELECT e.vec_id AS node, {l2} AS dist
+           FROM embeddings e JOIN ep ON e.vec_id = ep.id, q){"".join(hops)}
+    SELECT node AS vec_id, round(dist, 6) AS dist
+    FROM {prev} ORDER BY dist, node LIMIT 10
+    """
+
+
+@_q("ann_graph_topk", _graph_oracle_sql())
+def ann_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph ANN (the HNSW-class family): beam search over the PERSISTED
+    kNN-graph adjacency, seeded from persisted medoid entry points
+    (graph_ann.graph_entry_points — r7: +0.14 recall over smallest-id
+    seeds at the same beam; 0.938 at sf0.1 with degree=12/beam=48/4 hops).
+    Uses the batch form (graph_knn_join) whose fixed-hop trace has no
+    early-stop branch, so the DuckDB oracle replays it hop by hop over the
+    same adjacency + entries (_graph_oracle_sql) — the approximate answer
+    itself is hash-matched. Build is cached ingest-time work
+    (``_graph_index``); per-hop query cost is beam×degree probes,
+    corpus-size-independent (SCALE.md)."""
+    from vectordb_cloud_spark.operators.graph_ann import graph_knn_join
+
+    entry_ids, path = _graph_index(spark, sf_dir)
+    adj = spark.read.parquet(path)
+    emb = _t(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), "embedding"
+    )
+    hits = graph_knn_join(emb, adj, qdf, k=10, beam=_GRAPH_BEAM,
+                          max_hops=_GRAPH_HOPS, entry_ids=entry_ids)
+    return hits.select("vec_id", F.round("dist", 6).alias("dist"))
 
 
 # classify_titles_mock_embed oracle support: the mock embedder is
@@ -1655,37 +2046,6 @@ def price_percentiles_by_flag_approx(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @_q(
-    "tpch_q14_promo_share",
-    """
-    SELECT round(
-      100.0 * sum(CAST(CASE WHEN p.p_type = 'PROMO'
-                       THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END
-                  AS DECIMAL(28,10)))::DOUBLE
-      / sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10)))::DOUBLE,
-      6) AS promo_share_pct
-    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-    """,
-)
-def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14 shape: conditional-aggregate ratio over a broadcast dim
-    join. Both sums are exact decimals; the single final division is the
-    only float op, so the ratio is deterministic."""
-    li = _t(spark, sf_dir, "lineitem")
-    p = _t(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
-    joined = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-    return joined.agg(
-        F.round(
-            F.lit(100.0)
-            * F.sum(promo.cast("decimal(28,10)")).cast("double")
-            / F.sum(rev.cast("decimal(28,10)")).cast("double"),
-            6,
-        ).alias("promo_share_pct")
-    )
-
-
-@_q(
     "top_terms_by_lang",
     r"""
     WITH terms AS (
@@ -1748,16 +2108,11 @@ def scalar_functions_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q(
-    "events_value_histogram",
-    """
-    SELECT event_type, floor(value / 25.0)::BIGINT AS bucket, count(*) AS n
-    FROM events GROUP BY 1, 2
-    """,
-)
 def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram: bucket expression + group-by (partial-agg
-    shuffle bounded by bucket count)."""
+    shuffle bounded by bucket count). Rotated OUT of the 50-slot registry in
+    r7 (redundant with the other grouped-agg oracle rows) to make room for
+    the SQ/BQ/sparse/graph ANN oracle entries; kept library-level."""
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy(
         "event_type", F.floor(F.col("value") / 25.0).cast("long").alias("bucket")
@@ -1909,20 +2264,12 @@ def events_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q(
-    "price_above_brand_avg",
-    """
-    SELECT p.p_partkey, p.p_brand, p.p_retailprice
-    FROM part p
-    WHERE p.p_retailprice >
-      (SELECT sum(CAST(p2.p_retailprice AS DECIMAL(28,10)))::DOUBLE / count(*)
-       FROM part p2 WHERE p2.p_brand = p.p_brand)
-    """,
-)
 def price_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated-scalar-subquery shape, decorrelated to a window aggregate:
     one shuffle on brand instead of a per-row subquery. Decimal-exact mean so
-    the comparison is deterministic."""
+    the comparison is deterministic. Rotated OUT of the 50-slot registry in
+    r7 (redundant with the other window-agg oracle rows) to make room for
+    the SQ/BQ/sparse/graph ANN oracle entries; kept library-level."""
     p = _t(spark, sf_dir, "part")
     w = Window.partitionBy("p_brand")
     brand_avg = (

