@@ -466,3 +466,25 @@ def test_indexed_ingest_epoch_collision_fails_loudly(spark, tmp_path):
     with pytest.raises(ValueError, match="already committed"):
         index_maintaining_batch(batch(200, 210), 0, catalog, "coll_col",
                                 centers, ivf_path)
+
+    # legacy (unversioned, id-only-hash era) marker migration: a replay of
+    # an epoch committed by the OLD fingerprint code must skip-by-count and
+    # upgrade the marker in place — an in-place code upgrade cannot wedge a
+    # live stream (ADVICE r7 #1)
+    import os
+
+    marker = os.path.join(ivf_path, "_epochs", "0")
+    with open(marker, "w") as f:
+        f.write("10:123456789")  # legacy format, count matches batch(100,110)
+    n_before = spark.read.parquet(ivf_path).count()
+    assert index_maintaining_batch(batch(100, 110), 0, catalog, "coll_col",
+                                   centers, ivf_path) is False
+    assert spark.read.parquet(ivf_path).count() == n_before  # no re-append
+    with open(marker) as f:
+        assert f.read().startswith("v2:")  # marker upgraded in place
+    # legacy marker whose COUNT differs is a genuine collision: still loud
+    with open(marker, "w") as f:
+        f.write("7:123456789")
+    with pytest.raises(ValueError, match="legacy marker"):
+        index_maintaining_batch(batch(100, 110), 0, catalog, "coll_col",
+                                centers, ivf_path)

@@ -428,9 +428,19 @@ def graph_entry_points(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
     )
-    sample = vecs.select("vec").limit(max_train_rows).collect()
+    # collect exactly what the fit consumes (n_entry*256 rows, matching
+    # _fit_blocking's cap), drawn by seeded sample rather than an unordered
+    # LIMIT prefix — a prefix on partition-ordered parquet skews the
+    # medoids toward the first files
+    n_fit = min(max_train_rows, n_entry * 256)
+    n_total = vecs.count()
+    if n_total > n_fit:
+        frac = min(1.0, (n_fit * 1.2) / n_total)
+        sample = vecs.select("vec").sample(frac, seed=seed).limit(n_fit).collect()
+    else:
+        sample = vecs.select("vec").collect()
     X = np.asarray([r["vec"] for r in sample], dtype=np.float64)
-    centers = _lloyd_fit(X[: min(len(X), n_entry * 256)], min(n_entry, len(X)), seed)
+    centers = _lloyd_fit(X, min(n_entry, len(X)), seed)
     dists = F.transform(_lit_mat(centers), lambda c: _l2sq_to(F.col("vec"), c))
     rows = (
         vecs.select("id", F.posexplode(dists).alias("c", "d2"))
@@ -470,9 +480,17 @@ def graph_load_entry_points(spark, path: str) -> list[int] | None:
     import os
 
     epath = os.path.join(path, "_entry_points")
-    if not os.path.exists(epath):
-        return None
-    return sorted(int(r["id"]) for r in spark.read.parquet(epath).collect())
+    # probe existence through the reader itself (AnalysisException on a
+    # missing path) rather than os.path.exists — the layout may live on
+    # object storage where a driver-local stat lies and would silently
+    # drop back to the weaker smallest-id seeds
+    try:
+        rows = spark.read.parquet(epath).collect()
+    except Exception as exc:  # noqa: BLE001 - PATH_NOT_FOUND is version-variant
+        if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+            return None
+        raise
+    return sorted(int(r["id"]) for r in rows)
 
 
 def graph_beam_search(

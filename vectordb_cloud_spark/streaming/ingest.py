@@ -107,13 +107,33 @@ def index_maintaining_batch(
             )
         ).alias("h"),
     ).first()
-    fingerprint = f"{fp_row['n']}:{fp_row['h']}"
+    # marker format is versioned ("v2:<n>:<h>") so a fingerprint-algorithm
+    # change can never wedge a live stream: v1 markers (written by the
+    # id-only hash era as "<n>:<h>") are recognized as legacy and matched
+    # on row count alone — an exact at-least-once replay of an epoch that
+    # v1 code already committed still skips cleanly after an in-place
+    # upgrade, and the marker is rewritten in the current format.
+    fingerprint = f"v2:{fp_row['n']}:{fp_row['h']}"
     marker = os.path.join(ivf_path, "_epochs", str(epoch_id))
     if os.path.exists(marker):
         with open(marker) as f:
             seen = f.read().strip()
         if seen == fingerprint:
             return False
+        if not seen.startswith("v2:"):
+            # legacy (unversioned) marker: only the row count is comparable
+            # across fingerprint versions. Count match -> treat as the
+            # committed replay it almost surely is, and upgrade the marker.
+            if seen.split(":", 1)[0] == str(fp_row["n"]):
+                _write_marker_atomic(marker, fingerprint)
+                return False
+            raise ValueError(
+                f"epoch id {epoch_id} carries a legacy marker {seen!r} whose "
+                f"row count differs from this batch ({fp_row['n']} rows) — "
+                "this is a genuine epoch-id collision, not a fingerprint-"
+                "format upgrade; use a fresh _epochs namespace (new ivf_path "
+                "or clear _epochs) or distinct epoch ids"
+            )
         raise ValueError(
             f"epoch id {epoch_id} was already committed to {ivf_path} with "
             f"different content (marker {seen!r} != batch {fingerprint!r}) — "
@@ -130,10 +150,19 @@ def index_maintaining_batch(
         ivf_path,
         vector_col=vector_col,
     )
+    _write_marker_atomic(marker, fingerprint)
+    return True
+
+
+def _write_marker_atomic(marker: str, fingerprint: str) -> None:
+    """Write an epoch marker atomically (temp file + rename): a crash
+    mid-write must leave the marker ABSENT (replay re-appends, tolerated)
+    rather than truncated (replay raises forever)."""
+    import os
+    import tempfile
+
     epochs_dir = os.path.dirname(marker)
     os.makedirs(epochs_dir, exist_ok=True)
-    # atomic marker: a crash mid-write must leave the marker ABSENT (replay
-    # re-appends, tolerated) rather than truncated (replay raises forever)
     fd, tmp_path = tempfile.mkstemp(dir=epochs_dir, prefix=".tmp_marker_")
     try:
         with os.fdopen(fd, "w") as f:
@@ -143,7 +172,6 @@ def index_maintaining_batch(
         if os.path.exists(tmp_path):
             os.unlink(tmp_path)
         raise
-    return True
 
 
 def start_indexed_ingest_stream(
