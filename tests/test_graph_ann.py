@@ -181,3 +181,89 @@ def test_graph_knn_join_matches_reasonable_single_query(spark, embeddings,
     batch = {r["vec_id"] for r in graph_knn_join(
         embeddings, graph, queries, k=10, beam=16, max_hops=4).collect()}
     assert len(single & batch) >= 7
+
+
+def test_sharded_build_parity_and_shards_engaged(spark, embeddings, graph):
+    """knn_graph_build_sharded with the shard term FORCED on (max_cells
+    small enough that n/block_rows exceeds it) must reach recall parity
+    with the unsharded build — the NN-descent rounds repair the coarser
+    shard-sliced init (VERDICT r6 #3's done-criterion)."""
+    from vectordb_cloud_spark.operators.graph_ann import (
+        graph_knn_join,
+        knn_graph_build_sharded,
+    )
+
+    g_s, (centers_multi, n_shards, salts) = knn_graph_build_sharded(
+        embeddings, degree=8, refine_rounds=2, max_cells=2,
+        with_blocking=True,
+    )
+    assert n_shards >= 2  # the shard term actually engaged
+    assert len(salts) == len(centers_multi)
+    # degree bound + no self loops, same structural contract as unsharded
+    assert g_s.filter(F.col("src") == F.col("dst")).count() == 0
+    assert g_s.groupBy("src").count().agg(F.max("count")).first()[0] <= 8
+
+    qids = [0, 7, 42, 99, 123]
+    queries = embeddings.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def mean_recall(g):
+        got = graph_knn_join(embeddings, g, queries, k=10, beam=16,
+                             max_hops=4).collect()
+        per_q = {}
+        for r in got:
+            per_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+        tot = 0.0
+        for qid in qids:
+            qv = [float(x) for x in embeddings.filter(
+                F.col("vec_id") == qid).first()["embedding"]]
+            exact = {r["vec_id"]
+                     for r in brute_force_topk(embeddings, qv, k=10).collect()}
+            tot += len(exact & per_q.get(qid, set())) / 10
+        return tot / len(qids)
+
+    r_unsharded = mean_recall(graph)
+    r_sharded = mean_recall(g_s)
+    assert r_sharded >= r_unsharded - 0.1  # parity within small-corpus noise
+
+
+def test_sharded_degenerates_to_single_shard_when_small(spark, embeddings):
+    """Default max_cells at this corpus size needs no shard term at all."""
+    from vectordb_cloud_spark.operators.graph_ann import knn_graph_build_sharded
+
+    _, (_, n_shards, _) = knn_graph_build_sharded(
+        embeddings, degree=4, refine_rounds=0, with_blocking=True
+    )
+    assert n_shards == 1
+
+
+def test_sharded_build_deterministic(spark, embeddings):
+    from vectordb_cloud_spark.operators.graph_ann import knn_graph_build_sharded
+
+    a = knn_graph_build_sharded(embeddings, degree=4, refine_rounds=1,
+                                max_cells=2)
+    b = knn_graph_build_sharded(embeddings, degree=4, refine_rounds=1,
+                                max_cells=2)
+    ea = sorted((r["src"], r["dst"]) for r in a.collect())
+    eb = sorted((r["src"], r["dst"]) for r in b.collect())
+    assert ea == eb
+
+
+def test_block_local_edges_splits_skewed_blocks(spark, embeddings):
+    """A block bigger than max_block_rows is re-split by the hash sub-key:
+    every Arrow batch stays bounded and edges still come out for ~all
+    nodes (the skew guard for hot k-means cells)."""
+    from vectordb_cloud_spark.operators.graph_ann import _block_local_edges
+
+    n = embeddings.count()
+    banded = embeddings.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+        F.lit(0).alias("block"),  # everything in ONE hot block
+    )
+    edges = _block_local_edges(banded, degree=4, max_block_rows=64)
+    srcs = edges.select("src").distinct().count()
+    assert srcs == n  # every node got edges despite the forced split
+    per = edges.groupBy("src").count().agg(F.max("count")).first()[0]
+    assert per <= 4

@@ -172,8 +172,9 @@ def knn_graph_build(
     if n_blocks is None:
         # target ~128 rows per block: Σ block² stays ~128·n while blocks
         # keep enough neighbors for the NN-descent rounds to bootstrap.
-        # (Very large corpora want recursive partitioning below this —
-        # build shards via hash_shard and union the graphs, then refine.)
+        # (Past ~10⁷ rows the n/128 center literals blow up the plan —
+        # use knn_graph_build_sharded, which caps the center count and
+        # grows capacity through a hash-shard term instead.)
         n_blocks = max(2, int(points.count()) // 128)
     sample = vecs0.select("vec").limit(max_train_rows).collect()
     X = np.asarray([r["vec"] for r in sample], dtype=np.float64)
@@ -181,6 +182,18 @@ def knn_graph_build(
         _fit_blocking(X, n_blocks, seed + 7919 * s) for s in range(n_blockings)
     ]
     banded = _banded(vecs0, centers_multi)
+    graph = _graph_from_banded(vecs0, banded, degree, refine_rounds)
+    if with_blocking:
+        return graph, centers_multi
+    return graph
+
+
+def _graph_from_banded(
+    vecs0: DataFrame, banded: DataFrame, degree: int, refine_rounds: int
+) -> DataFrame:
+    """Shared build core: same-block candidate pairs -> exact scores ->
+    symmetrized per-src top-``degree`` -> NN-descent refine rounds.
+    ``vecs0`` carries (id, vec); ``banded`` carries (id, block)."""
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(r, (F.col("l.block") == F.col("r.block"))
@@ -203,10 +216,16 @@ def knn_graph_build(
     )
     graph = _top_per_src(edges, degree)
 
-    vecs = points.select(
-        F.col(id_col).alias("__vid"), F.col(vec_col).cast("array<double>").alias("__vec")
+    vecs = vecs0.select(
+        F.col("id").alias("__vid"), F.col("vec").alias("__vec")
     )
-    for _ in range(refine_rounds):
+    for i in range(refine_rounds):
+        if i > 0:
+            # truncate lineage between rounds: each round stacks two joins
+            # and a window on the last, and multi-round builds (the sharded
+            # path's default) otherwise compound the plan. Single-round
+            # builds stay fully lazy.
+            graph = graph.localCheckpoint()
         # NN-descent step: neighbors of my neighbors are candidate neighbors
         hop2 = (
             graph.alias("g1")
@@ -226,8 +245,237 @@ def knn_graph_build(
             .select("src", "dst", "dist")
         )
         graph = _top_per_src(scored, degree)
+    return graph
+
+
+def _block_local_edges(
+    banded_vecs: DataFrame, degree: int, max_block_rows: int = 2048
+) -> DataFrame:
+    """Per-block all-pairs top-``degree`` candidate edges, scored INSIDE the
+    block with a vectorized Arrow batch (``applyInPandas``) instead of
+    materializing the pair join.
+
+    The pure-DataFrame pair join ships BOTH endpoint vectors per candidate
+    pair — ~``block_rows``·n rows × 2·dim doubles of shuffle (~28 GB per
+    100k rows at dim 64, the dominant cost of ``knn_graph_build``). Here
+    the shuffle is the ``banded_vecs`` rows themselves (n·blockings rows,
+    one vector each) and the B² distances for each ~``block_rows``-row
+    block are one numpy matmul — the one place built-ins genuinely can't
+    express the semantics without exploding the data (the stated Pandas-UDF
+    bar). Skewed blocks (a hot k-means cell) are re-split by a hash
+    sub-key so no Arrow batch exceeds ``max_block_rows`` rows.
+
+    Input must carry (id, block, vec); output is (src, dst, dist) with up
+    to ``degree`` out-edges per (block, src) — feed to ``_top_per_src``
+    after unioning blockings.
+    """
+    import numpy as np
+    import pandas as pd
+
+    sizes = banded_vecs.groupBy("block").agg(F.count("*").alias("__bn"))
+    split = (
+        banded_vecs.join(F.broadcast(sizes), "block")
+        .withColumn(
+            "__sub",
+            F.when(F.col("__bn") <= max_block_rows, F.lit(0)).otherwise(
+                F.pmod(
+                    F.xxhash64("id"),
+                    F.ceil(F.col("__bn") / max_block_rows).cast("long"),
+                )
+            ),
+        )
+        .drop("__bn")
+    )
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy()
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"src": [], "dst": [], "dist": []}).astype(
+                {"src": "int64", "dst": "int64", "dist": "float64"}
+            )
+        sq = (X * X).sum(axis=1)
+        D = sq[:, None] + sq[None, :] - 2.0 * (X @ X.T)
+        np.clip(D, 0.0, None, out=D)
+        np.fill_diagonal(D, np.inf)
+        k = min(degree, n - 1)
+        # deterministic top-k per row: order by (dist, id)
+        order = np.lexsort((ids[None, :].repeat(n, 0), D), axis=1)[:, :k]
+        return pd.DataFrame(
+            {
+                "src": np.repeat(ids, k),
+                "dst": ids[order].ravel(),
+                "dist": np.sqrt(np.take_along_axis(D, order, 1)).ravel(),
+            }
+        )
+
+    return split.groupBy("block", "__sub").applyInPandas(
+        score, "src long, dst long, dist double"
+    )
+
+
+def _nn_descent_round_local(
+    graph: DataFrame, vecs: DataFrame, degree: int
+) -> DataFrame:
+    """One NN-descent round as a LOCAL JOIN (Dong et al., WWW'11 §2.3):
+    for every node u, all pairs among N(u) are candidate edges, scored
+    inside u's Arrow group. The DataFrame form joins vectors onto the
+    neighbor-of-neighbor pair table (~degree²·n rows × 2·dim doubles);
+    here the only vector shuffle is graph⋈vecs on dst (degree·n single
+    vectors) and the output is skinny (src, dst, dist) rows.
+
+    ``vecs`` must carry (id, vec). Returns the refined adjacency (union of
+    old edges and local-join pairs, per-src top-``degree``)."""
+    import numpy as np
+    import pandas as pd
+
+    # the local join runs over the SYMMETRIZED neighborhood (in ∪ out
+    # edges, the paper's B[v]) — pairs among out-neighbors alone miss the
+    # 2-hop candidates a node reaches through nodes that point AT it
+    sym = (
+        graph.select("src", "dst")
+        .unionByName(
+            graph.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+    withv = sym.join(vecs.select(F.col("id").alias("dst"), "vec"), "dst")
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["dst"].to_numpy()
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"src": [], "dst": [], "dist": []}).astype(
+                {"src": "int64", "dst": "int64", "dist": "float64"}
+            )
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+        sq = (X * X).sum(axis=1)
+        D = sq[:, None] + sq[None, :] - 2.0 * (X @ X.T)
+        np.clip(D, 0.0, None, out=D)
+        iu, ju = np.triu_indices(n, k=1)
+        d = np.sqrt(D[iu, ju])
+        keep = ids[iu] != ids[ju]  # dst can repeat across src groups
+        return pd.DataFrame(
+            {
+                "src": np.concatenate([ids[iu][keep], ids[ju][keep]]),
+                "dst": np.concatenate([ids[ju][keep], ids[iu][keep]]),
+                "dist": np.concatenate([d[keep], d[keep]]),
+            }
+        )
+
+    new_edges = withv.groupBy("src").applyInPandas(
+        pairs, "src long, dst long, dist double"
+    ).dropDuplicates(["src", "dst"])
+    cand = graph.select("src", "dst", "dist").unionByName(
+        # an existing (src,dst) beats the local-join copy on the dedup
+        new_edges.join(graph.select("src", "dst"), ["src", "dst"], "left_anti")
+    )
+    return _top_per_src(cand, degree)
+
+
+def knn_graph_build_sharded(
+    points: DataFrame,
+    degree: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blockings: int = 2,
+    refine_rounds: int = 2,
+    seed: int = 42,
+    max_train_rows: int = 100_000,
+    block_rows: int = 128,
+    max_cells: int | None = None,
+    with_blocking: bool = False,
+    local_scoring: bool = True,
+):
+    """Scale form of ``knn_graph_build``: the block key is a HASH SHARD
+    crossed with a k-means cell, so the number of center literals in the
+    plan is CAPPED while capacity grows through the shard count — removing
+    the ``n_blocks = n/128`` literal-centroid ceiling (VERDICT r6 #3,
+    graph_ann.py's former docstring promise).
+
+    ``knn_graph_build`` needs n/128 centroids to keep blocks ~128 rows;
+    each centroid is an expression literal (``_lit_mat``), so past ~10⁷
+    rows the PLAN itself blows up. Here blocks are
+    ``(pmod(xxhash64(id, salt_s), n_shards), cell(vec))``: cells come from
+    a FIXED-size fit (``max_cells``, dim-scaled so literal count is
+    bounded: ≤ 262144/dim, floor 64, cap 4096) and ``n_shards`` is just a
+    modulus in the plan — one int, any scale. Expected block size stays
+    ``block_rows``; pair cost stays ~``block_rows``·n per blocking.
+
+    The shard term makes the initial graph coarser than the unsharded
+    build's (each node sees only its 1/n_shards slice of a coarser cell),
+    and each blocking uses an INDEPENDENT shard salt, so the union of the
+    ``n_blockings`` graphs is cross-shard-connected; the NN-descent
+    ``refine_rounds`` (default 2, vs 1 unsharded — the extra round buys
+    back the coarser init, Dong et al. WWW'11 converges from even random
+    inits) then propagate neighbors across shard boundaries. Recall parity
+    vs the unsharded build is gated in test_graph_ann.py; SCALE.md carries
+    the 100k -> 1M build-time series.
+
+    Degenerates to the unsharded candidate structure when
+    ``n/block_rows <= max_cells`` (n_shards=1). Returns the same
+    ``(src, dst, dist)`` adjacency; ``with_blocking`` additionally returns
+    ``(centers_multi, n_shards, shard_salts)`` for incremental append.
+
+    ``local_scoring`` (default) scores candidates INSIDE each block with
+    Arrow batches (``_block_local_edges``) and runs NN-descent as a local
+    join (``_nn_descent_round_local``): total vector shuffle is
+    O(n·blockings + n·degree) single vectors per round instead of the pure
+    pair-join's O(block_rows·n) vector PAIRS (~28 GB per 100k rows at
+    dim 64 — why ``knn_graph_build`` measured 271 s at 100k in SCALE.md
+    r6). ``local_scoring=False`` keeps the pure-JVM pair-join core for
+    plan-parity comparisons.
+    """
+    import math
+
+    import numpy as np
+
+    vecs0 = points.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    n = int(points.count())
+    if max_cells is None:
+        dim = len(vecs0.select("vec").first()["vec"])
+        max_cells = max(64, min(4096, 262_144 // max(1, dim)))
+    cells_needed = max(2, n // block_rows)
+    n_cells = min(cells_needed, max_cells)
+    n_shards = max(1, math.ceil(cells_needed / n_cells))
+    sample = vecs0.select("vec").limit(max_train_rows).collect()
+    X = np.asarray([r["vec"] for r in sample], dtype=np.float64)
+    centers_multi = [
+        _fit_blocking(X, n_cells, seed + 7919 * s) for s in range(n_blockings)
+    ]
+    shard_salts = [seed + 104729 * s for s in range(n_blockings)]
+    keep = ["id", "vec"] if local_scoring else ["id"]
+    parts = []
+    for s, blocking in enumerate(centers_multi):
+        block, width = _block_expr(blocking)
+        if n_shards > 1:
+            shard = F.pmod(
+                F.xxhash64(F.col("id"), F.lit(shard_salts[s])),
+                F.lit(n_shards),
+            )
+            block = shard * width + block
+            width = width * n_shards
+        parts.append(vecs0.select(*keep, (F.lit(s) * width + block).alias("block")))
+    banded = parts[0]
+    for p in parts[1:]:
+        banded = banded.unionByName(p)
+    if not local_scoring:
+        graph = _graph_from_banded(vecs0, banded, degree, refine_rounds)
+    else:
+        cand = _block_local_edges(banded, degree)
+        # symmetrize: a candidate counts for BOTH endpoints
+        edges = cand.unionByName(
+            cand.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "dist")
+        ).dropDuplicates(["src", "dst"])
+        graph = _top_per_src(edges, degree).localCheckpoint()
+        for _ in range(refine_rounds):
+            graph = _nn_descent_round_local(graph, vecs0, degree).localCheckpoint()
     if with_blocking:
-        return graph, centers_multi
+        return graph, (centers_multi, n_shards, shard_salts)
     return graph
 
 
