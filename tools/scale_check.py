@@ -130,7 +130,8 @@ def main():
     args = ap.parse_args()
     vec_points = tuple(int(x) for x in args.vector_points.split(","))
     all_sections = {"knn", "ivf", "collection", "minhash", "simhash",
-                    "lshcompound", "graph", "tpch", "sq", "beam", "sparse"}
+                    "lshcompound", "graph", "tpch", "sq", "beam", "sparse",
+                    "graphsharded"}
     only = set(args.only.split(",")) if args.only else all_sections
     unknown = only - all_sections
     if unknown:
@@ -153,7 +154,7 @@ def main():
     try:
         # ---- vectors: materialize to parquet so every scale reads from disk
         vec_paths = {}
-        if only & {"knn", "ivf", "sq", "graph", "beam"}:
+        if only & {"knn", "ivf", "sq", "graph", "beam", "graphsharded"}:
             for n in vec_points:
                 p = os.path.join(tmp, f"vecs_{n}")
                 synth_vectors(spark, n).write.mode("overwrite").parquet(p)
@@ -349,6 +350,72 @@ def main():
                         args.runs,
                     )
 
+        # Sharded graph build (VERDICT r6 #3): hash-shard × capped-cell
+        # blocking with Arrow block-local scoring. Timed at 100k (shard
+        # term dormant at the default cap — same operator, its small-n
+        # shape) and 1M (n_shards=2 engages); parity vs the unsharded
+        # build is measured at 100k with the same query set and recorded
+        # as a SCALE.md note.
+        if "graphsharded" in only:
+            from vectordb_cloud_spark.operators.ann import brute_force_topk
+            from vectordb_cloud_spark.operators.graph_ann import (
+                graph_knn_join,
+                knn_graph_build,
+                knn_graph_build_sharded,
+            )
+
+            graphs_100k = {}
+            for n in (100_000, 1_000_000):
+                if n not in vec_paths:
+                    p = os.path.join(tmp, f"gsvecs_{n}")
+                    synth_vectors(spark, n).write.mode("overwrite").parquet(p)
+                    vec_paths[n] = p
+                df = spark.read.parquet(vec_paths[n])
+                t0 = time.time()
+                g = knn_graph_build_sharded(df, degree=8, refine_rounds=2)
+                g.count()  # the build localCheckpoints internally
+                results.setdefault("graph_sharded_build", {})[n] = round(
+                    time.time() - t0, 3)
+                if n == 100_000:
+                    graphs_100k["sharded"] = g
+
+            # parity: unsharded build at 100k (the r6-measured 271 s path),
+            # recall@10 for both graphs over the same 8 queries
+            df100 = spark.read.parquet(vec_paths[100_000])
+            t0 = time.time()
+            graphs_100k["unsharded"] = knn_graph_build(
+                df100, degree=8, refine_rounds=1).localCheckpoint()
+            results.setdefault("graph_knn_build", {})[100_000] = round(
+                time.time() - t0, 3)
+            qids = [3, 777, 5001, 19_999, 42_000, 63_001, 88_888, 99_999]
+            qrows = df100.filter(F.col("vec_id").isin(qids)).collect()
+            queries = spark.createDataFrame(
+                [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+                 for r in qrows],
+                "query_id long, embedding array<double>",
+            )
+            exact = {}
+            for r in qrows:
+                qv = [float(x) for x in r["embedding"]]
+                exact[r["vec_id"]] = {
+                    x["vec_id"]
+                    for x in brute_force_topk(df100, qv, k=10).collect()
+                }
+            parity = {}
+            for name, g in graphs_100k.items():
+                got = graph_knn_join(df100, g, queries, k=10, beam=32,
+                                     max_hops=4).collect()
+                per_q: dict[int, set] = {}
+                for r in got:
+                    per_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+                parity[name] = round(
+                    sum(len(exact[q] & per_q.get(q, set())) / 10
+                        for q in exact) / len(exact), 3)
+            results.setdefault("_notes", {})["graph_sharded_parity_100k"] = (
+                f"sharded recall@10 {parity['sharded']} vs unsharded "
+                f"{parity['unsharded']} at 100k rows, same 8 queries, "
+                f"beam=32 hops=4 (gate: within ±0.05)")
+
         # Sparse vector search over the dim-partitioned postings layout:
         # the query probes its |q| dims' partitions only, so search cost
         # tracks posting-list length (corpus/vocab · |q|), not corpus size
@@ -429,17 +496,22 @@ def main():
     if sidecar.exists():
         try:
             merged = {
-                op: {int(n): t for n, t in pts.items()}
+                op: (dict(pts) if op == "_notes"
+                     else {int(n): t for n, t in pts.items()})
                 for op, pts in json.loads(sidecar.read_text()).items()
             }
         except (ValueError, AttributeError):
             merged = {}
     for op, pts in results.items():
-        merged[op] = dict(pts)
+        if op == "_notes":
+            merged.setdefault("_notes", {}).update(pts)
+        else:
+            merged[op] = dict(pts)
     sidecar.write_text(json.dumps(
         {op: {str(n): t for n, t in pts.items()} for op, pts in merged.items()},
         indent=1,
     ))
+    notes = merged.pop("_notes", {})
 
     # ---- report
     lines = [
@@ -469,6 +541,10 @@ def main():
                        "ratio": ratio}
         series = "; ".join(f"{n:,} → {t}s" for n, t in pts)
         lines.append(f"| {op} | {series} | {ratio}x ({rows_ratio}x rows) |")
+    if notes:
+        lines.append("")
+        for key, text in sorted(notes.items()):
+            lines.append(f"- **{key}**: {text}")
     lines += [
         "",
         "Interpretation: a time ratio well under the rows ratio means the",
