@@ -287,6 +287,20 @@ def main():
         line + "\n"
     )
     print(line)
+    # the full line is ~4.4 KB and the driver's tail buffer is ~4 KB, so
+    # the line above can lose its head (BENCH_r07 parsed: null). Emit a
+    # compact line LAST — spec-complete (metric/value/unit/queries/sf),
+    # minimal separators, 2-decimal times — sized to survive the buffer
+    # whole; recall/builds stay in the full line + bench_out.json
+    print(json.dumps({
+        "metric": "suite_seconds",
+        "value": suite,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in results.items()},
+        "build_seconds": build,
+        "total_seconds": round(suite + build, 3),
+        "sf": sf,
+    }, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -141,7 +141,11 @@ def passage_topk(
     agg = (
         F.max("__score") if per_doc == "max" else F.avg("__score")
     ).alias("score")
-    best_chunk = F.max_by("chunk_idx", F.col("__score")).alias("best_chunk_idx")
+    # (score, chunk_idx) struct ordering makes the argmax deterministic
+    # when two chunks tie on score (max_by alone picks arbitrarily)
+    best_chunk = F.max_by(
+        "chunk_idx", F.struct(F.col("__score"), F.col("chunk_idx"))
+    ).alias("best_chunk_idx")
     return (
         scored.groupBy(id_col)
         .agg(F.round(agg, 6).alias("score"), best_chunk)
