@@ -149,20 +149,29 @@ def pq_search(
         table.append([
             sum((a - b) * (a - b) for a, b in zip(qsub, c)) for c in book
         ])
-    lut = F.array(*[
-        F.array(*[F.lit(float(x)) for x in row]) for row in table
-    ])
+    # The table rides as DATA, not plan literals: a 1-row broadcast frame
+    # crossJoined in. At M=16 K=256 the literal form puts 4096 constants in
+    # the expression tree (and a naive element_at(lut, m+1) form copies them
+    # M times, ~65k nodes — measured ~3 s of per-query plan compile at the
+    # r7 registry parameters); as a broadcast column the plan holds one
+    # reference and the per-row work is the same M lookups + adds.
+    spark = encoded.sparkSession
+    lut_df = spark.createDataFrame([(table,)], "__lut array<array<double>>")
     df = encoded if filters is None else encoded.filter(filters)
-    # adc = sum over subspaces of lut[m][code[m]]  (element_at is 1-based)
+    df = df.crossJoin(F.broadcast(lut_df))
+    # adc = sum over subspaces of lut[m][code[m]]  (element_at is 1-based;
+    # the chain folds in ascending m, matching the DuckDB oracle's replay)
     code = F.col(code_col)
     adc = F.lit(0.0)
     for m in range(m_subvectors):
-        adc = adc + F.element_at(F.element_at(lut, m + 1), code[m] + F.lit(1))
+        adc = adc + F.element_at(F.element_at(F.col("__lut"), m + 1),
+                                 code[m] + F.lit(1))
     order = [F.col("adc_dist").asc()]
     if tiebreak is not None:
         order.append(F.col(tiebreak).asc())
     return (
         df.withColumn("adc_dist", F.sqrt(adc))
+        .drop("__lut")
         .orderBy(*order)
         .limit(k)
     )
