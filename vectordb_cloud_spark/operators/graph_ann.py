@@ -316,7 +316,8 @@ def _block_local_edges(
 
 
 def _nn_descent_round_local(
-    graph: DataFrame, vecs: DataFrame, degree: int
+    graph: DataFrame, vecs: DataFrame, degree: int,
+    max_neighborhood: int | None = None,
 ) -> DataFrame:
     """One NN-descent round as a LOCAL JOIN (Dong et al., WWW'11 §2.3):
     for every node u, all pairs among N(u) are candidate edges, scored
@@ -332,14 +333,23 @@ def _nn_descent_round_local(
 
     # the local join runs over the SYMMETRIZED neighborhood (in ∪ out
     # edges, the paper's B[v]) — pairs among out-neighbors alone miss the
-    # 2-hop candidates a node reaches through nodes that point AT it
+    # 2-hop candidates a node reaches through nodes that point AT it.
+    # OUT-degree is capped at ``degree`` but IN-degree is unbounded: a hub
+    # node pointed at by thousands would get a B² Arrow batch and B² output
+    # rows (measured as a straggler task at the 1M SCALE point). Cap each
+    # B[v] at ``max_neighborhood`` NEAREST members (dist, dst tiebreak —
+    # deterministic), the paper's reverse-neighbor sampling made exact.
+    if max_neighborhood is None:
+        max_neighborhood = 3 * degree
     sym = (
-        graph.select("src", "dst")
+        graph.select("src", "dst", "dist")
         .unionByName(
-            graph.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            graph.select(F.col("dst").alias("src"),
+                         F.col("src").alias("dst"), "dist")
         )
         .dropDuplicates(["src", "dst"])
     )
+    sym = _top_per_src(sym, max_neighborhood).select("src", "dst")
     withv = sym.join(vecs.select(F.col("id").alias("dst"), "vec"), "dst")
 
     def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
