@@ -364,6 +364,10 @@ def main():
                 knn_graph_build_sharded,
             )
 
+            from vectordb_cloud_spark.operators.graph_ann import (
+                graph_beam_search,
+            )
+
             graphs_100k = {}
             for n in (100_000, 1_000_000):
                 if n not in vec_paths:
@@ -376,6 +380,16 @@ def main():
                 g.count()  # the build localCheckpoints internally
                 results.setdefault("graph_sharded_build", {})[n] = round(
                     time.time() - t0, 3)
+                # beam search over the sharded graph: extends the
+                # graph_beam_search series to 1M (VERDICT r6 #8) — per-hop
+                # cost is beam×degree probes, expect ~flat in corpus size
+                results.setdefault("graph_beam_search", {})[n] = timed(
+                    lambda df=df, g=g: noop(
+                        graph_beam_search(df, g, q, k=10, beam=16,
+                                          max_hops=4)
+                    ),
+                    args.runs,
+                )
                 if n == 100_000:
                     graphs_100k["sharded"] = g
 
