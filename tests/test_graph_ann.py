@@ -267,3 +267,32 @@ def test_block_local_edges_splits_skewed_blocks(spark, embeddings):
     assert srcs == n  # every node got edges despite the forced split
     per = edges.groupBy("src").count().agg(F.max("count")).first()[0]
     assert per <= 4
+
+
+def test_graph_append_onto_sharded_build(spark, embeddings):
+    """knn_graph_append accepts the sharded build's blocking tuple: the
+    batch routes through the SAME shard×cell key the graph was built
+    from, so appended nodes become reachable without a rebuild."""
+    from vectordb_cloud_spark.operators.graph_ann import (
+        knn_graph_append,
+        knn_graph_build_sharded,
+    )
+
+    base = embeddings.filter(F.col("vec_id") < 400)
+    new = embeddings.filter(F.col("vec_id") >= 400)
+    g0, blocking = knn_graph_build_sharded(
+        base, degree=8, refine_rounds=1, max_cells=2, with_blocking=True
+    )
+    assert blocking[1] >= 2  # shard term engaged
+    g1 = knn_graph_append(embeddings, new, g0, blocking, degree=8).cache()
+
+    n_new = new.count()
+    new_srcs = {r["src"] for r in g1.select("src").distinct().collect()}
+    appended = {r["vec_id"] for r in new.select("vec_id").collect()}
+    assert len(appended & new_srcs) >= 0.9 * n_new
+    per_src = g1.groupBy("src").agg(F.count("*").alias("d")).collect()
+    assert all(r["d"] <= 8 for r in per_src)
+
+    qv = [float(x) for x in new.limit(1).first()["embedding"]]
+    got = graph_beam_search(embeddings, g1, qv, k=5, beam=16, max_hops=4)
+    assert any(r["vec_id"] >= 400 for r in got.collect())

@@ -118,19 +118,49 @@ def _block_expr(blocking):
     return cid * k2 + sid, len(coarse) * k2 + 1
 
 
-def _banded(vecs: DataFrame, centers_multi: list) -> DataFrame:
-    """(id, block) rows for every blocking: block ids are namespaced per
-    blocking so two partitions never alias. ``vecs`` must carry (id, vec)."""
+def _shard_banded(
+    vecs: DataFrame,
+    centers_multi: list,
+    n_shards: int,
+    shard_salts: list[int],
+    keep: tuple[str, ...] = ("id",),
+) -> DataFrame:
+    """(id, block) rows for every blocking, with an optional hash-shard
+    term crossed into the key (the sharded build's bounded-literal
+    blocking). Block ids are namespaced per blocking so two partitions
+    never alias. ``vecs`` must carry (id, vec); ``keep`` lists the columns
+    carried through beside ``block``."""
     parts = []
     for s, blocking in enumerate(centers_multi):
         block, width = _block_expr(blocking)
-        parts.append(
-            vecs.select("id", (F.lit(s) * width + block).alias("block"))
-        )
+        if n_shards > 1:
+            shard = F.pmod(
+                F.xxhash64(F.col("id"), F.lit(shard_salts[s])),
+                F.lit(n_shards),
+            )
+            block = shard * width + block
+            width = width * n_shards
+        parts.append(vecs.select(*keep, (F.lit(s) * width + block).alias("block")))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _normalize_blocking(centers_multi):
+    """Accept either a plain blocking list (unsharded build) or the
+    sharded build's ``(centers_multi, n_shards, shard_salts)`` tuple."""
+    if (isinstance(centers_multi, tuple) and len(centers_multi) == 3
+            and isinstance(centers_multi[1], int)):
+        return centers_multi
+    return centers_multi, 1, [0] * len(centers_multi)
+
+
+def _banded(vecs: DataFrame, centers_multi: list) -> DataFrame:
+    """(id, block) rows for every blocking (shard-aware: the sharded
+    build's blocking tuple routes identically here and in append)."""
+    cm, n_shards, salts = _normalize_blocking(centers_multi)
+    return _shard_banded(vecs, cm, n_shards, salts)
 
 
 def knn_graph_build(
@@ -458,21 +488,9 @@ def knn_graph_build_sharded(
         _fit_blocking(X, n_cells, seed + 7919 * s) for s in range(n_blockings)
     ]
     shard_salts = [seed + 104729 * s for s in range(n_blockings)]
-    keep = ["id", "vec"] if local_scoring else ["id"]
-    parts = []
-    for s, blocking in enumerate(centers_multi):
-        block, width = _block_expr(blocking)
-        if n_shards > 1:
-            shard = F.pmod(
-                F.xxhash64(F.col("id"), F.lit(shard_salts[s])),
-                F.lit(n_shards),
-            )
-            block = shard * width + block
-            width = width * n_shards
-        parts.append(vecs0.select(*keep, (F.lit(s) * width + block).alias("block")))
-    banded = parts[0]
-    for p in parts[1:]:
-        banded = banded.unionByName(p)
+    keep = ("id", "vec") if local_scoring else ("id",)
+    banded = _shard_banded(vecs0, centers_multi, n_shards, shard_salts,
+                           keep=keep)
     if not local_scoring:
         graph = _graph_from_banded(vecs0, banded, degree, refine_rounds)
     else:
@@ -503,7 +521,11 @@ def knn_graph_append(
 
     ``points`` is the FULL post-append corpus (old ∪ new; vectors live in
     the base table, the graph holds only ids), ``centers_multi`` the
-    blocking kept from ``knn_graph_build(..., with_blocking=True)``. The
+    blocking kept from ``knn_graph_build(..., with_blocking=True)`` OR the
+    ``(centers_multi, n_shards, shard_salts)`` tuple from
+    ``knn_graph_build_sharded`` — routing (including the shard term) is
+    shared (``_banded``), so appends land in the same blocks either
+    family built from. The
     batch is routed to its blocks, candidate pairs are (new × members of
     touched blocks) only — O(batch · block_size), not O(n) — and each new
     edge updates BOTH endpoints' adjacency lists (the existing node keeps
