@@ -296,3 +296,40 @@ def test_graph_append_onto_sharded_build(spark, embeddings):
     qv = [float(x) for x in new.limit(1).first()["embedding"]]
     got = graph_beam_search(embeddings, g1, qv, k=5, beam=16, max_hops=4)
     assert any(r["vec_id"] >= 400 for r in got.collect())
+
+
+def test_bucketed_adjacency_prunes_and_matches(spark, embeddings, graph,
+                                               tmp_path):
+    """src-bucketed adjacency: a beam's `src IN (...)` probe selects only
+    the beam's buckets, and search results match the plain layout."""
+    from vectordb_cloud_spark.operators.graph_ann import (
+        knn_graph_persist_bucketed,
+    )
+
+    path = str(tmp_path / "graph_bucketed")
+    knn_graph_persist_bucketed(graph, "graph_adj_test", path, n_buckets=16)
+    adj = spark.table("graph_adj_test")
+
+    # filter-only plans need autoBucketedScan OFF for bucket pruning to
+    # engage (the documented conf caveat on knn_graph_persist_bucketed)
+    spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        probe = adj.filter(F.col("src").isin([0, 1, 2, 3]))
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount" in plan
+        import re
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert m and int(m.group(1)) <= 4 and int(m.group(2)) == 16
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+
+    qv = [float(x) for x in
+          embeddings.filter(F.col("vec_id") == 3).first()["embedding"]]
+    a = graph_beam_search(embeddings, graph, qv, k=5).collect()
+    b = graph_beam_search(embeddings, adj, qv, k=5).collect()
+    assert [(r["vec_id"], round(r["dist"], 9)) for r in a] == [
+        (r["vec_id"], round(r["dist"], 9)) for r in b
+    ]
+    spark.sql("DROP TABLE IF EXISTS graph_adj_test")

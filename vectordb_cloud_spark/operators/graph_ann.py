@@ -754,6 +754,50 @@ def knn_graph_persist(graph: DataFrame, path: str,
         )
 
 
+def knn_graph_persist_bucketed(
+    graph: DataFrame,
+    table: str,
+    path: str,
+    n_buckets: int = 64,
+    entry_ids: list[int] | None = None,
+) -> None:
+    """Adjacency as a ``src``-bucketed, sorted catalog table — the layout
+    the plain parquet docstring promises for real scale: a beam hop's
+    ``src IN (beam)`` probe then prunes to the beam's buckets
+    (``SelectedBucketsCount`` in the scan — asserted in
+    test_graph_ann.py) instead of opening every adjacency file, so per-hop
+    reads are ~|beam|/n_buckets of the layout. Search via
+    ``spark.table(table)`` passed as the ``graph`` argument of
+    ``graph_beam_search`` / ``graph_knn_join`` — results are identical to
+    the plain layout (parity-tested).
+
+    CONF CAVEAT: Spark's ``autoBucketedScan`` silently falls back to a
+    normal scan for filter-only plans (no join/agg on the bucket column),
+    which drops the pruning — set
+    ``spark.sql.sources.bucketing.autoBucketedScan.enabled=false`` on the
+    session that runs beam searches over this layout (verified in the
+    test: 3 of 16 buckets read for a 4-id probe with it off, all files
+    with it on).
+
+    ``entry_ids`` persists the medoid seeds beside the table (same
+    ``_entry_points`` contract as ``knn_graph_persist``)."""
+    from vectordb_cloud_spark.sources.bucketed import write_bucketed_table
+
+    write_bucketed_table(
+        graph.select("src", "dst", F.col("dist").cast("double")),
+        table, path, "src", n_buckets=n_buckets,
+    )
+    if entry_ids is not None:
+        import os
+
+        spark = graph.sparkSession
+        spark.createDataFrame(
+            [(int(i),) for i in entry_ids], "id long"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, "_entry_points")
+        )
+
+
 def graph_load_entry_points(spark, path: str) -> list[int] | None:
     """Read back the medoid entry ids persisted by ``knn_graph_persist``;
     None when the layout predates entry-point persistence."""
