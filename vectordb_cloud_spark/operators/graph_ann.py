@@ -118,6 +118,66 @@ def _block_expr(blocking):
     return cid * k2 + sid, len(coarse) * k2 + 1
 
 
+def _route_blocks_join(
+    vecs: DataFrame, blocking, keep: tuple[str, ...]
+) -> DataFrame:
+    """Assign each row its block id with the centers shipped as BROADCAST
+    DATA instead of expression literals.
+
+    ``_block_expr`` folds every center into the plan as a literal array —
+    and Spark rebuilds a ``CreateArray`` literal PER ROW, interpreted, so
+    at 4096 centers routing measured ~1 ms/row (the Stage-straggler that
+    stalled the 1M SCALE run twice). Here the center matrix rides in a
+    one-row broadcast frame (coarse) and a 64-row broadcast frame (subs,
+    keyed by coarse cell): the per-row work is the same ~2·sqrt(C)
+    distance folds but over bound columns, no per-row literal
+    materialization. Same math, same argmin tiebreak, same block ids.
+
+    Returns ``(routed, width)``: ``keep`` columns plus ``__blk``
+    (un-namespaced block id), and the blocking's id-space width."""
+    spark = vecs.sparkSession
+    if blocking[0] == "flat":
+        centers = blocking[1]
+        cdf = spark.createDataFrame(
+            [([[float(x) for x in c] for c in centers],)],
+            "__coarse array<array<double>>",
+        )
+        df = vecs.crossJoin(F.broadcast(cdf))
+        dists = F.transform(F.col("__coarse"),
+                            lambda c: _l2sq_to(F.col("vec"), c))
+        out = df.select(
+            *keep,
+            (F.array_position(dists, F.array_min(dists)) - 1).alias("__blk"),
+        )
+        return out, len(centers) + 1
+    _, coarse, subs, k2 = blocking
+    cdf = spark.createDataFrame(
+        [([[float(x) for x in c] for c in coarse],)],
+        "__coarse array<array<double>>",
+    )
+    sdf = spark.createDataFrame(
+        [(ci, [[float(x) for x in c] for c in subs[ci]])
+         for ci in range(len(coarse))],
+        "__cid int, __subs array<array<double>>",
+    )
+    df = vecs.crossJoin(F.broadcast(cdf))
+    cdists = F.transform(F.col("__coarse"),
+                         lambda c: _l2sq_to(F.col("vec"), c))
+    df = df.withColumn(
+        "__cid",
+        (F.array_position(cdists, F.array_min(cdists)) - 1).cast("int"),
+    ).drop("__coarse")
+    df = df.join(F.broadcast(sdf), "__cid")
+    sdists = F.transform(F.col("__subs"),
+                         lambda c: _l2sq_to(F.col("vec"), c))
+    sid = F.array_position(sdists, F.array_min(sdists)) - 1
+    out = df.select(
+        *keep,
+        (F.col("__cid").cast("long") * k2 + sid).alias("__blk"),
+    )
+    return out, len(coarse) * k2 + 1
+
+
 def _shard_banded(
     vecs: DataFrame,
     centers_multi: list,
@@ -129,10 +189,13 @@ def _shard_banded(
     term crossed into the key (the sharded build's bounded-literal
     blocking). Block ids are namespaced per blocking so two partitions
     never alias. ``vecs`` must carry (id, vec); ``keep`` lists the columns
-    carried through beside ``block``."""
+    carried through beside ``block``. Routing goes through
+    ``_route_blocks_join`` (centers as broadcast data, not plan
+    literals)."""
     parts = []
     for s, blocking in enumerate(centers_multi):
-        block, width = _block_expr(blocking)
+        routed, width = _route_blocks_join(vecs, blocking, keep)
+        block = F.col("__blk")
         if n_shards > 1:
             shard = F.pmod(
                 F.xxhash64(F.col("id"), F.lit(shard_salts[s])),
@@ -140,7 +203,9 @@ def _shard_banded(
             )
             block = shard * width + block
             width = width * n_shards
-        parts.append(vecs.select(*keep, (F.lit(s) * width + block).alias("block")))
+        parts.append(
+            routed.select(*keep, (F.lit(s) * width + block).alias("block"))
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -494,6 +559,10 @@ def knn_graph_build_sharded(
     if not local_scoring:
         graph = _graph_from_banded(vecs0, banded, degree, refine_rounds)
     else:
+        # routing costs ~2·sqrt(C) distance folds per row; the banded frame
+        # feeds both the block-size stats and the scoring groups, so
+        # materialize it once instead of routing twice
+        banded = banded.localCheckpoint()
         cand = _block_local_edges(banded, degree)
         # symmetrize: a candidate counts for BOTH endpoints
         edges = cand.unionByName(
