@@ -428,7 +428,12 @@ def main():
             results.setdefault("_notes", {})["graph_sharded_parity_100k"] = (
                 f"sharded recall@10 {parity['sharded']} vs unsharded "
                 f"{parity['unsharded']} at 100k rows, same 8 queries, "
-                f"beam=32 hops=4 (gate: within ±0.05)")
+                f"beam=32 hops=4 (gate: within ±0.05). NOTE: the synthetic "
+                f"corpus is UNIFORM-random at dim 64 — no cluster structure, "
+                f"the known worst case for navigable-graph ANN, so absolute "
+                f"recall is low for BOTH builds at this beam; the measured "
+                f"claim here is PARITY. Production-shaped recall is gated in "
+                f"RECALL.md / test_recall_report.py.")
 
         # Sparse vector search over the dim-partitioned postings layout:
         # the query probes its |q| dims' partitions only, so search cost
