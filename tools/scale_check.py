@@ -369,7 +369,8 @@ def main():
             )
 
             graphs_100k = {}
-            for n in (100_000, 1_000_000):
+            gs_points = sorted(p for p in vec_points if p >= 100_000) or [100_000]
+            for n in gs_points:
                 if n not in vec_paths:
                     p = os.path.join(tmp, f"gsvecs_{n}")
                     synth_vectors(spark, n).write.mode("overwrite").parquet(p)
@@ -393,47 +394,48 @@ def main():
                 if n == 100_000:
                     graphs_100k["sharded"] = g
 
-            # parity: unsharded build at 100k (the r6-measured 271 s path),
-            # recall@10 for both graphs over the same 8 queries
-            df100 = spark.read.parquet(vec_paths[100_000])
-            t0 = time.time()
-            graphs_100k["unsharded"] = knn_graph_build(
-                df100, degree=8, refine_rounds=1).localCheckpoint()
-            results.setdefault("graph_knn_build", {})[100_000] = round(
-                time.time() - t0, 3)
-            qids = [3, 777, 5001, 19_999, 42_000, 63_001, 88_888, 99_999]
-            qrows = df100.filter(F.col("vec_id").isin(qids)).collect()
-            queries = spark.createDataFrame(
-                [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
-                 for r in qrows],
-                "query_id long, embedding array<double>",
-            )
-            exact = {}
-            for r in qrows:
-                qv = [float(x) for x in r["embedding"]]
-                exact[r["vec_id"]] = {
-                    x["vec_id"]
-                    for x in brute_force_topk(df100, qv, k=10).collect()
-                }
-            parity = {}
-            for name, g in graphs_100k.items():
-                got = graph_knn_join(df100, g, queries, k=10, beam=32,
-                                     max_hops=4).collect()
-                per_q: dict[int, set] = {}
-                for r in got:
-                    per_q.setdefault(r["query_id"], set()).add(r["vec_id"])
-                parity[name] = round(
-                    sum(len(exact[q] & per_q.get(q, set())) / 10
-                        for q in exact) / len(exact), 3)
-            results.setdefault("_notes", {})["graph_sharded_parity_100k"] = (
-                f"sharded recall@10 {parity['sharded']} vs unsharded "
-                f"{parity['unsharded']} at 100k rows, same 8 queries, "
-                f"beam=32 hops=4 (gate: within ±0.05). NOTE: the synthetic "
-                f"corpus is UNIFORM-random at dim 64 — no cluster structure, "
-                f"the known worst case for navigable-graph ANN, so absolute "
-                f"recall is low for BOTH builds at this beam; the measured "
-                f"claim here is PARITY. Production-shaped recall is gated in "
-                f"RECALL.md / test_recall_report.py.")
+            # parity only when this run built the 100k point (partial
+            # 10M-only runs extend the time series without re-measuring it)
+            if "sharded" in graphs_100k:
+                df100 = spark.read.parquet(vec_paths[100_000])
+                t0 = time.time()
+                graphs_100k["unsharded"] = knn_graph_build(
+                    df100, degree=8, refine_rounds=1).localCheckpoint()
+                results.setdefault("graph_knn_build", {})[100_000] = round(
+                    time.time() - t0, 3)
+                qids = [3, 777, 5001, 19_999, 42_000, 63_001, 88_888, 99_999]
+                qrows = df100.filter(F.col("vec_id").isin(qids)).collect()
+                queries = spark.createDataFrame(
+                    [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+                     for r in qrows],
+                    "query_id long, embedding array<double>",
+                )
+                exact = {}
+                for r in qrows:
+                    qv = [float(x) for x in r["embedding"]]
+                    exact[r["vec_id"]] = {
+                        x["vec_id"]
+                        for x in brute_force_topk(df100, qv, k=10).collect()
+                    }
+                parity = {}
+                for name, g in graphs_100k.items():
+                    got = graph_knn_join(df100, g, queries, k=10, beam=32,
+                                         max_hops=4).collect()
+                    per_q: dict[int, set] = {}
+                    for r in got:
+                        per_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+                    parity[name] = round(
+                        sum(len(exact[q] & per_q.get(q, set())) / 10
+                            for q in exact) / len(exact), 3)
+                results.setdefault("_notes", {})["graph_sharded_parity_100k"] = (
+                    f"sharded recall@10 {parity['sharded']} vs unsharded "
+                    f"{parity['unsharded']} at 100k rows, same 8 queries, "
+                    f"beam=32 hops=4 (gate: within ±0.05). NOTE: the synthetic "
+                    f"corpus is UNIFORM-random at dim 64 — no cluster structure, "
+                    f"the known worst case for navigable-graph ANN, so absolute "
+                    f"recall is low for BOTH builds at this beam; the measured "
+                    f"claim here is PARITY. Production-shaped recall is gated in "
+                    f"RECALL.md / test_recall_report.py.")
 
         # Sparse vector search over the dim-partitioned postings layout:
         # the query probes its |q| dims' partitions only, so search cost
@@ -525,7 +527,9 @@ def main():
         if op == "_notes":
             merged.setdefault("_notes", {}).update(pts)
         else:
-            merged[op] = dict(pts)
+            # update point-wise: a partial run extends an op's series
+            # (e.g. adding a 10M point) without dropping earlier points
+            merged.setdefault(op, {}).update(pts)
     sidecar.write_text(json.dumps(
         {op: {str(n): t for n, t in pts.items()} for op, pts in merged.items()},
         indent=1,
