@@ -196,3 +196,60 @@ def test_resize_nearest_shapes_and_identity():
     down = resize_nearest(arr, 3, 4)
     assert down.shape == (4, 3, 3)
     np.testing.assert_array_equal(down, arr[::2, ::2])
+
+
+def test_avi_roundtrip_and_dimensions():
+    import numpy as np
+
+    from vectordb_cloud_spark.functions.codecs import (
+        avi_dimensions,
+        decode_avi,
+        encode_avi,
+    )
+
+    rng = np.random.default_rng(11)
+    frames = [rng.integers(0, 256, (21, 37, 3), dtype=np.uint8)
+              for _ in range(7)]
+    data = encode_avi(frames, fps=12)
+    back, fps = decode_avi(data)
+    assert fps == 12 and len(back) == 7
+    for a, b in zip(frames, back):
+        assert (a == b).all()
+    assert avi_dimensions(data) == (37, 21, 7)
+
+
+def test_avi_rejects_non_avi_and_compressed():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from vectordb_cloud_spark.functions.codecs import (
+        CodecError,
+        decode_avi,
+        encode_avi,
+    )
+
+    with pytest.raises(CodecError, match="not an AVI"):
+        decode_avi(b"garbage bytes that are not RIFF framed")
+    # flip biCompression to MJPG in a valid container: loud, named failure
+    rng = np.random.default_rng(3)
+    data = bytearray(encode_avi(
+        [rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)], fps=5))
+    i = bytes(data).index(b"strf") + 8
+    # BITMAPINFOHEADER: biCompression at offset 16
+    data[i + 16:i + 20] = struct.pack("<I", 0x47504A4D)
+    with pytest.raises(CodecError, match="BI_RGB"):
+        decode_avi(bytes(data))
+
+
+def test_avi_odd_width_row_padding():
+    """Odd widths force 4-byte row padding — the decode must strip it."""
+    import numpy as np
+
+    from vectordb_cloud_spark.functions.codecs import decode_avi, encode_avi
+
+    rng = np.random.default_rng(5)
+    frames = [rng.integers(0, 256, (5, 3, 3), dtype=np.uint8)]  # 9B rows -> pad 12
+    back, _ = decode_avi(encode_avi(frames, fps=4))
+    assert (back[0] == frames[0]).all()

@@ -120,9 +120,38 @@ def test_real_resize_roundtrips_valid_png(real_media):
         assert (r["width"], r["height"]) == (32, 24)
 
 
-def test_video_real_backend_is_explicit_stub(media):
-    with pytest.raises(NotImplementedError):
-        sample_video_frames(media, decode_backend="real")
+def test_video_real_backend_rejects_fake_payload(media):
+    """Fake payloads are not AVI: the real backend fails loudly (CodecError
+    from the RIFF magic check), not silently."""
+    from vectordb_cloud_spark.functions.codecs import CodecError
+
+    with pytest.raises(Exception, match="not an AVI"):
+        sample_video_frames(media, decode_backend="real").collect()
+
+
+def test_real_video_frame_sampling_decodes_true_frames(spark):
+    """The last stub is closed: real frame sampling seeks the stdlib AVI
+    container — every emitted frame is a valid PNG whose pixels equal the
+    frame the timestamp maps to in the source video."""
+    import numpy as np
+
+    from vectordb_cloud_spark.functions.codecs import decode_avi, decode_png
+    from vectordb_cloud_spark.operators.multimodal import make_real_media
+
+    vids = make_real_media(spark, n=4, kind="video").cache()
+    out = sample_video_frames(vids, every_ms=300, decode_backend="real")
+    rows = out.collect()
+    assert rows
+
+    src = {r["media_id"]: bytes(r["data"]) for r in vids.collect()}
+    durs = {r["media_id"]: int(r["duration_ms"]) for r in vids.collect()}
+    n_expected = sum(len(range(0, durs[m], 300)) for m in src)
+    assert len(rows) == n_expected
+    for r in rows:
+        frames, fps = decode_avi(src[r["media_id"]])
+        idx = min(int(r["frame_ts_ms"] * fps // 1000), len(frames) - 1)
+        got = decode_png(bytes(r["frame"]))
+        assert (got == frames[idx]).all()
 
 
 def test_unknown_backend_rejected(media):

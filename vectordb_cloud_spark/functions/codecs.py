@@ -1,4 +1,5 @@
-"""Pure-stdlib media codecs: real PNG and WAV decode/encode, no PIL/ffmpeg.
+"""Pure-stdlib media codecs: real PNG, WAV, and AVI decode/encode — no
+PIL/ffmpeg.
 
 The container has no image/audio libraries, but PNG and WAV are simple
 enough that the *real* decode path doesn't need them: PNG is zlib-compressed
@@ -17,6 +18,10 @@ Covers the formats the pipeline emits and tests:
   explicitly), no palette, no 16-bit — raise with a clear message.
 - WAV: 16-bit and 8-bit integer PCM plus 32-bit float PCM, any channel
   count; decode returns float64 in [-1, 1] and the sample rate.
+- AVI: uncompressed BI_RGB 24-bit video (RIFF walk, bottom-up BGR frames,
+  4-byte row alignment); encode/decode round-trips bit-for-bit. Compressed
+  streams (MJPEG/H.264/...) raise CodecError naming the codec — those are
+  ffmpeg territory.
 
 Reference behavior being re-expressed: smiley88888/VectorDB-cloud has no
 media path at all (north-star extension per BASELINE.json); the codec layer
@@ -271,3 +276,155 @@ def decode_image(data: bytes):
             "is available stdlib-side"
         ) from None
     return np.asarray(Image.open(io.BytesIO(data)))  # pragma: no cover
+
+
+# ---------------------------------------------------------------------------
+# AVI (uncompressed BI_RGB 24-bit) — the video twin of the PNG/WAV codecs.
+#
+# AVI is RIFF framing around a header list and a 'movi' list of per-frame
+# chunks; with the video stream declared uncompressed ('DIB ' handler,
+# BI_RGB BITMAPINFOHEADER) each frame chunk is a bottom-up, BGR,
+# 4-byte-row-aligned bitmap — all of it struct-parseable, no ffmpeg. This
+# closes the last import-gated stub in the multimodal family
+# (sample_video_frames's real backend). MJPEG/H.264 etc. still require
+# ffmpeg and raise a clear CodecError naming the codec found.
+# ---------------------------------------------------------------------------
+
+def _riff_chunks(buf: bytes, start: int, end: int):
+    """Yield (fourcc, payload_start, payload_size) walking a RIFF region."""
+    pos = start
+    while pos + 8 <= end:
+        fourcc = buf[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", buf, pos + 4)
+        yield fourcc, pos + 8, size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+
+
+def encode_avi(frames, fps: int = 10) -> bytes:
+    """Encode (H, W, 3) uint8 RGB frames as an uncompressed BI_RGB AVI.
+
+    Frames are stored as the spec requires: bottom-up row order, BGR
+    channel order, rows padded to 4-byte boundaries; '00db' chunk per
+    frame; avih/strh/strf headers carry fps and geometry. Round-trips
+    bit-for-bit through ``decode_avi`` (property-tested)."""
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    if not frames:
+        raise CodecError("encode_avi needs at least one frame")
+    h, w, c = frames[0].shape
+    if c != 3 or any(f.shape != (h, w, 3) for f in frames):
+        raise CodecError("encode_avi expects uniform (H, W, 3) RGB frames")
+    row_bytes = (w * 3 + 3) & ~3
+    frame_bytes = row_bytes * h
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(fourcc: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps,          # dwMicroSecPerFrame
+        frame_bytes * fps,         # dwMaxBytesPerSec
+        0, 0x10,                   # padding, AVIF_HASINDEX off (no idx1)
+        len(frames), 0, 1, frame_bytes, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ", 0, 0, 0, 0,
+        1, fps,                    # dwScale / dwRate -> fps
+        0, len(frames), frame_bytes, 0, 0, 0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII",
+        40, w, h, 1, 24, 0,        # BITMAPINFOHEADER, BI_RGB
+        frame_bytes, 0, 0, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_frames = []
+    for f in frames:
+        bgr = f[::-1, :, ::-1]     # bottom-up rows, BGR channels
+        rows = bgr.reshape(h, w * 3)
+        padded = np.zeros((h, row_bytes), dtype=np.uint8)
+        padded[:, :w * 3] = rows
+        movi_frames.append(chunk(b"00db", padded.tobytes()))
+    movi = lst(b"movi", b"".join(movi_frames))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi(data: bytes):
+    """Decode an uncompressed BI_RGB 24-bit AVI: returns
+    ``(frames, fps)`` with frames a list of (H, W, 3) uint8 RGB arrays.
+    Compressed streams raise CodecError naming the fourcc so callers can
+    route to ffmpeg where it exists."""
+    data = bytes(data)
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise CodecError("not an AVI (RIFF/'AVI ' magic missing)")
+    w = h = None
+    bitcount = None
+    compression = None
+    fps = None
+    frames = []
+
+    def walk(start: int, end: int) -> None:
+        nonlocal w, h, bitcount, compression, fps
+        for fourcc, body, size in _riff_chunks(data, start, end):
+            if fourcc == b"LIST":
+                walk(body + 4, body + size)
+            elif fourcc == b"avih":
+                (us_per_frame,) = struct.unpack_from("<I", data, body)
+                if us_per_frame:
+                    fps = round(1_000_000 / us_per_frame)
+            elif fourcc == b"strf" and w is None:
+                (_, bw, bh, _, bc, comp) = struct.unpack_from(
+                    "<IiiHHI", data, body)
+                w, h, bitcount, compression = bw, abs(bh), bc, comp
+            elif fourcc in (b"00db", b"00dc"):
+                frames.append((body, size))
+
+    walk(12, len(data))
+    if w is None:
+        raise CodecError("AVI has no video stream format (strf) chunk")
+    if compression != 0 or bitcount != 24:
+        raise CodecError(
+            f"AVI stream is compressed or not 24-bit (biCompression="
+            f"{compression}, biBitCount={bitcount}) — stdlib decode covers "
+            "BI_RGB only; route other codecs through ffmpeg")
+    row_bytes = (w * 3 + 3) & ~3
+    out = []
+    for body, size in frames:
+        if size < row_bytes * h:
+            raise CodecError("truncated AVI frame chunk")
+        rows = np.frombuffer(data, dtype=np.uint8, count=row_bytes * h,
+                             offset=body).reshape(h, row_bytes)
+        bgr = rows[:, :w * 3].reshape(h, w, 3)
+        out.append(bgr[::-1, :, ::-1].copy())  # back to top-down RGB
+    return out, (fps or 0)
+
+
+def avi_dimensions(data: bytes) -> tuple[int, int, int]:
+    """(width, height, n_frames) by header walk — no frame decode."""
+    frames, _ = _avi_header_probe(bytes(data))
+    return frames
+
+
+def _avi_header_probe(data: bytes):
+    w = h = None
+    n = 0
+    for fourcc, body, size in _riff_chunks(data, 12, len(data)):
+        if fourcc == b"LIST":
+            sub = list(_riff_chunks(data, body + 4, body + size))
+            for f2, b2, s2 in sub:
+                if f2 == b"LIST":
+                    for f3, b3, s3 in _riff_chunks(data, b2 + 4, b2 + s2):
+                        if f3 == b"strf" and w is None:
+                            (_, bw, bh) = struct.unpack_from("<Iii", data, b3)
+                            w, h = bw, abs(bh)
+                elif f2 in (b"00db", b"00dc"):
+                    n += 1
+    if w is None:
+        raise CodecError("AVI has no strf chunk")
+    return (w, h, n), None

@@ -73,10 +73,11 @@ def make_fake_media(spark, n: int = 64, kind: str = "image") -> DataFrame:
 
 def make_real_media(spark, n: int = 64, kind: str = "image") -> DataFrame:
     """Synthetic media table whose payloads are REAL encoded files:
-    deterministic uint8 noise images as true PNGs (kind='image') or summed
-    sine waves as true 16-bit PCM WAVs (kind='audio'), built with the
-    stdlib codecs. This is the fixture the real-backend tests decode."""
-    from ..functions.codecs import encode_png, encode_wav
+    deterministic uint8 noise images as true PNGs (kind='image'), summed
+    sine waves as true 16-bit PCM WAVs (kind='audio'), or noise-frame
+    uncompressed AVIs (kind='video'), built with the stdlib codecs. This
+    is the fixture the real-backend tests decode."""
+    from ..functions.codecs import encode_avi, encode_png, encode_wav
 
     rows = []
     for i in range(n):
@@ -85,6 +86,17 @@ def make_real_media(spark, n: int = 64, kind: str = "image") -> DataFrame:
             rng = np.random.default_rng(1000 + i)
             payload = encode_png(rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
             rows.append((i, kind, "png", bytearray(payload), w, h, 0))
+        elif kind == "video":
+            w, h, fps = 32 + i % 16, 24 + i % 8, 10
+            n_frames = 4 + i % 5
+            rng = np.random.default_rng(2000 + i)
+            payload = encode_avi(
+                [rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                 for _ in range(n_frames)],
+                fps=fps,
+            )
+            dur_ms = n_frames * 1000 // fps
+            rows.append((i, "video", "avi", bytearray(payload), w, h, dur_ms))
         else:
             dur_ms = 1000 + i
             rate = 8000
@@ -297,11 +309,14 @@ def resize_images(media: DataFrame, target_w: int, target_h: int,
 def sample_video_frames(media: DataFrame, every_ms: int = 500,
                         decode_backend: str = "fake") -> DataFrame:
     """Frame sampling: one output row per sampled timestamp (flatMap shape).
-    Real backend would seek the container; fake derives frame bytes
-    deterministically from (payload, ts)."""
-    if decode_backend == "real":  # pragma: no cover
-        raise NotImplementedError("real frame sampling requires ffmpeg bindings")
 
+    ``decode_backend="real"`` seeks the container with the STDLIB AVI codec
+    (functions/codecs.py: RIFF walk, BI_RGB bottom-up BGR frames — the
+    video twin of the PNG/WAV codecs, no ffmpeg): the frame nearest each
+    sampled timestamp is re-encoded as PNG bytes. Compressed AVI streams
+    or other containers raise CodecError naming the codec — route those
+    through ffmpeg where it exists. The fake backend derives frame bytes
+    deterministically from (payload, ts) for plumbing tests."""
     out_schema = StructType([
         StructField("media_id", LongType()),
         StructField("frame_ts_ms", LongType()),
@@ -309,13 +324,27 @@ def sample_video_frames(media: DataFrame, every_ms: int = 500,
     ])
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from vectordb_cloud_spark.functions.codecs import (
+            decode_avi,
+            encode_png,
+        )
+
         for pdf in it:
             ids, tss, frames = [], [], []
             for mid, data, dur in zip(pdf["media_id"], pdf["data"], pdf["duration_ms"]):
-                for ts in range(0, int(dur), every_ms):
-                    ids.append(mid)
-                    tss.append(ts)
-                    frames.append(hashlib.md5(bytes(data[:32]) + str(ts).encode()).digest())
+                if decode_backend == "real":
+                    decoded, fps = decode_avi(bytes(data))
+                    for ts in range(0, int(dur), every_ms):
+                        idx = min(int(ts * fps // 1000), len(decoded) - 1)
+                        ids.append(mid)
+                        tss.append(ts)
+                        frames.append(encode_png(decoded[idx]))
+                else:
+                    for ts in range(0, int(dur), every_ms):
+                        ids.append(mid)
+                        tss.append(ts)
+                        frames.append(hashlib.md5(
+                            bytes(data[:32]) + str(ts).encode()).digest())
             yield pd.DataFrame({"media_id": ids, "frame_ts_ms": tss, "frame": frames})
 
     vids = media.filter(F.col("kind") == "video")
