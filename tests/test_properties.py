@@ -249,3 +249,28 @@ def test_bq_packing_matches_numpy_any_dim(spark_global, seed, dim):
             if want >= 1 << 63:
                 want -= 1 << 64
             assert r["bq_code"][w] == want
+
+
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=30),
+    n_frames=st.integers(min_value=1, max_value=6),
+    fps=st.integers(min_value=1, max_value=60),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_avi_roundtrip_property(w, h, n_frames, fps, seed):
+    """encode_avi -> decode_avi is the identity on pixels, frame count,
+    and fps for ANY geometry (incl. odd widths that force row padding)."""
+    import numpy as np
+
+    from vectordb_cloud_spark.functions.codecs import decode_avi, encode_avi
+
+    rng = np.random.default_rng(seed)
+    frames = [rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+              for _ in range(n_frames)]
+    back, got_fps = decode_avi(encode_avi(frames, fps=fps))
+    assert got_fps == round(1_000_000 / (1_000_000 // fps))
+    assert len(back) == n_frames
+    for a, b in zip(frames, back):
+        assert (a == b).all()
