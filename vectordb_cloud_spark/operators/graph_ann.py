@@ -531,6 +531,12 @@ def knn_graph_build_sharded(
     dim 64 — why ``knn_graph_build`` measured 271 s at 100k in SCALE.md
     r6). ``local_scoring=False`` keeps the pure-JVM pair-join core for
     plan-parity comparisons.
+
+    Memory shape: the banded frame (n·blockings rows, one vector each) is
+    localCheckpointed through the block manager — distributed across
+    executors on a cluster; in LOCAL mode one JVM holds it all, so size
+    the driver heap ~1.5x the corpus vector bytes for 10M+-row local
+    builds (SPARK_GRAFT_DRIVER_MEM; the 8g default GC-thrashes at 10M).
     """
     import math
 
