@@ -89,3 +89,28 @@ def test_422_validation_contract(svc):
     svc.insert(1, 77, "valid document", "s", "en")
     ok = svc.handle_search_request({"user_id": "77", "text": "document", "limit": "5"})
     assert ok["status_code"] == 200 and len(ok["data"]) == 1
+
+
+def test_count_and_set_payload_tenant_scoped(svc):
+    """Qdrant-surface extensions: /points/count and set_payload compose
+    with the mandatory tenant filter — one user's update never leaks into
+    another's rows."""
+    assert svc.insert(1, 1, "alpha doc one", "siteA", "en") == 1
+    assert svc.insert(2, 1, "alpha doc two", "siteA", "en") == 1
+    assert svc.insert(3, 2, "other tenant doc", "siteA", "en") == 1
+    n1 = svc.count(1)
+    assert n1 == 2
+    assert svc.count(1, word="zzz-not-there") == 0
+    other_before = svc.count(2)
+
+    updated = svc.set_payload(1, {"site": "relabeled"})
+    assert updated == n1
+    from pyspark.sql import functions as F
+
+    rows = svc.catalog.read(svc.index_name).collect()
+    for r in rows:
+        if r["user_id"] == 1:
+            assert r["site"] == "relabeled"
+        else:
+            assert r["site"] != "relabeled"
+    assert svc.count(2) == other_before

@@ -541,3 +541,58 @@ def test_probe_telemetry_reset_between_upserts(catalog, spark):
     catalog.create("b", dim=2, n_buckets=4)
     catalog.upsert("b", _rows(spark, [(1, [1.0, 1.0], "first", 1)]))  # first write path
     assert catalog.last_upsert_probe is None  # not the previous call's dict
+
+
+def test_update_payload_bucket_scoped(spark, tmp_path):
+    """set_payload surface (Qdrant /points/payload): scoped fields change,
+    everything else — including vectors and untouched rows — is
+    byte-identical; id/embedding updates are refused."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from vectordb_cloud_spark.collections import CollectionCatalog
+    from vectordb_cloud_spark.functions.embedding import mock_embed
+
+    cat = CollectionCatalog(spark, str(tmp_path / "cat_up"))
+    cat.create("up_col", dim=64)
+    rows = spark.range(40).select(
+        F.col("id"),
+        F.col("id").alias("text_id"),
+        F.concat(F.lit("doc "), F.col("id")).alias("text"),
+        (F.col("id") % 4).alias("user_id"),
+        F.lit("siteA").alias("site"),
+        F.lit("en").alias("lang"),
+    ).withColumn("embedding", mock_embed("text", 64))
+    cat.upsert("up_col", rows)
+
+    before = {r["id"]: r for r in cat.read("up_col").collect()}
+    n = cat.update_payload(
+        "up_col", {"site": "siteB", "lang": F.lit("de")},
+        predicate=F.col("user_id") == 2,
+    )
+    assert n == 10
+    after = {r["id"]: r for r in cat.read("up_col").collect()}
+    assert set(after) == set(before)
+    for i, r in after.items():
+        if before[i]["user_id"] == 2:
+            assert (r["site"], r["lang"]) == ("siteB", "de")
+        else:
+            assert (r["site"], r["lang"]) == ("siteA", "en")
+        assert r["text"] == before[i]["text"]
+        assert list(r["embedding"]) == list(before[i]["embedding"])
+
+    # count API (Qdrant /points/count)
+    assert cat.count_where("up_col", F.col("site") == "siteB") == 10
+    assert cat.count_where("up_col") == 40
+
+    # no match -> no rewrite, returns 0
+    assert cat.update_payload("up_col", {"site": "x"},
+                              predicate=F.col("user_id") == 99) == 0
+    # NULL predicate rows never match (NULL-safe)
+    assert cat.update_payload("up_col", {"site": "y"},
+                              predicate=F.col("text").contains("zzz")) == 0
+    # vectors/ids refused
+    with pytest.raises(ValueError, match="upsert"):
+        cat.update_payload("up_col", {"embedding": F.lit(None)})
+    with pytest.raises(ValueError, match="unknown payload"):
+        cat.update_payload("up_col", {"nope": 1})

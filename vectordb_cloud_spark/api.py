@@ -109,6 +109,23 @@ class VectorService:
     def get_category_for_title(self, user_id: int, cats: str, title: str) -> str:
         return classify_title(self.spark, user_id, cats, title, self.dim)
 
+    # Qdrant-surface extensions the reference reaches through its client:
+    # /points/count (tenant-scoped filtered count, a pruned scan) and
+    # /points/payload set_payload (tenant-scoped field update; vectors/ids
+    # refused by the catalog — vectors go through insert/upsert).
+    def count(self, user_id: int, word: str | None = None) -> int:
+        pred = F.col("user_id") == F.lit(user_id)
+        if word is not None:
+            pred = pred & F.col("text").contains(word)
+        return self.catalog.count_where(self.index_name, pred)
+
+    def set_payload(self, user_id: int, values: dict,
+                    word: str | None = None) -> int:
+        pred = F.col("user_id") == F.lit(user_id)
+        if word is not None:
+            pred = pred & F.col("text").contains(word)
+        return self.catalog.update_payload(self.index_name, values, pred)
+
     # 422 validation contract (/root/reference/app.py:28-33): coercion
     # failures return {status_code: 10422, message, data: None} instead of
     # raising — the FastAPI handler's observable shape.

@@ -30,7 +30,7 @@ import os
 import shutil
 from dataclasses import asdict, dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 META_FILE = "_meta.json"
@@ -533,6 +533,74 @@ class CollectionCatalog:
             return 0
         self._swap_in(name, df.filter(~pred))
         return n_deleted
+
+    def update_payload(self, name: str, values: dict, predicate=None) -> int:
+        """Set payload fields on matching points — Qdrant's
+        ``/points/payload`` (set_payload) surface, which the reference
+        exercises through the client. ``values`` maps column name ->
+        Column expression or literal; ``predicate`` scopes the update
+        (None = all points). Same bucket-scoped MVCC rewrite as the DML
+        deletes: one pruned scan finds the matched count + affected
+        buckets, only those bucket partitions are rewritten, every other
+        byte is untouched. NULL predicates never match (NULL-safe like
+        delete_where). Returns the number of updated points.
+
+        The embedding and id columns are refused — vector replacement is
+        ``upsert`` (re-embedding must go through the dim check), id
+        rewrites would break LWW identity.
+        """
+        meta = self.meta(name)
+        forbidden = {"id", "id_str", "embedding"} & set(values)
+        if forbidden:
+            raise ValueError(
+                f"update_payload cannot touch {sorted(forbidden)}: vectors "
+                "go through upsert (dim-checked), ids are immutable"
+            )
+        if not self._has_data(name):
+            return 0
+        df = self.read(name)
+        missing = set(values) - set(df.columns)
+        if missing:
+            raise ValueError(f"unknown payload columns: {sorted(missing)}")
+        pred = (F.lit(True) if predicate is None
+                else F.coalesce(predicate, F.lit(False)))
+        exprs = {
+            c: (v if isinstance(v, Column) else F.lit(v)) for c, v in values.items()
+        }
+
+        def apply_updates(rows: DataFrame) -> DataFrame:
+            out = rows
+            for c, v in exprs.items():
+                out = out.withColumn(c, F.when(pred, v).otherwise(F.col(c)))
+            return out
+
+        if "__bucket" in df.columns:
+            stats = df.filter(pred).agg(
+                F.count("*").alias("n"), F.collect_set("__bucket").alias("bs")
+            ).first()
+            n_updated, buckets = int(stats["n"]), sorted(stats["bs"])
+            if n_updated == 0:
+                return 0
+            touched = apply_updates(
+                df.filter(F.col("__bucket").isin(buckets))
+            ).drop("__bucket")
+            self._swap_buckets(name, touched, buckets)
+            return n_updated
+        n_updated = df.filter(pred).count()
+        if n_updated == 0:
+            return 0
+        self._swap_in(name, apply_updates(df))
+        return n_updated
+
+    def count_where(self, name: str, predicate=None) -> int:
+        """Filtered point count — Qdrant's ``/points/count``. A pruned scan
+        (the predicate pushes to the bucket files); no data movement."""
+        if not self._has_data(name):
+            return 0
+        df = self.read(name)
+        if predicate is not None:
+            df = df.filter(F.coalesce(predicate, F.lit(False)))
+        return df.count()
 
     def compact(self, name: str, max_files_per_bucket: int = 4) -> int:
         """Compact buckets that accumulated small files (every bucket-scoped
