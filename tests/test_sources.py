@@ -126,3 +126,24 @@ def test_scroll_keyset_pagination(points):
 def test_scroll_with_vectors(points):
     got = scroll(points, user_id=0, with_vectors=True)
     assert "embedding" in got.columns
+
+
+def test_scroll_order_by_keyset_pagination(spark):
+    """Qdrant scroll order_by: (key, id) keyset pages cover every row
+    exactly once even when many rows share the order key."""
+    from vectordb_cloud_spark.sources.readers import scroll
+
+    rows = [(i, 1, f"t{i}", int(i % 3)) for i in range(23)]
+    df = spark.createDataFrame(rows, "id long, user_id long, text string, rank long")
+
+    seen = []
+    after_key = after_id = None
+    while True:
+        page = scroll(df, 1, page_size=5, order_by="rank",
+                      after_key=after_key, after_id=after_id).collect()
+        if not page:
+            break
+        seen.extend((r["rank"], r["id"]) for r in page)
+        after_key, after_id = page[-1]["rank"], page[-1]["id"]
+    assert seen == sorted(seen)  # lexicographic (rank, id) walk
+    assert sorted(i for _, i in seen) == list(range(23))  # no gaps, no dups

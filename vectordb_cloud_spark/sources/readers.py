@@ -165,7 +165,8 @@ def read_jsonl_corpus(spark: SparkSession, path: str,
 
 def scroll(points: DataFrame, user_id: int, with_vectors: bool = False,
            page_size: int | None = None, after_id=None,
-           id_col: str = "id") -> DataFrame:
+           id_col: str = "id", order_by: str | None = None,
+           after_key=None) -> DataFrame:
     """S5: the scroll scan done right (/root/reference/app.py:102-107
     truncates at 100k and ignores pagination; SURVEY.md documents the bug).
 
@@ -174,12 +175,28 @@ def scroll(points: DataFrame, user_id: int, with_vectors: bool = False,
     compatibility: ORDER BY id LIMIT n WHERE id > after — each page is an
     independent pushed-down range scan, so pagination stays O(page) not
     O(offset).
+
+    ``order_by`` (Qdrant scroll's order_by, 1.8+): pages walk
+    ``(order_by, id)`` lexicographically — the id tiebreak makes the order
+    total, so rows sharing an order key are never skipped or duplicated
+    across pages. Resume with BOTH cursors: ``after_key`` (last page's
+    last order value) + ``after_id``; the predicate
+    ``k > ak OR (k = ak AND id > aid)`` still pushes to the scan.
     """
     df = points.filter(F.col("user_id") == F.lit(user_id))
     if not with_vectors and "embedding" in df.columns:
         df = df.drop("embedding")  # column pruning = with_vectors=False
     if page_size is not None:
-        if after_id is not None:
-            df = df.filter(F.col(id_col) > F.lit(after_id))
-        df = df.orderBy(id_col).limit(page_size)
+        if order_by is not None:
+            if after_key is not None:
+                k, i = F.col(order_by), F.col(id_col)
+                df = df.filter(
+                    (k > F.lit(after_key))
+                    | ((k == F.lit(after_key)) & (i > F.lit(after_id)))
+                )
+            df = df.orderBy(order_by, id_col).limit(page_size)
+        else:
+            if after_id is not None:
+                df = df.filter(F.col(id_col) > F.lit(after_id))
+            df = df.orderBy(id_col).limit(page_size)
     return df
