@@ -333,3 +333,25 @@ def test_bucketed_adjacency_prunes_and_matches(spark, embeddings, graph,
         (r["vec_id"], round(r["dist"], 9)) for r in b
     ]
     spark.sql("DROP TABLE IF EXISTS graph_adj_test")
+
+
+def test_graph_knn_join_sliced_matches_unsliced(spark, embeddings, graph):
+    """Slicing is pure routing: same per-query results as one batch call
+    (fixed hops, same graph, same parameters)."""
+    from vectordb_cloud_spark.operators.graph_ann import (
+        graph_knn_join,
+        graph_knn_join_sliced,
+    )
+
+    queries = embeddings.filter(F.col("vec_id").isin([0, 7, 42, 99])).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    whole = graph_knn_join(embeddings, graph, queries, k=5, beam=16,
+                           max_hops=4)
+    sliced = graph_knn_join_sliced(embeddings, graph, queries, slice_rows=2,
+                                   k=5, beam=16, max_hops=4)
+    a = sorted((r["query_id"], r["vec_id"], round(r["dist"], 9))
+               for r in whole.collect())
+    b = sorted((r["query_id"], r["vec_id"], round(r["dist"], 9))
+               for r in sliced.collect())
+    assert a == b

@@ -682,7 +682,8 @@ def graph_knn_join(
     rounds); wider beams buy recall exactly as in the single-query form.
 
     ``queries`` must be modest (it is broadcast to score candidates);
-    route bigger workloads in slices. Returns (query_id, vec_id, dist),
+    route bigger workloads through ``graph_knn_join_sliced``. Returns
+    (query_id, vec_id, dist),
     ``k`` rows per query, exact distances.
     """
     from pyspark.sql import Window
@@ -750,6 +751,40 @@ def graph_knn_join(
         F.col("node").alias(id_col),
         "dist",
     )
+
+
+def graph_knn_join_sliced(
+    points: DataFrame,
+    graph: DataFrame,
+    queries: DataFrame,
+    slice_rows: int = 1024,
+    query_id_col: str = "query_id",
+    **kwargs,
+) -> DataFrame:
+    """``graph_knn_join`` for query tables too big to broadcast whole: the
+    workload is hash-sliced into ≤``slice_rows``-query batches and each
+    slice runs the batch join independently; results union. Per-slice
+    driver state stays bounded (the per-hop frontier is
+    queries×beam×degree rows), total work is identical — this is the
+    router the batch join's docstring promises for big workloads. Slices
+    are deterministic (pmod of the query id).
+    """
+    import math
+
+    n = queries.count()
+    n_slices = max(1, math.ceil(n / slice_rows))
+    if n_slices == 1:
+        return graph_knn_join(points, graph, queries,
+                              query_id_col=query_id_col, **kwargs)
+    out = None
+    for s_i in range(n_slices):
+        part = queries.filter(
+            F.pmod(F.xxhash64(F.col(query_id_col)), F.lit(n_slices)) == s_i
+        )
+        res = graph_knn_join(points, graph, part,
+                             query_id_col=query_id_col, **kwargs)
+        out = res if out is None else out.unionByName(res)
+    return out
 
 
 def graph_entry_points(
