@@ -21,7 +21,8 @@ def report(spark, sf_dir):
 def test_report_covers_every_family(report):
     assert set(report) == {
         "lsh_knn", "ann_ivf_topk", "pq_adc_topk", "ann_graph_topk",
-        "sq_adc_topk", "bq_hamming_rescore_topk", "pq_adc_rerank_topk",
+        "ann_graph_sharded_build", "sq_adc_topk",
+        "bq_hamming_rescore_topk", "pq_adc_rerank_topk",
     }
     assert all(0.0 <= r <= 1.0 for r in report.values())
 
@@ -36,6 +37,13 @@ def test_graph_recall_floor(report):
     # degree=8 / beam=48 / 4 hops / 16 medoid entries — measured 0.94 at
     # sf0.1 (r7); floor leaves slack for the smaller test corpus
     assert report["ann_graph_topk"] >= 0.8
+
+
+def test_graph_sharded_recall_floor(report):
+    # shard term forced on (max_cells=8): the coarser init costs some
+    # recall vs the unsharded build on this small corpus; the NN-descent
+    # rounds keep it within the parity band
+    assert report["ann_graph_sharded_build"] >= 0.6
 
 
 def test_pq_recall_floor(report):

@@ -99,13 +99,22 @@ def ann_recall_report(
     graph = graph.cache()
     if entry_ids is None:
         entry_ids = graph_entry_points(emb, n_entry=GRAPH_ENTRIES)
+    # the sharded-build variant of the same family, with the shard term
+    # FORCED on (max_cells=8 -> S>=2 at this fixture size; at defaults it
+    # only engages past ~520k rows) — measures the r8 scale path's recall
+    # on the real corpus, same beam parameters and medoid seeds
+    from vectordb_cloud_spark.operators.graph_ann import knn_graph_build_sharded
+
+    graph_sharded = knn_graph_build_sharded(
+        emb, degree=GRAPH_DEGREE, refine_rounds=2, max_cells=8)
     mins, maxs = sq_train(emb)
     sq_codes = sq_encode(emb, mins, maxs).select("vec_id", "sq_code").cache()
     thresholds = bq_train(emb)
     bq_codes = bq_encode(emb, thresholds).select("vec_id", "bq_code").cache()
 
     sums = {"lsh_knn": 0.0, "ann_ivf_topk": 0.0, "pq_adc_topk": 0.0,
-            "ann_graph_topk": 0.0, "sq_adc_topk": 0.0,
+            "ann_graph_topk": 0.0, "ann_graph_sharded_build": 0.0,
+            "sq_adc_topk": 0.0,
             "bq_hamming_rescore_topk": 0.0, "pq_adc_rerank_topk": 0.0}
     for qv in queries:
         exact = brute_force_topk(emb, qv, k=k)
@@ -124,6 +133,10 @@ def ann_recall_report(
             exact, "vec_id")
         sums["ann_graph_topk"] += recall_at_k(
             graph_beam_search(emb, graph, qv, k=k, beam=GRAPH_BEAM,
+                              max_hops=GRAPH_MAX_HOPS, entry_ids=entry_ids),
+            exact, "vec_id")
+        sums["ann_graph_sharded_build"] += recall_at_k(
+            graph_beam_search(emb, graph_sharded, qv, k=k, beam=GRAPH_BEAM,
                               max_hops=GRAPH_MAX_HOPS, entry_ids=entry_ids),
             exact, "vec_id")
         sums["sq_adc_topk"] += recall_at_k(
