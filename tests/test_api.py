@@ -29,6 +29,22 @@ def test_search_optional_filters(svc):
     assert [r["id"] for r in got] == [1]
 
 
+def test_search_query_filter_dsl(svc):
+    """The qdrant-client filter document the reference builds
+    (/root/reference/search.py:38-44) goes straight through ``query_filter``."""
+    svc.insert(31, 77, "gamma doc one", "siteA", "en")
+    svc.insert(32, 77, "gamma doc two", "siteB", "en")
+    svc.insert(33, 77, "gamma doc three", "siteB", "de")
+    got = svc.search(77, "gamma", limit=5, query_filter={
+        "must": [{"key": "site", "match": {"value": "siteB"}}],
+        "must_not": [{"key": "lang", "match": {"value": "de"}}],
+    }).collect()
+    assert [r["id"] for r in got] == [32]
+    assert svc.count(77, query_filter={
+        "must": [{"key": "site", "match": {"any": ["siteA", "siteB"]}}]
+    }) == 3
+
+
 def test_upsert_replaces_by_id(svc):
     svc.insert(5, 9, "original text", "s", "en")
     svc.insert(5, 9, "replaced text", "s", "en")

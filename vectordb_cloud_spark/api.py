@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vectordb_cloud_spark.collections import CollectionCatalog
+from vectordb_cloud_spark.filters import compile_filter
 from vectordb_cloud_spark.functions.embedding import DEFAULT_DIM, mock_embed, mock_vector
 from vectordb_cloud_spark.operators.classify import classify_title
 from vectordb_cloud_spark.operators.knn import knn_search, search_response
@@ -61,7 +62,12 @@ class VectorService:
 
     # GET /search (/root/reference/app.py:58-75)
     def search(self, user_id: int, text: str, limit: int = 5,
-               site: str | None = None, lang: str | None = None) -> DataFrame:
+               site: str | None = None, lang: str | None = None,
+               query_filter: dict | None = None) -> DataFrame:
+        """``query_filter`` accepts the full Qdrant filter JSON the
+        reference's client library speaks (/root/reference/search.py:9,
+        38-44 builds exactly such a document) — compiled to scan-stage
+        column predicates by :mod:`vectordb_cloud_spark.filters`."""
         qvec = mock_vector(text, self.dim)
         # tenant-pruned scan: user_id predicate + derived partition-bucket
         # predicate (PartitionFilters prune files, search.py:37 semantics)
@@ -72,6 +78,9 @@ class VectorService:
         if lang is not None:
             lang_pred = F.col("lang") == F.lit(lang)
             pred = lang_pred if pred is None else pred & lang_pred
+        extra = compile_filter(query_filter, id_col="id")
+        if extra is not None:
+            pred = extra if pred is None else pred & extra
         hits = knn_search(points, qvec, k=limit, filters=pred, tiebreak="id")
         return search_response(hits)
 
@@ -113,10 +122,24 @@ class VectorService:
     # /points/count (tenant-scoped filtered count, a pruned scan) and
     # /points/payload set_payload (tenant-scoped field update; vectors/ids
     # refused by the catalog — vectors go through insert/upsert).
-    def count(self, user_id: int, word: str | None = None) -> int:
+    def sample(self, user_id: int, n: int, seed: int = 42) -> DataFrame:
+        """Qdrant random-sampling query (``query: {"sample": "random"}``),
+        tenant-scoped and deterministic per seed."""
+        from vectordb_cloud_spark.sources.readers import random_sample
+
+        return random_sample(
+            self.catalog.read_for_user(self.index_name, user_id), n,
+            seed=seed, id_col="id",
+        )
+
+    def count(self, user_id: int, word: str | None = None,
+              query_filter: dict | None = None) -> int:
         pred = F.col("user_id") == F.lit(user_id)
         if word is not None:
             pred = pred & F.col("text").contains(word)
+        extra = compile_filter(query_filter, id_col="id")
+        if extra is not None:
+            pred = pred & extra
         return self.catalog.count_where(self.index_name, pred)
 
     def set_payload(self, user_id: int, values: dict,

@@ -1,0 +1,104 @@
+"""Multivector (late-interaction / ColBERT-style) search — MaxSim scoring.
+
+Qdrant collections can store *multivectors* — one matrix of token vectors
+per point, scored with MaxSim: ``score(Q, D) = Σ_{q∈Q} max_{d∈D} q·d``
+(public Qdrant "multivectors" feature + the ColBERT paper, Khattab &
+Zaharia 2020). The reference's client surface includes this; its service
+never calls it, so this is coverage of the engine the reference delegates
+to, re-expressed Spark-first.
+
+Representation: a document's token vectors are an ``array<array<float>>``
+column. Scoring is pure nested column algebra — for each query token (a
+plan literal), ``F.transform`` computes dots against every doc token and
+``F.array_max`` keeps the best; the per-token maxima sum up JVM-side.
+Nothing crosses the Python boundary and the whole score is one projection
+over the scan, so at 100 TB the cost is the scan plus O(|Q|·|D|·dim)
+flops per row — the same arithmetic any MaxSim engine pays — followed by a
+shuffle-free TakeOrderedAndProject top-k.
+
+Scale guidance: |Q| is query-side (a handful of tokens → a few hundred
+literal floats, far below the per-row literal-rebuild trap measured at
+C=4096); |D| rides in the data. For big corpora, cap candidate sets with a
+first-stage retriever (pooled single-vector ANN over ``array_mean`` of the
+tokens — the standard ColBERT two-stage recipe) and MaxSim-rescore only the
+candidates, exactly like ``pq_search_rerank``'s oversample→exact pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def split_into_tokens(vector_col: Column | str, n_tokens: int) -> Column:
+    """Reshape a flat ``array<float>`` into ``n_tokens`` contiguous token
+    vectors (``array<array<double>>``). Used to derive a deterministic
+    multivector fixture from single-vector data; real multivector ingest
+    stores the nested array directly."""
+    col = F.col(vector_col) if isinstance(vector_col, str) else vector_col
+    col = col.cast("array<double>")
+    width = F.size(col) / n_tokens
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_tokens - 1)),
+        # slice() is 1-based; width is an integer by construction
+        lambda t: F.slice(col, (t * width + 1).cast("int"), width.cast("int")),
+    )
+
+
+def maxsim_score(
+    doc_tokens: Column | str, query_tokens: list[list[float]]
+) -> Column:
+    """MaxSim: sum over query tokens of the max dot product against any doc
+    token — one nested JVM expression, no UDFs."""
+    if not query_tokens:
+        raise ValueError("query_tokens must be non-empty")
+    col = F.col(doc_tokens) if isinstance(doc_tokens, str) else doc_tokens
+    score: Column | None = None
+    for q in query_tokens:
+        qlit = F.array(*[F.lit(float(x)) for x in q])
+        best = F.array_max(
+            F.transform(
+                col,
+                lambda d: F.aggregate(
+                    F.zip_with(d.cast("array<double>"), qlit, lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+            )
+        )
+        score = best if score is None else score + best
+    return score
+
+
+def multivector_topk(
+    points: DataFrame,
+    query_tokens: list[list[float]],
+    k: int = 10,
+    tokens_col: str = "token_vectors",
+    id_col: str = "vec_id",
+    filters: Column | None = None,
+    score_col: str = "maxsim",
+) -> DataFrame:
+    """Top-k by MaxSim (descending), deterministic id tiebreak.
+
+    ``points`` carries ``tokens_col: array<array<float>>``; plain
+    ``orderBy().limit`` compiles to TakeOrderedAndProject (no corpus
+    shuffle)."""
+    df = points if filters is None else points.filter(filters)
+    scored = df.withColumn(score_col, maxsim_score(tokens_col, query_tokens))
+    return scored.orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    ).limit(k)
+
+
+def pooled_vector(tokens_col: Column | str) -> Column:
+    """Mean-pool token vectors back to one vector — the first-stage
+    retriever key for two-stage MaxSim (ANN over the pool, MaxSim rescore)."""
+    col = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    n = F.size(col)
+    summed = F.aggregate(
+        col,
+        F.transform(F.element_at(col, 1), lambda _: F.lit(0.0)),
+        lambda acc, d: F.zip_with(acc, d.cast("array<double>"), lambda a, b: a + b),
+    )
+    return F.transform(summed, lambda s: s / n)
