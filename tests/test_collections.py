@@ -596,3 +596,42 @@ def test_update_payload_bucket_scoped(spark, tmp_path):
         cat.update_payload("up_col", {"embedding": F.lit(None)})
     with pytest.raises(ValueError, match="unknown payload"):
         cat.update_payload("up_col", {"nope": 1})
+
+
+def test_snapshot_restore_roundtrip(catalog, spark, tmp_path):
+    """Qdrant snapshot API: export the committed version, restore into a
+    new collection; post-snapshot mutations never leak into the snapshot."""
+    catalog.create("snap_src", dim=2)
+    catalog.upsert("snap_src", _rows(spark, [
+        (1, [1.0, 1.0], "alpha", 1), (2, [2.0, 2.0], "beta", 2),
+    ]))
+    snap = catalog.snapshot("snap_src", str(tmp_path / "snaps"))
+    assert snap.endswith(".snapshot")
+    # mutate the source AFTER the snapshot
+    catalog.upsert("snap_src", _rows(spark, [(3, [3.0, 3.0], "gamma", 1)]))
+    catalog.delete_where("snap_src", F.col("id") == 1)
+    # restore under a new name: snapshot-time contents exactly
+    meta = catalog.restore("snap_restored", snap)
+    assert meta.dim == 2 and meta.version == 1
+    got = {r["id"]: r["text"] for r in catalog.read("snap_restored").collect()}
+    assert got == {1: "alpha", 2: "beta"}
+    # restored collection is a full citizen: upsert + tenant read work
+    catalog.upsert("snap_restored", _rows(spark, [(4, [4.0, 4.0], "delta", 1)]))
+    assert catalog.read("snap_restored").count() == 3
+    assert catalog.read("snap_src").count() == 2  # src history untouched
+
+
+def test_snapshot_restore_guards(catalog, spark, tmp_path):
+    catalog.create("snap_g", dim=2)
+    snap = catalog.snapshot("snap_g", str(tmp_path / "s2"))  # empty: version 0
+    meta = catalog.restore("snap_g2", snap)
+    assert meta.version == 0 and catalog.read("snap_g2").count() == 0
+    # same-version snapshot collides loudly
+    with pytest.raises(ValueError, match="already exists"):
+        catalog.snapshot("snap_g", str(tmp_path / "s2"))
+    # restore over an existing collection needs overwrite=True
+    with pytest.raises(ValueError, match="overwrite"):
+        catalog.restore("snap_g2", snap)
+    catalog.upsert("snap_g2", _rows(spark, [(1, [1.0, 1.0], "x", 1)]))
+    meta = catalog.restore("snap_g2", snap, overwrite=True)
+    assert catalog.read("snap_g2").count() == 0

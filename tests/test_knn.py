@@ -181,3 +181,51 @@ def test_search_groups_dedups_flooding_group(spark, embeddings):
     ranks = {g: rows[0]["group_rank"] for g, rows in per_group.items()}
     ordered = sorted(best, key=lambda g: best[g])
     assert [ranks[g] for g in ordered] == [1, 2, 3]
+
+
+def test_distance_matrix_pairs_matches_numpy(spark, embeddings):
+    import numpy as np
+
+    from vectordb_cloud_spark.operators.knn import distance_matrix_pairs
+    from vectordb_cloud_spark.sources.readers import random_sample
+
+    got = distance_matrix_pairs(embeddings, sample_size=8, k=3, seed=7).collect()
+    # ground truth over the SAME deterministic sample
+    sample = random_sample(embeddings.select("vec_id", "embedding"), 8,
+                           seed=7, id_col="vec_id").collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in sample}
+    want = {}
+    for a, va in vecs.items():
+        ds = sorted(
+            (float(np.linalg.norm(va - vb)), b)
+            for b, vb in vecs.items() if b != a
+        )[:3]
+        want[a] = [b for _, b in ds]
+    by_a = {}
+    for r in got:
+        by_a.setdefault(r["id_a"], []).append((r["dist"], r["id_b"]))
+    assert set(by_a) == set(want)
+    for a, lst in by_a.items():
+        assert [b for _, b in sorted(lst)] == want[a]
+        for d, b in lst:
+            assert d == pytest.approx(float(np.linalg.norm(vecs[a] - vecs[b])),
+                                      rel=1e-9)
+
+
+def test_distance_matrix_pairs_filters_and_guards(spark, embeddings):
+    from pyspark.sql import functions as F
+
+    from vectordb_cloud_spark.operators.knn import distance_matrix_pairs
+
+    out = distance_matrix_pairs(embeddings, sample_size=6, k=2,
+                                filters=F.col("label") == 3).collect()
+    labels = {r["label"] for r in embeddings.filter(F.col("label") == 3).collect()}
+    assert labels == {3}
+    sampled = {r["id_a"] for r in out} | {r["id_b"] for r in out}
+    lbl = {r["vec_id"]: r["label"] for r in embeddings.collect()}
+    assert all(lbl[i] == 3 for i in sampled)
+    with pytest.raises(ValueError):
+        distance_matrix_pairs(embeddings, sample_size=1)
+    with pytest.raises(ValueError):
+        distance_matrix_pairs(embeddings, metric="hamming")

@@ -147,3 +147,32 @@ def test_scroll_order_by_keyset_pagination(spark):
         after_key, after_id = page[-1]["rank"], page[-1]["id"]
     assert seen == sorted(seen)  # lexicographic (rank, id) walk
     assert sorted(i for _, i in seen) == list(range(23))  # no gaps, no dups
+
+
+def test_random_sample_deterministic_and_seed_sensitive(spark):
+    from vectordb_cloud_spark.sources.readers import random_sample
+
+    df = spark.range(500).withColumnRenamed("id", "doc_id")
+    s1 = [r["doc_id"] for r in random_sample(df, 20, seed=1, id_col="doc_id").collect()]
+    s1b = [r["doc_id"] for r in random_sample(df, 20, seed=1, id_col="doc_id").collect()]
+    s2 = [r["doc_id"] for r in random_sample(df, 20, seed=2, id_col="doc_id").collect()]
+    assert s1 == s1b                      # same seed replays exactly
+    assert len(set(s1)) == 20
+    assert set(s1) != set(s2)             # different seed re-deals
+    assert s1 != sorted(s1) or s2 != sorted(s2)  # not just a prefix of ids
+    # plan: top-n heap, not a global sort
+    plan = random_sample(df, 20, seed=1, id_col="doc_id")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_random_sample_bounds(spark):
+    import pytest as _pytest
+
+    from vectordb_cloud_spark.sources.readers import random_sample
+
+    df = spark.range(5).withColumnRenamed("id", "doc_id")
+    assert random_sample(df, 100, id_col="doc_id").count() == 5
+    assert random_sample(df, 0, id_col="doc_id").count() == 0
+    with _pytest.raises(ValueError):
+        random_sample(df, -1, id_col="doc_id")

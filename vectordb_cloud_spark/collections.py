@@ -641,3 +641,77 @@ class CollectionCatalog:
         partition-bucketed data this is a left-anti join against a broadcast
         id set, a map-only pass."""
         return self.delete_where(name, F.col(id_col).isin(ids))
+
+    # -- snapshots (Qdrant snapshot API) ------------------------------------
+    @classmethod
+    def _link_tree(cls, src: str, dst: str) -> None:
+        """Recursive hardlink-copy (file copy across filesystems): snapshot
+        creation never rewrites parquet bytes on the same volume."""
+        os.makedirs(dst, exist_ok=True)
+        for entry in os.listdir(src):
+            s = os.path.join(src, entry)
+            if os.path.isdir(s):
+                cls._link_tree(s, os.path.join(dst, entry))
+        cls._link_files(src, dst)
+
+    def snapshot(self, name: str, snapshots_root: str) -> str:
+        """Export the CURRENT committed version to a portable snapshot
+        directory — the engine behind Qdrant's
+        ``POST /collections/{name}/snapshots`` (the reference's client
+        exposes it; its service never calls it). Layout:
+        ``{root}/{name}.v{version}.snapshot/{meta.json, manifest.json,
+        data/}``.
+
+        MVCC makes this safe without pausing writes: committed data dirs
+        are immutable (updates commit NEW ``data.v{n}`` dirs), so the
+        hardlinked snapshot can never observe a partial write; the staging
+        dir + final rename makes snapshot publication itself atomic."""
+        meta = self.meta(name)
+        os.makedirs(snapshots_root, exist_ok=True)
+        snap = os.path.join(snapshots_root, f"{name}.v{meta.version}.snapshot")
+        if os.path.exists(snap):
+            raise ValueError(f"snapshot already exists: {snap}")
+        stage = snap + ".staging"
+        shutil.rmtree(stage, ignore_errors=True)
+        os.makedirs(stage)
+        with open(os.path.join(stage, "meta.json"), "w") as f:
+            json.dump(asdict(meta), f)
+        manifest = self._read_manifest(name)
+        if manifest is not None:
+            with open(os.path.join(stage, "manifest.json"), "w") as f:
+                json.dump(manifest, f)
+        data = self._current_data_dir(name)
+        if data is not None and os.path.isdir(data):
+            self._link_tree(data, os.path.join(stage, "data"))
+        os.replace(stage, snap)
+        return snap
+
+    def restore(self, name: str, snapshot_dir: str,
+                overwrite: bool = False) -> CollectionMeta:
+        """Recover a collection from a snapshot directory (Qdrant
+        ``PUT /collections/{name}/snapshots/recover``). The restored
+        collection starts a fresh MVCC history at version 1 (or 0 for an
+        empty snapshot); ids, buckets, and the probe manifest carry over
+        unchanged, so reads and upserts behave exactly as on the source."""
+        with open(os.path.join(snapshot_dir, "meta.json")) as f:
+            smeta = json.load(f)
+        if self.exists(name):
+            if not overwrite:
+                raise ValueError(
+                    f"collection {name!r} already exists (overwrite=True to replace)"
+                )
+            self.drop(name)
+        os.makedirs(self._dir(name), exist_ok=True)
+        meta = CollectionMeta(
+            name=name, dim=smeta["dim"], metric=smeta["metric"],
+            id_type=smeta["id_type"], n_buckets=smeta["n_buckets"], version=0,
+        )
+        sdata = os.path.join(snapshot_dir, "data")
+        if os.path.isdir(sdata):
+            self._link_tree(sdata, self._data_dir_v(name, 1))
+            meta.version = 1
+        smanifest = os.path.join(snapshot_dir, "manifest.json")
+        if os.path.isfile(smanifest):
+            shutil.copy2(smanifest, self._manifest_path(name))
+        self._write_meta(name, meta)
+        return meta

@@ -341,3 +341,55 @@ def search_groups(
         top_hits.join(F.broadcast(ranked_groups), group_by)
         .orderBy("group_rank", "hit_rank")
     )
+
+
+def distance_matrix_pairs(
+    points: DataFrame,
+    sample_size: int = 10,
+    k: int = 3,
+    seed: int = 42,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    metric: str = "l2",
+    filters: Column | None = None,
+) -> DataFrame:
+    """Pairwise distance matrix over a deterministic sample — Qdrant's
+    ``POST /points/search/matrix/pairs`` (sample N points under the
+    filter, return each sample's k nearest OTHER samples; the API behind
+    payload-similarity exploration UIs).
+
+    Shape: the sample is tiny by contract (Qdrant defaults to 10), so the
+    quadratic stays sample-local: seeded TakeOrderedAndProject sample →
+    broadcast self cross-join (sample² pairs, never corpus²) → per-row
+    top-k window over ≤ sample_size rows per group. The corpus is read
+    once through whatever pushed-down ``filters`` allow; nothing else
+    scales with table size.
+
+    Returns ``(id_a, id_b, dist)`` rows, ``k`` per ``id_a``, deterministic
+    (dist, id) ordering.
+    """
+    from vectordb_cloud_spark.sources.readers import random_sample
+
+    if sample_size < 2:
+        raise ValueError("sample_size must be >= 2")
+    df = points if filters is None else points.filter(filters)
+    sample = random_sample(
+        df.select(id_col, vector_col), sample_size, seed=seed, id_col=id_col
+    )
+    a = sample.select(F.col(id_col).alias("id_a"), F.col(vector_col).alias("__va"))
+    b = sample.select(F.col(id_col).alias("id_b"), F.col(vector_col).alias("__vb"))
+    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("id_a") != F.col("id_b"))
+    if metric == "l2":
+        scored = pairs.withColumn("dist", l2_distance("__va", "__vb"))
+        order = [F.col("dist").asc(), F.col("id_b").asc()]
+    elif metric == "cosine":
+        scored = pairs.withColumn("dist", cosine_similarity("__va", "__vb"))
+        order = [F.col("dist").desc(), F.col("id_b").asc()]
+    else:
+        raise ValueError(f"unsupported metric {metric!r}")
+    w = Window.partitionBy("id_a").orderBy(*order)
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select("id_a", "id_b", "dist")
+    )

@@ -200,3 +200,19 @@ def scroll(points: DataFrame, user_id: int, with_vectors: bool = False,
                 df = df.filter(F.col(id_col) > F.lit(after_id))
             df = df.orderBy(id_col).limit(page_size)
     return df
+
+
+def random_sample(points: DataFrame, n: int, seed: int = 42,
+                  id_col: str = "id") -> DataFrame:
+    """Qdrant's random-sampling query (``query: {"sample": "random"}``):
+    return ``n`` points drawn uniformly-ish and DETERMINISTICALLY for a
+    given seed — ordering by ``xxhash64(id, seed)`` is a seeded shuffle of
+    the id space, and ``limit(n)`` over it compiles to
+    TakeOrderedAndProject: per-partition top-n heaps, n rows to the driver,
+    no full sort and no corpus shuffle. Changing the seed re-deals the
+    sample; the same seed replays it exactly (the property tests and
+    pipelines need that Qdrant's true randomness lacks)."""
+    if n < 0:
+        raise ValueError("n must be >= 0")
+    h = F.xxhash64(F.col(id_col), F.lit(seed))
+    return points.orderBy(h.asc(), F.col(id_col).asc()).limit(n)
