@@ -28,9 +28,8 @@ def test_report_covers_every_family(report):
 
 
 def test_ivf_recall_floor(report):
-    # nprobe=3 of 8 lists; fixture corpus is small enough that the query's
-    # true neighbors concentrate in the probed lists
-    assert report["ann_ivf_topk"] >= 0.5
+    # nprobe=4 of 8 lists (r8; measures 0.812 at sf0.1 — was 0.725 at 3)
+    assert report["ann_ivf_topk"] >= 0.7
 
 
 def test_graph_recall_floor(report):

@@ -1220,7 +1220,7 @@ def _ivf_oracle_sql() -> str:
     probes AS (
         SELECT cen.centroid_id FROM cen, q
         ORDER BY {cdist}, cen.centroid_id
-        LIMIT 3
+        LIMIT 4
     ),
     pts AS (SELECT vec_id, embedding, CAST(centroid_id AS INT) AS cid
             FROM read_parquet('{_IVF_LAYOUT}/*/*.parquet', hive_partitioning=1))
@@ -1246,7 +1246,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     qv = _query_vec(spark, sf_dir, 0)
     centers, path = _ivf_index(spark, sf_dir, k_centroids=8)
-    hits = ivf_search_persisted(spark, path, centers, qv, k=10, nprobe=3,
+    # nprobe=4 (r8): recall 0.812 vs 0.725 at nprobe=3 for a 4/8 scan
+    # fraction — the oracle's probe LIMIT mirrors this
+    hits = ivf_search_persisted(spark, path, centers, qv, k=10, nprobe=4,
                                 tiebreak="vec_id")
     return hits.select("vec_id", F.round("dist", 6).alias("dist"))
 

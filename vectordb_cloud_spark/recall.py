@@ -27,7 +27,7 @@ from pyspark.sql import SparkSession
 
 # Registry-matching knobs (see queries.py ann_ivf_topk / pq_adc_topk):
 IVF_K_CENTROIDS = 8
-IVF_NPROBE = 3
+IVF_NPROBE = 4  # r8: 3 -> 4 measured 0.725 -> 0.812 at sf0.1 (scan fraction 3/8 -> 4/8; nprobe=5 reaches 0.875 at 5/8 — recall is a pruning dial, pick per workload)
 GRAPH_DEGREE = 12  # r7: degree 8 -> 12 measured +0.14 recall at identical build time (denser graph = fewer dead-end hops)
 GRAPH_BEAM = 48  # beam width is the recall dial: 32->0.75, 48->0.94 at sf0.1 with medoid entries (per-hop cost is scheduling, not rows)
 GRAPH_MAX_HOPS = 4
