@@ -635,3 +635,55 @@ def test_snapshot_restore_guards(catalog, spark, tmp_path):
     catalog.upsert("snap_g2", _rows(spark, [(1, [1.0, 1.0], "x", 1)]))
     meta = catalog.restore("snap_g2", snap, overwrite=True)
     assert catalog.read("snap_g2").count() == 0
+
+
+def test_aliases_blue_green_switch(catalog, spark):
+    """Qdrant alias API: readers address the alias; the switch is one
+    atomic pointer flip (the blue/green reindex primitive)."""
+    catalog.create("blue", dim=2)
+    catalog.upsert("blue", _rows(spark, [(1, [1.0, 1.0], "blue doc", 1)]))
+    catalog.create("green", dim=2)
+    catalog.upsert("green", _rows(spark, [(2, [2.0, 2.0], "green doc", 1)]))
+    catalog.create_alias("prod", "blue")
+    assert catalog.resolve("prod") == "blue"
+    assert [r["text"] for r in catalog.read("prod").collect()] == ["blue doc"]
+    # writes through the alias hit the target
+    catalog.upsert("prod", _rows(spark, [(3, [3.0, 3.0], "via alias", 1)]))
+    assert catalog.read("blue").count() == 2
+    # atomic switch
+    catalog.switch_alias("prod", "green")
+    assert [r["text"] for r in catalog.read("prod").collect()] == ["green doc"]
+    assert catalog.count_where("prod") == 1
+    # copy-init through an alias resolves to the physical source
+    catalog.create_from("clone", "prod")
+    assert catalog.read("clone").count() == 1
+    # snapshot through the alias works too
+    assert catalog.meta("prod").name == "green"
+
+
+def test_alias_guards_and_cleanup(catalog, spark, tmp_path):
+    catalog.create("a1", dim=2)
+    catalog.create("a2", dim=2)
+    with pytest.raises(ValueError, match="does not exist"):
+        catalog.create_alias("x", "nope")
+    catalog.create_alias("x", "a1")
+    with pytest.raises(ValueError, match="shadow"):
+        catalog.create_alias("a2", "a1")
+    with pytest.raises(ValueError, match="is an alias"):
+        catalog.create("x", dim=2)
+    with pytest.raises(ValueError, match="does not exist"):
+        catalog.delete_alias("y")
+    # batch is all-or-nothing: a bad second action rolls back the first
+    with pytest.raises(ValueError):
+        catalog.update_aliases([
+            {"create_alias": {"alias_name": "y", "collection_name": "a2"}},
+            {"delete_alias": {"alias_name": "zzz"}},
+        ])
+    assert "y" not in catalog.list_aliases()
+    # dropping the physical collection removes its aliases
+    catalog.drop("a1")
+    assert catalog.list_aliases() == {}
+    # drop takes the physical name: dropping via an alias is a no-op
+    catalog.create_alias("z", "a2")
+    assert catalog.drop("z") is False
+    assert catalog.exists("a2")

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 META_FILE = "_meta.json"
 MANIFEST_FILE = "_buckets.json"
+ALIASES_FILE = "_aliases.json"  # catalog-level alias -> collection map
 DATA_DIR = "data"
 DEFAULT_BUCKETS = 32  # tenant-hash partition count; at 100 TB raise toward 1024
 
@@ -74,7 +75,82 @@ class CollectionCatalog:
     def exists(self, name: str) -> bool:
         return os.path.isfile(os.path.join(self._dir(name), META_FILE))
 
+    # -- aliases (Qdrant collection-alias API) ------------------------------
+    # An alias is a catalog-level pointer: readers address "prod", the
+    # pointer flips between physical collections in one atomic file
+    # replace — the blue/green reindex primitive (build the new index under
+    # a fresh name, verify, switch, drop the old). Qdrant exposes exactly
+    # this as PUT /collections/aliases with a batched action list.
+    def _aliases_path(self) -> str:
+        return os.path.join(self.root, ALIASES_FILE)
+
+    def list_aliases(self) -> dict[str, str]:
+        try:
+            with open(self._aliases_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def _write_aliases(self, aliases: dict[str, str]) -> None:
+        tmp = self._aliases_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(aliases, f)
+        os.replace(tmp, self._aliases_path())
+
+    def update_aliases(self, actions: list[dict]) -> dict[str, str]:
+        """Apply a batch of alias actions ATOMICALLY (all-or-nothing, one
+        file replace) — Qdrant's ``update_collection_aliases`` contract,
+        where delete+create of the same alias in one batch is the atomic
+        switch. Each action is ``{"create_alias": {"alias_name": a,
+        "collection_name": c}}`` or ``{"delete_alias": {"alias_name": a}}``.
+        """
+        aliases = self.list_aliases()
+        for action in actions:
+            if "create_alias" in action:
+                spec = action["create_alias"]
+                alias, coll = spec["alias_name"], spec["collection_name"]
+                if self.exists(alias):
+                    raise ValueError(
+                        f"alias {alias!r} would shadow an existing collection"
+                    )
+                if not self.exists(coll):
+                    raise ValueError(f"collection {coll!r} does not exist")
+                aliases[alias] = coll
+            elif "delete_alias" in action:
+                alias = action["delete_alias"]["alias_name"]
+                if alias not in aliases:
+                    raise ValueError(f"alias {alias!r} does not exist")
+                del aliases[alias]
+            else:
+                raise ValueError(f"unknown alias action: {action!r}")
+        self._write_aliases(aliases)
+        return aliases
+
+    def create_alias(self, alias: str, collection: str) -> None:
+        self.update_aliases([{"create_alias": {
+            "alias_name": alias, "collection_name": collection}}])
+
+    def delete_alias(self, alias: str) -> None:
+        self.update_aliases([{"delete_alias": {"alias_name": alias}}])
+
+    def switch_alias(self, alias: str, collection: str) -> None:
+        """Atomically repoint ``alias`` (delete+create in one batch)."""
+        actions = []
+        if alias in self.list_aliases():
+            actions.append({"delete_alias": {"alias_name": alias}})
+        actions.append({"create_alias": {
+            "alias_name": alias, "collection_name": collection}})
+        self.update_aliases(actions)
+
+    def resolve(self, name: str) -> str:
+        """Alias → physical collection name (identity for real collections;
+        one hop only — aliases point at collections, never at aliases)."""
+        if self.exists(name):
+            return name
+        return self.list_aliases().get(name, name)
+
     def meta(self, name: str) -> CollectionMeta:
+        name = self.resolve(name)
         with open(os.path.join(self._dir(name), META_FILE)) as f:
             return CollectionMeta(**json.load(f))
 
@@ -115,11 +191,13 @@ class CollectionCatalog:
         """COMMITTED versions still on disk (time-travel targets), oldest
         first. A dir with a higher number than the meta pointer is the
         orphan of a crashed, never-committed write — not a snapshot."""
+        name = self.resolve(name)
         current = self.meta(name).version
         return [v for v in self._versions_on_disk(name) if v <= current]
 
     def read_version(self, name: str, version: int) -> DataFrame:
         """Time travel: read a retained historical snapshot."""
+        name = self.resolve(name)
         path = self._data_dir_v(name, version)
         if version > self.meta(name).version or not os.path.isdir(path):
             raise ValueError(
@@ -133,6 +211,7 @@ class CollectionCatalog:
         plus any uncommitted orphan dirs from crashed writes. Files shared
         with surviving versions are hardlinks, so only bytes unique to the
         dropped snapshots are reclaimed. Returns removed versions."""
+        name = self.resolve(name)
         if keep < 1:
             raise ValueError("keep must be >= 1")
         current = self.meta(name).version
@@ -160,6 +239,8 @@ class CollectionCatalog:
     def create(self, name: str, dim: int, metric: str = "l2", id_type: str = "long",
                n_buckets: int = DEFAULT_BUCKETS, if_not_exists: bool = True) -> CollectionMeta:
         """U1: create collection (idempotent, /root/reference/insert.py:68-73)."""
+        if name in self.list_aliases():
+            raise ValueError(f"{name!r} is an alias; pick another name")
         if self.exists(name):
             if if_not_exists:
                 return self.meta(name)
@@ -171,15 +252,23 @@ class CollectionCatalog:
         return meta
 
     def drop(self, name: str) -> bool:
-        """U3: delete collection (/root/reference/test_qdrant.py:92)."""
+        """U3: delete collection (/root/reference/test_qdrant.py:92).
+        Takes the PHYSICAL name (dropping through an alias would be a foot
+        gun); aliases pointing at the dropped collection go with it, as in
+        Qdrant."""
         if not self.exists(name):
             return False
         shutil.rmtree(self._dir(name))
+        aliases = self.list_aliases()
+        survivors = {a: c for a, c in aliases.items() if c != name}
+        if len(survivors) != len(aliases):
+            self._write_aliases(survivors)
         return True
 
     def create_from(self, name: str, source: str) -> CollectionMeta:
         """U4: copy-init — new collection seeded from an existing one
         (InitFrom, /root/reference/test_qdrant.py:128-133). CTAS shape."""
+        source = self.resolve(source)
         src_meta = self.meta(source)
         meta = self.create(name, src_meta.dim, src_meta.metric, src_meta.id_type,
                            src_meta.n_buckets, if_not_exists=False)
@@ -212,6 +301,7 @@ class CollectionCatalog:
         makes the mandatory tenant filter O(tenant) instead of O(table) at
         100 TB.
         """
+        name = self.resolve(name)
         meta = self.meta(name)
         df = self.read(name)
         if "__bucket" not in df.columns:
@@ -227,6 +317,7 @@ class CollectionCatalog:
         )
 
     def read(self, name: str) -> DataFrame:
+        name = self.resolve(name)
         data = self._current_data_dir(name)
         if data is None or not os.path.isdir(data):
             meta = self.meta(name)
@@ -332,6 +423,7 @@ class CollectionCatalog:
         non-empty collection's (silent schema drift previously replaced the
         whole table with just the batch).
         """
+        name = self.resolve(name)
         self.last_upsert_probe = None  # telemetry is per-call, never stale
         new_rows = self._validate(name, new_rows).cache()
         existing = self.read(name)
@@ -510,6 +602,7 @@ class CollectionCatalog:
         finds the matched count + affected buckets; only those bucket
         partitions are re-read (pruned) and rewritten.
         """
+        name = self.resolve(name)
         if not self._has_data(name):
             return 0
         df = self.read(name)
@@ -549,6 +642,7 @@ class CollectionCatalog:
         ``upsert`` (re-embedding must go through the dim check), id
         rewrites would break LWW identity.
         """
+        name = self.resolve(name)
         meta = self.meta(name)
         forbidden = {"id", "id_str", "embedding"} & set(values)
         if forbidden:
@@ -595,6 +689,7 @@ class CollectionCatalog:
     def count_where(self, name: str, predicate=None) -> int:
         """Filtered point count — Qdrant's ``/points/count``. A pruned scan
         (the predicate pushes to the bucket files); no data movement."""
+        name = self.resolve(name)
         if not self._has_data(name):
             return 0
         df = self.read(name)
@@ -611,6 +706,7 @@ class CollectionCatalog:
         On Delta this is OPTIMIZE; here it is the same bucket-scoped swap the
         DML path uses.
         """
+        name = self.resolve(name)
         data = self._current_data_dir(name)
         if data is None or not os.path.isdir(data):
             return 0
@@ -666,6 +762,7 @@ class CollectionCatalog:
         are immutable (updates commit NEW ``data.v{n}`` dirs), so the
         hardlinked snapshot can never observe a partial write; the staging
         dir + final rename makes snapshot publication itself atomic."""
+        name = self.resolve(name)
         meta = self.meta(name)
         os.makedirs(snapshots_root, exist_ok=True)
         snap = os.path.join(snapshots_root, f"{name}.v{meta.version}.snapshot")
@@ -695,6 +792,8 @@ class CollectionCatalog:
         unchanged, so reads and upserts behave exactly as on the source."""
         with open(os.path.join(snapshot_dir, "meta.json")) as f:
             smeta = json.load(f)
+        if name in self.list_aliases():
+            raise ValueError(f"{name!r} is an alias; restore to a new name")
         if self.exists(name):
             if not overwrite:
                 raise ValueError(
