@@ -687,3 +687,60 @@ def test_alias_guards_and_cleanup(catalog, spark, tmp_path):
     catalog.create_alias("z", "a2")
     assert catalog.drop("z") is False
     assert catalog.exists("a2")
+
+
+def test_named_vectors_create_upsert_search(catalog, spark):
+    """Qdrant named vectors: per-name dims, independent checks, per-name
+    search via vector_col; points may omit a named vector (null)."""
+    from vectordb_cloud_spark.operators.knn import knn_search
+
+    catalog.create("nv", dim=2, vectors={"title": 2, "body": 4})
+    assert catalog.meta("nv").vectors == {"title": 2, "body": 4}
+    df = spark.createDataFrame(
+        [(1, [1.0, 1.0], [1.0, 0.0], [1.0, 0.0, 0.0, 0.0], "a", 1),
+         (2, [2.0, 2.0], [0.0, 1.0], None, "b", 1)],
+        "id long, embedding array<float>, vec_title array<float>, "
+        "vec_body array<float>, text string, user_id long",
+    )
+    catalog.upsert("nv", df)
+    pts = catalog.read("nv")
+    hits = knn_search(pts, [1.0, 0.1], k=1, vector_col="vec_title",
+                      tiebreak="id")
+    assert hits.first()["id"] == 1
+    # the null body vector never crashes a body search; non-null rows rank
+    hits = knn_search(pts.filter("vec_body is not null"), [1.0, 0.0, 0.0, 0.0],
+                      k=1, vector_col=catalog.vector_col_of("body"), tiebreak="id")
+    assert hits.first()["id"] == 1
+
+
+def test_named_vectors_dim_checked_per_name(catalog, spark):
+    catalog.create("nv2", dim=2, vectors={"title": 3})
+    bad = spark.createDataFrame(
+        [(1, [1.0, 1.0], [1.0, 2.0], "a", 1)],  # title dim 2 != 3
+        "id long, embedding array<float>, vec_title array<float>, "
+        "text string, user_id long",
+    )
+    with pytest.raises(ValueError, match="dim mismatch"):
+        catalog.upsert("nv2", bad)
+    # the unnamed vector is still checked too
+    bad2 = spark.createDataFrame(
+        [(1, [1.0, 1.0, 1.0], [1.0, 2.0, 3.0], "a", 1)],
+        "id long, embedding array<float>, vec_title array<float>, "
+        "text string, user_id long",
+    )
+    with pytest.raises(ValueError, match="dim mismatch"):
+        catalog.upsert("nv2", bad2)
+    # named vector columns are refused by set_payload
+    ok = spark.createDataFrame(
+        [(1, [1.0, 1.0], [1.0, 2.0, 3.0], "a", 1)],
+        "id long, embedding array<float>, vec_title array<float>, "
+        "text string, user_id long",
+    )
+    catalog.upsert("nv2", ok)
+    with pytest.raises(ValueError, match="upsert"):
+        catalog.update_payload("nv2", {"vec_title": None})
+    # copy-init carries the named-vector config
+    catalog.create_from("nv2_copy", "nv2")
+    assert catalog.meta("nv2_copy").vectors == {"title": 3}
+    with pytest.raises(ValueError):
+        catalog.create("nv3", dim=2, vectors={"bad": 0})

@@ -48,6 +48,12 @@ class CollectionMeta:
     id_type: str = "long"  # "long" | "string" (uuid ids, test_qdrant.py:55)
     n_buckets: int = DEFAULT_BUCKETS
     version: int = 0  # 0 = never written; data lives in data.v{version}
+    # named vectors (Qdrant vectors_config with named VectorParams): maps
+    # vector name -> dim. Stored as ``vec_{name}`` columns (a prefix keeps
+    # the vector namespace disjoint from payload columns, mirroring
+    # Qdrant's separate vector/payload namespaces). None = the classic
+    # single unnamed vector in the ``embedding`` column at ``dim``.
+    vectors: dict | None = None
 
 
 class CollectionCatalog:
@@ -237,15 +243,29 @@ class CollectionCatalog:
 
     # -- DDL ----------------------------------------------------------------
     def create(self, name: str, dim: int, metric: str = "l2", id_type: str = "long",
-               n_buckets: int = DEFAULT_BUCKETS, if_not_exists: bool = True) -> CollectionMeta:
-        """U1: create collection (idempotent, /root/reference/insert.py:68-73)."""
+               n_buckets: int = DEFAULT_BUCKETS, if_not_exists: bool = True,
+               vectors: dict | None = None) -> CollectionMeta:
+        """U1: create collection (idempotent, /root/reference/insert.py:68-73).
+
+        ``vectors`` adds NAMED vectors (Qdrant ``vectors_config`` with named
+        ``VectorParams``): ``{"text": 384, "image": 512}`` declares per-name
+        dims, stored as ``vec_text``/``vec_image`` columns and dim-checked
+        independently on every write; points may omit any named vector
+        (null), as in Qdrant. The unnamed ``embedding``/``dim`` vector stays
+        available alongside."""
         if name in self.list_aliases():
             raise ValueError(f"{name!r} is an alias; pick another name")
         if self.exists(name):
             if if_not_exists:
                 return self.meta(name)
             raise ValueError(f"collection {name!r} already exists")
-        meta = CollectionMeta(name, dim, metric, id_type, n_buckets)
+        if vectors is not None:
+            vectors = {str(k): int(v) for k, v in vectors.items()}
+            for k, v in vectors.items():
+                if v <= 0:
+                    raise ValueError(f"named vector {k!r} needs a positive dim")
+        meta = CollectionMeta(name, dim, metric, id_type, n_buckets,
+                              vectors=vectors)
         os.makedirs(self._dir(name), exist_ok=True)
         with open(os.path.join(self._dir(name), META_FILE), "w") as f:
             json.dump(asdict(meta), f)
@@ -271,7 +291,8 @@ class CollectionCatalog:
         source = self.resolve(source)
         src_meta = self.meta(source)
         meta = self.create(name, src_meta.dim, src_meta.metric, src_meta.id_type,
-                           src_meta.n_buckets, if_not_exists=False)
+                           src_meta.n_buckets, if_not_exists=False,
+                           vectors=src_meta.vectors)
         src_data = self._current_data_dir(source)
         if src_data is not None and os.path.isdir(src_data):
             df = self.spark.read.parquet(src_data)
@@ -280,15 +301,34 @@ class CollectionCatalog:
 
     # -- data ----------------------------------------------------------------
     def _validate(self, name: str, df: DataFrame) -> DataFrame:
-        """Checked vector dim on every write (fixes SURVEY.md §1.2 hole)."""
+        """Checked vector dim on every write (fixes SURVEY.md §1.2 hole).
+        With named vectors, every present ``vec_{name}`` column is checked
+        against its own dim in ONE pass (null = point omits that vector,
+        allowed exactly as in Qdrant); absent columns are fine."""
         meta = self.meta(name)
+        checks = []
         if "embedding" in df.columns:
-            bad = df.filter(F.size("embedding") != meta.dim).limit(1).count()
-            if bad:
-                raise ValueError(
-                    f"collection {name!r} expects dim={meta.dim}; got a row with a different size"
-                )
+            checks.append(("embedding", meta.dim))
+        for vname, vdim in (meta.vectors or {}).items():
+            col = self.vector_col_of(vname)
+            if col in df.columns:
+                checks.append((col, int(vdim)))
+        bad_pred = None
+        for col, dim in checks:
+            p = F.col(col).isNotNull() & (F.size(col) != dim)
+            bad_pred = p if bad_pred is None else bad_pred | p
+        if bad_pred is not None and df.filter(bad_pred).limit(1).count():
+            raise ValueError(
+                f"collection {name!r} vector dim mismatch (expected "
+                f"{dict(checks)}); got a row with a different size"
+            )
         return df
+
+    @staticmethod
+    def vector_col_of(vector_name: str) -> str:
+        """Column holding a named vector (search with
+        ``knn_search(..., vector_col=catalog.vector_col_of("text"))``)."""
+        return f"vec_{vector_name}"
 
     def _write(self, name: str, df: DataFrame, mode: str = "overwrite") -> None:
         self._swap_in(name, df.drop("__bucket"))
@@ -322,10 +362,14 @@ class CollectionCatalog:
         if data is None or not os.path.isdir(data):
             meta = self.meta(name)
             id_field = "id string" if meta.id_type == "string" else "id long"
+            named = "".join(
+                f", {self.vector_col_of(v)} array<float>"
+                for v in sorted(meta.vectors or {})
+            )
             return self.spark.createDataFrame(
                 [],
                 f"{id_field}, embedding array<float>, text_id long, text string, "
-                "user_id long, site string, lang string",
+                f"user_id long, site string, lang string{named}",
             )
         return self.spark.read.parquet(data)
 
@@ -644,7 +688,8 @@ class CollectionCatalog:
         """
         name = self.resolve(name)
         meta = self.meta(name)
-        forbidden = {"id", "id_str", "embedding"} & set(values)
+        named_vec_cols = {self.vector_col_of(v) for v in (meta.vectors or {})}
+        forbidden = ({"id", "id_str", "embedding"} | named_vec_cols) & set(values)
         if forbidden:
             raise ValueError(
                 f"update_payload cannot touch {sorted(forbidden)}: vectors "
