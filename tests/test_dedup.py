@@ -255,3 +255,74 @@ def test_embedding_near_dup_lsh_compound_buckets_recall_and_pruning(spark, embed
         .select("l.vec_id", "r.vec_id").distinct().count()
     )
     assert n_cand <= 0.15 * n * (n - 1) / 2, f"candidates {n_cand} vs n²/2"
+
+
+def test_line_dedup_removes_cross_doc_boilerplate(spark):
+    from vectordb_cloud_spark.operators.dedup import line_dedup_corpus
+
+    banner = "This site uses cookies to improve your experience"
+    footer = "Copyright 2020 Example Corp All rights reserved"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{banner}\nunique alpha content line one\n{footer}"),
+            (2, f"{banner}\nunique beta content line two\n{footer}"),
+            (3, f"{banner}\nunique gamma content line three\n{footer}"),
+            (4, "standalone document with its own words entirely"),
+            (5, f"{banner}\n{footer}"),  # all boilerplate
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"]
+           for r in line_dedup_corpus(docs, min_repeats=3).collect()}
+    assert out[1] == "unique alpha content line one"
+    assert out[2] == "unique beta content line two"
+    assert out[3] == "unique gamma content line three"
+    assert out[4] == "standalone document with its own words entirely"
+    assert out[5] == ""            # survives as a row, text emptied
+    assert len(out) == 5
+
+
+def test_line_dedup_threshold_and_short_line_exemption(spark):
+    from vectordb_cloud_spark.operators.dedup import line_dedup_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (1, "repeated exactly twice across documents\nkeep one"),
+            (2, "repeated exactly twice across documents\nkeep two"),
+            (3, "---\nshort sep stays\n---"),
+            (4, "---\nanother with seps\n---"),
+            (5, "---\nthird with seps\n---"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"]
+           for r in line_dedup_corpus(docs, min_repeats=3).collect()}
+    # 2 repeats < min_repeats=3: kept
+    assert "repeated exactly twice" in out[1] and "keep one" in out[1]
+    # "---" repeats 6x but is under min_line_chars: exempt
+    assert out[3].count("---") == 2
+    # order within a doc is preserved
+    assert out[3].splitlines() == ["---", "short sep stays", "---"]
+
+
+def test_line_dedup_matches_python_truth_on_fixture(documents):
+    from vectordb_cloud_spark.operators.dedup import line_dedup_corpus
+
+    rows = documents.limit(60).select("doc_id", "text").collect()
+    import collections
+    counts = collections.Counter()
+    for r in rows:
+        for ln in set(l for l in r["text"].split("\n") if len(l) >= 10):
+            counts[ln] += 1
+    boiler = {ln for ln, c in counts.items() if c >= 3}
+    want = {
+        r["doc_id"]: "\n".join(
+            l for l in r["text"].split("\n")
+            if len(l) < 10 or l not in boiler
+        )
+        for r in rows
+    }
+    sub = documents.limit(60).select("doc_id", "text")
+    got = {r["doc_id"]: r["text"]
+           for r in line_dedup_corpus(sub, min_repeats=3).collect()}
+    assert got == want

@@ -176,3 +176,20 @@ def test_curate_corpus_gopher_rules_drop_violators(spark):
     strict = curate_corpus(docs, min_quality=None, min_tokens=None,
                            gopher_rules=True, near_dup=False)
     assert {r["doc_id"] for r in strict.collect()} == {1}
+
+
+def test_curate_corpus_line_dedup_stage(spark):
+    from vectordb_cloud_spark.pipeline import curate_corpus
+
+    banner = "subscribe to our newsletter for the latest updates today"
+    docs = spark.createDataFrame(
+        [(i, f"{banner}\nthe quick brown fox runs over document number {i} "
+             "with plenty of ordinary english words to pass the quality bar")
+         for i in range(6)],
+        "doc_id long, text string",
+    )
+    out = curate_corpus(docs, near_dup=False, eval_set=None,
+                        line_dedup_min_repeats=3)
+    texts = [r["text"] for r in out.collect()]
+    assert texts and all(banner not in t for t in texts)
+    assert all("quick brown fox" in t for t in texts)

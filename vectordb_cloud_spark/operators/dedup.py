@@ -516,3 +516,70 @@ def embedding_near_dup(
         .filter(F.col("__cos_raw") >= threshold)
         .select("id_a", "id_b", F.round("__cos_raw", 6).alias("cosine"))
     )
+
+
+def line_dedup_corpus(
+    docs: DataFrame,
+    min_repeats: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_chars: int = 10,
+) -> DataFrame:
+    """Line-level boilerplate removal — the C4/RefinedWeb curation step the
+    document-level dedup family can't express: a LINE that repeats across
+    ``min_repeats``+ distinct documents (nav bars, cookie banners, license
+    footers) is dropped from every document; the documents themselves
+    survive with the surviving lines re-joined in original order.
+
+    Plan shape (all JVM, two shuffles, both on skinny rows):
+      1. ``posexplode(split(text, '\\n'))`` → (doc, pos, line) rows.
+      2. boilerplate = group by ``xxhash64(line)`` (the 64-bit key keeps
+         the shuffle narrow; full text never moves twice), count DISTINCT
+         docs, keep hashes with count >= min_repeats — at corpus scale
+         this aggregate is the whole cost, and it's a partial-agg
+         (map-side combine) shuffle of (hash, doc) pairs.
+      3. left-anti join lines against the (broadcastable, boilerplate-only)
+         hash set, then ``sort_array(collect_list(struct(pos, line)))`` per
+         doc to rebuild text in order.
+
+    Lines shorter than ``min_line_chars`` are exempt (short lines — "",
+    "---", headings — repeat naturally and carry no boilerplate signal;
+    same motivation as C4's three-sentence rule). Documents whose every
+    line was boilerplate come back with empty text rather than vanishing,
+    so downstream joins keep their row count.
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    eligible = lines.filter(F.length("line") >= min_line_chars)
+    boilerplate = (
+        eligible.groupBy(F.xxhash64("line").alias("line_hash"))
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_repeats)
+        .select("line_hash")
+    )
+    kept = lines.join(
+        F.broadcast(boilerplate),
+        (F.xxhash64("line") == F.col("line_hash"))
+        & (F.length("line") >= min_line_chars),
+        "left_anti",
+    )
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s.getField("line"),
+                ),
+                "\n",
+            ).alias(text_col)
+        )
+    )
+    # every-line-boilerplate docs: restore with empty text
+    return (
+        docs.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .fillna({text_col: ""})
+    )

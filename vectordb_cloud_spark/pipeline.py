@@ -46,6 +46,7 @@ def curate_corpus(
     near_dup: bool = True,
     jaccard_threshold: float = 0.8,
     scrub_pii: bool = False,
+    line_dedup_min_repeats: int | None = None,
 ) -> DataFrame:
     """Filter + dedup a document corpus for training.
 
@@ -67,6 +68,17 @@ def curate_corpus(
         from vectordb_cloud_spark.functions.pii import scrub_corpus
 
         docs = scrub_corpus(docs, text_col=text_col)
+    if line_dedup_min_repeats is not None:
+        # cross-doc boilerplate lines go FIRST: they would otherwise
+        # inflate quality/token stats and glue unrelated docs together in
+        # the n-gram near-dup stage (shared banners = shared shingles)
+        from vectordb_cloud_spark.operators.dedup import line_dedup_corpus
+
+        cleaned = line_dedup_corpus(
+            docs, min_repeats=line_dedup_min_repeats,
+            id_col=id_col, text_col=text_col,
+        )
+        docs = docs.drop(text_col).join(cleaned, id_col)
     annotated = docs.withColumn("quality", quality_score(text_col)).withColumn(
         "n_tokens", token_count(text_col)
     ).withColumn("lang_pred", lang_id_expr(text_col))
