@@ -160,3 +160,26 @@ def test_create_app_import_gate(spark, tmp_path):
         paths = {r.path for r in app.routes}
         assert {"/insert", "/search", "/remove_by_user", "/remove_all_by_word",
                 "/remove_all_by_regex", "/get_category_for_title"} <= paths
+
+
+def test_count_and_filter_dsl_over_http(server):
+    """Qdrant-surface extensions over the same socket: /count and the
+    filter DSL document URL-encoded into /search?filter=..."""
+    _get(server, "/insert", id=1, user_id=9, text="red apple pie", site="a", lang="en")
+    _get(server, "/insert", id=2, user_id=9, text="green apple tart", site="b", lang="en")
+    _get(server, "/insert", id=3, user_id=9, text="red brick wall", site="a", lang="de")
+    status, body = _get(server, "/count", user_id=9)
+    assert (status, body) == (200, {"count": 3})
+    status, body = _get(server, "/count", user_id=9, word="apple")
+    assert body == {"count": 2}
+    flt = json.dumps({"must": [{"key": "site", "match": {"value": "a"}}],
+                      "must_not": [{"key": "lang", "match": {"value": "de"}}]})
+    status, body = _get(server, "/count", user_id=9, filter=flt)
+    assert body == {"count": 1}
+    status, body = _get(server, "/search", user_id=9, text="apple", limit=5,
+                        filter=flt)
+    assert status == 200 and [h["id"] for h in body] == [1]
+    # bad JSON -> the 422/10422 envelope, same as every validation failure
+    status, body = _get(server, "/search", user_id=9, text="x", limit=5,
+                        filter="{not json")
+    assert status == 422 and body["status_code"] == 10422

@@ -90,12 +90,26 @@ def _routes(service: VectorService) -> dict[str, Callable[[dict[str, str]], Any]
         p = _coerce(params, [
             ("user_id", int, _MISSING), ("text", str, _MISSING),
             ("limit", int, _MISSING), ("site", str, None), ("lang", str, None),
+            ("filter", str, None),
         ])
-        hits = service.search(p["user_id"], p["text"], p["limit"], p["site"], p["lang"])
+        hits = service.search(p["user_id"], p["text"], p["limit"], p["site"],
+                              p["lang"], query_filter=_parse_filter(p["filter"]))
         return [
             {"id": r["id"], "string": r["string"], "score": r["score"]}
             for r in hits.collect()
         ]
+
+    def count(params):
+        # Qdrant POST /collections/{c}/points/count, tenant-scoped like
+        # every endpoint here; `filter` takes the same DSL document as
+        # /search
+        p = _coerce(params, [
+            ("user_id", int, _MISSING), ("word", str, None),
+            ("filter", str, None),
+        ])
+        return {"count": service.count(
+            p["user_id"], p["word"], query_filter=_parse_filter(p["filter"])
+        )}
 
     def remove_by_user(params):
         p = _coerce(params, [("user_id", int, _MISSING)])
@@ -124,7 +138,23 @@ def _routes(service: VectorService) -> dict[str, Callable[[dict[str, str]], Any]
         "/remove_all_by_word": remove_all_by_word,
         "/remove_all_by_regex": remove_all_by_regex,
         "/get_category_for_title": get_category_for_title,
+        "/count": count,
     }
+
+
+def _parse_filter(raw: str | None) -> dict | None:
+    """Decode the optional `filter` query param (a Qdrant filter JSON
+    document, URL-encoded). Bad JSON is a 422, same envelope as every
+    other validation failure."""
+    if raw is None or raw == "":
+        return None
+    try:
+        spec = json.loads(raw)
+    except json.JSONDecodeError as exc:
+        raise ValidationError(f"filter must be valid JSON: {exc}") from exc
+    if not isinstance(spec, dict):
+        raise ValidationError("filter must be a JSON object")
+    return spec
 
 
 def _validation_body(message: str) -> dict:
