@@ -1,0 +1,108 @@
+"""Universal query API: every dispatch branch against its ground truth."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_cloud_spark.query_api import dbsf_fuse, query_points
+
+
+@pytest.fixture(scope="module")
+def emb_rows(embeddings):
+    return [(r["vec_id"], np.array(r["embedding"], dtype=np.float64))
+            for r in embeddings.collect()]
+
+
+def _vec(emb_rows, vid):
+    return dict(emb_rows)[vid].tolist()
+
+
+def test_plain_vector_query_equals_knn(embeddings, emb_rows):
+    from vectordb_cloud_spark.operators.knn import knn_search
+
+    q = _vec(emb_rows, 0)
+    got = query_points(embeddings, query=q, limit=5,
+                       query_filter={"must": [{"key": "vec_id",
+                                               "range": {"gt": 0}}]})
+    want = knn_search(embeddings, q, k=5, filters=F.col("vec_id") > 0,
+                      tiebreak="vec_id")
+    assert [r["vec_id"] for r in got.collect()] == \
+        [r["vec_id"] for r in want.collect()]
+
+
+def test_scroll_sample_recommend_discover_branches(embeddings, emb_rows):
+    # scroll page
+    page = query_points(embeddings, limit=4)
+    assert [r["vec_id"] for r in page.collect()] == [0, 1, 2, 3]
+    # random sample: deterministic per seed, filter respected
+    s1 = query_points(embeddings, {"sample": "random"}, limit=5, seed=3,
+                      query_filter={"must": [{"key": "label",
+                                              "match": {"value": 3}}]})
+    s2 = query_points(embeddings, {"sample": "random"}, limit=5, seed=3,
+                      query_filter={"must": [{"key": "label",
+                                              "match": {"value": 3}}]})
+    r1, r2 = s1.collect(), s2.collect()
+    assert [r["vec_id"] for r in r1] == [r["vec_id"] for r in r2]
+    assert all(r["label"] == 3 for r in r1)
+    # recommend delegates (mean-difference query, examples excluded)
+    rec = query_points(embeddings, {"recommend": {"positive": [0, 1],
+                                                  "negative": [2]}}, limit=5)
+    ids = [r["vec_id"] for r in rec.collect()]
+    assert len(ids) == 5 and not {0, 1, 2} & set(ids)
+    # discover delegates
+    disc = query_points(embeddings, {"discover": {
+        "target": _vec(emb_rows, 0),
+        "context": [{"positive": _vec(emb_rows, 1),
+                     "negative": _vec(emb_rows, 2)}],
+    }}, limit=5)
+    assert disc.count() == 5 and "context_score" in disc.columns
+
+
+def test_prefetch_rescore_two_stage(embeddings, emb_rows):
+    q = _vec(emb_rows, 0)
+    out = query_points(
+        embeddings, query=q,
+        prefetch=[{"query": q, "limit": 50}],
+        limit=5,
+        query_filter={"must": [{"key": "vec_id", "range": {"gt": 0}}]},
+    ).collect()
+    # candidates covered the true top-5, so two-stage == exact
+    truth = sorted(
+        ((float(np.linalg.norm(v - np.array(q))), vid)
+         for vid, v in emb_rows if vid > 0)
+    )[:5]
+    assert [r["vec_id"] for r in out] == [vid for _, vid in truth]
+
+
+def test_prefetch_rrf_and_dbsf_fusion(embeddings, emb_rows):
+    q0, q1 = _vec(emb_rows, 0), _vec(emb_rows, 1)
+    pre = [{"query": q0, "limit": 10}, {"query": q1, "limit": 10}]
+    rrf = query_points(embeddings, {"fusion": "rrf"}, prefetch=pre, limit=5)
+    assert rrf.count() == 5 and "rrf_score" in rrf.columns
+    # both self-hits rank at the very top of their own lists -> both fused in
+    top_ids = {r["vec_id"] for r in rrf.collect()}
+    assert {0, 1} <= top_ids
+    dbsf = query_points(embeddings, {"fusion": "dbsf"}, prefetch=pre, limit=5)
+    assert dbsf.count() == 5 and "dbsf_score" in dbsf.columns
+    assert {0, 1} <= {r["vec_id"] for r in dbsf.collect()}
+
+
+def test_dbsf_normalization_direction(spark):
+    # lower dist must mean higher fused score
+    a = spark.createDataFrame([(1, 0.1), (2, 1.0), (3, 2.0)],
+                              "vec_id long, dist double")
+    fused = dbsf_fuse([a], k=3)
+    assert [r["vec_id"] for r in fused.collect()] == [1, 2, 3]
+
+
+def test_query_api_errors(embeddings):
+    with pytest.raises(ValueError, match="fusion"):
+        query_points(embeddings, {"fusion": "bogus"},
+                     prefetch=[{"query": [0.0] * 64}])
+    with pytest.raises(ValueError, match="prefetch requires"):
+        query_points(embeddings, {"sample": "random"},
+                     prefetch=[{"query": [0.0] * 64}])
+    with pytest.raises(ValueError, match="'query'"):
+        query_points(embeddings, {"fusion": "rrf"}, prefetch=[{"limit": 5}])
+    with pytest.raises(ValueError, match="unsupported query"):
+        query_points(embeddings, query=42)
