@@ -118,6 +118,14 @@ def main():
         lambda: noop_write(scrub_corpus(docs))
     )
 
+    # line-level boilerplate dedup (r8 curation stage): two skinny-row
+    # shuffles (line-hash counts, per-doc rebuild) — linear in corpus lines
+    from vectordb_cloud_spark.operators.dedup import line_dedup_corpus
+
+    results["line_dedup_corpus"] = timed_median(
+        lambda: noop_write(line_dedup_corpus(docs, min_repeats=3))
+    )
+
     # real lexical embeddings (hashed TF-IDF + signed random projection,
     # all JVM-side) — the weights-free executable twin of the reference's
     # embed->search path. Embedding the corpus is ingest work (persist
