@@ -183,3 +183,31 @@ def test_count_and_filter_dsl_over_http(server):
     status, body = _get(server, "/search", user_id=9, text="x", limit=5,
                         filter="{not json")
     assert status == 422 and body["status_code"] == 10422
+
+
+def test_collection_info_and_index_endpoints(server):
+    """Payload-index DDL + collection info over the same socket (Qdrant
+    PUT /collections/{c}/index, GET /collections/{c}, flattened to this
+    app's GET convention)."""
+    _get(server, "/insert", id=1, user_id=4, text="alpha", site="s1", lang="en")
+    _get(server, "/insert", id=2, user_id=4, text="beta", site="s2", lang="en")
+    status, info = _get(server, "/collection_info")
+    assert status == 200 and info["points_count"] == 2
+    assert info["payload_schema"] == {}
+
+    status, body = _get(server, "/create_index", field="site", schema="keyword")
+    assert status == 200 and body["payload_indexes"] == {"site": "keyword"}
+    status, info = _get(server, "/collection_info")
+    assert info["payload_schema"]["site"]["data_type"] == "keyword"
+    assert info["payload_schema"]["site"]["points"] == 2
+
+    # results unchanged under the re-clustered layout
+    status, body = _get(server, "/count", user_id=4,
+                        filter=json.dumps({"must": [{"key": "site", "match": {"value": "s1"}}]}))
+    assert body == {"count": 1}
+
+    status, body = _get(server, "/delete_index", field="site")
+    assert status == 200 and body["payload_indexes"] == {}
+    # bad schema type -> 422 envelope
+    status, body = _get(server, "/create_index", field="site", schema="btree")
+    assert status == 422 and body["status_code"] == 10422

@@ -149,6 +149,24 @@ class VectorService:
             pred = pred & F.col("text").contains(word)
         return self.catalog.update_payload(self.index_name, values, pred)
 
+    def info(self) -> dict:
+        """Qdrant GET /collections/{name} over the service's collection."""
+        return self.catalog.collection_info(self.index_name)
+
+    def create_index(self, field: str, field_schema: str = "keyword") -> dict:
+        """Qdrant PUT /collections/{name}/index: declare a payload field
+        indexed (re-clusters the collection's file layout by it)."""
+        meta = self.catalog.create_payload_index(
+            self.index_name, field, field_schema)
+        return {"result": {"status": "completed"},
+                "payload_indexes": dict(meta.payload_indexes or {})}
+
+    def delete_index(self, field: str) -> dict:
+        """Qdrant DELETE /collections/{name}/index/{field}."""
+        meta = self.catalog.drop_payload_index(self.index_name, field)
+        return {"result": {"status": "completed"},
+                "payload_indexes": dict(meta.payload_indexes or {})}
+
     # 422 validation contract (/root/reference/app.py:28-33): coercion
     # failures return {status_code: 10422, message, data: None} instead of
     # raising — the FastAPI handler's observable shape.

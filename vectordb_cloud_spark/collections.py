@@ -39,6 +39,16 @@ ALIASES_FILE = "_aliases.json"  # catalog-level alias -> collection map
 DATA_DIR = "data"
 DEFAULT_BUCKETS = 32  # tenant-hash partition count; at 100 TB raise toward 1024
 
+# Payload-index layout: files per __bucket dir when at least one payload
+# field is indexed. More files = finer stats granularity (more skipping)
+# but more open() calls per unpruned scan; at 100 TB this should track
+# bucket size so each file stays in the 128 MB - 1 GB band.
+INDEX_FILES_PER_BUCKET = 4
+# Qdrant payload-index schema types (PUT /collections/{c}/index field_schema)
+PAYLOAD_INDEX_TYPES = {"keyword", "integer", "float", "bool", "datetime",
+                       "text", "uuid", "geo"}
+_RESERVED_FIELDS = {"id", "embedding", "__bucket"}
+
 
 @dataclass
 class CollectionMeta:
@@ -54,6 +64,13 @@ class CollectionMeta:
     # Qdrant's separate vector/payload namespaces). None = the classic
     # single unnamed vector in the ``embedding`` column at ``dim``.
     vectors: dict | None = None
+    # payload field indexes (Qdrant PUT /collections/{c}/index): maps
+    # field name -> schema type ("keyword", "integer", ...). Spark-first,
+    # an index here is not a secondary structure but a CLUSTERED FILE
+    # LAYOUT: every write range-clusters rows by the indexed fields within
+    # each __bucket, so filter predicates on them skip whole files via
+    # parquet min/max footer stats.
+    payload_indexes: dict | None = None
 
 
 class CollectionCatalog:
@@ -293,6 +310,11 @@ class CollectionCatalog:
         meta = self.create(name, src_meta.dim, src_meta.metric, src_meta.id_type,
                            src_meta.n_buckets, if_not_exists=False,
                            vectors=src_meta.vectors)
+        if src_meta.payload_indexes:
+            # carry index declarations BEFORE the data write so the CTAS
+            # lands already clustered
+            meta.payload_indexes = dict(src_meta.payload_indexes)
+            self._write_meta(name, meta)
         src_data = self._current_data_dir(source)
         if src_data is not None and os.path.isdir(src_data):
             df = self.spark.read.parquet(src_data)
@@ -559,6 +581,29 @@ class CollectionCatalog:
             self._swap_in(name, merged)
         new_rows.unpersist()
 
+    def _cluster_for_indexes(self, out: DataFrame, meta: CollectionMeta,
+                             n_bucket_dirs: int) -> DataFrame | None:
+        """Apply the payload-index clustered layout to a bucketed write.
+
+        Range-partition on ``(__bucket, *indexed_fields)`` so each output
+        task — hence each parquet file — covers a contiguous slice of the
+        indexed fields' value space inside its bucket; a range partition may
+        straddle a bucket boundary, but the writer splits it per dir and
+        each resulting file still covers one contiguous slice. Rows inside a
+        file stay id-sorted, keeping the upsert probe's id row-group
+        skipping while the FILE-level field stats stay tight. Returns None
+        when no indexed field is present (caller keeps its default path).
+        """
+        fields = [f for f in sorted(meta.payload_indexes or {})
+                  if f in out.columns]
+        if not fields:
+            return None
+        n_parts = max(1, n_bucket_dirs * INDEX_FILES_PER_BUCKET)
+        out = out.repartitionByRange(
+            n_parts, F.col("__bucket"), *[F.col(f) for f in fields])
+        sort_cols = ["__bucket"] + (["id"] if "id" in out.columns else [])
+        return out.sortWithinPartitions(*sort_cols)
+
     def _swap_in(self, name: str, df: DataFrame) -> None:
         """Write a full new table image as the next snapshot version, then
         atomically advance the meta pointer. In-flight readers of the prior
@@ -572,6 +617,9 @@ class CollectionCatalog:
             # so an uncast hash here would land an int-typed first batch in
             # buckets read_for_user's long-hash probe can never find
             out = df.withColumn("__bucket", self._bucket_of(meta.n_buckets))
+            clustered = self._cluster_for_indexes(out, meta, meta.n_buckets)
+            if clustered is not None:
+                out = clustered
             out.write.mode("overwrite").partitionBy("__bucket").parquet(staging)
             # a fully-empty partitioned write leaves no data files -> the dir
             # becomes unreadable; fall back to a schema-only unpartitioned file
@@ -608,7 +656,10 @@ class CollectionCatalog:
         new_dir = self._data_dir_v(name, new_v)
         staging = new_dir + ".staging"
         out = df.withColumn("__bucket", self._bucket_of(meta.n_buckets))
-        if "id" in df.columns:
+        clustered = self._cluster_for_indexes(out, meta, len(buckets))
+        if clustered is not None:
+            out = clustered
+        elif "id" in df.columns:
             # id-ordered row groups: parquet min/max stats then skip row
             # groups on id lookups — upsert's stale-bucket probe and
             # delete_by_ids read a fraction of each touched file
@@ -742,6 +793,103 @@ class CollectionCatalog:
             df = df.filter(F.coalesce(predicate, F.lit(False)))
         return df.count()
 
+    # -- payload field indexes ---------------------------------------------
+    # Qdrant PUT /collections/{c}/index declares a payload field as indexed
+    # so filtered searches stop scanning the whole segment set (the filter
+    # grammar the reference's client speaks, /root/reference/search.py:38-44,
+    # is served by these indexes in the real service). Spark has no
+    # secondary-index structure to build — the idiomatic equivalent is a
+    # clustered file layout: declare the field, rewrite the collection so
+    # each __bucket's files cover disjoint ranges of it, and every filter
+    # on the field prunes files through parquet min/max footer stats (plus
+    # row-group stats inside the survivors). Maintained by construction:
+    # all later writes (upsert/delete/set_payload) re-cluster the buckets
+    # they rewrite.
+    def create_payload_index(self, name: str, field: str,
+                             field_schema: str = "keyword") -> CollectionMeta:
+        """Declare ``field`` indexed and re-cluster existing data by it.
+
+        ``field_schema`` follows Qdrant's names ("keyword", "integer",
+        "float", ...) — recorded as metadata and surfaced in
+        ``collection_info()['payload_schema']``; the physical layout is the
+        same range clustering for all of them (parquet stats are typed).
+        Indexing a field the data doesn't have yet is allowed (as in
+        Qdrant); clustering starts at the first write that carries it.
+        """
+        name = self.resolve(name)
+        if field_schema not in PAYLOAD_INDEX_TYPES:
+            raise ValueError(
+                f"unknown field_schema {field_schema!r} "
+                f"(one of {sorted(PAYLOAD_INDEX_TYPES)})")
+        if field in _RESERVED_FIELDS or field.startswith("vec_"):
+            raise ValueError(f"cannot index reserved field {field!r}")
+        meta = self.meta(name)
+        idx = dict(meta.payload_indexes or {})
+        no_change = idx.get(field) == field_schema
+        idx[field] = field_schema
+        meta.payload_indexes = idx
+        self._write_meta(name, meta)
+        if self._has_data(name) and not no_change:
+            df = self.read(name)
+            if field in df.columns:
+                self._swap_in(name, df.drop("__bucket"))
+        return self.meta(name)
+
+    def drop_payload_index(self, name: str, field: str) -> CollectionMeta:
+        """Forget the index declaration (Qdrant DELETE /index/{field}).
+        Cheap: the clustered files stay as written — harmless, just no
+        longer maintained — and the next full rewrite falls back to the
+        plain id-sorted layout."""
+        name = self.resolve(name)
+        meta = self.meta(name)
+        idx = dict(meta.payload_indexes or {})
+        idx.pop(field, None)
+        meta.payload_indexes = idx or None
+        self._write_meta(name, meta)
+        return meta
+
+    def collection_info(self, name: str) -> dict:
+        """Qdrant GET /collections/{name}: status, point/segment counts,
+        vector config, and the indexed payload schema (with per-field
+        non-null point counts, computed in one aggregation pass)."""
+        name = self.resolve(name)
+        meta = self.meta(name)
+        distance = {"l2": "Euclid", "cosine": "Cosine", "dot": "Dot"}.get(
+            meta.metric, meta.metric)
+        points = 0
+        segments = 0
+        field_points: dict[str, int] = {}
+        idx_fields = sorted(meta.payload_indexes or {})
+        if self._has_data(name):
+            df = self.read(name)
+            present = [f for f in idx_fields if f in df.columns]
+            aggs = [F.count(F.lit(1)).alias("__n")] + [
+                F.count(f).alias(f"__c_{f}") for f in present]
+            row = df.agg(*aggs).first()
+            points = int(row["__n"])
+            field_points = {f: int(row[f"__c_{f}"]) for f in present}
+            data = self._current_data_dir(name)
+            segments = sum(
+                1 for _, _, fs in os.walk(data) for f in fs
+                if f.endswith(".parquet"))
+        if meta.vectors:
+            vec_cfg = {n: {"size": int(d), "distance": distance}
+                       for n, d in sorted(meta.vectors.items())}
+        else:
+            vec_cfg = {"size": meta.dim, "distance": distance}
+        return {
+            "status": "green",
+            "points_count": points,
+            "segments_count": segments,
+            "config": {"params": {"vectors": vec_cfg,
+                                  "n_buckets": meta.n_buckets,
+                                  "on_disk_payload": True}},
+            "payload_schema": {
+                f: {"data_type": (meta.payload_indexes or {})[f],
+                    "points": field_points.get(f, 0)}
+                for f in idx_fields},
+        }
+
     def compact(self, name: str, max_files_per_bucket: int = 4) -> int:
         """Compact buckets that accumulated small files (every bucket-scoped
         upsert adds files to its bucket dirs — the classic streaming-ingest
@@ -782,6 +930,195 @@ class CollectionCatalog:
         partition-bucketed data this is a left-anti join against a broadcast
         id set, a map-only pass."""
         return self.delete_where(name, F.col(id_col).isin(ids))
+
+    # -- points batch + vector-level updates --------------------------------
+    # Qdrant POST /collections/{c}/points/batch: a LIST of heterogeneous
+    # point operations applied in order. Spark-first, the whole batch
+    # composes into ONE DataFrame lineage over the current snapshot and
+    # commits as ONE new MVCC version — later ops see earlier ops' effects
+    # (ordering), and a failure anywhere leaves the collection untouched
+    # (atomicity), which is STRONGER than Qdrant's per-op acknowledgement.
+    # The cost is a full-table rewrite per batch (vs upsert's bucket-scoped
+    # merge) — the API is for mixed mutation bundles, not the bulk-ingest
+    # hot path; bulk ingest stays on `upsert`.
+    def _selector(self, spec: dict, id_col: str) -> Column:
+        """``{"points": [ids]}`` or ``{"filter": <DSL document>}`` → boolean
+        Column (the two point-selector forms every Qdrant point op takes)."""
+        from vectordb_cloud_spark.filters import compile_filter
+
+        if "points" in spec:
+            ids = list(spec["points"])
+            if not ids:
+                return F.lit(False)
+            return F.col(id_col).isin(ids)
+        if "filter" in spec:
+            pred = compile_filter(spec["filter"], id_col=id_col)
+            return pred if pred is not None else F.lit(True)
+        raise ValueError("point selector needs 'points' or 'filter'")
+
+    def _rows_df(self, name: str, rows, id_col: str = "id") -> DataFrame:
+        """Normalize op input (DataFrame or list-of-dicts) to the
+        collection's column set and types: dict rows get missing columns as
+        typed nulls and present columns cast — so unionByName/coalesce
+        against stored data never type-mismatches (inference yields
+        array<double> where the table stores array<float>)."""
+        from pyspark.sql.types import StructField, StructType
+
+        target = self.read(name).drop("__bucket")
+        target_types = {f.name: f.dataType for f in target.schema.fields}
+        if isinstance(rows, DataFrame):
+            df = rows
+        else:
+            if not rows:
+                raise ValueError("empty points list")
+            keys: list[str] = []
+            for r in rows:
+                keys += [k for k in r if k not in keys]
+            unknown = [k for k in keys if k not in target_types]
+            if unknown:
+                raise ValueError(
+                    f"batch columns {unknown} not in collection schema "
+                    f"{sorted(target_types)}")
+            df = self.spark.createDataFrame(
+                [tuple(r.get(k) for k in keys) for r in rows],
+                StructType([StructField(k, target_types[k], True) for k in keys]),
+            )
+        extra = set(df.columns) - set(target_types)
+        if extra:
+            raise ValueError(
+                f"batch columns {sorted(extra)} not in collection schema "
+                f"{sorted(target_types)}")
+        out = df.select(*[
+            (F.col(f.name) if f.name in df.columns
+             else F.lit(None)).cast(f.dataType).alias(f.name)
+            for f in target.schema.fields
+        ])
+        if id_col not in df.columns:
+            raise ValueError(f"batch rows need the {id_col!r} column")
+        return out
+
+    def _batch_lww(self, df: DataFrame, id_col: str) -> DataFrame:
+        """Last-write-wins inside one op's rows (same convention as
+        ``upsert``): keep the highest-sequence row per id."""
+        seq = df.withColumn("__seq", F.monotonically_increasing_id())
+        return (
+            seq.groupBy(id_col)
+            .agg(F.max_by(
+                F.struct(*[c for c in df.columns if c != id_col]), "__seq"
+            ).alias("__s"))
+            .select(id_col, "__s.*")
+        )
+
+    def _vector_cols(self, name: str, df_cols) -> list[str]:
+        meta = self.meta(name)
+        cols = ["embedding"] if "embedding" in df_cols else []
+        cols += [self.vector_col_of(v) for v in sorted(meta.vectors or {})
+                 if self.vector_col_of(v) in df_cols]
+        return cols
+
+    def update_batch(self, name: str, operations: list[dict],
+                     id_col: str = "id") -> dict:
+        """Apply an ordered list of point operations in ONE atomic commit.
+
+        Each operation is a single-key dict (Qdrant's batch grammar):
+        ``{"upsert": {"points": rows}}`` (rows: DataFrame or list of
+        dicts), ``{"delete": {"points": [...] | "filter": {...}}}``,
+        ``{"set_payload": {"payload": {...}, "points"/"filter": ...}}``,
+        ``{"delete_payload": {"keys": [...], "points"/"filter": ...}}``,
+        ``{"update_vectors": {"points": rows}}``,
+        ``{"delete_vectors": {"vectors": [names], "points"/"filter": ...}}``.
+        """
+        name = self.resolve(name)
+        if not operations:
+            return {"result": {"operations": 0, "status": "completed"}}
+        df = self.read(name).drop("__bucket")
+        for op in operations:
+            if len(op) != 1:
+                raise ValueError(
+                    f"each operation is a single-key dict, got {sorted(op)}")
+            (kind, spec), = op.items()
+            if kind == "upsert":
+                rows = self._batch_lww(
+                    self._validate(name, self._rows_df(name, spec["points"], id_col)),
+                    id_col)
+                df = df.join(F.broadcast(rows), on=id_col, how="left_anti"
+                             ).unionByName(rows)
+            elif kind == "delete":
+                sel = self._selector(spec, id_col)
+                df = df.filter(~F.coalesce(sel, F.lit(False)))
+            elif kind == "set_payload":
+                sel = F.coalesce(self._selector(spec, id_col), F.lit(False))
+                for col, val in spec["payload"].items():
+                    if col in _RESERVED_FIELDS or col.startswith("vec_") or col == id_col:
+                        raise ValueError(f"cannot set reserved field {col!r}")
+                    old = F.col(col) if col in df.columns else F.lit(None)
+                    df = df.withColumn(col, F.when(sel, F.lit(val)).otherwise(old))
+            elif kind == "delete_payload":
+                sel = F.coalesce(self._selector(spec, id_col), F.lit(False))
+                for col in spec["keys"]:
+                    if col in _RESERVED_FIELDS or col.startswith("vec_") or col == id_col:
+                        raise ValueError(f"cannot delete reserved field {col!r}")
+                    if col in df.columns:
+                        df = df.withColumn(
+                            col, F.when(sel, F.lit(None)).otherwise(F.col(col)))
+            elif kind == "update_vectors":
+                pts = spec["points"]
+                # which columns the input ACTUALLY carried (normalization
+                # fills the rest with nulls, which must stay no-ops)
+                raw_cols = (set(pts.columns) if isinstance(pts, DataFrame)
+                            else {k for r in pts for k in r})
+                rows = self._validate(name, self._rows_df(name, pts, id_col))
+                vcols = self._vector_cols(name, raw_cols)
+                if not vcols:
+                    raise ValueError("update_vectors rows carry no vector column")
+                patch = self._batch_lww(
+                    rows.select(id_col, *vcols), id_col)
+                patch = patch.select(
+                    F.col(id_col),
+                    *[F.col(c).alias(f"__new_{c}") for c in vcols])
+                df = df.join(F.broadcast(patch), on=id_col, how="left")
+                for c in vcols:
+                    # coalesce: unmatched ids and null patch entries keep
+                    # the stored vector — only vectors the rows actually
+                    # carry change (Qdrant leaves non-listed vectors of a
+                    # point untouched); patch ids absent from the
+                    # collection are ignored
+                    df = df.withColumn(
+                        c, F.coalesce(F.col(f"__new_{c}"), F.col(c)))
+                df = df.drop(*[f"__new_{c}" for c in vcols])
+            elif kind == "delete_vectors":
+                sel = F.coalesce(self._selector(spec, id_col), F.lit(False))
+                names = spec.get("vectors") or [""]
+                for v in names:
+                    col = "embedding" if v in ("", "embedding") else self.vector_col_of(v)
+                    if col in df.columns:
+                        df = df.withColumn(
+                            col, F.when(sel, F.lit(None)).otherwise(F.col(col)))
+            else:
+                raise ValueError(f"unknown batch operation {kind!r}")
+        self._swap_in(name, df)
+        return {"result": {"operations": len(operations), "status": "completed"}}
+
+    def update_vectors(self, name: str, rows, id_col: str = "id") -> dict:
+        """Qdrant PUT /collections/{c}/points/vectors: patch only the vector
+        columns the rows carry, payload untouched."""
+        return self.update_batch(name, [{"update_vectors": {"points": rows}}],
+                                 id_col=id_col)
+
+    def delete_vectors(self, name: str, vectors: list[str],
+                       points: list | None = None,
+                       query_filter: dict | None = None,
+                       id_col: str = "id") -> dict:
+        """Qdrant POST /collections/{c}/points/vectors/delete: null the
+        named vectors on the selected points (point and payload stay)."""
+        spec: dict = {"vectors": vectors}
+        if points is not None:
+            spec["points"] = points
+        elif query_filter is not None:
+            spec["filter"] = query_filter
+        else:
+            raise ValueError("need points or query_filter")
+        return self.update_batch(name, [{"delete_vectors": spec}], id_col=id_col)
 
     # -- snapshots (Qdrant snapshot API) ------------------------------------
     @classmethod
@@ -849,6 +1186,8 @@ class CollectionCatalog:
         meta = CollectionMeta(
             name=name, dim=smeta["dim"], metric=smeta["metric"],
             id_type=smeta["id_type"], n_buckets=smeta["n_buckets"], version=0,
+            vectors=smeta.get("vectors"),
+            payload_indexes=smeta.get("payload_indexes"),
         )
         sdata = os.path.join(snapshot_dir, "data")
         if os.path.isdir(sdata):

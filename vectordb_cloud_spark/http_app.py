@@ -130,6 +130,23 @@ def _routes(service: VectorService) -> dict[str, Callable[[dict[str, str]], Any]
         ])
         return service.get_category_for_title(p["user_id"], p["cats"], p["title"])
 
+    def collection_info(_params):
+        # Qdrant GET /collections/{name}, flattened to this app's
+        # single-collection GET convention
+        return service.info()
+
+    def create_index(params):
+        p = _coerce(params, [("field", str, _MISSING),
+                             ("schema", str, "keyword")])
+        try:
+            return service.create_index(p["field"], p["schema"])
+        except ValueError as exc:
+            raise ValidationError(str(exc)) from exc
+
+    def delete_index(params):
+        p = _coerce(params, [("field", str, _MISSING)])
+        return service.delete_index(p["field"])
+
     return {
         "/": index,
         "/insert": insert,
@@ -139,6 +156,9 @@ def _routes(service: VectorService) -> dict[str, Callable[[dict[str, str]], Any]
         "/remove_all_by_regex": remove_all_by_regex,
         "/get_category_for_title": get_category_for_title,
         "/count": count,
+        "/collection_info": collection_info,
+        "/create_index": create_index,
+        "/delete_index": delete_index,
     }
 
 
