@@ -1906,23 +1906,12 @@ def price_percentiles_by_flag_approx(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
-@_q(
-    "top_terms_by_lang",
-    r"""
-    WITH terms AS (
-      SELECT lang, lower(word) AS term, count(*) AS n
-      FROM documents,
-           unnest(regexp_split_to_array(trim(text), '\s+')) AS t(word)
-      GROUP BY lang, lower(word)
-    )
-    SELECT lang, term, n FROM terms
-    QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) <= 5
-    """,
-)
 def top_terms_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Term frequencies: explode -> two-level agg -> top-5 per lang.
     The (lang, term) partial aggregation bounds the shuffle by vocabulary
-    size, not corpus size."""
+    size, not corpus size. Library-level since the r8 hybrid rotation (its
+    window-top-k-per-group shape stays oracle-covered by
+    ``search_groups_topk``; the slot went to ``hybrid_rrf_topk``)."""
     from vectordb_cloud_spark.functions.text import words
 
     docs = _t(spark, sf_dir, "documents")
@@ -2071,6 +2060,149 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     postings, docstats, doclens, corpus = _bm25_index(spark, sf_dir)
     return bm25_search(postings, docstats, doclens, corpus, "spark hash join", k=10)
+
+
+# -- hybrid retrieval (BM25 ∪ dense kNN via reciprocal-rank fusion) ---------
+_HYBRID_QUERY_TEXT = "spark hash join"
+_HYBRID_DENSE_SLICE = 200  # dense side ranks this doc_id slice (see docstring)
+_HYBRID_ORACLE_PARQUET = os.path.join(_ORACLE_ART_BASE, "hybrid_emb.parquet")
+_HYBRID_ORACLE_CURRENT: str | None = None
+
+
+def _hybrid_oracle_materialize(spark: SparkSession, sf_dir: str) -> None:
+    """Write (doc_id, embedding) mock-embeds of the dense-side slice to a
+    fixed path the DuckDB oracle reads (same artifact pattern as
+    ``classify_titles_mock_embed``). Driver-side over ≤200 rows."""
+    global _HYBRID_ORACLE_CURRENT
+    key = os.path.abspath(sf_dir)
+    if _HYBRID_ORACLE_CURRENT == key and os.path.exists(_HYBRID_ORACLE_PARQUET):
+        return
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vectordb_cloud_spark.functions.embedding import mock_vector
+
+    rows = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _HYBRID_DENSE_SLICE)
+        .select("doc_id", "text")
+        .collect()
+    )
+    table = pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+        "embedding": pa.array(
+            [mock_vector(r["text"] or "", 64) for r in rows],
+            pa.list_(pa.float32()),
+        ),
+    })
+    os.makedirs(_ORACLE_ART_BASE, exist_ok=True)
+    pq.write_table(table, _HYBRID_ORACLE_PARQUET)
+    _HYBRID_ORACLE_CURRENT = key
+
+
+def _hybrid_oracle_sql() -> str:
+    from vectordb_cloud_spark.functions.embedding import mock_vector
+
+    qvec = "[" + ", ".join(repr(v) for v in mock_vector(_HYBRID_QUERY_TEXT, 64)) + "]::DOUBLE[]"
+    l2 = _SQL_L2.format(a="e.embedding", b="q.v")
+    return f"""
+    WITH q(v) AS (VALUES ({qvec})),
+    toks AS (
+      SELECT doc_id, lower(t) AS term
+      FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+            FROM documents)
+      WHERE t <> ''
+    ),
+    postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+    docstats AS (SELECT term, count(DISTINCT doc_id) AS df FROM postings GROUP BY 1),
+    doclens AS (
+      SELECT doc_id,
+             CASE WHEN text IS NULL THEN NULL
+                  ELSE len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                       t -> t <> '')) END AS dl
+      FROM documents
+    ),
+    corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avg_len FROM doclens),
+    bm25 AS (
+      SELECT p.doc_id,
+             round(sum(ln(1 + (c.n_docs - s.df + 0.5::DOUBLE) / (s.df + 0.5::DOUBLE))
+                       * (p.tf * (1.2::DOUBLE + 1))
+                       / (p.tf + 1.2::DOUBLE * (1 - 0.75::DOUBLE
+                                                + 0.75::DOUBLE * l.dl / c.avg_len))),
+                   6) AS score
+      FROM postings p
+      JOIN docstats s USING (term)
+      JOIN doclens l USING (doc_id)
+      CROSS JOIN corpus c
+      WHERE p.term IN ('spark', 'hash', 'join')
+      GROUP BY p.doc_id
+      ORDER BY score DESC, p.doc_id ASC
+      LIMIT 20
+    ),
+    bm25_r AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+      FROM bm25
+    ),
+    dense AS (
+      SELECT e.doc_id, {l2} AS dist
+      FROM read_parquet('{_HYBRID_ORACLE_PARQUET}') e CROSS JOIN q
+      ORDER BY dist ASC, e.doc_id ASC
+      LIMIT 20
+    ),
+    dense_r AS (
+      SELECT doc_id, row_number() OVER (ORDER BY dist ASC, doc_id ASC) AS rk
+      FROM dense
+    ),
+    contrib AS (
+      SELECT doc_id, (1.0::DOUBLE) / (60 + rk) AS c FROM bm25_r
+      UNION ALL
+      SELECT doc_id, (1.0::DOUBLE) / (60 + rk) AS c FROM dense_r
+    )
+    SELECT doc_id, round(sum(c), 6) AS rrf_score
+    FROM contrib
+    GROUP BY doc_id
+    ORDER BY rrf_score DESC, doc_id ASC
+    LIMIT 10
+    """
+
+
+@_q("hybrid_rrf_topk", _hybrid_oracle_sql())
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-20 (persisted inverted index, corpus-wide)
+    fused with dense mock-embedding kNN top-20 via reciprocal-rank fusion
+    (``rrf_fuse``, rrf_k=60) — the standard lexical+semantic combination a
+    vector engine serves as one query (Qdrant query API ``fusion: rrf``).
+    The dense side ranks the ``doc_id < 200`` slice (like
+    ``classify_titles_mock_embed``, the deterministic mock embeddings of the
+    slice are materialized to parquet for the oracle — at production scale
+    this side is the ANN index, exercised by its own registry rows). The
+    oracle replays EVERYTHING except the embedder itself: the BM25 CTE
+    chain, the dense L2 ranking over the artifact, both rank assignments
+    with the same (score, id) tiebreaks, and the Σ 1/(60+rank) fusion —
+    full hash-matched."""
+    from vectordb_cloud_spark.functions.embedding import mock_embed, mock_vector
+    from vectordb_cloud_spark.functions.vector import l2_distance_to
+    from vectordb_cloud_spark.operators.lexical import bm25_search, rrf_fuse
+
+    _hybrid_oracle_materialize(spark, sf_dir)
+    postings, docstats, doclens, corpus = _bm25_index(spark, sf_dir)
+    lex = bm25_search(postings, docstats, doclens, corpus,
+                      _HYBRID_QUERY_TEXT, k=20)
+    # repartition(1), NOT coalesce(1): one Arrow batch for the pandas_udf
+    # (the classify_titles_mock_embed lesson)
+    dense = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _HYBRID_DENSE_SLICE)
+        .repartition(1)
+        .select("doc_id", mock_embed("text", 64).alias("emb"))
+        .select(
+            "doc_id",
+            l2_distance_to("emb", mock_vector(_HYBRID_QUERY_TEXT, 64)).alias("dist"),
+        )
+        .orderBy(F.col("dist").asc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+    return rrf_fuse([lex, dense], id_col="doc_id", k=10, max_list_rows=None)
 
 
 _BM25_INDEX_CACHE: dict[str, tuple] = {}
