@@ -326,3 +326,131 @@ def test_line_dedup_matches_python_truth_on_fixture(documents):
     got = {r["doc_id"]: r["text"]
            for r in line_dedup_corpus(sub, min_repeats=3).collect()}
     assert got == want
+
+
+# -- span-level exact-substring dedup (Lee et al. suffix-array family) ------
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def _uniq(prefix, n):
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+def test_span_dedup_removes_repeats_keeps_first(spark):
+    from vectordb_cloud_spark.operators.dedup import span_dedup_corpus
+
+    passage = " ".join(f"shared{i}" for i in range(60))
+    docs = _mk_docs(spark, [
+        (1, _uniq("a", 20) + " " + passage + " " + _uniq("b", 20), "en"),
+        (2, _uniq("c", 30) + " " + passage, "en"),
+        (3, passage + " " + _uniq("d", 15), "en"),
+        (4, _uniq("e", 80), "en"),  # no dup, longer than window
+        (5, "tiny doc", "en"),      # shorter than window
+    ])
+    out = {r["doc_id"]: r for r in
+           span_dedup_corpus(docs, window=50).collect()}
+    # canonical (doc 1) keeps the passage
+    assert "shared0" in out[1]["text"] and "shared59" in out[1]["text"]
+    # other occurrences lose EXACTLY the passage tokens
+    for d, pads in ((2, ["c0", "c29"]), (3, ["d0", "d14"])):
+        assert "shared0" not in out[d]["text"] and "shared59" not in out[d]["text"]
+        for p in pads:
+            assert p in out[d]["text"]
+    assert len(out[2]["text"].split()) == 30
+    assert len(out[3]["text"].split()) == 15
+    # untouched docs pass through byte-identical (no whitespace rewrite)
+    assert out[4]["text"] == _uniq("e", 80)
+    assert out[5]["text"] == "tiny doc"
+    assert out[4]["lang"] == "en"  # payload columns survive
+
+
+def test_span_dedup_within_doc_repetition(spark):
+    from vectordb_cloud_spark.operators.dedup import span_dedup_corpus
+
+    passage = " ".join(f"rep{i}" for i in range(50))
+    docs = _mk_docs(spark, [
+        (1, passage + " " + _uniq("mid", 10) + " " + passage, "en"),
+    ])
+    out = span_dedup_corpus(docs, window=50).first()
+    toks = out["text"].split()
+    # first occurrence survives, second removed
+    assert toks[:50] == passage.split()
+    assert len(toks) == 60
+    assert toks[50:] == [f"mid{i}" for i in range(10)]
+
+
+def test_span_dedup_short_repeats_untouched(spark):
+    from vectordb_cloud_spark.operators.dedup import span_dedup_corpus
+
+    short = " ".join(f"s{i}" for i in range(30))  # < window
+    docs = _mk_docs(spark, [
+        (1, _uniq("a", 40) + " " + short + " " + _uniq("b", 40), "en"),
+        (2, _uniq("c", 40) + " " + short + " " + _uniq("d", 40), "en"),
+    ])
+    out = {r["doc_id"]: r for r in
+           span_dedup_corpus(docs, window=50).collect()}
+    assert "s0" in out[1]["text"] and "s0" in out[2]["text"]
+
+
+def test_span_dedup_content_anchored_stride(spark):
+    from vectordb_cloud_spark.operators.dedup import span_dedup_corpus
+
+    # long repeat at DIFFERENT offsets in each doc: a positional stride
+    # would miss it; content-defined anchors select the same in-span starts
+    passage = " ".join(f"p{i}" for i in range(120))
+    docs = _mk_docs(spark, [
+        (1, _uniq("a", 7) + " " + passage, "en"),
+        (2, _uniq("b", 23) + " " + passage, "en"),
+    ])
+    out = {r["doc_id"]: r for r in
+           span_dedup_corpus(docs, window=40, stride=4).collect()}
+    assert "p50" in out[1]["text"]          # canonical keeps it
+    assert "p50" not in out[2]["text"]      # bulk of the repeat removed
+    assert "b0" in out[2]["text"] and "b22" in out[2]["text"]  # padding kept
+    # stride sampling may leave edge tokens, but must remove most of the span
+    assert len(out[2]["text"].split()) < 23 + 40
+
+
+def test_span_dedup_matches_python_truth(spark):
+    """Brute-force Python truth on a small corpus: same kept tokens."""
+    import random
+
+    from vectordb_cloud_spark.operators.dedup import span_dedup_corpus
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    shared = [rng.choice(vocab) for _ in range(25)]
+    rows = []
+    for d in range(6):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(15, 40))]
+        if d in (1, 3, 4):
+            at = rng.randint(0, len(toks))
+            toks = toks[:at] + shared + toks[at:]
+        rows.append((d, " ".join(toks), "en"))
+    W = 12
+
+    # python truth
+    occ = {}
+    for d, text, _ in rows:
+        toks = text.split()
+        for s in range(len(toks) - W + 1):
+            occ.setdefault(tuple(toks[s:s + W]), []).append((d, s))
+    flagged = {}
+    for key, lst in occ.items():
+        if len(lst) >= 2:
+            canon = min(lst)
+            for o in lst:
+                if o != canon:
+                    flagged.setdefault(o[0], set()).update(
+                        range(o[1], o[1] + W))
+    truth = {}
+    for d, text, _ in rows:
+        toks = text.split()
+        drop = flagged.get(d, set())
+        truth[d] = " ".join(t for i, t in enumerate(toks) if i not in drop)
+
+    out = {r["doc_id"]: r["text"] for r in
+           span_dedup_corpus(_mk_docs(spark, rows), window=W).collect()}
+    assert out == truth

@@ -193,3 +193,27 @@ def test_curate_corpus_line_dedup_stage(spark):
     texts = [r["text"] for r in out.collect()]
     assert texts and all(banner not in t for t in texts)
     assert all("quick brown fox" in t for t in texts)
+
+
+def test_curate_corpus_span_dedup_stage(spark):
+    from vectordb_cloud_spark.pipeline import curate_corpus
+
+    passage = " ".join(
+        "every large corpus repeats this exact passage of ordinary english "
+        "words across many documents and span dedup must cut it".split()
+        * 3
+    )  # 63 tokens, > window
+    docs = spark.createDataFrame(
+        [(i, passage + " " +
+             " ".join(f"tail{i}word{j}" for j in range(12)))
+         for i in range(4)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in
+           curate_corpus(docs, near_dup=False, eval_set=None,
+                         min_quality=None, min_tokens=None,
+                         span_dedup_window=40).collect()}
+    assert "every large corpus" in out[0]          # canonical keeps it
+    for d in (1, 2, 3):
+        assert "every large corpus" not in out[d]  # repeats cut
+        assert f"tail{d}word0" in out[d]           # tails survive

@@ -16,6 +16,9 @@ buckets whose expected size is constant.
 - embedding_near_dup_lsh — same, blocked by LSH buckets (the scale default)
 - dup_components       — pairs -> connected-component groups (hash-min)
 - dedup_keep_canonical — docs minus non-canonical near-dup group members
+- line_dedup_corpus    — cross-doc repeated LINES dropped (C4 boilerplate)
+- span_dedup_corpus    — exact-substring spans >= window tokens cut from
+                         every non-canonical occurrence (suffix-array family)
 """
 
 from __future__ import annotations
@@ -582,4 +585,149 @@ def line_dedup_corpus(
         docs.select(id_col)
         .join(rebuilt, id_col, "left")
         .fillna({text_col: ""})
+    )
+
+
+def span_dedup_corpus(
+    docs: DataFrame,
+    window: int = 50,
+    stride: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring (span-level) deduplication — the suffix-array family
+    from "Deduplicating Training Data Makes Language Models Better" (Lee et
+    al. 2022), re-expressed for Spark: any token span of length >= ``window``
+    that occurs more than once in the corpus is removed from every
+    occurrence EXCEPT the first (min ``(doc_id, start)``); documents survive
+    with the duplicated spans cut out. This catches the partial-overlap
+    duplication (shared paragraphs, quoted passages, templated sections)
+    that document-level exact/MinHash dedup can't touch without dropping
+    whole documents.
+
+    Not a literal suffix array (a distributed suffix array shuffles the
+    corpus O(n log n) times); the fixed-window-hash formulation gives the
+    same guarantee at granularity ``window``: with ``stride=1`` EVERY
+    repeated span of length >= window shares all its window hashes, so
+    detection is exact. Plan shape (all JVM, two skinny shuffles):
+
+      1. per doc: window start positions -> ``xxhash64`` of the
+         ``window``-token slice -> (doc, start, whash) rows. Hashing cost is
+         O(tokens x window) chars, map-side.
+      2. group by whash: occurrence count + the canonical (min struct)
+         occurrence; hashes with count >= 2 flag every NON-canonical
+         occurrence. One shuffle of (whash, doc, start) rows.
+      3. per doc: sorted flagged starts -> merged [lo, hi) intervals (one
+         ``aggregate`` fold, intervals ~= number of duplicated regions, not
+         windows) -> index-aware ``filter`` drops covered tokens, text is
+         re-joined. One shuffle of (doc, start) rows.
+
+    ``stride > 1`` samples window starts CONTENT-DEFINED (keep start ``p``
+    iff ``xxhash64(token[p]) % stride == 0``) rather than positionally —
+    both copies of a repeated span select the same in-span anchors, so
+    cross-doc detection still works at arbitrary offsets (a positional
+    stride would only match phase-aligned copies); expected hashing cost
+    drops by ``stride`` and detection stays deterministic per content,
+    though spans shorter than ``window`` + the local anchor gap can slip
+    through — the standard winnowing trade. Removal granularity stays the
+    flagged windows, so with stride > 1 a removed region's edges may keep
+    up to an anchor gap of duplicated tokens.
+
+    Documents shorter than ``window`` tokens and documents with no flagged
+    span pass through byte-identical; only rewritten documents get their
+    whitespace normalized (tokens re-joined with single spaces) — the same
+    contract as token-level pipelines.
+    """
+    from vectordb_cloud_spark.functions.text import words
+
+    if window < 2:
+        raise ValueError("window must be >= 2 tokens")
+    if stride < 1:
+        raise ValueError("stride must be >= 1")
+
+    t = docs.withColumn("__toks", words(F.col(text_col)))
+    eligible = _parallelize(t.filter(F.size("__toks") >= window))
+    all_starts = F.sequence(F.lit(0), F.size("__toks") - window)
+    if stride > 1:
+        starts_expr = F.filter(
+            all_starts,
+            lambda p: F.pmod(
+                F.xxhash64(F.element_at("__toks", p + 1)), F.lit(stride)
+            ) == 0,
+        )
+    else:
+        starts_expr = all_starts
+    occ = (
+        eligible.select(
+            F.col(id_col),
+            F.explode(starts_expr).alias("start"),
+            F.col("__toks"),
+        )
+        # \x01 joiner: a byte that whitespace tokenization can never emit,
+        # so window hashes respect token boundaries
+        .select(
+            id_col,
+            "start",
+            F.xxhash64(
+                F.concat_ws("\x01", F.slice("__toks", F.col("start") + 1, window))
+            ).alias("whash"),
+        )
+    )
+    dup = (
+        occ.groupBy("whash")
+        .agg(
+            F.count("*").alias("__n"),
+            F.min(
+                F.struct(F.col(id_col).alias("d"), F.col("start").alias("s"))
+            ).alias("__canon"),
+        )
+        .filter(F.col("__n") >= 2)
+        .select("whash", "__canon")
+    )
+    flagged = (
+        occ.join(dup, "whash")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col("__canon.d"))
+                & (F.col("start") == F.col("__canon.s"))
+            )
+        )
+        .select(id_col, "start")
+    )
+    spans = flagged.groupBy(id_col).agg(
+        F.sort_array(F.collect_set("start")).alias("__starts")
+    )
+
+    empty_ivs = F.array().cast("array<struct<lo:int,hi:int>>")
+    merged = F.aggregate(
+        F.col("__starts"),
+        empty_ivs,
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) & (s <= F.element_at(acc, -1)["hi"]),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.struct(
+                    F.element_at(acc, -1)["lo"].alias("lo"),
+                    F.greatest(F.element_at(acc, -1)["hi"], s + window).alias("hi"),
+                )),
+            ),
+        ).otherwise(
+            F.concat(acc, F.array(F.struct(s.alias("lo"), (s + window).alias("hi"))))
+        ),
+    )
+    kept_toks = F.filter(
+        F.col("__toks"),
+        lambda tok, i: ~F.exists(
+            F.col("__ivs"), lambda iv: (i >= iv["lo"]) & (i < iv["hi"])
+        ),
+    )
+    return (
+        t.join(spans, id_col, "left")
+        .withColumn("__ivs", merged)
+        .withColumn(
+            text_col,
+            F.when(F.col("__starts").isNull(), F.col(text_col))
+            .otherwise(F.array_join(kept_toks, " ")),
+        )
+        .drop("__toks", "__starts", "__ivs")
     )

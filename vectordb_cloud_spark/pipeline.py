@@ -47,6 +47,8 @@ def curate_corpus(
     jaccard_threshold: float = 0.8,
     scrub_pii: bool = False,
     line_dedup_min_repeats: int | None = None,
+    span_dedup_window: int | None = None,
+    span_dedup_stride: int = 1,
 ) -> DataFrame:
     """Filter + dedup a document corpus for training.
 
@@ -79,6 +81,16 @@ def curate_corpus(
             id_col=id_col, text_col=text_col,
         )
         docs = docs.drop(text_col).join(cleaned, id_col)
+    if span_dedup_window is not None:
+        # exact-substring dedup after line boilerplate (spans shared only
+        # through boilerplate are already gone) and before the stats, so
+        # token counts describe the text that actually ships
+        from vectordb_cloud_spark.operators.dedup import span_dedup_corpus
+
+        docs = span_dedup_corpus(
+            docs, window=span_dedup_window, stride=span_dedup_stride,
+            id_col=id_col, text_col=text_col,
+        )
     annotated = docs.withColumn("quality", quality_score(text_col)).withColumn(
         "n_tokens", token_count(text_col)
     ).withColumn("lang_pred", lang_id_expr(text_col))
