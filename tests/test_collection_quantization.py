@@ -1,0 +1,119 @@
+"""Collection-level quantization (Qdrant quantization_config): codes live
+in a versioned sidecar materialized lazily per committed snapshot;
+search_quantized serves int8 directly (near-lossless) and binary through
+the hamming+rescore path. Staleness: a write bumps the data version, the
+next quantized search rebuilds."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_cloud_spark.collections import CollectionCatalog
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    return CollectionCatalog(spark, str(tmp_path / "collections"))
+
+
+def _seed(catalog, spark, name, quantization, n=400, dim=8):
+    catalog.create(name, dim=dim, quantization=quantization)
+    rows = (
+        spark.range(n)
+        .select(
+            F.col("id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: (F.pmod(F.xxhash64(F.col("id"), i), F.lit(1000)) - 500.0) / 500.0,
+            ).cast("array<float>").alias("embedding"),
+            F.concat(F.lit("doc "), F.col("id")).alias("text"),
+            (F.col("id") % 4).alias("user_id"),
+        )
+    )
+    catalog.upsert(name, rows)
+    return rows
+
+
+def _exact_topk(catalog, name, qv, k, predicate=None):
+    from vectordb_cloud_spark.operators.knn import knn_search
+
+    pts = catalog.read(name)
+    if predicate is not None:
+        pts = pts.filter(predicate)
+    return [r["id"] for r in
+            knn_search(pts, qv, k=k, tiebreak="id").select("id").collect()]
+
+
+def test_scalar_quantized_search_near_exact(catalog, spark):
+    _seed(catalog, spark, "c", {"scalar": {"type": "int8"}})
+    qv = [0.1] * 8
+    got = [r["id"] for r in catalog.search_quantized("c", qv, k=10).collect()]
+    exact = _exact_topk(catalog, "c", qv, 10)
+    # int8 over an 8-dim fixture: allow one rank swap at the boundary
+    assert len(set(got) & set(exact)) >= 9
+    # with exact rescore the result matches brute force exactly
+    rescored = [r["id"] for r in
+                catalog.search_quantized("c", qv, k=10, rescore=True,
+                                         oversampling=8).collect()]
+    assert rescored == exact
+
+
+def test_binary_quantized_search_rescore(catalog, spark):
+    _seed(catalog, spark, "b", {"binary": {}}, dim=64)
+    qv = [(((i * 37) % 100) - 50) / 50.0 for i in range(64)]
+    got = [r["id"] for r in catalog.search_quantized("b", qv, k=10).collect()]
+    exact = _exact_topk(catalog, "b", qv, 10)
+    assert len(set(got) & set(exact)) >= 8  # recall floor at 48x oversample
+
+
+def test_quantized_search_filtered(catalog, spark):
+    _seed(catalog, spark, "c", {"scalar": {"type": "int8"}})
+    qv = [0.1] * 8
+    pred = F.col("user_id") == 2
+    got = [r["id"] for r in
+           catalog.search_quantized("c", qv, k=5, predicate=pred,
+                                    rescore=True, oversampling=8).collect()]
+    exact = _exact_topk(catalog, "c", qv, 5, predicate=pred)
+    assert got == exact
+    assert all(i % 4 == 2 for i in got)
+
+
+def test_sidecar_lazy_rebuild_on_write(catalog, spark):
+    _seed(catalog, spark, "c", {"scalar": {"type": "int8"}})
+    qv = [0.1] * 8
+    catalog.search_quantized("c", qv, k=5)
+    v1 = catalog.meta("c").version
+    assert os.path.isdir(catalog._quant_dir("c", v1))
+    # a write moves the snapshot; the stale sidecar is replaced on next use
+    catalog.delete_where("c", F.col("id") < 5)
+    v2 = catalog.meta("c").version
+    assert v2 > v1
+    got = [r["id"] for r in catalog.search_quantized("c", qv, k=5).collect()]
+    assert all(i >= 5 for i in got)
+    assert os.path.isdir(catalog._quant_dir("c", v2))
+    assert not os.path.isdir(catalog._quant_dir("c", v1))  # pruned
+
+
+def test_quantization_config_guards_and_info(catalog, spark):
+    with pytest.raises(ValueError, match="quantization"):
+        catalog.create("bad", dim=4, quantization={"product": {}})
+    with pytest.raises(ValueError, match="int8"):
+        catalog.create("bad", dim=4, quantization={"scalar": {"type": "int4"}})
+    _seed(catalog, spark, "c", {"scalar": {"type": "int8"}})
+    info = catalog.collection_info("c")
+    assert info["config"]["quantization_config"] == {"scalar": {"type": "int8"}}
+    catalog.create("plain", dim=4)
+    with pytest.raises(ValueError, match="no quantization"):
+        catalog.search_quantized("plain", [0.0] * 4)
+
+
+def test_quantization_survives_copy_and_snapshot(catalog, spark, tmp_path):
+    _seed(catalog, spark, "c", {"binary": {}}, dim=64, n=100)
+    catalog.create_from("c2", "c")
+    assert catalog.meta("c2").quantization == {"binary": {}}
+    snap = catalog.snapshot("c", str(tmp_path / "snaps"))
+    catalog.restore("c3", snap)
+    assert catalog.meta("c3").quantization == {"binary": {}}
+    qv = [0.3] * 64
+    assert catalog.search_quantized("c3", qv, k=5).count() == 5

@@ -131,7 +131,7 @@ def main():
     vec_points = tuple(int(x) for x in args.vector_points.split(","))
     all_sections = {"knn", "ivf", "collection", "minhash", "simhash",
                     "lshcompound", "graph", "tpch", "sq", "beam", "sparse",
-                    "graphsharded"}
+                    "graphsharded", "spandedup", "payloadindex"}
     only = set(args.only.split(",")) if args.only else all_sections
     unknown = only - all_sections
     if unknown:
@@ -450,7 +450,7 @@ def main():
             VOCAB, NNZ = 1000, 20
             qi = sorted({(h * 7919) % VOCAB for h in range(NNZ)})
             qv = [1.0 + (i % 7) / 7.0 for i in range(len(qi))]
-            for n in (100_000, 1_000_000):
+            for n in vec_points:
                 docs = (
                     spark.range(n)
                     .select(
@@ -482,6 +482,56 @@ def main():
                     lambda postings=postings: noop(
                         sparse_topk_inverted(postings, qi, qv, k=10)
                     ),
+                    args.runs,
+                )
+
+        # span-level exact-substring dedup: corpus-token-linear claim
+        if "spandedup" in only:
+            from vectordb_cloud_spark.operators.dedup import span_dedup_corpus
+
+            for factor in (1, 10):
+                docs = replicate_docs(spark, SF_DIR, factor)
+                p = os.path.join(tmp, f"spandocs_{factor}")
+                docs.write.mode("overwrite").parquet(p)
+                docs = spark.read.parquet(p)
+                n = docs.count()
+                results.setdefault("span_dedup_corpus", {})[n] = timed(
+                    lambda docs=docs: noop(
+                        span_dedup_corpus(docs, window=30)
+                    ),
+                    args.runs,
+                )
+
+        # payload-index filtered count: the clustered layout's pruned read
+        if "payloadindex" in only:
+            from vectordb_cloud_spark.collections import CollectionCatalog as _Cat
+
+            for n in (100_000, 1_000_000):
+                root = os.path.join(tmp, f"pidx_{n}")
+                cat = _Cat(spark, root)
+                cat.create("c", dim=4, n_buckets=8)
+                rows = (
+                    spark.range(n)
+                    .select(
+                        F.col("id"),
+                        F.array(F.lit(0.1), F.lit(0.2), F.lit(0.3), F.lit(0.4))
+                        .cast("array<float>").alias("embedding"),
+                        F.concat(F.lit("doc "), F.col("id")).alias("text"),
+                        F.pmod(F.col("id"), F.lit(50)).alias("user_id"),
+                        F.concat(
+                            F.lit("site"),
+                            F.pmod(F.xxhash64("id"), F.lit(100)),
+                        ).alias("site"),
+                    )
+                )
+                cat.upsert("c", rows)
+                t0 = time.time()
+                cat.create_payload_index("c", "site", "keyword")
+                results.setdefault("payload_index_build", {})[n] = round(
+                    time.time() - t0, 3)
+                results.setdefault("payload_index_filtered_count", {})[n] = timed(
+                    lambda cat=cat: cat.count_where(
+                        "c", F.col("site") == "site7"),
                     args.runs,
                 )
 

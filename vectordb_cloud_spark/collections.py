@@ -71,6 +71,13 @@ class CollectionMeta:
     # each __bucket, so filter predicates on them skip whole files via
     # parquet min/max footer stats.
     payload_indexes: dict | None = None
+    # Qdrant quantization_config from create_collection: {"scalar":
+    # {"type": "int8"}} or {"binary": {}}. The codes live in a versioned
+    # sidecar (``quant.v{N}`` beside the data dirs), materialized lazily
+    # per committed snapshot by ``quantize()`` and served by
+    # ``search_quantized()`` — the batch-engine shape of Qdrant's
+    # background optimizer.
+    quantization: dict | None = None
 
 
 class CollectionCatalog:
@@ -261,7 +268,8 @@ class CollectionCatalog:
     # -- DDL ----------------------------------------------------------------
     def create(self, name: str, dim: int, metric: str = "l2", id_type: str = "long",
                n_buckets: int = DEFAULT_BUCKETS, if_not_exists: bool = True,
-               vectors: dict | None = None) -> CollectionMeta:
+               vectors: dict | None = None,
+               quantization: dict | None = None) -> CollectionMeta:
         """U1: create collection (idempotent, /root/reference/insert.py:68-73).
 
         ``vectors`` adds NAMED vectors (Qdrant ``vectors_config`` with named
@@ -281,8 +289,16 @@ class CollectionCatalog:
             for k, v in vectors.items():
                 if v <= 0:
                     raise ValueError(f"named vector {k!r} needs a positive dim")
+        if quantization is not None:
+            if set(quantization) == {"scalar"}:
+                if quantization["scalar"].get("type", "int8") != "int8":
+                    raise ValueError("scalar quantization supports type 'int8'")
+            elif set(quantization) != {"binary"}:
+                raise ValueError(
+                    "quantization must be {'scalar': {'type': 'int8'}} or "
+                    "{'binary': {...}}")
         meta = CollectionMeta(name, dim, metric, id_type, n_buckets,
-                              vectors=vectors)
+                              vectors=vectors, quantization=quantization)
         os.makedirs(self._dir(name), exist_ok=True)
         with open(os.path.join(self._dir(name), META_FILE), "w") as f:
             json.dump(asdict(meta), f)
@@ -309,7 +325,8 @@ class CollectionCatalog:
         src_meta = self.meta(source)
         meta = self.create(name, src_meta.dim, src_meta.metric, src_meta.id_type,
                            src_meta.n_buckets, if_not_exists=False,
-                           vectors=src_meta.vectors)
+                           vectors=src_meta.vectors,
+                           quantization=src_meta.quantization)
         if src_meta.payload_indexes:
             # carry index declarations BEFORE the data write so the CTAS
             # lands already clustered
@@ -883,12 +900,111 @@ class CollectionCatalog:
             "segments_count": segments,
             "config": {"params": {"vectors": vec_cfg,
                                   "n_buckets": meta.n_buckets,
-                                  "on_disk_payload": True}},
+                                  "on_disk_payload": True},
+                       "quantization_config": meta.quantization},
             "payload_schema": {
                 f: {"data_type": (meta.payload_indexes or {})[f],
                     "points": field_points.get(f, 0)}
                 for f in idx_fields},
         }
+
+    # -- collection-level quantization (Qdrant quantization_config) --------
+    # Qdrant attaches quantization to the collection and its optimizer
+    # keeps the compressed codes fresh in the background; the batch-engine
+    # equivalent is a VERSIONED CODES SIDECAR: ``quantize()`` materializes
+    # codes for the current committed snapshot into ``quant.v{N}`` (atomic
+    # staging+rename, older sidecars pruned), and ``search_quantized()``
+    # lazily (re)builds it when the data version moved — so a search after
+    # a write pays one rebuild instead of every write paying an encode.
+    def _quant_dir(self, name: str, version: int) -> str:
+        return os.path.join(self._dir(name), f"quant.v{version}")
+
+    def quantize(self, name: str, vector_col: str = "embedding") -> str:
+        """Materialize the quantized-codes sidecar for the CURRENT version
+        (no-op if already built). The codes table keeps id + payload
+        columns and DROPS the full-precision vector — the scan-side size
+        win (4x for int8, ~32x for binary) is the point."""
+        from vectordb_cloud_spark.operators.sq import (
+            bq_encode, bq_train, sq_encode, sq_train)
+
+        name = self.resolve(name)
+        meta = self.meta(name)
+        if not meta.quantization:
+            raise ValueError(f"collection {name!r} has no quantization config")
+        if not self._has_data(name):
+            raise ValueError(f"collection {name!r} is empty")
+        qdir = self._quant_dir(name, meta.version)
+        if os.path.isfile(os.path.join(qdir, "params.json")):
+            return qdir
+        df = self.read(name).filter(F.col(vector_col).isNotNull())
+        stage = qdir + ".staging"
+        shutil.rmtree(stage, ignore_errors=True)
+        os.makedirs(stage)
+        if "scalar" in meta.quantization:
+            mins, maxs = sq_train(df, vector_col)
+            codes = sq_encode(df, mins, maxs, vector_col).drop(vector_col)
+            params = {"kind": "scalar", "mins": mins, "maxs": maxs}
+        else:
+            thresholds = bq_train(df, vector_col)
+            codes = bq_encode(df, thresholds, vector_col).drop(vector_col)
+            params = {"kind": "binary", "thresholds": thresholds}
+        codes.write.mode("overwrite").parquet(os.path.join(stage, "codes"))
+        with open(os.path.join(stage, "params.json"), "w") as f:
+            json.dump(params, f)
+        if os.path.isdir(qdir):
+            shutil.rmtree(qdir)
+        os.rename(stage, qdir)
+        prefix = "quant.v"
+        for d in os.listdir(self._dir(name)):  # prune stale sidecars
+            if d.startswith(prefix) and d != f"quant.v{meta.version}":
+                shutil.rmtree(os.path.join(self._dir(name), d),
+                              ignore_errors=True)
+        return qdir
+
+    def search_quantized(self, name: str, query_vector: list[float],
+                         k: int = 10, predicate=None,
+                         oversampling: int | None = None,
+                         rescore: bool | None = None,
+                         vector_col: str = "embedding",
+                         id_col: str = "id") -> DataFrame:
+        """Top-k search through the collection's quantized codes (Qdrant
+        search with a quantization_config in force; ``params.quantization``
+        knobs map to ``oversampling``/``rescore``). Defaults follow the
+        measured operating points: int8 is near-lossless so it serves
+        directly (rescore opt-in), binary ALWAYS rescores (hamming alone is
+        a candidate generator) at 48x oversampling — the RECALL.md setting.
+        Codes for a stale/missing snapshot rebuild lazily here."""
+        from vectordb_cloud_spark.operators.knn import exact_rescore_topk
+        from vectordb_cloud_spark.operators.sq import bq_search, sq_search
+
+        name = self.resolve(name)
+        qdir = self.quantize(name, vector_col=vector_col)
+        with open(os.path.join(qdir, "params.json")) as f:
+            params = json.load(f)
+        codes = self.spark.read.parquet(os.path.join(qdir, "codes"))
+        if params["kind"] == "scalar":
+            if rescore:
+                over = oversampling or 4
+                cand = sq_search(codes, params["mins"], params["maxs"],
+                                 query_vector, k=k * over, filters=predicate,
+                                 tiebreak=id_col).select(id_col)
+                base = self.read(name)
+                if predicate is not None:
+                    base = base.filter(predicate)
+                return exact_rescore_topk(base, cand, query_vector, k,
+                                          id_col=id_col, vector_col=vector_col)
+            return (
+                sq_search(codes, params["mins"], params["maxs"], query_vector,
+                          k=k, filters=predicate, tiebreak=id_col)
+                .select(id_col, F.round("sq_dist", 6).alias("dist"))
+            )
+        base = self.read(name)
+        if predicate is not None:
+            codes = codes.filter(predicate)
+            base = base.filter(predicate)
+        return bq_search(codes, base, params["thresholds"], query_vector,
+                         k=k, oversample=oversampling or 48, id_col=id_col,
+                         vector_col=vector_col, tiebreak=id_col)
 
     def compact(self, name: str, max_files_per_bucket: int = 4) -> int:
         """Compact buckets that accumulated small files (every bucket-scoped
@@ -1188,6 +1304,7 @@ class CollectionCatalog:
             id_type=smeta["id_type"], n_buckets=smeta["n_buckets"], version=0,
             vectors=smeta.get("vectors"),
             payload_indexes=smeta.get("payload_indexes"),
+            quantization=smeta.get("quantization"),
         )
         sdata = os.path.join(snapshot_dir, "data")
         if os.path.isdir(sdata):
