@@ -117,3 +117,26 @@ def test_quantization_survives_copy_and_snapshot(catalog, spark, tmp_path):
     assert catalog.meta("c3").quantization == {"binary": {}}
     qv = [0.3] * 64
     assert catalog.search_quantized("c3", qv, k=5).count() == 5
+
+
+def test_service_exact_false_routes_through_codes(spark, tmp_path):
+    """Qdrant params.exact=false end-to-end: same hits as the exact path on
+    a quantized service collection, reference response shape preserved."""
+    from vectordb_cloud_spark.api import VectorService
+
+    svc = VectorService(spark, str(tmp_path / "cat"), dim=16,
+                        quantization={"scalar": {"type": "int8"}})
+    for i in range(30):
+        assert svc.insert(id=i, user_id=7, text=f"document about topic {i}",
+                          site="s", lang="en") == 1
+    exact = [r["id"] for r in svc.search(7, "topic 3", limit=5).collect()]
+    approx = svc.search(7, "topic 3", limit=5, exact=False)
+    assert approx.columns == ["id", "string", "score"]
+    got = [r["id"] for r in approx.collect()]
+    assert len(set(got) & set(exact)) >= 4  # int8 near-lossless
+    # tenant isolation holds on the quantized path too
+    assert svc.search(8, "topic", limit=5, exact=False).count() == 0
+    # no quantization config -> exact=False silently stays exact (Qdrant)
+    svc2 = VectorService(spark, str(tmp_path / "cat2"), dim=16)
+    svc2.insert(id=1, user_id=7, text="hello world", site="s", lang="en")
+    assert svc2.search(7, "hello", limit=5, exact=False).count() == 1

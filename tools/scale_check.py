@@ -485,16 +485,37 @@ def main():
                     args.runs,
                 )
 
-        # span-level exact-substring dedup: corpus-token-linear claim
+        # span-level exact-substring dedup: corpus-token-linear claim.
+        # NOT replicate_docs: replicas share every interior window, so the
+        # 10x corpus would also be ~90% duplicated — a workload-composition
+        # change that measured 14x/10x in the first cut. Synthetic docs with
+        # a CONSTANT 5% duplication rate isolate the scaling dimension.
         if "spandedup" in only:
             from vectordb_cloud_spark.operators.dedup import span_dedup_corpus
 
-            for factor in (1, 10):
-                docs = replicate_docs(spark, SF_DIR, factor)
-                p = os.path.join(tmp, f"spandocs_{factor}")
+            passage = " ".join(f"shared{i}" for i in range(40))
+            for n in (10_000, 100_000):
+                docs = (
+                    spark.range(n)
+                    .select(
+                        F.col("id").alias("doc_id"),
+                        F.concat(
+                            F.concat_ws(" ", F.transform(
+                                F.sequence(F.lit(0), F.lit(119)),
+                                lambda i: F.concat(
+                                    F.lit("t"),
+                                    F.pmod(F.xxhash64(F.col("id"), i),
+                                           F.lit(1_000_000_000)),
+                                ),
+                            )),
+                            F.when(F.col("id") % 20 == 0,
+                                   F.lit(" " + passage)).otherwise(F.lit("")),
+                        ).alias("text"),
+                    )
+                )
+                p = os.path.join(tmp, f"spandocs_{n}")
                 docs.write.mode("overwrite").parquet(p)
                 docs = spark.read.parquet(p)
-                n = docs.count()
                 results.setdefault("span_dedup_corpus", {})[n] = timed(
                     lambda docs=docs: noop(
                         span_dedup_corpus(docs, window=30)

@@ -29,12 +29,13 @@ class VectorService:
     README.md:22)."""
 
     def __init__(self, spark: SparkSession, catalog_root: str,
-                 index_name: str = "EverGrowingVDB", dim: int = DEFAULT_DIM):
+                 index_name: str = "EverGrowingVDB", dim: int = DEFAULT_DIM,
+                 quantization: dict | None = None):
         self.spark = spark
         self.catalog = CollectionCatalog(spark, catalog_root)
         self.index_name = index_name
         self.dim = dim
-        self.catalog.create(index_name, dim)
+        self.catalog.create(index_name, dim, quantization=quantization)
 
     # GET /insert (/root/reference/app.py:36-55)
     def insert(self, id: int, user_id: int, text: str, site: str = "", lang: str = "") -> int:
@@ -63,11 +64,17 @@ class VectorService:
     # GET /search (/root/reference/app.py:58-75)
     def search(self, user_id: int, text: str, limit: int = 5,
                site: str | None = None, lang: str | None = None,
-               query_filter: dict | None = None) -> DataFrame:
+               query_filter: dict | None = None,
+               exact: bool = True) -> DataFrame:
         """``query_filter`` accepts the full Qdrant filter JSON the
         reference's client library speaks (/root/reference/search.py:9,
         38-44 builds exactly such a document) — compiled to scan-stage
-        column predicates by :mod:`vectordb_cloud_spark.filters`."""
+        column predicates by :mod:`vectordb_cloud_spark.filters`.
+
+        ``exact=False`` (Qdrant ``params: {"exact": false}``) routes
+        through the collection's quantized codes sidecar when a
+        quantization_config is set (``CollectionCatalog.search_quantized``);
+        with no config it silently stays exact, as in Qdrant."""
         qvec = mock_vector(text, self.dim)
         # tenant-pruned scan: user_id predicate + derived partition-bucket
         # predicate (PartitionFilters prune files, search.py:37 semantics)
@@ -81,6 +88,21 @@ class VectorService:
         extra = compile_filter(query_filter, id_col="id")
         if extra is not None:
             pred = extra if pred is None else pred & extra
+        if not exact and self.catalog.meta(self.index_name).quantization:
+            qpred = F.col("user_id") == F.lit(user_id)
+            if pred is not None:
+                qpred = qpred & pred
+            hits = self.catalog.search_quantized(
+                self.index_name, qvec, k=limit, predicate=qpred)
+            # re-attach the payload for the response shape: the hit set is
+            # k rows, so it broadcasts into one pruned base probe
+            payload = self.catalog.read_for_user(
+                self.index_name, user_id).select("id", "text_id", "text")
+            hits = (
+                payload.join(F.broadcast(hits), "id")
+                .orderBy(F.col("dist").asc(), F.col("id").asc())
+            )
+            return search_response(hits)
         hits = knn_search(points, qvec, k=limit, filters=pred, tiebreak="id")
         return search_response(hits)
 
