@@ -140,3 +140,26 @@ def test_service_exact_false_routes_through_codes(spark, tmp_path):
     svc2 = VectorService(spark, str(tmp_path / "cat2"), dim=16)
     svc2.insert(id=1, user_id=7, text="hello world", site="s", lang="en")
     assert svc2.search(7, "hello", limit=5, exact=False).count() == 1
+
+
+def test_product_quantized_search_rescore(catalog, spark):
+    # x16 compression at dim 8 -> m = 2 one-byte codes per vector
+    _seed(catalog, spark, "p", {"product": {"compression": "x16"}},
+          n=300, dim=8)
+    qv = [0.2] * 8
+    got = [r["id"] for r in
+           catalog.search_quantized("p", qv, k=10, oversampling=8).collect()]
+    exact = _exact_topk(catalog, "p", qv, 10)
+    assert len(set(got) & set(exact)) >= 7  # coarse codebooks + rescore
+    info = catalog.collection_info("p")
+    assert info["config"]["quantization_config"] == {"product": {"compression": "x16"}}
+    with pytest.raises(ValueError, match="x4..x64"):
+        catalog.create("badp", dim=8, quantization={"product": {"compression": "x3"}})
+    with pytest.raises(ValueError, match="divisible"):
+        catalog.create("badm", dim=8, quantization={"product": {"m": 3}})
+        _seed2 = spark.range(10).select(
+            F.col("id"),
+            F.array(*[F.lit(0.1)] * 8).cast("array<float>").alias("embedding"),
+            F.lit("t").alias("text"), F.lit(0).cast("long").alias("user_id"))
+        catalog.upsert("badm", _seed2)
+        catalog.quantize("badm")

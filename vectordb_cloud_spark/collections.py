@@ -293,10 +293,16 @@ class CollectionCatalog:
             if set(quantization) == {"scalar"}:
                 if quantization["scalar"].get("type", "int8") != "int8":
                     raise ValueError("scalar quantization supports type 'int8'")
+            elif set(quantization) == {"product"}:
+                spec = quantization["product"]
+                comp = spec.get("compression", "x16")
+                if "m" not in spec and comp not in {"x4", "x8", "x16", "x32", "x64"}:
+                    raise ValueError(
+                        "product quantization compression must be x4..x64")
             elif set(quantization) != {"binary"}:
                 raise ValueError(
-                    "quantization must be {'scalar': {'type': 'int8'}} or "
-                    "{'binary': {...}}")
+                    "quantization must be {'scalar': {'type': 'int8'}}, "
+                    "{'product': {'compression': 'x16'}}, or {'binary': {...}}")
         meta = CollectionMeta(name, dim, metric, id_type, n_buckets,
                               vectors=vectors, quantization=quantization)
         os.makedirs(self._dir(name), exist_ok=True)
@@ -944,6 +950,26 @@ class CollectionCatalog:
             mins, maxs = sq_train(df, vector_col)
             codes = sq_encode(df, mins, maxs, vector_col).drop(vector_col)
             params = {"kind": "scalar", "mins": mins, "maxs": maxs}
+        elif "product" in meta.quantization:
+            from vectordb_cloud_spark.operators.pq import pq_encode, pq_train
+
+            spec = meta.quantization["product"]
+            d = df.select(F.size(vector_col).alias("d")).first()["d"]
+            if "m" in spec:
+                m = int(spec["m"])
+            else:
+                # Qdrant compression factor vs float32: xN -> dim*4/N bytes
+                # per vector = M one-byte codes (K=256)
+                factor = int(spec.get("compression", "x16")[1:])
+                m = max(1, d * 4 // factor)
+            if d % m:
+                raise ValueError(
+                    f"dim {d} not divisible by product m={m} "
+                    f"(pick a compression whose code count divides the dim)")
+            codebooks = pq_train(df, m_subvectors=m, k_codes=256,
+                                 vector_col=vector_col)
+            codes = pq_encode(df, codebooks, vector_col).drop(vector_col)
+            params = {"kind": "product", "codebooks": codebooks}
         else:
             thresholds = bq_train(df, vector_col)
             codes = bq_encode(df, thresholds, vector_col).drop(vector_col)
@@ -1002,6 +1028,13 @@ class CollectionCatalog:
         if predicate is not None:
             codes = codes.filter(predicate)
             base = base.filter(predicate)
+        if params["kind"] == "product":
+            from vectordb_cloud_spark.operators.pq import pq_search_rerank
+
+            return pq_search_rerank(
+                codes, params["codebooks"], base, query_vector, k=k,
+                oversample=oversampling or 4, id_col=id_col,
+                vector_col=vector_col)
         return bq_search(codes, base, params["thresholds"], query_vector,
                          k=k, oversample=oversampling or 48, id_col=id_col,
                          vector_col=vector_col, tiebreak=id_col)
