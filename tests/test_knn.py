@@ -229,3 +229,29 @@ def test_distance_matrix_pairs_filters_and_guards(spark, embeddings):
         distance_matrix_pairs(embeddings, sample_size=1)
     with pytest.raises(ValueError):
         distance_matrix_pairs(embeddings, metric="hamming")
+
+
+def test_knn_dot_and_manhattan_metrics(spark):
+    """The remaining Qdrant Distance variants: DOT (similarity, descending)
+    and MANHATTAN (L1, ascending) — numpy ground truth."""
+    import numpy as np
+
+    from vectordb_cloud_spark.operators.knn import knn_search
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(50, 8)).astype("float32")
+    q = rng.normal(size=8).astype("float32").tolist()
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    got_dot = [r["vec_id"] for r in
+               knn_search(df, q, k=5, metric="dot", tiebreak="vec_id").collect()]
+    want_dot = np.argsort(-(vecs.astype("float64") @ np.array(q, dtype="float64")))[:5]
+    assert got_dot == list(want_dot)
+
+    got_l1 = [r["vec_id"] for r in
+              knn_search(df, q, k=5, metric="manhattan", tiebreak="vec_id").collect()]
+    want_l1 = np.argsort(
+        np.abs(vecs.astype("float64") - np.array(q, dtype="float64")).sum(1))[:5]
+    assert got_l1 == list(want_l1)

@@ -877,8 +877,8 @@ class CollectionCatalog:
         non-null point counts, computed in one aggregation pass)."""
         name = self.resolve(name)
         meta = self.meta(name)
-        distance = {"l2": "Euclid", "cosine": "Cosine", "dot": "Dot"}.get(
-            meta.metric, meta.metric)
+        distance = {"l2": "Euclid", "cosine": "Cosine", "dot": "Dot",
+                    "manhattan": "Manhattan"}.get(meta.metric, meta.metric)
         points = 0
         segments = 0
         field_points: dict[str, int] = {}

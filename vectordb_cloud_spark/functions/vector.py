@@ -64,6 +64,23 @@ def l2_distance_to(a: Column | str, query: list[float]) -> Column:
     return l2_distance(a, q)
 
 
+def manhattan_distance(a: Column | str, b: Column | str) -> Column:
+    """L1 distance (Qdrant ``Distance.MANHATTAN``) — same fused
+    zip_with/aggregate shape as L2, abs instead of square."""
+    a, b = _as_double_array(a), _as_double_array(b)
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.abs(x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def manhattan_distance_to(a: Column | str, query: list[float]) -> Column:
+    """L1 distance from an array column to a constant query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    return manhattan_distance(a, q)
+
+
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     """Cosine similarity; used by the near-duplicate / similarity-search
     extensions (not a reference op — reference is L2-only)."""

@@ -56,6 +56,18 @@ def knn_search(
         q = F.array(*[F.lit(float(x)) for x in query_vector])
         dist = cosine_similarity(F.col(vector_col), q)
         order = [F.col(dist_col).desc()]
+    elif metric == "dot":
+        # Qdrant Distance.DOT: similarity, descending
+        from vectordb_cloud_spark.functions.vector import dot_product
+
+        q = F.array(*[F.lit(float(x)) for x in query_vector])
+        dist = dot_product(F.col(vector_col), q)
+        order = [F.col(dist_col).desc()]
+    elif metric == "manhattan":
+        from vectordb_cloud_spark.functions.vector import manhattan_distance_to
+
+        dist = manhattan_distance_to(F.col(vector_col), query_vector)
+        order = [F.col(dist_col).asc()]
     else:
         raise ValueError(f"unknown metric {metric!r}")
     if tiebreak is not None:
