@@ -139,3 +139,13 @@ def test_delete_vectors_by_filter(catalog, spark):
             assert r["embedding"] is None
         else:
             assert r["embedding"] is not None
+
+
+def test_retrieve_points_by_ids(catalog, spark):
+    _seed(catalog, spark)
+    got = {r["id"]: r for r in catalog.retrieve("c", [1, 3, 99]).collect()}
+    assert sorted(got) == [1, 3]
+    assert "embedding" not in got[1].asDict()   # vectors pruned by default
+    assert got[3]["text"] == "doc 3"
+    withv = catalog.retrieve("c", [3], with_vectors=True).first()
+    assert [round(x) for x in withv["embedding"]] == [3, 0]

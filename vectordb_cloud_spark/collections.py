@@ -1080,6 +1080,22 @@ class CollectionCatalog:
         id set, a map-only pass."""
         return self.delete_where(name, F.col(id_col).isin(ids))
 
+    def retrieve(self, name: str, ids: list, with_vectors: bool = False,
+                 id_col: str = "id") -> DataFrame:
+        """Qdrant POST /points (retrieve by ids): point lookup with payload,
+        vectors opt-in (column pruning — with_vectors=False never reads the
+        vector bytes). The id ``isin`` predicate rides the id-sorted row
+        groups, so each touched file reads a fraction of its pages."""
+        name = self.resolve(name)
+        df = self.read(name)
+        if "__bucket" in df.columns:
+            df = df.drop("__bucket")
+        df = df.filter(F.col(id_col).isin(list(ids)))
+        if not with_vectors:
+            df = df.drop("embedding", *[c for c in df.columns
+                                        if c.startswith("vec_")])
+        return df
+
     # -- points batch + vector-level updates --------------------------------
     # Qdrant POST /collections/{c}/points/batch: a LIST of heterogeneous
     # point operations applied in order. Spark-first, the whole batch
