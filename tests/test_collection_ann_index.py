@@ -1,0 +1,108 @@
+"""Collection-attached ANN index (the hnsw_config slot): IVF or graph
+config in meta, versioned ann.v{N} sidecar built lazily per committed
+snapshot, search_ann serving through it. Same lifecycle contract as the
+quantization sidecar (staleness rebuild, atomic publish, pruning)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_cloud_spark.collections import CollectionCatalog
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    return CollectionCatalog(spark, str(tmp_path / "collections"))
+
+
+def _seed(catalog, spark, name, ann_index, n=500, dim=8):
+    catalog.create(name, dim=dim, ann_index=ann_index)
+    rows = (
+        spark.range(n)
+        .select(
+            F.col("id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: (F.pmod(F.xxhash64(F.col("id"), i), F.lit(1000)) - 500.0) / 500.0,
+            ).cast("array<float>").alias("embedding"),
+            F.concat(F.lit("doc "), F.col("id")).alias("text"),
+            (F.col("id") % 4).alias("user_id"),
+        )
+    )
+    catalog.upsert(name, rows)
+
+
+def _exact(catalog, name, qv, k, predicate=None):
+    from vectordb_cloud_spark.operators.knn import knn_search
+
+    pts = catalog.read(name)
+    if predicate is not None:
+        pts = pts.filter(predicate)
+    return [r["id"] for r in
+            knn_search(pts, qv, k=k, tiebreak="id").select("id").collect()]
+
+
+def test_ivf_index_config_full_probe_exact(catalog, spark):
+    # nprobe == k_centroids: the pruned search degenerates to brute force,
+    # pinning the whole pipeline's arithmetic
+    _seed(catalog, spark, "c", {"ivf": {"k_centroids": 4, "nprobe": 4}})
+    qv = [0.1] * 8
+    got = catalog.search_ann("c", qv, k=10)
+    assert got.columns == ["id", "dist"]
+    assert [r["id"] for r in got.collect()] == _exact(catalog, "c", qv, 10)
+
+
+def test_ivf_partial_probe_recall_and_filters(catalog, spark):
+    _seed(catalog, spark, "c", {"ivf": {"k_centroids": 8, "nprobe": 4}})
+    qv = [0.1] * 8
+    got = [r["id"] for r in catalog.search_ann("c", qv, k=10).collect()]
+    exact = _exact(catalog, "c", qv, 10)
+    assert len(set(got) & set(exact)) >= 5
+    pred = F.col("user_id") == 1
+    flt = [r["id"] for r in
+           catalog.search_ann("c", qv, k=5, predicate=pred).collect()]
+    assert flt and all(i % 4 == 1 for i in flt)
+
+
+def test_graph_index_config(catalog, spark):
+    _seed(catalog, spark, "g", {"graph": {"degree": 8, "beam": 32}}, n=300)
+    qv = [0.1] * 8
+    got = [r["id"] for r in catalog.search_ann("g", qv, k=10).collect()]
+    exact = _exact(catalog, "g", qv, 10)
+    assert len(set(got) & set(exact)) >= 5  # beam search on a tiny corpus
+
+
+def test_ann_sidecar_lazy_rebuild_and_pruning(catalog, spark):
+    _seed(catalog, spark, "c", {"ivf": {"k_centroids": 4, "nprobe": 4}})
+    qv = [0.1] * 8
+    catalog.search_ann("c", qv, k=5)
+    v1 = catalog.meta("c").version
+    assert os.path.isdir(catalog._ann_dir("c", v1))
+    catalog.delete_where("c", F.col("id") < 100)
+    got = [r["id"] for r in catalog.search_ann("c", qv, k=5).collect()]
+    assert all(i >= 100 for i in got)
+    v2 = catalog.meta("c").version
+    assert os.path.isdir(catalog._ann_dir("c", v2))
+    assert not os.path.isdir(catalog._ann_dir("c", v1))
+
+
+def test_ann_config_guards_and_service(catalog, spark, tmp_path):
+    with pytest.raises(ValueError, match="ann_index"):
+        catalog.create("bad", dim=4, ann_index={"hnsw": {}})
+    _seed(catalog, spark, "c", {"ivf": {"k_centroids": 4, "nprobe": 4}})
+    info = catalog.collection_info("c")
+    assert info["config"]["ann_index"] == {"ivf": {"k_centroids": 4, "nprobe": 4}}
+    catalog.create_from("c2", "c")
+    assert catalog.meta("c2").ann_index == {"ivf": {"k_centroids": 4, "nprobe": 4}}
+
+    from vectordb_cloud_spark.api import VectorService
+
+    svc = VectorService(spark, str(tmp_path / "cat"), dim=16,
+                        ann_index={"ivf": {"k_centroids": 2, "nprobe": 2}})
+    for i in range(20):
+        svc.insert(id=i, user_id=3, text=f"topic {i}", site="s", lang="en")
+    exact = [r["id"] for r in svc.search(3, "topic 4", limit=5).collect()]
+    got = [r["id"] for r in
+           svc.search(3, "topic 4", limit=5, exact=False).collect()]
+    assert got == exact  # full probe == exact, through the service

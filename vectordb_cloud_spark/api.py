@@ -30,12 +30,14 @@ class VectorService:
 
     def __init__(self, spark: SparkSession, catalog_root: str,
                  index_name: str = "EverGrowingVDB", dim: int = DEFAULT_DIM,
-                 quantization: dict | None = None):
+                 quantization: dict | None = None,
+                 ann_index: dict | None = None):
         self.spark = spark
         self.catalog = CollectionCatalog(spark, catalog_root)
         self.index_name = index_name
         self.dim = dim
-        self.catalog.create(index_name, dim, quantization=quantization)
+        self.catalog.create(index_name, dim, quantization=quantization,
+                            ann_index=ann_index)
 
     # GET /insert (/root/reference/app.py:36-55)
     def insert(self, id: int, user_id: int, text: str, site: str = "", lang: str = "") -> int:
@@ -88,12 +90,17 @@ class VectorService:
         extra = compile_filter(query_filter, id_col="id")
         if extra is not None:
             pred = extra if pred is None else pred & extra
-        if not exact and self.catalog.meta(self.index_name).quantization:
+        meta = self.catalog.meta(self.index_name) if not exact else None
+        if meta is not None and (meta.ann_index or meta.quantization):
             qpred = F.col("user_id") == F.lit(user_id)
             if pred is not None:
                 qpred = qpred & pred
-            hits = self.catalog.search_quantized(
-                self.index_name, qvec, k=limit, predicate=qpred)
+            if meta.ann_index:  # index for candidates beats codes-only scan
+                hits = self.catalog.search_ann(
+                    self.index_name, qvec, k=limit, predicate=qpred)
+            else:
+                hits = self.catalog.search_quantized(
+                    self.index_name, qvec, k=limit, predicate=qpred)
             # re-attach the payload for the response shape: the hit set is
             # k rows, so it broadcasts into one pruned base probe
             payload = self.catalog.read_for_user(

@@ -78,6 +78,12 @@ class CollectionMeta:
     # ``search_quantized()`` — the batch-engine shape of Qdrant's
     # background optimizer.
     quantization: dict | None = None
+    # ANN index config — the hnsw_config slot of create_collection, with
+    # the two families this engine builds: {"ivf": {"k_centroids": N,
+    # "nprobe": M}} (centroid-partitioned layout, file pruning) or
+    # {"graph": {"degree": D, "beam": B, "max_hops": H}} (HNSW-class).
+    # Same versioned-sidecar lifecycle as quantization (``ann.v{N}``).
+    ann_index: dict | None = None
 
 
 class CollectionCatalog:
@@ -269,7 +275,8 @@ class CollectionCatalog:
     def create(self, name: str, dim: int, metric: str = "l2", id_type: str = "long",
                n_buckets: int = DEFAULT_BUCKETS, if_not_exists: bool = True,
                vectors: dict | None = None,
-               quantization: dict | None = None) -> CollectionMeta:
+               quantization: dict | None = None,
+               ann_index: dict | None = None) -> CollectionMeta:
         """U1: create collection (idempotent, /root/reference/insert.py:68-73).
 
         ``vectors`` adds NAMED vectors (Qdrant ``vectors_config`` with named
@@ -303,8 +310,12 @@ class CollectionCatalog:
                 raise ValueError(
                     "quantization must be {'scalar': {'type': 'int8'}}, "
                     "{'product': {'compression': 'x16'}}, or {'binary': {...}}")
+        if ann_index is not None and set(ann_index) not in ({"ivf"}, {"graph"}):
+            raise ValueError(
+                "ann_index must be {'ivf': {...}} or {'graph': {...}}")
         meta = CollectionMeta(name, dim, metric, id_type, n_buckets,
-                              vectors=vectors, quantization=quantization)
+                              vectors=vectors, quantization=quantization,
+                              ann_index=ann_index)
         os.makedirs(self._dir(name), exist_ok=True)
         with open(os.path.join(self._dir(name), META_FILE), "w") as f:
             json.dump(asdict(meta), f)
@@ -332,7 +343,8 @@ class CollectionCatalog:
         meta = self.create(name, src_meta.dim, src_meta.metric, src_meta.id_type,
                            src_meta.n_buckets, if_not_exists=False,
                            vectors=src_meta.vectors,
-                           quantization=src_meta.quantization)
+                           quantization=src_meta.quantization,
+                           ann_index=src_meta.ann_index)
         if src_meta.payload_indexes:
             # carry index declarations BEFORE the data write so the CTAS
             # lands already clustered
@@ -907,7 +919,8 @@ class CollectionCatalog:
             "config": {"params": {"vectors": vec_cfg,
                                   "n_buckets": meta.n_buckets,
                                   "on_disk_payload": True},
-                       "quantization_config": meta.quantization},
+                       "quantization_config": meta.quantization,
+                       "ann_index": meta.ann_index},
             "payload_schema": {
                 f: {"data_type": (meta.payload_indexes or {})[f],
                     "points": field_points.get(f, 0)}
@@ -1038,6 +1051,93 @@ class CollectionCatalog:
         return bq_search(codes, base, params["thresholds"], query_vector,
                          k=k, oversample=oversampling or 48, id_col=id_col,
                          vector_col=vector_col, tiebreak=id_col)
+
+    # -- collection-attached ANN index (the hnsw_config slot) --------------
+    # Same versioned-sidecar lifecycle as quantization: build_ann_index()
+    # materializes the index for the CURRENT snapshot (atomic publish,
+    # stale sidecars pruned), search_ann() lazily rebuilds when a write
+    # moved the version. A per-snapshot rebuild is the honest batch-engine
+    # default; a streaming deployment keeps the IVF layout fresh
+    # incrementally instead (streaming.start_indexed_ingest_stream +
+    # operators.ann.ivf_append — the maintained path).
+    def _ann_dir(self, name: str, version: int) -> str:
+        return os.path.join(self._dir(name), f"ann.v{version}")
+
+    def build_ann_index(self, name: str, vector_col: str = "embedding",
+                        id_col: str = "id") -> str:
+        from vectordb_cloud_spark.operators.ann import ivf_build, ivf_persist
+        from vectordb_cloud_spark.operators.graph_ann import (
+            graph_entry_points, knn_graph_build)
+
+        name = self.resolve(name)
+        meta = self.meta(name)
+        if not meta.ann_index:
+            raise ValueError(f"collection {name!r} has no ann_index config")
+        if not self._has_data(name):
+            raise ValueError(f"collection {name!r} is empty")
+        adir = self._ann_dir(name, meta.version)
+        if os.path.isfile(os.path.join(adir, "params.json")):
+            return adir
+        df = self.read(name).filter(F.col(vector_col).isNotNull())
+        stage = adir + ".staging"
+        shutil.rmtree(stage, ignore_errors=True)
+        os.makedirs(stage)
+        if "ivf" in meta.ann_index:
+            spec = meta.ann_index["ivf"]
+            centers, assigned = ivf_build(
+                df, k_centroids=int(spec.get("k_centroids", 16)),
+                vector_col=vector_col)
+            ivf_persist(assigned, os.path.join(stage, "ivf"))
+            params = {"kind": "ivf", "centers": centers,
+                      "nprobe": int(spec.get("nprobe", 2))}
+        else:
+            spec = meta.ann_index["graph"]
+            graph = knn_graph_build(
+                df, degree=int(spec.get("degree", 8)), id_col=id_col,
+                vec_col=vector_col)
+            graph.select("src", "dst", F.col("dist").cast("double")).write \
+                .mode("overwrite").parquet(os.path.join(stage, "graph"))
+            entries = graph_entry_points(df, id_col=id_col, vec_col=vector_col)
+            params = {"kind": "graph", "entry_ids": entries,
+                      "beam": int(spec.get("beam", 32)),
+                      "max_hops": int(spec.get("max_hops", 4))}
+        with open(os.path.join(stage, "params.json"), "w") as f:
+            json.dump(params, f)
+        if os.path.isdir(adir):
+            shutil.rmtree(adir)
+        os.rename(stage, adir)
+        for d in os.listdir(self._dir(name)):  # prune stale sidecars
+            if d.startswith("ann.v") and d != f"ann.v{meta.version}":
+                shutil.rmtree(os.path.join(self._dir(name), d),
+                              ignore_errors=True)
+        return adir
+
+    def search_ann(self, name: str, query_vector: list[float], k: int = 10,
+                   predicate=None, vector_col: str = "embedding",
+                   id_col: str = "id") -> DataFrame:
+        """Top-k through the collection's attached ANN index (nprobe/beam
+        from the config). Filters compose Qdrant-style: IVF pushes them
+        into the pruned scan; graph navigates unfiltered and filters
+        results (the filtered-HNSW convention of graph_beam_search)."""
+        from vectordb_cloud_spark.operators.ann import ivf_search_persisted
+        from vectordb_cloud_spark.operators.graph_ann import graph_beam_search
+
+        name = self.resolve(name)
+        adir = self.build_ann_index(name, vector_col=vector_col, id_col=id_col)
+        with open(os.path.join(adir, "params.json")) as f:
+            params = json.load(f)
+        if params["kind"] == "ivf":
+            centers = [(int(i), list(c)) for i, c in params["centers"]]
+            return ivf_search_persisted(
+                self.spark, os.path.join(adir, "ivf"), centers, query_vector,
+                k=k, nprobe=params["nprobe"], vector_col=vector_col,
+                filters=predicate, tiebreak=id_col
+            ).select(id_col, "dist")  # uniform (id, dist) contract
+        graph = self.spark.read.parquet(os.path.join(adir, "graph"))
+        return graph_beam_search(
+            self.read(name), graph, query_vector, k=k, beam=params["beam"],
+            max_hops=params["max_hops"], id_col=id_col, vec_col=vector_col,
+            filters=predicate, entry_ids=params["entry_ids"])
 
     def compact(self, name: str, max_files_per_bucket: int = 4) -> int:
         """Compact buckets that accumulated small files (every bucket-scoped
@@ -1354,6 +1454,7 @@ class CollectionCatalog:
             vectors=smeta.get("vectors"),
             payload_indexes=smeta.get("payload_indexes"),
             quantization=smeta.get("quantization"),
+            ann_index=smeta.get("ann_index"),
         )
         sdata = os.path.join(snapshot_dir, "data")
         if os.path.isdir(sdata):
