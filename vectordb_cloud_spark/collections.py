@@ -78,6 +78,14 @@ class CollectionMeta:
     # ``search_quantized()`` — the batch-engine shape of Qdrant's
     # background optimizer.
     quantization: dict | None = None
+    # Qdrant sparse_vectors config (named sparse vectors beside the dense
+    # ones): maps name -> config dict (may be empty). Stored as paired
+    # ``sparse_{name}_indices`` (array<int>, strictly ascending, unique)
+    # and ``sparse_{name}_values`` (array<float>) columns, validated
+    # together on every write; served by ``search_sparse()`` (scan scoring
+    # — persist an inverted layout via operators.sparse for the 100 TB
+    # path).
+    sparse_vectors: dict | None = None
     # ANN index config — the hnsw_config slot of create_collection, with
     # the two families this engine builds: {"ivf": {"k_centroids": N,
     # "nprobe": M}} (centroid-partitioned layout, file pruning) or
@@ -276,7 +284,8 @@ class CollectionCatalog:
                n_buckets: int = DEFAULT_BUCKETS, if_not_exists: bool = True,
                vectors: dict | None = None,
                quantization: dict | None = None,
-               ann_index: dict | None = None) -> CollectionMeta:
+               ann_index: dict | None = None,
+               sparse_vectors: dict | None = None) -> CollectionMeta:
         """U1: create collection (idempotent, /root/reference/insert.py:68-73).
 
         ``vectors`` adds NAMED vectors (Qdrant ``vectors_config`` with named
@@ -313,9 +322,13 @@ class CollectionCatalog:
         if ann_index is not None and set(ann_index) not in ({"ivf"}, {"graph"}):
             raise ValueError(
                 "ann_index must be {'ivf': {...}} or {'graph': {...}}")
+        if sparse_vectors is not None:
+            sparse_vectors = {str(k): dict(v or {})
+                              for k, v in sparse_vectors.items()}
         meta = CollectionMeta(name, dim, metric, id_type, n_buckets,
                               vectors=vectors, quantization=quantization,
-                              ann_index=ann_index)
+                              ann_index=ann_index,
+                              sparse_vectors=sparse_vectors)
         os.makedirs(self._dir(name), exist_ok=True)
         with open(os.path.join(self._dir(name), META_FILE), "w") as f:
             json.dump(asdict(meta), f)
@@ -344,7 +357,8 @@ class CollectionCatalog:
                            src_meta.n_buckets, if_not_exists=False,
                            vectors=src_meta.vectors,
                            quantization=src_meta.quantization,
-                           ann_index=src_meta.ann_index)
+                           ann_index=src_meta.ann_index,
+                           sparse_vectors=src_meta.sparse_vectors)
         if src_meta.payload_indexes:
             # carry index declarations BEFORE the data write so the CTAS
             # lands already clustered
@@ -379,7 +393,38 @@ class CollectionCatalog:
                 f"collection {name!r} vector dim mismatch (expected "
                 f"{dict(checks)}); got a row with a different size"
             )
+        # sparse named vectors: indices/values same length, indices strictly
+        # ascending and unique — all checked in the SAME single-pass shape
+        sparse_bad = None
+        for sname in sorted(meta.sparse_vectors or {}):
+            icol, vcol = self.sparse_cols_of(sname)
+            if icol not in df.columns and vcol not in df.columns:
+                continue
+            if (icol in df.columns) != (vcol in df.columns):
+                raise ValueError(
+                    f"sparse vector {sname!r} needs BOTH {icol} and {vcol}")
+            i, v = F.col(icol), F.col(vcol)
+            p = (
+                (i.isNotNull() != v.isNotNull())
+                | (i.isNotNull() & (
+                    (F.size(i) != F.size(v))
+                    | (F.size(F.array_distinct(i)) != F.size(i))
+                    | (F.array_sort(i) != i)
+                ))
+            )
+            sparse_bad = p if sparse_bad is None else sparse_bad | p
+        if sparse_bad is not None and df.filter(sparse_bad).limit(1).count():
+            raise ValueError(
+                f"collection {name!r} sparse vector invalid: indices/values "
+                "must pair, match in length, and indices must be strictly "
+                "ascending and unique"
+            )
         return df
+
+    @staticmethod
+    def sparse_cols_of(sparse_name: str) -> tuple[str, str]:
+        """(indices, values) columns of a named sparse vector."""
+        return (f"sparse_{sparse_name}_indices", f"sparse_{sparse_name}_values")
 
     @staticmethod
     def vector_col_of(vector_name: str) -> str:
@@ -423,10 +468,15 @@ class CollectionCatalog:
                 f", {self.vector_col_of(v)} array<float>"
                 for v in sorted(meta.vectors or {})
             )
+            sparse = "".join(
+                f", {self.sparse_cols_of(s)[0]} array<int>, "
+                f"{self.sparse_cols_of(s)[1]} array<float>"
+                for s in sorted(meta.sparse_vectors or {})
+            )
             return self.spark.createDataFrame(
                 [],
                 f"{id_field}, embedding array<float>, text_id long, text string, "
-                f"user_id long, site string, lang string{named}",
+                f"user_id long, site string, lang string{named}{sparse}",
             )
         return self.spark.read.parquet(data)
 
@@ -917,6 +967,7 @@ class CollectionCatalog:
             "points_count": points,
             "segments_count": segments,
             "config": {"params": {"vectors": vec_cfg,
+                                  "sparse_vectors": meta.sparse_vectors,
                                   "n_buckets": meta.n_buckets,
                                   "on_disk_payload": True},
                        "quantization_config": meta.quantization,
@@ -1051,6 +1102,30 @@ class CollectionCatalog:
         return bq_search(codes, base, params["thresholds"], query_vector,
                          k=k, oversample=oversampling or 48, id_col=id_col,
                          vector_col=vector_col, tiebreak=id_col)
+
+    def search_sparse(self, name: str, sparse_name: str,
+                      query_indices: list[int], query_values: list[float],
+                      k: int = 10, predicate=None,
+                      id_col: str = "id") -> DataFrame:
+        """Top-k dot-product search over a named sparse vector (Qdrant
+        query with ``using: <sparse_name>``). Scan scoring — the per-row
+        work is |query| sorted-array lookups in codegen; persist an
+        inverted layout (operators.sparse.sparse_persist_inverted) when the
+        corpus outgrows scanning."""
+        from vectordb_cloud_spark.operators.sparse import sparse_topk
+
+        name = self.resolve(name)
+        meta = self.meta(name)
+        if sparse_name not in (meta.sparse_vectors or {}):
+            raise ValueError(
+                f"collection {name!r} has no sparse vector {sparse_name!r} "
+                f"(configured: {sorted(meta.sparse_vectors or {})})")
+        icol, vcol = self.sparse_cols_of(sparse_name)
+        df = self.read(name).filter(F.col(icol).isNotNull())
+        if predicate is not None:
+            df = df.filter(predicate)
+        return sparse_topk(df, query_indices, query_values, k=k,
+                           id_col=id_col, idx_col=icol, val_col=vcol)
 
     # -- collection-attached ANN index (the hnsw_config slot) --------------
     # Same versioned-sidecar lifecycle as quantization: build_ann_index()
@@ -1193,7 +1268,7 @@ class CollectionCatalog:
         df = df.filter(F.col(id_col).isin(list(ids)))
         if not with_vectors:
             df = df.drop("embedding", *[c for c in df.columns
-                                        if c.startswith("vec_")])
+                                        if c.startswith(("vec_", "sparse_"))])
         return df
 
     # -- points batch + vector-level updates --------------------------------
@@ -1455,6 +1530,7 @@ class CollectionCatalog:
             payload_indexes=smeta.get("payload_indexes"),
             quantization=smeta.get("quantization"),
             ann_index=smeta.get("ann_index"),
+            sparse_vectors=smeta.get("sparse_vectors"),
         )
         sdata = os.path.join(snapshot_dir, "data")
         if os.path.isdir(sdata):
