@@ -79,3 +79,22 @@ def test_shared_flags_accepted_after_subcommand():
     a = p.parse_args(["--index_name", "Pre", "search", "--user_id", "2",
                       "--text", "t", "--limit", "3", "--index_name", "Post"])
     assert a.index_name == "Post"  # post-subcommand wins when both given
+
+
+def test_collection_info_and_index_subcommands(spark, tmp_path):
+    import json
+
+    run(_base(tmp_path, [
+        "insert", "--text_id", "1", "--user_id", "7", "--text", "hello",
+        "--site", "s1",
+    ]), spark)
+    info = json.loads(run(_base(tmp_path, ["collection-info"]), spark))
+    assert info["points_count"] == 1 and info["payload_schema"] == {}
+    out = json.loads(run(_base(tmp_path, [
+        "create-index", "--field", "site", "--schema", "keyword"]), spark))
+    assert out["payload_indexes"] == {"site": "keyword"}
+    info = json.loads(run(_base(tmp_path, ["collection-info"]), spark))
+    assert info["payload_schema"]["site"]["data_type"] == "keyword"
+    out = json.loads(run(_base(tmp_path, [
+        "delete-index", "--field", "site"]), spark))
+    assert out["payload_indexes"] == {}

@@ -101,6 +101,18 @@ def build_parser() -> argparse.ArgumentParser:
     srv.add_argument("--host", type=str, default="0.0.0.0")
     srv.add_argument("--port", type=int, default=8000)
 
+    sub.add_parser("collection-info", parents=[shared],
+                   help="Qdrant GET /collections/{name}")
+
+    cix = sub.add_parser("create-index", parents=[shared],
+                         help="Qdrant PUT /collections/{name}/index")
+    cix.add_argument("--field", type=str, required=True)
+    cix.add_argument("--schema", type=str, default="keyword")
+
+    dix = sub.add_parser("delete-index", parents=[shared],
+                         help="Qdrant DELETE /collections/{name}/index/{field}")
+    dix.add_argument("--field", type=str, required=True)
+
     return p
 
 
@@ -133,6 +145,18 @@ def run(argv: Sequence[str], spark) -> str:
         return str(svc.remove_all_by_regex(args.user_id, args.regex))
     if args.cmd == "classify":
         return svc.get_category_for_title(args.user_id, args.cats, args.title)
+    if args.cmd == "collection-info":
+        import json as _json
+
+        return _json.dumps(svc.info())
+    if args.cmd == "create-index":
+        import json as _json
+
+        return _json.dumps(svc.create_index(args.field, args.schema))
+    if args.cmd == "delete-index":
+        import json as _json
+
+        return _json.dumps(svc.delete_index(args.field))
     if args.cmd == "serve":  # pragma: no cover - blocking server loop
         from vectordb_cloud_spark.http_app import serve
 

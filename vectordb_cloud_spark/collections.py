@@ -1004,8 +1004,12 @@ class CollectionCatalog:
         if not self._has_data(name):
             raise ValueError(f"collection {name!r} is empty")
         qdir = self._quant_dir(name, meta.version)
-        if os.path.isfile(os.path.join(qdir, "params.json")):
-            return qdir
+        pfile = os.path.join(qdir, "params.json")
+        if os.path.isfile(pfile):
+            with open(pfile) as f:
+                if json.load(f).get("vector_col", "embedding") == vector_col:
+                    return qdir
+            # sidecar was built for a different vector column: rebuild
         df = self.read(name).filter(F.col(vector_col).isNotNull())
         stage = qdir + ".staging"
         shutil.rmtree(stage, ignore_errors=True)
@@ -1038,6 +1042,7 @@ class CollectionCatalog:
             thresholds = bq_train(df, vector_col)
             codes = bq_encode(df, thresholds, vector_col).drop(vector_col)
             params = {"kind": "binary", "thresholds": thresholds}
+        params["vector_col"] = vector_col
         codes.write.mode("overwrite").parquet(os.path.join(stage, "codes"))
         with open(os.path.join(stage, "params.json"), "w") as f:
             json.dump(params, f)
@@ -1151,8 +1156,12 @@ class CollectionCatalog:
         if not self._has_data(name):
             raise ValueError(f"collection {name!r} is empty")
         adir = self._ann_dir(name, meta.version)
-        if os.path.isfile(os.path.join(adir, "params.json")):
-            return adir
+        pfile = os.path.join(adir, "params.json")
+        if os.path.isfile(pfile):
+            with open(pfile) as f:
+                if json.load(f).get("vector_col", "embedding") == vector_col:
+                    return adir
+            # sidecar was built for a different vector column: rebuild
         df = self.read(name).filter(F.col(vector_col).isNotNull())
         stage = adir + ".staging"
         shutil.rmtree(stage, ignore_errors=True)
@@ -1176,6 +1185,7 @@ class CollectionCatalog:
             params = {"kind": "graph", "entry_ids": entries,
                       "beam": int(spec.get("beam", 32)),
                       "max_hops": int(spec.get("max_hops", 4))}
+        params["vector_col"] = vector_col
         with open(os.path.join(stage, "params.json"), "w") as f:
             json.dump(params, f)
         if os.path.isdir(adir):
