@@ -106,3 +106,29 @@ def test_query_api_errors(embeddings):
         query_points(embeddings, {"fusion": "rrf"}, prefetch=[{"limit": 5}])
     with pytest.raises(ValueError, match="unsupported query"):
         query_points(embeddings, query=42)
+
+
+def test_query_points_sparse_branch(spark):
+    """Qdrant SparseVector query through the universal endpoint: `using`
+    names a collection-convention sparse column pair; bare indices/values
+    columns work with using=None."""
+    from vectordb_cloud_spark.query_api import query_points
+
+    df = spark.createDataFrame(
+        [(1, [2, 7], [1.0, 2.0], "a"), (2, [7, 13], [3.0, 1.0], "b"),
+         (3, [13, 40], [2.0, 2.0], "a")],
+        "vec_id long, sparse_text_indices array<int>, "
+        "sparse_text_values array<float>, grp string",
+    )
+    got = query_points(df, query={"indices": [7, 13], "values": [1.0, 1.0]},
+                       using="text", limit=3)
+    rows = [(r["vec_id"], r["score"]) for r in got.collect()]
+    assert rows == [(2, 4.0), (1, 2.0), (3, 2.0)]
+    flt = query_points(df, query={"indices": [7, 13], "values": [1.0, 1.0]},
+                       using="text", limit=3,
+                       query_filter={"must": [{"key": "grp", "match": {"value": "a"}}]})
+    assert [r["vec_id"] for r in flt.collect()] == [1, 3]
+    bare = df.withColumnRenamed("sparse_text_indices", "indices") \
+             .withColumnRenamed("sparse_text_values", "values")
+    got2 = query_points(bare, query={"indices": [7], "values": [2.0]}, limit=2)
+    assert [r["vec_id"] for r in got2.collect()] == [2, 1]

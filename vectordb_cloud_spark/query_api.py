@@ -173,6 +173,25 @@ def query_points(
                           vector_col=vcol, filters=pred, metric=metric,
                           tiebreak=id_col)
     if isinstance(query, dict):
+        if "indices" in query and "values" in query:
+            # sparse query vector (Qdrant SparseVector) — `using` names the
+            # configured sparse vector; columns follow the collection
+            # convention sparse_{name}_indices/values (or the bare
+            # indices/values pair when `using` is None)
+            from vectordb_cloud_spark.operators.sparse import sparse_topk
+
+            if using:
+                icol, vcol_s = (f"sparse_{using}_indices",
+                                f"sparse_{using}_values")
+            else:
+                icol, vcol_s = "indices", "values"
+            df = points.filter(F.col(icol).isNotNull())
+            if pred is not None:
+                df = df.filter(pred)
+            return sparse_topk(df, list(query["indices"]),
+                               [float(x) for x in query["values"]],
+                               k=limit, id_col=id_col,
+                               idx_col=icol, val_col=vcol_s)
         if query.get("sample") == "random":
             from vectordb_cloud_spark.sources.readers import random_sample
 
