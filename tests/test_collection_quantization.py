@@ -97,7 +97,7 @@ def test_sidecar_lazy_rebuild_on_write(catalog, spark):
 
 def test_quantization_config_guards_and_info(catalog, spark):
     with pytest.raises(ValueError, match="quantization"):
-        catalog.create("bad", dim=4, quantization={"product": {}})
+        catalog.create("bad", dim=4, quantization={"rotational": {}})
     with pytest.raises(ValueError, match="int8"):
         catalog.create("bad", dim=4, quantization={"scalar": {"type": "int4"}})
     _seed(catalog, spark, "c", {"scalar": {"type": "int8"}})
