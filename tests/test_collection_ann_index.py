@@ -106,3 +106,32 @@ def test_ann_config_guards_and_service(catalog, spark, tmp_path):
     got = [r["id"] for r in
            svc.search(3, "topic 4", limit=5, exact=False).collect()]
     assert got == exact  # full probe == exact, through the service
+
+
+def test_ivf_sq_composed_when_both_configs(catalog, spark):
+    """ann_index ivf + scalar quantization -> the composed IVF×SQ sidecar:
+    full probe + generous oversample must reproduce exact brute force."""
+    import os
+
+    catalog.create("x", dim=8,
+                   ann_index={"ivf": {"k_centroids": 4, "nprobe": 4,
+                                      "oversample": 8}},
+                   quantization={"scalar": {"type": "int8"}})
+    rows = (
+        spark.range(400)
+        .select(
+            F.col("id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(7)),
+                lambda i: (F.pmod(F.xxhash64(F.col("id"), i), F.lit(1000)) - 500.0) / 500.0,
+            ).cast("array<float>").alias("embedding"),
+            F.concat(F.lit("doc "), F.col("id")).alias("text"),
+            (F.col("id") % 4).alias("user_id"),
+        )
+    )
+    catalog.upsert("x", rows)
+    qv = [0.1] * 8
+    adir = catalog.build_ann_index("x")
+    assert os.path.isdir(os.path.join(adir, "ivf_sq"))
+    got = [r["id"] for r in catalog.search_ann("x", qv, k=10).collect()]
+    assert got == _exact(catalog, "x", qv, 10)

@@ -1171,9 +1171,26 @@ class CollectionCatalog:
             centers, assigned = ivf_build(
                 df, k_centroids=int(spec.get("k_centroids", 16)),
                 vector_col=vector_col)
-            ivf_persist(assigned, os.path.join(stage, "ivf"))
-            params = {"kind": "ivf", "centers": centers,
-                      "nprobe": int(spec.get("nprobe", 2))}
+            if meta.quantization and "scalar" in meta.quantization:
+                # BOTH configs -> the composed IVF×SQ layout: centroid
+                # partitioning prunes FILES, int8 codes shrink the BYTES of
+                # every opened file ~4x; originals stay in the base table
+                # for the rescore (Qdrant's quantized-index storage split)
+                from vectordb_cloud_spark.operators.sq import (
+                    ivf_sq_persist, sq_train)
+
+                mins, maxs = sq_train(df, vector_col)
+                ivf_sq_persist(df, centers, mins, maxs,
+                               os.path.join(stage, "ivf_sq"),
+                               id_col=id_col, vector_col=vector_col)
+                params = {"kind": "ivf_sq", "centers": centers,
+                          "nprobe": int(spec.get("nprobe", 2)),
+                          "mins": mins, "maxs": maxs,
+                          "oversample": int(spec.get("oversample", 4))}
+            else:
+                ivf_persist(assigned, os.path.join(stage, "ivf"))
+                params = {"kind": "ivf", "centers": centers,
+                          "nprobe": int(spec.get("nprobe", 2))}
         else:
             spec = meta.ann_index["graph"]
             graph = knn_graph_build(
@@ -1218,6 +1235,21 @@ class CollectionCatalog:
                 k=k, nprobe=params["nprobe"], vector_col=vector_col,
                 filters=predicate, tiebreak=id_col
             ).select(id_col, "dist")  # uniform (id, dist) contract
+        if params["kind"] == "ivf_sq":
+            # codes sidecar carries no payload: the predicate applies at
+            # the exact-rescore stage (post-candidate filtering — raise
+            # nprobe/oversample under selective filters)
+            from vectordb_cloud_spark.operators.sq import ivf_sq_search
+
+            centers = [(int(i), list(c)) for i, c in params["centers"]]
+            base = self.read(name)
+            if predicate is not None:
+                base = base.filter(predicate)
+            return ivf_sq_search(
+                self.spark, os.path.join(adir, "ivf_sq"), base, centers,
+                params["mins"], params["maxs"], query_vector, k=k,
+                nprobe=params["nprobe"], oversample=params["oversample"],
+                id_col=id_col, vector_col=vector_col)
         graph = self.spark.read.parquet(os.path.join(adir, "graph"))
         return graph_beam_search(
             self.read(name), graph, query_vector, k=k, beam=params["beam"],
