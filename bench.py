@@ -126,6 +126,14 @@ def main():
         lambda: noop_write(line_dedup_corpus(docs, min_repeats=3))
     )
 
+    # span-level exact-substring dedup (r8): window hashing + interval
+    # merge — two skinny-row shuffles, corpus-token-linear (SCALE.md)
+    from vectordb_cloud_spark.operators.dedup import span_dedup_corpus
+
+    results["span_dedup_corpus"] = timed_median(
+        lambda: noop_write(span_dedup_corpus(docs, window=30))
+    )
+
     # real lexical embeddings (hashed TF-IDF + signed random projection,
     # all JVM-side) — the weights-free executable twin of the reference's
     # embed->search path. Embedding the corpus is ingest work (persist

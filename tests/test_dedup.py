@@ -413,13 +413,16 @@ def test_span_dedup_content_anchored_stride(spark):
     assert len(out[2]["text"].split()) < 23 + 40
 
 
-def test_span_dedup_matches_python_truth(spark):
-    """Brute-force Python truth on a small corpus: same kept tokens."""
+@pytest.mark.parametrize("seed", [7, 23, 1009])
+def test_span_dedup_matches_python_truth(spark, seed):
+    """Brute-force Python truth on a small corpus: same kept tokens —
+    parameterized over seeds so the fixture shape can't mask a boundary
+    bug (overlap merge, canonical ties, doc-edge windows)."""
     import random
 
     from vectordb_cloud_spark.operators.dedup import span_dedup_corpus
 
-    rng = random.Random(7)
+    rng = random.Random(seed)
     vocab = [f"w{i}" for i in range(30)]
     shared = [rng.choice(vocab) for _ in range(25)]
     rows = []
