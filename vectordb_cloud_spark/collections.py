@@ -683,7 +683,12 @@ class CollectionCatalog:
                   if f in out.columns]
         if not fields:
             return None
-        n_parts = max(1, n_bucket_dirs * INDEX_FILES_PER_BUCKET)
+        # fan-out floor is INDEX_FILES_PER_BUCKET per bucket (stats
+        # granularity); the ceiling tracks the INPUT's partition count so
+        # output files stay near maxPartitionBytes-sized at any table size
+        # (a constant per-bucket fan-out would mean multi-GB files at 100 TB)
+        n_parts = max(1, n_bucket_dirs * INDEX_FILES_PER_BUCKET,
+                      out.rdd.getNumPartitions())
         out = out.repartitionByRange(
             n_parts, F.col("__bucket"), *[F.col(f) for f in fields])
         sort_cols = ["__bucket"] + (["id"] if "id" in out.columns else [])
