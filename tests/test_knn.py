@@ -255,3 +255,35 @@ def test_knn_dot_and_manhattan_metrics(spark):
     want_l1 = np.argsort(
         np.abs(vecs.astype("float64") - np.array(q, dtype="float64")).sum(1))[:5]
     assert got_l1 == list(want_l1)
+
+
+def test_recommend_best_score_strategy(spark):
+    """Qdrant best_score: points nearer a negative than every positive rank
+    below all clean points; clean points rank by nearest-positive distance."""
+    import numpy as np
+
+    from vectordb_cloud_spark.operators.knn import recommend
+
+    pts = [
+        (0, [0.0, 0.0]),   # positive example
+        (1, [10.0, 10.0]), # negative example
+        (2, [1.0, 0.0]),   # near positive
+        (3, [2.0, 0.0]),   # further from positive, still clean
+        (4, [9.0, 9.0]),   # near the negative -> pushed below all clean
+        (5, [4.0, 4.0]),   # equidistant-ish but closer to positive
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in pts],
+        "vec_id long, embedding array<float>",
+    )
+    got = [r["vec_id"] for r in
+           recommend(df, [0], [1], k=4, strategy="best_score",
+                     tiebreak="vec_id").collect()]
+    assert got == [2, 3, 5, 4]  # 4 is last despite being "close" to examples
+    # no negatives: plain nearest-to-best-positive
+    got2 = [r["vec_id"] for r in
+            recommend(df, [0, 1], k=3, strategy="best_score",
+                      tiebreak="vec_id").collect()]
+    assert got2 == [2, 4, 3]  # 4 is nearest to positive example 1 now
+    with pytest.raises(ValueError, match="strategy"):
+        recommend(df, [0], strategy="centroid")

@@ -261,23 +261,32 @@ def recommend(
     vector_col: str = "embedding",
     filters: Column | None = None,
     tiebreak: str | None = None,
+    strategy: str = "average_vector",
 ) -> DataFrame:
-    """Recommendation search from example points — the /recommend API
-    (Qdrant's average_vector strategy): the query vector is
-    mean(positive vectors) − mean(negative vectors), example points are
-    excluded from results.
+    """Recommendation search from example points — the /recommend API with
+    both Qdrant strategies. ``average_vector`` (default): the query vector
+    is mean(positive vectors) − mean(negative vectors), then one ordinary
+    exact top-k. ``best_score``: per point, score = max similarity to any
+    positive; points whose best NEGATIVE beats their best positive rank
+    below every clean point, ordered by how negative-like they are
+    (Qdrant's published semantics) — computed as |P|+|N| fused distance
+    folds in ONE scan, no per-example passes.
 
     The example vectors are fetched with one bounded ``isin`` probe (a few
-    ids, file-skippable at scale); the search itself is the ordinary exact
-    filtered top-k — compose with the ANN layouts by passing their probe
-    predicate as ``filters``.
+    ids, file-skippable at scale); both strategies stay a single map pass +
+    TakeOrderedAndProject — compose with the ANN layouts by passing their
+    probe predicate as ``filters``.
     """
     import numpy as np
+
+    from vectordb_cloud_spark.functions.vector import l2_distance_to
 
     negative_ids = list(negative_ids or [])
     positive_ids = list(positive_ids)
     if not positive_ids:
         raise ValueError("recommend needs at least one positive example id")
+    if strategy not in ("average_vector", "best_score"):
+        raise ValueError(f"unknown recommend strategy {strategy!r}")
     all_ids = positive_ids + negative_ids
     rows = (
         points.filter(F.col(id_col).isin(all_ids))
@@ -289,13 +298,40 @@ def recommend(
     missing = [i for i in all_ids if i not in found]
     if missing:
         raise ValueError(f"example ids not found in collection: {missing}")
-    q = np.mean([found[i] for i in positive_ids], axis=0)
-    if negative_ids:
-        q = q - np.mean([found[i] for i in negative_ids], axis=0)
     not_example = ~F.col(id_col).isin(all_ids)
     pred = not_example if filters is None else (filters & not_example)
-    return knn_search(points, [float(x) for x in q], k=k,
-                      vector_col=vector_col, filters=pred, tiebreak=tiebreak)
+    if strategy == "average_vector":
+        q = np.mean([found[i] for i in positive_ids], axis=0)
+        if negative_ids:
+            q = q - np.mean([found[i] for i in negative_ids], axis=0)
+        return knn_search(points, [float(x) for x in q], k=k,
+                          vector_col=vector_col, filters=pred,
+                          tiebreak=tiebreak)
+    # best_score: similarity = -L2 distance; all example folds fuse into
+    # one projection over the scan
+    best_pos = F.least(*[
+        l2_distance_to(F.col(vector_col), [float(x) for x in found[i]])
+        for i in positive_ids
+    ]) if len(positive_ids) > 1 else l2_distance_to(
+        F.col(vector_col), [float(x) for x in found[positive_ids[0]]])
+    if negative_ids:
+        best_neg = F.least(*[
+            l2_distance_to(F.col(vector_col), [float(x) for x in found[i]])
+            for i in negative_ids
+        ]) if len(negative_ids) > 1 else l2_distance_to(
+            F.col(vector_col), [float(x) for x in found[negative_ids[0]]])
+        # clean points (closer to a positive than any negative) keep their
+        # positive distance; contaminated points sort AFTER every clean
+        # point, ranked by how close the offending negative is
+        score = F.when(best_pos < best_neg, best_pos).otherwise(
+            F.lit(1e18) - best_neg)
+    else:
+        score = best_pos
+    df = points.filter(pred) if pred is not None else points
+    order = [F.col("dist").asc()]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak).asc())
+    return df.withColumn("dist", F.round(score, 6)).orderBy(*order).limit(k)
 
 
 def search_groups(

@@ -204,7 +204,8 @@ def query_points(
             return recommend(points, list(spec.get("positive") or []),
                              list(spec.get("negative") or []), k=limit,
                              id_col=id_col, vector_col=vcol, filters=pred,
-                             tiebreak=id_col)
+                             tiebreak=id_col,
+                             strategy=spec.get("strategy", "average_vector"))
         if "discover" in query:
             from vectordb_cloud_spark.operators.discover import discover
 
