@@ -606,32 +606,108 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Similarity / dedup extensions with SQL oracles
 # ---------------------------------------------------------------------------
 
-@_q(
-    "ngram_jaccard_pairs",
-    r"""
-    WITH sh AS (
-      SELECT doc_id, lang, source,
-             list_distinct(list_transform(
-               range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 1) + 1),
-               i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' ')
-             )) AS sh
-      FROM documents WHERE doc_id < 200
-    )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           round(len(list_intersect(a.sh, b.sh))::DOUBLE
-                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
-    FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.01
-    """,
-)
 def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3gram Jaccard pairs, blocked by (lang, source) so the pair
-    space is bounded per block — dedup op #4."""
+    space is bounded per block — dedup op #4. Library-level since the r8
+    span-dedup rotation (the exact-Jaccard arithmetic stays oracle-covered
+    inside ``minhash_lsh_near_dup``'s verify stage; the slot went to
+    ``span_dedup_injected``)."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).withColumn(
         "__block", F.concat_ws("|", "lang", "source")
     )
     return ngram_jaccard_pairs(docs, "__block", shingle_n=3, threshold=0.01)
+
+
+_SPAN_W = 20  # window for the span-dedup oracle row
+
+
+@_q(
+    "span_dedup_injected",
+    rf"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      -- injected partial duplicates: full copy of each doc_id<20 text plus
+      -- a two-token unique tail (too short to form flagged windows)
+      SELECT doc_id + 10000,
+             text || ' zzinj' || doc_id || 'a zzinj' || doc_id || 'b'
+      FROM documents WHERE doc_id < 20
+    ),
+    arrs AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         t -> t <> '') AS arr
+      FROM corpus
+    ),
+    wins AS (
+      SELECT a.doc_id, s.start,
+             array_to_string(a.arr[s.start + 1 : s.start + {_SPAN_W}],
+                             chr(1)) AS wkey
+      FROM arrs a,
+           LATERAL (SELECT unnest(range(0, greatest(len(a.arr) - {_SPAN_W} + 1, 0)))
+                    AS start) s
+    ),
+    flagged AS (
+      -- every non-canonical occurrence of a repeated window; canonical =
+      -- lexicographic min (doc_id, start), exactly min(struct) in Spark
+      SELECT doc_id, start FROM (
+        SELECT doc_id, start,
+               row_number() OVER (PARTITION BY wkey
+                                  ORDER BY doc_id, start) AS rn
+        FROM wins
+      ) WHERE rn > 1
+    ),
+    kept AS (
+      SELECT a.doc_id,
+             string_agg(t.tok, ' ' ORDER BY t.pos) AS rebuilt
+      FROM arrs a,
+           LATERAL (SELECT unnest(a.arr) AS tok,
+                           generate_subscripts(a.arr, 1) - 1 AS pos) t
+      WHERE NOT EXISTS (
+        SELECT 1 FROM flagged f
+        WHERE f.doc_id = a.doc_id
+          AND t.pos >= f.start AND t.pos < f.start + {_SPAN_W}
+      )
+      GROUP BY a.doc_id
+    )
+    SELECT a.doc_id,
+           CASE WHEN EXISTS (SELECT 1 FROM flagged f WHERE f.doc_id = a.doc_id)
+                THEN coalesce(k.rebuilt, '')
+                ELSE a.text END AS text
+    FROM arrs a LEFT JOIN kept k USING (doc_id)
+    WHERE a.doc_id >= 10000
+    ORDER BY a.doc_id
+    """,
+)
+def span_dedup_injected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring dedup under the hard oracle: the corpus is
+    ``documents`` plus injected partial duplicates (full copy of each
+    ``doc_id < 20`` text + a unique two-token tail). Every copied window is
+    non-canonical (the original has the smaller doc_id), so the injected
+    docs come back with the copied prefix cut and the tail kept — docs
+    shorter than the window pass through byte-identical, exercising both
+    rebuild branches. The oracle replays the WHOLE operator with no hash at
+    all: it groups windows by their literal token string (Spark's xxhash64
+    is just a narrow shuffle key for the same equivalence classes), flags
+    rn>1 occurrences ordered by (doc_id, start) — exactly ``min(struct)``
+    canonical selection — and rebuilds with the same space join.
+    """
+    from vectordb_cloud_spark.operators.dedup import span_dedup_corpus
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    inj = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(
+            F.col("text"), F.lit(" zzinj"), F.col("doc_id"), F.lit("a zzinj"),
+            F.col("doc_id"), F.lit("b"),
+        ).alias("text"),
+    )
+    out = span_dedup_corpus(docs.unionByName(inj), window=_SPAN_W)
+    return (
+        out.filter(F.col("doc_id") >= 10000)
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+    )
 
 
 # LSH model cache: the BucketedRandomProjectionLSH fit only draws seeded
