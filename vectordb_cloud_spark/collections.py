@@ -57,6 +57,11 @@ class CollectionMeta:
     metric: str = "l2"  # reference is always EUCLID (/root/reference/insert.py:72)
     id_type: str = "long"  # "long" | "string" (uuid ids, test_qdrant.py:55)
     n_buckets: int = DEFAULT_BUCKETS
+    # Qdrant custom sharding (shard_key_selector): which payload column the
+    # __bucket partitioning hashes. Default mirrors the reference's
+    # user_id multi-tenancy; any payload column works (string keys hash
+    # raw, integer keys normalize to long first).
+    shard_key: str = "user_id"
     version: int = 0  # 0 = never written; data lives in data.v{version}
     # named vectors (Qdrant vectors_config with named VectorParams): maps
     # vector name -> dim. Stored as ``vec_{name}`` columns (a prefix keeps
@@ -285,7 +290,8 @@ class CollectionCatalog:
                vectors: dict | None = None,
                quantization: dict | None = None,
                ann_index: dict | None = None,
-               sparse_vectors: dict | None = None) -> CollectionMeta:
+               sparse_vectors: dict | None = None,
+               shard_key: str = "user_id") -> CollectionMeta:
         """U1: create collection (idempotent, /root/reference/insert.py:68-73).
 
         ``vectors`` adds NAMED vectors (Qdrant ``vectors_config`` with named
@@ -325,10 +331,13 @@ class CollectionCatalog:
         if sparse_vectors is not None:
             sparse_vectors = {str(k): dict(v or {})
                               for k, v in sparse_vectors.items()}
+        if shard_key in ("id", "embedding", "__bucket") or shard_key.startswith("vec_"):
+            raise ValueError(f"cannot shard on reserved column {shard_key!r}")
         meta = CollectionMeta(name, dim, metric, id_type, n_buckets,
                               vectors=vectors, quantization=quantization,
                               ann_index=ann_index,
-                              sparse_vectors=sparse_vectors)
+                              sparse_vectors=sparse_vectors,
+                              shard_key=shard_key)
         os.makedirs(self._dir(name), exist_ok=True)
         with open(os.path.join(self._dir(name), META_FILE), "w") as f:
             json.dump(asdict(meta), f)
@@ -358,7 +367,8 @@ class CollectionCatalog:
                            vectors=src_meta.vectors,
                            quantization=src_meta.quantization,
                            ann_index=src_meta.ann_index,
-                           sparse_vectors=src_meta.sparse_vectors)
+                           sparse_vectors=src_meta.sparse_vectors,
+                           shard_key=src_meta.shard_key)
         if src_meta.payload_indexes:
             # carry index declarations BEFORE the data write so the CTAS
             # lands already clustered
@@ -435,28 +445,31 @@ class CollectionCatalog:
     def _write(self, name: str, df: DataFrame, mode: str = "overwrite") -> None:
         self._swap_in(name, df.drop("__bucket"))
 
-    def read_for_user(self, name: str, user_id: int) -> DataFrame:
-        """Tenant-pruned read: adds BOTH the user_id predicate and the
-        derived ``__bucket`` partition predicate. The bucket is computed
-        driver-side with the same hash Spark uses, so the scan's
-        PartitionFilters prunes to 1/n_buckets of the files — this is what
-        makes the mandatory tenant filter O(tenant) instead of O(table) at
-        100 TB.
-        """
+    def read_for_shard(self, name: str, value) -> DataFrame:
+        """Shard-pruned read (Qdrant shard_key_selector): adds BOTH the
+        shard-key predicate and the derived ``__bucket`` partition
+        predicate. The bucket is computed driver-side with the same hash
+        Spark uses, so the scan's PartitionFilters prunes to 1/n_buckets of
+        the files — this is what makes the mandatory tenant filter
+        O(tenant) instead of O(table) at 100 TB."""
         name = self.resolve(name)
         meta = self.meta(name)
         df = self.read(name)
+        key_pred = F.col(meta.shard_key) == F.lit(value)
         if "__bucket" not in df.columns:
-            return df.filter(F.col("user_id") == F.lit(user_id))
-        spark = self.spark
-        bucket = (
-            spark.range(1)
-            .select(F.pmod(F.hash(F.lit(user_id).cast("long")), F.lit(meta.n_buckets)))
-            .first()[0]
-        )
-        return df.filter(
-            (F.col("__bucket") == F.lit(bucket)) & (F.col("user_id") == F.lit(user_id))
-        )
+            return df.filter(key_pred)
+        bucket = self._shard_bucket_value(meta, df, value)
+        return df.filter((F.col("__bucket") == F.lit(bucket)) & key_pred)
+
+    def read_for_user(self, name: str, user_id: int) -> DataFrame:
+        """The reference's tenant read — ``read_for_shard`` over the default
+        user_id shard key (plain user_id filter when the collection shards
+        on some other column)."""
+        name = self.resolve(name)
+        if self.meta(name).shard_key == "user_id":
+            return self.read_for_shard(name, user_id)
+        df = self.read(name)
+        return df.filter(F.col("user_id") == F.lit(user_id))
 
     def read(self, name: str) -> DataFrame:
         name = self.resolve(name)
@@ -484,11 +497,29 @@ class CollectionCatalog:
         data = self._current_data_dir(name)
         return data is not None and os.path.isdir(data)
 
-    def _bucket_of(self, n_buckets: int):
-        # cast before hashing: F.hash(int) != F.hash(long) for equal values,
-        # so an int-typed user_id in a batch would compute different buckets
-        # than the long-typed stored data — normalize to long everywhere
-        return F.pmod(F.hash(F.col("user_id").cast("long")), F.lit(n_buckets))
+    _INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
+
+    def _bucket_of(self, meta: CollectionMeta, df: DataFrame):
+        # cast integral keys before hashing: F.hash(int) != F.hash(long) for
+        # equal values, so an int-typed shard key in a batch would compute
+        # different buckets than the long-typed stored data — normalize to
+        # long; non-numeric keys (string shard keys) hash raw
+        k = meta.shard_key
+        dt = {f.name: f.dataType.simpleString() for f in df.schema.fields}.get(k, "")
+        col = F.col(k).cast("long") if dt in self._INTEGRAL else F.col(k)
+        return F.pmod(F.hash(col), F.lit(meta.n_buckets))
+
+    def _shard_bucket_value(self, meta: CollectionMeta, df: DataFrame, value):
+        """Driver-side twin of ``_bucket_of`` for one key value (the same
+        hash Spark uses, so the derived __bucket predicate is exact)."""
+        dt = {f.name: f.dataType.simpleString()
+              for f in df.schema.fields}.get(meta.shard_key, "")
+        lit = F.lit(value).cast("long") if dt in self._INTEGRAL else F.lit(value)
+        return (
+            self.spark.range(1)
+            .select(F.pmod(F.hash(lit), F.lit(meta.n_buckets)))
+            .first()[0]
+        )
 
     # -- per-bucket id-range manifest ---------------------------------------
     # Upsert must find buckets holding an existing row with a batch id (the
@@ -595,11 +626,11 @@ class CollectionCatalog:
             .agg(F.max_by(F.struct(*[c for c in new_rows.columns if c != id_col]), "__seq").alias("__s"))
             .select(id_col, "__s.*")
         )
-        if partitioned and self._has_data(name) and "user_id" in new_rows.columns:
-            meta = self.meta(name)
+        meta = self.meta(name)
+        if partitioned and self._has_data(name) and meta.shard_key in new_rows.columns:
             batch_stats = (
                 w_new.select(
-                    self._bucket_of(meta.n_buckets).alias("__b"),
+                    self._bucket_of(meta, w_new).alias("__b"),
                     F.col(id_col).alias("__id"),
                 )
                 .agg(
@@ -702,11 +733,12 @@ class CollectionCatalog:
         new_v = meta.version + 1
         new_dir = self._data_dir_v(name, new_v)
         staging = new_dir + ".staging"
-        if "user_id" in df.columns:
-            # _bucket_of casts user_id to long first — F.hash(int) != F.hash(long),
-            # so an uncast hash here would land an int-typed first batch in
-            # buckets read_for_user's long-hash probe can never find
-            out = df.withColumn("__bucket", self._bucket_of(meta.n_buckets))
+        if meta.shard_key in df.columns:
+            # _bucket_of casts integral shard keys to long first — F.hash(int)
+            # != F.hash(long), so an uncast hash here would land an int-typed
+            # first batch in buckets read_for_shard's long-hash probe can
+            # never find
+            out = df.withColumn("__bucket", self._bucket_of(meta, df))
             clustered = self._cluster_for_indexes(out, meta, meta.n_buckets)
             if clustered is not None:
                 out = clustered
@@ -745,7 +777,7 @@ class CollectionCatalog:
         new_v = meta.version + 1
         new_dir = self._data_dir_v(name, new_v)
         staging = new_dir + ".staging"
-        out = df.withColumn("__bucket", self._bucket_of(meta.n_buckets))
+        out = df.withColumn("__bucket", self._bucket_of(meta, df))
         clustered = self._cluster_for_indexes(out, meta, len(buckets))
         if clustered is not None:
             out = clustered
@@ -974,6 +1006,7 @@ class CollectionCatalog:
             "config": {"params": {"vectors": vec_cfg,
                                   "sparse_vectors": meta.sparse_vectors,
                                   "n_buckets": meta.n_buckets,
+                                  "shard_key": meta.shard_key,
                                   "on_disk_payload": True},
                        "quantization_config": meta.quantization,
                        "ann_index": meta.ann_index},
@@ -1287,12 +1320,8 @@ class CollectionCatalog:
         # across buckets (coalesce(1) would serialize every bucket's rewrite
         # through a single task) while partitionBy still emits one file per
         # bucket per task
-        df = (
-            self.read(name)
-            .filter(F.col("__bucket").isin(crowded))
-            .drop("__bucket")
-            .repartition(len(crowded), self._bucket_of(meta.n_buckets))
-        )
+        base = self.read(name).filter(F.col("__bucket").isin(crowded)).drop("__bucket")
+        df = base.repartition(len(crowded), self._bucket_of(meta, base))
         self._swap_buckets(name, df, crowded)
         return len(crowded)
 
@@ -1578,6 +1607,7 @@ class CollectionCatalog:
             quantization=smeta.get("quantization"),
             ann_index=smeta.get("ann_index"),
             sparse_vectors=smeta.get("sparse_vectors"),
+            shard_key=smeta.get("shard_key", "user_id"),
         )
         sdata = os.path.join(snapshot_dir, "data")
         if os.path.isdir(sdata):
