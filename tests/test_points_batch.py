@@ -149,3 +149,54 @@ def test_retrieve_points_by_ids(catalog, spark):
     assert got[3]["text"] == "doc 3"
     withv = catalog.retrieve("c", [3], with_vectors=True).first()
     assert [round(x) for x in withv["embedding"]] == [3, 0]
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_op = st.one_of(
+    st.tuples(st.just("upsert"), st.integers(0, 9), st.text("ab", min_size=1, max_size=4)),
+    st.tuples(st.just("delete"), st.integers(0, 9), st.just("")),
+    st.tuples(st.just("set_payload"), st.integers(0, 9), st.text("cd", min_size=1, max_size=4)),
+)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ops=st.lists(_op, min_size=1, max_size=6))
+def test_update_batch_matches_sequential_model(spark, tmp_path_factory, ops):
+    """Model-based property: an arbitrary ordered op sequence applied by
+    update_batch (ONE commit) must equal the same ops applied one at a time
+    to a Python dict model."""
+    catalog = CollectionCatalog(
+        spark, str(tmp_path_factory.mktemp("cat") / "c"))
+    catalog.create("c", dim=2)
+    base = [
+        {"id": i, "embedding": [float(i), 0.0], "text": f"doc {i}",
+         "user_id": i % 2, "site": "s", "lang": "en", "text_id": i}
+        for i in range(5)
+    ]
+    catalog.update_batch("c", [{"upsert": {"points": base}}])
+    model = {r["id"]: dict(r) for r in base}
+
+    batch = []
+    for kind, pid, val in ops:
+        if kind == "upsert":
+            row = {"id": pid, "embedding": [float(pid), 1.0], "text": val,
+                   "user_id": pid % 2, "site": "s", "lang": "en", "text_id": pid}
+            batch.append({"upsert": {"points": [row]}})
+            model[pid] = dict(row)
+        elif kind == "delete":
+            batch.append({"delete": {"points": [pid]}})
+            model.pop(pid, None)
+        else:
+            batch.append({"set_payload": {"payload": {"site": val},
+                                          "points": [pid]}})
+            if pid in model:
+                model[pid]["site"] = val
+    catalog.update_batch("c", batch)
+    got = {r["id"]: r for r in catalog.read("c").collect()}
+    assert sorted(got) == sorted(model)
+    for i, m in model.items():
+        assert got[i]["text"] == m["text"]
+        assert got[i]["site"] == m["site"]
