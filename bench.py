@@ -134,6 +134,18 @@ def main():
         lambda: noop_write(span_dedup_corpus(docs, window=30))
     )
 
+    # DSIR importance resampling (r8): hashed-ngram importance weights
+    # select raw docs resembling a target slice — two 10k-row model aggs +
+    # one broadcast-join scoring pass + Gumbel-top-k
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from vectordb_cloud_spark.operators.dsir import dsir_select
+
+    dsir_target = docs.filter(F.col("lang") == "en").limit(50)
+    results["dsir_select"] = timed_median(
+        lambda: noop_write(dsir_select(docs, dsir_target, n=100, seed=7))
+    )
+
     # real lexical embeddings (hashed TF-IDF + signed random projection,
     # all JVM-side) — the weights-free executable twin of the reference's
     # embed->search path. Embedding the corpus is ingest work (persist

@@ -1,0 +1,148 @@
+"""Data Selection with Importance Resampling (DSIR) — Xie et al. 2023,
+"Data Selection for Language Models via Importance Resampling"
+(arXiv:2302.03169): select raw-corpus documents whose hashed n-gram
+distribution looks like a small TARGET corpus, by importance weights
+log p_target(x) − log p_raw(x) under bag-of-hashed-ngrams unigram models.
+The published recipe behind "pretrain on web data, select what resembles
+Wikipedia/books/your domain" — a data-selection capability the filter
+battery (quality/lang/gopher) can't express because it scores RESEMBLANCE
+to a target, not absolute quality.
+
+Spark-first shape (no Python in the per-doc path):
+
+1. ``hashed_ngram_features``: words + word-bigrams hashed into ``n_buckets``
+   (the paper's 10k) — one explode to (doc, bucket) rows.
+2. ``dsir_log_ratios``: the two corpus-level multinomials are ONE
+   ``n_buckets``-row aggregate each (Laplace-smoothed); their log-ratio
+   table is a broadcast-sized DataFrame, never a literal plan vector.
+3. ``dsir_scores``: per-doc importance = Σ_features log-ratio — the
+   feature rows join the broadcast ratio table and partial-agg back to one
+   row per doc. Two skinny shuffles total, linear in corpus tokens.
+4. ``importance_sample``: seeded Gumbel top-k over ``score / temperature``
+   — sampling WITHOUT replacement proportional to the softmax of scores,
+   as one TakeOrderedAndProject (no per-row RNG state, deterministic per
+   seed: the Gumbel noise is a hash of (id, seed)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+DEFAULT_BUCKETS = 10_000  # the paper's hashed feature dimensionality
+
+
+def hashed_ngram_features(docs: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    """(doc, bucket) rows: words + word-bigrams hashed into ``n_buckets``.
+    One row per token occurrence — the multiset the unigram models count."""
+    from vectordb_cloud_spark.functions.text import words
+
+    toks = docs.select(
+        F.col(id_col), words(F.col(text_col)).alias("__w")
+    )
+    grams = toks.select(
+        id_col,
+        F.explode(
+            F.concat(
+                F.col("__w"),
+                F.zip_with(
+                    F.col("__w"),
+                    F.slice(F.col("__w"), 2, F.greatest(F.size("__w") - 1, F.lit(0))),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                ),
+            )
+        ).alias("__g"),
+    ).filter(F.col("__g") != "")
+    return grams.select(
+        id_col, F.pmod(F.xxhash64("__g"), F.lit(n_buckets)).alias("bucket")
+    )
+
+
+def dsir_log_ratios(target_feats: DataFrame, raw_feats: DataFrame,
+                    n_buckets: int = DEFAULT_BUCKETS,
+                    alpha: float = 1.0) -> DataFrame:
+    """Per-bucket ``log p_target(b) − log p_raw(b)`` with Laplace ``alpha``.
+    Each side is one n_buckets-row aggregate; the result is broadcast-sized
+    (10k rows) and joins into the scoring pass as DATA, not plan literals."""
+    t = target_feats.groupBy("bucket").agg(F.count("*").alias("tn"))
+    r = raw_feats.groupBy("bucket").agg(F.count("*").alias("rn"))
+    spark = target_feats.sparkSession
+    all_b = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
+    joined = (
+        all_b.join(t, "bucket", "left").join(r, "bucket", "left")
+        .select("bucket",
+                F.coalesce("tn", F.lit(0)).alias("tn"),
+                F.coalesce("rn", F.lit(0)).alias("rn"))
+    )
+    tot = joined.agg(F.sum("tn").alias("T"), F.sum("rn").alias("R")).first()
+    T, R = float(tot["T"]), float(tot["R"])
+    return joined.select(
+        "bucket",
+        (
+            F.log((F.col("tn") + alpha) / F.lit(T + alpha * n_buckets))
+            - F.log((F.col("rn") + alpha) / F.lit(R + alpha * n_buckets))
+        ).alias("log_ratio"),
+    )
+
+
+def dsir_scores(docs: DataFrame, ratios: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text",
+                n_buckets: int = DEFAULT_BUCKETS,
+                normalize: bool = True) -> DataFrame:
+    """Per-doc importance score Σ_features log_ratio (optionally divided by
+    the feature count, making it a per-token average so long documents
+    don't dominate purely by length). Returns docs + ``dsir_score``."""
+    feats = hashed_ngram_features(docs, id_col, text_col, n_buckets)
+    agg = [F.sum("log_ratio").alias("__s"), F.count("*").alias("__n")]
+    scored = (
+        feats.join(F.broadcast(ratios), "bucket")
+        .groupBy(id_col)
+        .agg(*agg)
+        .select(
+            id_col,
+            (F.col("__s") / F.col("__n") if normalize else F.col("__s")
+             ).alias("dsir_score"),
+        )
+    )
+    return docs.join(scored, id_col, "left").fillna({"dsir_score": 0.0})
+
+
+def importance_sample(scored: DataFrame, n: int, seed: int = 42,
+                      id_col: str = "doc_id",
+                      score_col: str = "dsir_score",
+                      temperature: float = 1.0) -> DataFrame:
+    """Sample ``n`` docs WITHOUT replacement, proportional to
+    softmax(score / temperature), via the Gumbel-top-k trick: key =
+    score/T + Gumbel noise, take the top n — ONE TakeOrderedAndProject, no
+    sequential sampling state. The noise is a hash of (id, seed), so the
+    sample is deterministic per seed and stable under repartitioning.
+    ``temperature → ∞`` approaches uniform; small T approaches argmax."""
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    # uniform in (0,1): bucketed hash with half-step offset avoids log(0)
+    m = 1_000_003
+    u = (F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(m)) + 0.5) / m
+    gumbel = -F.log(-F.log(u))
+    key = F.col(score_col) / F.lit(float(temperature)) + gumbel
+    return (
+        scored.withColumn("__k", key)
+        .orderBy(F.col("__k").desc(), F.col(id_col).asc())
+        .limit(n)
+        .drop("__k")
+    )
+
+
+def dsir_select(raw_docs: DataFrame, target_docs: DataFrame, n: int,
+                id_col: str = "doc_id", text_col: str = "text",
+                n_buckets: int = DEFAULT_BUCKETS, seed: int = 42,
+                temperature: float = 1.0, alpha: float = 1.0) -> DataFrame:
+    """The end-to-end DSIR recipe: fit both hashed-ngram models, score the
+    raw corpus, Gumbel-top-k sample ``n`` target-resembling documents."""
+    ratios = dsir_log_ratios(
+        hashed_ngram_features(target_docs, id_col, text_col, n_buckets),
+        hashed_ngram_features(raw_docs, id_col, text_col, n_buckets),
+        n_buckets, alpha,
+    )
+    scored = dsir_scores(raw_docs, ratios, id_col, text_col, n_buckets)
+    return importance_sample(scored, n, seed, id_col, temperature=temperature)
