@@ -211,3 +211,22 @@ def test_collection_info_and_index_endpoints(server):
     # bad schema type -> 422 envelope
     status, body = _get(server, "/create_index", field="site", schema="btree")
     assert status == 422 and body["status_code"] == 10422
+
+
+def test_facet_endpoint(server):
+    """Qdrant /facet flattened to this app's GET convention: tenant-scoped
+    value counts of one payload field, optional filter DSL."""
+    for i, (site, lang) in enumerate([("a", "en"), ("a", "de"), ("b", "en"),
+                                      ("a", "en"), ("c", "en")]):
+        _get(server, "/insert", id=50 + i, user_id=6, text=f"t{i}",
+             site=site, lang=lang)
+    status, body = _get(server, "/facet", user_id=6, key="site")
+    assert status == 200
+    assert body["hits"][0] == {"value": "a", "count": 3}
+    assert {h["value"]: h["count"] for h in body["hits"]} == {"a": 3, "b": 1, "c": 1}
+    flt = json.dumps({"must": [{"key": "lang", "match": {"value": "en"}}]})
+    status, body = _get(server, "/facet", user_id=6, key="site", filter=flt)
+    assert {h["value"]: h["count"] for h in body["hits"]} == {"a": 2, "b": 1, "c": 1}
+    # other tenants see nothing
+    status, body = _get(server, "/facet", user_id=7, key="site")
+    assert body == {"hits": []}

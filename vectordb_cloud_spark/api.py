@@ -178,6 +178,20 @@ class VectorService:
             pred = pred & F.col("text").contains(word)
         return self.catalog.update_payload(self.index_name, values, pred)
 
+    def facet(self, user_id: int, key: str, limit: int = 20,
+              query_filter: dict | None = None) -> dict:
+        """Qdrant POST /collections/{c}/facet: value counts of one payload
+        field under the tenant scope (+ optional filter DSL), served by the
+        one-pass facet_counts operator."""
+        from vectordb_cloud_spark.operators.knn import facet_counts
+
+        points = self.catalog.read_for_user(self.index_name, user_id)
+        pred = compile_filter(query_filter, id_col="id")
+        rows = facet_counts(points, [key], filters=pred,
+                            max_values_per_facet=limit).collect()
+        return {"hits": [{"value": r["value"], "count": r["n"]}
+                         for r in rows]}
+
     def info(self) -> dict:
         """Qdrant GET /collections/{name} over the service's collection."""
         return self.catalog.collection_info(self.index_name)

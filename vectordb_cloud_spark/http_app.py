@@ -147,6 +147,14 @@ def _routes(service: VectorService) -> dict[str, Callable[[dict[str, str]], Any]
         p = _coerce(params, [("field", str, _MISSING)])
         return service.delete_index(p["field"])
 
+    def facet(params):
+        # Qdrant POST /collections/{c}/facet, flattened to GET params
+        p = _coerce(params, [("user_id", int, _MISSING),
+                             ("key", str, _MISSING),
+                             ("limit", int, 20), ("filter", str, None)])
+        return service.facet(p["user_id"], p["key"], p["limit"],
+                             query_filter=_parse_filter(p["filter"]))
+
     return {
         "/": index,
         "/insert": insert,
@@ -159,6 +167,7 @@ def _routes(service: VectorService) -> dict[str, Callable[[dict[str, str]], Any]
         "/collection_info": collection_info,
         "/create_index": create_index,
         "/delete_index": delete_index,
+        "/facet": facet,
     }
 
 
