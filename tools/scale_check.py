@@ -131,7 +131,7 @@ def main():
     vec_points = tuple(int(x) for x in args.vector_points.split(","))
     all_sections = {"knn", "ivf", "collection", "minhash", "simhash",
                     "lshcompound", "graph", "tpch", "sq", "beam", "sparse",
-                    "graphsharded", "spandedup", "payloadindex"}
+                    "graphsharded", "spandedup", "payloadindex", "dsir"}
     only = set(args.only.split(",")) if args.only else all_sections
     unknown = only - all_sections
     if unknown:
@@ -519,6 +519,26 @@ def main():
                 results.setdefault("span_dedup_corpus", {})[n] = timed(
                     lambda docs=docs: noop(
                         span_dedup_corpus(docs, window=30)
+                    ),
+                    args.runs,
+                )
+
+        # DSIR importance resampling: model fit + scoring are token-linear
+        # (replicate_docs is fine here — unlike the dedup ops, duplicate
+        # content doesn't change DSIR's work shape, only the counts)
+        if "dsir" in only:
+            from vectordb_cloud_spark.operators.dsir import dsir_select
+
+            for factor in (1, 10):
+                docs = replicate_docs(spark, SF_DIR, factor)
+                p = os.path.join(tmp, f"dsirdocs_{factor}")
+                docs.write.mode("overwrite").parquet(p)
+                docs = spark.read.parquet(p)
+                n = docs.count()
+                target = docs.limit(100)
+                results.setdefault("dsir_select", {})[n] = timed(
+                    lambda docs=docs, target=target: noop(
+                        dsir_select(docs, target, n=100, seed=7)
                     ),
                     args.runs,
                 )
