@@ -135,3 +135,33 @@ def test_ivf_sq_composed_when_both_configs(catalog, spark):
     assert os.path.isdir(os.path.join(adir, "ivf_sq"))
     got = [r["id"] for r in catalog.search_ann("x", qv, k=10).collect()]
     assert got == _exact(catalog, "x", qv, 10)
+
+
+def test_ivf_sq_small_tenant_filter_not_starved(catalog, spark):
+    """Regression (review finding): the composed IVF×SQ sidecar keeps
+    payload columns, so a selective tenant predicate prunes the CANDIDATE
+    scan — a small tenant gets its own top-k, not scraps of the global
+    candidate set."""
+    catalog.create("x", dim=8,
+                   ann_index={"ivf": {"k_centroids": 4, "nprobe": 4,
+                                      "oversample": 4}},
+                   quantization={"scalar": {"type": "int8"}})
+    rows = (
+        spark.range(2000)
+        .select(
+            F.col("id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(7)),
+                lambda i: (F.pmod(F.xxhash64(F.col("id"), i), F.lit(1000)) - 500.0) / 500.0,
+            ).cast("array<float>").alias("embedding"),
+            F.concat(F.lit("doc "), F.col("id")).alias("text"),
+            (F.col("id") % 100).alias("user_id"),  # 100 tenants of 20 rows
+        )
+    )
+    catalog.upsert("x", rows)
+    qv = [0.1] * 8
+    pred = F.col("user_id") == 42
+    got = [r["id"] for r in
+           catalog.search_ann("x", qv, k=5, predicate=pred).collect()]
+    exact = _exact(catalog, "x", qv, 5, predicate=pred)
+    assert got == exact  # full probe + tenant-pruned candidates == exact

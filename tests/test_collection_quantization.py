@@ -163,3 +163,13 @@ def test_product_quantized_search_rescore(catalog, spark):
             F.lit("t").alias("text"), F.lit(0).cast("long").alias("user_id"))
         catalog.upsert("badm", _seed2)
         catalog.quantize("badm")
+
+
+def test_service_exact_false_on_empty_collection(spark, tmp_path):
+    """Regression (review finding): exact=False on an empty quantized
+    collection returns [] like the exact path, not a build error."""
+    from vectordb_cloud_spark.api import VectorService
+
+    svc = VectorService(spark, str(tmp_path / "cat"), dim=8,
+                        quantization={"scalar": {"type": "int8"}})
+    assert svc.search(1, "query", limit=5, exact=False).count() == 0

@@ -81,3 +81,15 @@ def test_dsir_plan_stays_jvm(spark):
     plan = scored._jdf.queryExecution().executedPlan().toString()
     for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert bad not in plan
+
+
+def test_hashed_ngram_features_exact_counts(spark):
+    """Regression (review finding): ['a','b','c'] must yield exactly
+    {a, b, c, 'a b', 'b c'} — zip_with null-padding used to double-count
+    the final token as a spurious unigram."""
+    df = spark.createDataFrame([(1, "a b c"), (2, "solo")],
+                               "doc_id long, text string")
+    feats = hashed_ngram_features(df, n_buckets=1_000_003)
+    counts = {r["doc_id"]: r["n"] for r in
+              feats.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    assert counts == {1: 5, 2: 1}  # 3 unigrams + 2 bigrams; single token -> 1

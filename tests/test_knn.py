@@ -287,3 +287,28 @@ def test_recommend_best_score_strategy(spark):
     assert got2 == [2, 4, 3]  # 4 is nearest to positive example 1 now
     with pytest.raises(ValueError, match="strategy"):
         recommend(df, [0], strategy="centroid")
+
+
+def test_recommend_best_score_orders_multiple_contaminated(spark):
+    """Regression (review finding): the contaminated-point ordering must
+    hold for MULTIPLE contaminated points — a 1e18-offset float key would
+    collapse their sub-ordering (ULP at 1e18 is ~128)."""
+    from vectordb_cloud_spark.operators.knn import recommend
+
+    pts = [
+        (0, [0.0, 0.0]),    # positive
+        (1, [100.0, 100.0]),  # negative
+        (2, [1.0, 0.0]),    # clean
+        (3, [99.0, 99.0]),  # very negative-like
+        (4, [80.0, 80.0]),  # negative-like, less so
+        (5, [60.0, 60.0]),  # closer to negative than positive, least so
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in pts],
+        "vec_id long, embedding array<float>",
+    )
+    got = [r["vec_id"] for r in
+           recommend(df, [0], [1], k=5, strategy="best_score",
+                     tiebreak="vec_id").collect()]
+    # clean first; contaminated ordered LEAST negative-like first
+    assert got == [2, 5, 4, 3]

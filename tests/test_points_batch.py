@@ -200,3 +200,34 @@ def test_update_batch_matches_sequential_model(spark, tmp_path_factory, ops):
     for i, m in model.items():
         assert got[i]["text"] == m["text"]
         assert got[i]["site"] == m["site"]
+
+
+def test_batch_upsert_after_new_payload_column(catalog, spark):
+    """Regression (review finding): an upsert AFTER a set_payload that
+    introduced a NEW column must compose against the in-flight schema."""
+    _seed(catalog, spark)
+    catalog.update_batch("c", [
+        {"set_payload": {"payload": {"tag": "x"}, "filter": {}}},
+        {"upsert": {"points": [
+            {"id": 10, "embedding": [9.0, 9.0], "text": "new", "user_id": 1,
+             "site": "s", "lang": "en", "text_id": 10}]}},
+    ])
+    rows = {r["id"]: r for r in catalog.read("c").collect()}
+    assert rows[2]["tag"] == "x"
+    assert rows[10]["tag"] is None and rows[10]["text"] == "new"
+
+
+def test_delete_vectors_sparse_and_unknown_names(catalog, spark):
+    catalog.create("c", dim=2, sparse_vectors={"bm25": {}})
+    catalog.update_batch("c", [{"upsert": {"points": [
+        {"id": 1, "embedding": [1.0, 1.0], "text": "a", "user_id": 0,
+         "site": "s", "lang": "en", "text_id": 1,
+         "sparse_bm25_indices": [2, 7], "sparse_bm25_values": [1.0, 2.0]},
+    ]}}])
+    catalog.delete_vectors("c", ["bm25"], points=[1])
+    row = catalog.read("c").first()
+    assert row["sparse_bm25_indices"] is None
+    assert row["sparse_bm25_values"] is None
+    assert row["embedding"] is not None
+    with pytest.raises(ValueError, match="unknown vector name"):
+        catalog.delete_vectors("c", ["bm52"], points=[1])

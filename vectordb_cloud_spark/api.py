@@ -91,7 +91,10 @@ class VectorService:
         if extra is not None:
             pred = extra if pred is None else pred & extra
         meta = self.catalog.meta(self.index_name) if not exact else None
-        if meta is not None and (meta.ann_index or meta.quantization):
+        if (meta is not None and (meta.ann_index or meta.quantization)
+                and self.catalog._has_data(self.index_name)):
+            # empty collection falls through to the exact path below, which
+            # returns the reference's [] instead of a build error
             qpred = F.col("user_id") == F.lit(user_id)
             if pred is not None:
                 qpred = qpred & pred

@@ -620,12 +620,7 @@ class CollectionCatalog:
             existing = new_rows.limit(0)
         # last-write-wins inside the batch itself: keep the highest-sequence
         # row per id (reference replay order, /root/reference/insert.py:55-63)
-        seq = new_rows.withColumn("__seq", F.monotonically_increasing_id())
-        w_new = (
-            seq.groupBy(id_col)
-            .agg(F.max_by(F.struct(*[c for c in new_rows.columns if c != id_col]), "__seq").alias("__s"))
-            .select(id_col, "__s.*")
-        )
+        w_new = self._batch_lww(new_rows, id_col)
         meta = self.meta(name)
         if partitioned and self._has_data(name) and meta.shard_key in new_rows.columns:
             batch_stats = (
@@ -1213,14 +1208,20 @@ class CollectionCatalog:
                 # BOTH configs -> the composed IVF×SQ layout: centroid
                 # partitioning prunes FILES, int8 codes shrink the BYTES of
                 # every opened file ~4x; originals stay in the base table
-                # for the rescore (Qdrant's quantized-index storage split)
-                from vectordb_cloud_spark.operators.sq import (
-                    ivf_sq_persist, sq_train)
+                # for the rescore (Qdrant's quantized-index storage split).
+                # Unlike the bare operators.sq.ivf_sq_persist, the sidecar
+                # KEEPS the payload columns (the byte win is dropping the
+                # fp vector) so search predicates — the mandatory tenant
+                # filter above all — push into the CANDIDATE scan instead
+                # of only filtering the rescore, which would starve small
+                # tenants out of the global top-k*oversample
+                from vectordb_cloud_spark.operators.sq import sq_encode, sq_train
 
                 mins, maxs = sq_train(df, vector_col)
-                ivf_sq_persist(df, centers, mins, maxs,
-                               os.path.join(stage, "ivf_sq"),
-                               id_col=id_col, vector_col=vector_col)
+                sq_encode(assigned, mins, maxs, vector_col=vector_col) \
+                    .drop(vector_col) \
+                    .write.mode("overwrite").partitionBy("centroid_id") \
+                    .parquet(os.path.join(stage, "ivf_sq"))
                 params = {"kind": "ivf_sq", "centers": centers,
                           "nprobe": int(spec.get("nprobe", 2)),
                           "mins": mins, "maxs": maxs,
@@ -1261,6 +1262,7 @@ class CollectionCatalog:
         results (the filtered-HNSW convention of graph_beam_search)."""
         from vectordb_cloud_spark.operators.ann import ivf_search_persisted
         from vectordb_cloud_spark.operators.graph_ann import graph_beam_search
+        from vectordb_cloud_spark.operators.knn import exact_rescore_topk
 
         name = self.resolve(name)
         adir = self.build_ann_index(name, vector_col=vector_col, id_col=id_col)
@@ -1274,20 +1276,27 @@ class CollectionCatalog:
                 filters=predicate, tiebreak=id_col
             ).select(id_col, "dist")  # uniform (id, dist) contract
         if params["kind"] == "ivf_sq":
-            # codes sidecar carries no payload: the predicate applies at
-            # the exact-rescore stage (post-candidate filtering — raise
-            # nprobe/oversample under selective filters)
-            from vectordb_cloud_spark.operators.sq import ivf_sq_search
+            # the sidecar keeps payload columns, so the predicate prunes
+            # the CANDIDATE scan (inside the probed partitions) before the
+            # ADC top-k*oversample — a tenant filter yields the tenant's
+            # own candidates, not a slice of the global ones
+            from vectordb_cloud_spark.operators.ann import route_probe_ids
+            from vectordb_cloud_spark.operators.sq import sq_search
 
             centers = [(int(i), list(c)) for i, c in params["centers"]]
+            probe = route_probe_ids(centers, query_vector, params["nprobe"])
+            codes = self.spark.read.parquet(os.path.join(adir, "ivf_sq")) \
+                .filter(F.col("centroid_id").isin(probe))
+            if predicate is not None:
+                codes = codes.filter(predicate)
+            cand = sq_search(codes, params["mins"], params["maxs"],
+                             query_vector, k=k * params["oversample"],
+                             tiebreak=id_col).select(id_col)
             base = self.read(name)
             if predicate is not None:
                 base = base.filter(predicate)
-            return ivf_sq_search(
-                self.spark, os.path.join(adir, "ivf_sq"), base, centers,
-                params["mins"], params["maxs"], query_vector, k=k,
-                nprobe=params["nprobe"], oversample=params["oversample"],
-                id_col=id_col, vector_col=vector_col)
+            return exact_rescore_topk(base, cand, query_vector, k,
+                                      id_col=id_col, vector_col=vector_col)
         graph = self.spark.read.parquet(os.path.join(adir, "graph"))
         return graph_beam_search(
             self.read(name), graph, query_vector, k=k, beam=params["beam"],
@@ -1372,15 +1381,20 @@ class CollectionCatalog:
             return pred if pred is not None else F.lit(True)
         raise ValueError("point selector needs 'points' or 'filter'")
 
-    def _rows_df(self, name: str, rows, id_col: str = "id") -> DataFrame:
+    def _rows_df(self, name: str, rows, id_col: str = "id",
+                 target: DataFrame | None = None) -> DataFrame:
         """Normalize op input (DataFrame or list-of-dicts) to the
         collection's column set and types: dict rows get missing columns as
         typed nulls and present columns cast — so unionByName/coalesce
         against stored data never type-mismatches (inference yields
-        array<double> where the table stores array<float>)."""
+        array<double> where the table stores array<float>). ``target``
+        overrides the committed snapshot as the schema source — update_batch
+        passes its in-flight lineage so an upsert after a set_payload that
+        introduced a new column still composes."""
         from pyspark.sql.types import StructField, StructType
 
-        target = self.read(name).drop("__bucket")
+        if target is None:
+            target = self.read(name).drop("__bucket")
         target_types = {f.name: f.dataType for f in target.schema.fields}
         if isinstance(rows, DataFrame):
             df = rows
@@ -1414,8 +1428,10 @@ class CollectionCatalog:
         return out
 
     def _batch_lww(self, df: DataFrame, id_col: str) -> DataFrame:
-        """Last-write-wins inside one op's rows (same convention as
-        ``upsert``): keep the highest-sequence row per id."""
+        """Last-write-wins inside one batch of rows: keep the
+        highest-sequence row per id (reference replay order). THE shared
+        implementation for ``upsert`` and ``update_batch`` — one place to
+        change the LWW convention."""
         seq = df.withColumn("__seq", F.monotonically_increasing_id())
         return (
             seq.groupBy(id_col)
@@ -1455,7 +1471,8 @@ class CollectionCatalog:
             (kind, spec), = op.items()
             if kind == "upsert":
                 rows = self._batch_lww(
-                    self._validate(name, self._rows_df(name, spec["points"], id_col)),
+                    self._validate(name, self._rows_df(
+                        name, spec["points"], id_col, target=df)),
                     id_col)
                 df = df.join(F.broadcast(rows), on=id_col, how="left_anti"
                              ).unionByName(rows)
@@ -1483,7 +1500,8 @@ class CollectionCatalog:
                 # fills the rest with nulls, which must stay no-ops)
                 raw_cols = (set(pts.columns) if isinstance(pts, DataFrame)
                             else {k for r in pts for k in r})
-                rows = self._validate(name, self._rows_df(name, pts, id_col))
+                rows = self._validate(
+                    name, self._rows_df(name, pts, id_col, target=df))
                 vcols = self._vector_cols(name, raw_cols)
                 if not vcols:
                     raise ValueError("update_vectors rows carry no vector column")
@@ -1505,11 +1523,25 @@ class CollectionCatalog:
             elif kind == "delete_vectors":
                 sel = F.coalesce(self._selector(spec, id_col), F.lit(False))
                 names = spec.get("vectors") or [""]
+                cmeta = self.meta(name)
+                dense = cmeta.vectors or {}
+                sparse = cmeta.sparse_vectors or {}
                 for v in names:
-                    col = "embedding" if v in ("", "embedding") else self.vector_col_of(v)
-                    if col in df.columns:
-                        df = df.withColumn(
-                            col, F.when(sel, F.lit(None)).otherwise(F.col(col)))
+                    if v in ("", "embedding"):
+                        cols = ["embedding"]
+                    elif v in dense:
+                        cols = [self.vector_col_of(v)]
+                    elif v in sparse:
+                        cols = list(self.sparse_cols_of(v))  # null the PAIR
+                    else:
+                        raise ValueError(
+                            f"unknown vector name {v!r} (dense: "
+                            f"{sorted(dense)}, sparse: {sorted(sparse)})")
+                    for col in cols:
+                        if col in df.columns:
+                            df = df.withColumn(
+                                col,
+                                F.when(sel, F.lit(None)).otherwise(F.col(col)))
             else:
                 raise ValueError(f"unknown batch operation {kind!r}")
         self._swap_in(name, df)

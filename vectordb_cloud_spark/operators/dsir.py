@@ -41,14 +41,18 @@ def hashed_ngram_features(docs: DataFrame, id_col: str = "doc_id",
     toks = docs.select(
         F.col(id_col), words(F.col(text_col)).alias("__w")
     )
+    # bigrams: both slices trimmed to size-1 so zip_with never null-pads —
+    # a padded last pair would concat_ws down to the bare final token and
+    # double-count it in the unigram model
+    n_bi = F.greatest(F.size("__w") - 1, F.lit(0))
     grams = toks.select(
         id_col,
         F.explode(
             F.concat(
                 F.col("__w"),
                 F.zip_with(
-                    F.col("__w"),
-                    F.slice(F.col("__w"), 2, F.greatest(F.size("__w") - 1, F.lit(0))),
+                    F.slice(F.col("__w"), 1, n_bi),
+                    F.slice(F.col("__w"), 2, n_bi),
                     lambda a, b: F.concat_ws(" ", a, b),
                 ),
             )

@@ -314,24 +314,34 @@ def recommend(
         for i in positive_ids
     ]) if len(positive_ids) > 1 else l2_distance_to(
         F.col(vector_col), [float(x) for x in found[positive_ids[0]]])
+    df = points.filter(pred) if pred is not None else points
     if negative_ids:
         best_neg = F.least(*[
             l2_distance_to(F.col(vector_col), [float(x) for x in found[i]])
             for i in negative_ids
         ]) if len(negative_ids) > 1 else l2_distance_to(
             F.col(vector_col), [float(x) for x in found[negative_ids[0]]])
-        # clean points (closer to a positive than any negative) keep their
-        # positive distance; contaminated points sort AFTER every clean
-        # point, ranked by how close the offending negative is
-        score = F.when(best_pos < best_neg, best_pos).otherwise(
-            F.lit(1e18) - best_neg)
-    else:
-        score = best_pos
-    df = points.filter(pred) if pred is not None else points
+        # clean points (closer to a positive than any negative) rank by
+        # their positive distance; contaminated points sort AFTER every
+        # clean point, the most negative-like last. Ordering is a
+        # (flag, key) pair — NOT a single offset-by-a-huge-constant float,
+        # whose ULP at 1e18 (~128) would collapse all contaminated keys to
+        # one value and destroy their relative order
+        contaminated = best_pos >= best_neg
+        key = F.when(contaminated, -best_neg).otherwise(best_pos)
+        df = (
+            df.withColumn("__bad", contaminated.cast("int"))
+            .withColumn("__key", key)
+            .withColumn("dist", F.round(key, 6))
+        )
+        order = [F.col("__bad").asc(), F.col("__key").asc()]
+        if tiebreak is not None:
+            order.append(F.col(tiebreak).asc())
+        return df.orderBy(*order).limit(k).drop("__bad", "__key")
     order = [F.col("dist").asc()]
     if tiebreak is not None:
         order.append(F.col(tiebreak).asc())
-    return df.withColumn("dist", F.round(score, 6)).orderBy(*order).limit(k)
+    return df.withColumn("dist", F.round(best_pos, 6)).orderBy(*order).limit(k)
 
 
 def search_groups(
