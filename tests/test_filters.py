@@ -146,6 +146,46 @@ def test_is_null_is_empty_values_count(spark):
     assert got == [3]
 
 
+def test_is_empty_matches_empty_array(spark):
+    """Qdrant IsEmpty matches null, empty string, AND empty array — the
+    string-cast probe renders an empty array as '[]' (ADVICE r8)."""
+    df = spark.createDataFrame(
+        [(1, ["a"]), (2, []), (3, None)],
+        "id long, arr array<string>",
+    )
+    got = sorted(r["id"] for r in
+                 df.filter(compile_filter({"must": [{"is_empty": "arr"}]}))
+                 .collect())
+    assert got == [2, 3]
+
+
+def test_must_not_passes_points_missing_the_field(spark):
+    """Qdrant semantics: a condition on a missing/null payload field does
+    not MATCH, so must_not must PASS such points instead of null-dropping
+    them (ADVICE r8). min_should likewise counts a null condition as 0."""
+    df = spark.createDataFrame(
+        [(1, True, "en"), (2, False, "de"), (3, None, None)],
+        "id long, deleted boolean, lang string",
+    )
+    spec = {"must_not": [{"key": "deleted", "match": {"value": True}}]}
+    got = sorted(r["id"] for r in df.filter(compile_filter(spec)).collect())
+    assert got == [2, 3]  # 3 lacks the field -> passes
+    # must_not over several conditions: null legs must not poison the OR
+    spec = {"must_not": [
+        {"key": "deleted", "match": {"value": True}},
+        {"key": "lang", "match": {"value": "fr"}},
+    ]}
+    got = sorted(r["id"] for r in df.filter(compile_filter(spec)).collect())
+    assert got == [2, 3]
+    # min_should: the null condition counts as not-matched, not NULL-sum
+    spec = {"min_should": {"conditions": [
+        {"key": "deleted", "match": {"value": False}},
+        {"key": "lang", "match": {"value": "de"}},
+    ], "min_count": 1}}
+    got = sorted(r["id"] for r in df.filter(compile_filter(spec)).collect())
+    assert got == [2]
+
+
 def test_nested_array_of_struct_exists(spark):
     df = spark.createDataFrame(
         [(1, [{"site": "a", "n": 5}, {"site": "b", "n": 1}]),

@@ -132,3 +132,121 @@ def test_query_points_sparse_branch(spark):
              .withColumnRenamed("sparse_text_values", "values")
     got2 = query_points(bare, query={"indices": [7], "values": [2.0]}, limit=2)
     assert [r["vec_id"] for r in got2.collect()] == [2, 1]
+
+
+def test_fusion_direction_cosine_leg(spark):
+    """ADVICE r8: knn_search emits cosine/dot SIMILARITY under 'dist';
+    fusion must rank such legs descending, not ascending."""
+    df = spark.createDataFrame(
+        [(1, [100.0, 0.0]), (2, [0.9, 0.5]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    pre = [{"query": [1.0, 0.0], "limit": 3, "metric": "cosine"}]
+    # cosine order is 1 (sim 1.0), 2 (~0.87), 3 (0.0); ascending-dist
+    # misreading would invert it
+    rrf = query_points(df, {"fusion": "rrf"}, prefetch=pre, limit=3)
+    assert [r["vec_id"] for r in rrf.collect()] == [1, 2, 3]
+    dbsf = query_points(df, {"fusion": "dbsf"}, prefetch=pre, limit=3)
+    assert [r["vec_id"] for r in dbsf.collect()] == [1, 2, 3]
+
+
+def test_fusion_filter_applies_before_limit(embeddings, emb_rows):
+    """ADVICE r8: the top-level filter prunes merged candidates BEFORE the
+    final truncation, so the response fills up to `limit` from the
+    remaining candidates instead of coming back short."""
+    q0 = _vec(emb_rows, 0)
+    n_pre, k = 20, 5
+    out = query_points(
+        embeddings, {"fusion": "rrf"},
+        prefetch=[{"query": q0, "limit": n_pre}], limit=k,
+        query_filter={"must": [{"key": "vec_id", "range": {"gte": 10}}]},
+    ).collect()
+    # replay: leg = top-20 by l2 (tiebreak id), then filter, then top-5 —
+    # single-leg rrf preserves the leg's rank order
+    import numpy as np
+    leg = sorted(
+        (float(np.linalg.norm(v - np.array(q0))), vid) for vid, v in emb_rows
+    )[:n_pre]
+    want = [vid for _, vid in leg if vid >= 10][:k]
+    assert [r["vec_id"] for r in out] == want
+    assert len(out) == k  # enough matching candidates -> full page
+
+
+def test_nested_prefetch_funnel_sparse_dense_maxsim(spark):
+    """The Qdrant multi-stage funnel as ONE query_points call:
+    sparse retrieval -> dense rescore -> MaxSim (multivector) rescore,
+    verified against a full numpy replay."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    n, d = 30, 4
+    dense = rng.randn(n, d).round(3)
+    toks = rng.randn(n, 2, d).round(3)
+    rows = []
+    for i in range(n):
+        idxs = sorted(int(x) for x in rng.choice(50, size=3, replace=False))
+        vals = [float(v) for v in rng.rand(3).round(3)]
+        rows.append((i, [float(x) for x in dense[i]],
+                     [[float(x) for x in t] for t in toks[i]],
+                     idxs, vals))
+    df = spark.createDataFrame(
+        rows,
+        "vec_id long, embedding array<double>, "
+        "token_vectors array<array<double>>, "
+        "indices array<int>, values array<double>",
+    )
+    sq_idx, sq_val = [5, 17, 23], [1.0, 0.5, 2.0]
+    dq = [0.1, -0.2, 0.3, 0.05]
+    qtoks = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    out = query_points(
+        df, query=qtoks,
+        prefetch=[{
+            "query": dq, "limit": 5,
+            "prefetch": [{"query": {"indices": sq_idx, "values": sq_val},
+                          "limit": 10}],
+        }],
+        limit=3,
+    ).collect()
+    got = [r["vec_id"] for r in out]
+
+    # --- numpy replay of the whole funnel
+    sparse_scores = {}
+    for vid, _, _, idxs, vals in rows:
+        s = sum(qv * vals[idxs.index(qi)]
+                for qi, qv in zip(sq_idx, sq_val) if qi in idxs)
+        if round(s, 6) != 0.0:
+            sparse_scores[vid] = s
+    stage1 = [vid for vid, _ in sorted(
+        sparse_scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]]
+    dvec = np.array(dq)
+    stage2 = [vid for _, vid in sorted(
+        (float(np.linalg.norm(dense[vid] - dvec)), vid) for vid in stage1
+    )[:5]]
+
+    def maxsim(vid):
+        return sum(max(float(np.dot(t, np.array(q))) for t in toks[vid])
+                   for q in qtoks)
+
+    want = sorted(stage2, key=lambda v: (-maxsim(v), v))[:3]
+    assert got == want
+
+
+def test_single_stage_multivector_query(spark):
+    """A bare token-matrix query (no prefetch) dispatches to MaxSim."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    toks = rng.randn(8, 2, 3).round(3)
+    df = spark.createDataFrame(
+        [(i, [[float(x) for x in t] for t in toks[i]]) for i in range(8)],
+        "vec_id long, token_vectors array<array<double>>",
+    )
+    qtoks = [[1.0, 0.0, 0.0]]
+    got = [r["vec_id"] for r in
+           query_points(df, query=qtoks, limit=3).collect()]
+
+    def maxsim(i):
+        return max(float(np.dot(t, np.array(qtoks[0]))) for t in toks[i])
+
+    want = sorted(range(8), key=lambda i: (-maxsim(i), i))[:3]
+    assert got == want

@@ -179,12 +179,14 @@ def _condition(cond: dict[str, Any], id_col: str, resolve: Resolver) -> Column:
         return resolve(_key_of(cond["is_null"])).isNull()
     if "is_empty" in cond:
         col = resolve(_key_of(cond["is_empty"]))
-        # null, empty array (size 0; size() is -1 on null pre-ansi), or
-        # empty string — try_ variants keep this type-generic
-        return (
-            col.isNull()
-            | (col.try_cast("string") == F.lit(""))
-        )
+        # null, empty array, or empty string.  The column type is unknown at
+        # compile time (resolver-based), so the type-generic probe is the
+        # string cast: arrays render as "[...]" in Spark 3+, so an empty
+        # array becomes the literal "[]".  (Caveat: a *string* payload whose
+        # value is exactly "[]" also matches — acceptable for a
+        # schema-blind DSL compiler.)
+        s = col.try_cast("string")
+        return col.isNull() | (s == F.lit("")) | (s == F.lit("[]"))
     if "nested" in cond:
         key = cond["nested"]["key"]
         sub = cond["nested"]["filter"]
@@ -258,13 +260,20 @@ def compile_filter(
     if isinstance(must_not, dict):
         must_not = [must_not]
     if must_not:
+        # Qdrant semantics: a condition on a missing/null payload field does
+        # not MATCH, so must_not must PASS such points.  Without the
+        # coalesce, cond=NULL → ~NULL=NULL → filter drops the row.
         parts.append(
-            ~_or_all([_condition(c, id_col, resolve) for c in must_not])
+            ~_or_all([
+                F.coalesce(_condition(c, id_col, resolve), F.lit(False))
+                for c in must_not
+            ])
         )
     if "min_should" in spec:
         ms = spec["min_should"]
         conds = [
-            _condition(c, id_col, resolve).cast("int")
+            F.coalesce(_condition(c, id_col, resolve), F.lit(False))
+            .cast("int")
             for c in ms["conditions"]
         ]
         total = conds[0]

@@ -268,9 +268,20 @@ def recommend(
     is mean(positive vectors) − mean(negative vectors), then one ordinary
     exact top-k. ``best_score``: per point, score = max similarity to any
     positive; points whose best NEGATIVE beats their best positive rank
-    below every clean point, ordered by how negative-like they are
-    (Qdrant's published semantics) — computed as |P|+|N| fused distance
-    folds in ONE scan, no per-example passes.
+    below every clean point, ordered by how negative-like they are —
+    computed as |P|+|N| fused distance folds in ONE scan, no per-example
+    passes.
+
+    Note on ``best_score`` parity: Qdrant's published formula
+    (``score = best_pos if best_pos > best_neg else -(best_neg^2)``) is a
+    SINGLE ordering in which a weakly-contaminated point can outrank a
+    distant clean point — and on the euclidean similarity scale
+    (sim = −dist ≤ 0) squaring inverts the contaminated sub-order, so a
+    point sitting exactly on a negative ties with one on a positive. This
+    implementation is a deliberate two-tier variant: ALL clean points rank
+    first (by nearest-positive distance), then contaminated points,
+    least-negative-like first. Rankings can differ from Qdrant for inputs
+    where those orderings diverge.
 
     The example vectors are fetched with one bounded ``isin`` probe (a few
     ids, file-skippable at scale); both strategies stay a single map pass +

@@ -127,6 +127,7 @@ def rrf_fuse(
     k: int = 10,
     rrf_k: int = 60,
     max_list_rows: int | None = 100_000,
+    higher_is_better: bool | list[bool] | None = None,
 ) -> DataFrame:
     """Hybrid retrieval via reciprocal-rank fusion: each input is an
     already-ranked candidate list (e.g. BM25 top-n and vector-kNN top-n);
@@ -149,10 +150,21 @@ def rrf_fuse(
     the guard's caches (which keep the count from re-running each candidate
     pipeline) be unpersisted before returning — repeated fusions in a
     long-lived serving process no longer accumulate cached blocks (ADVICE
-    r5), and inputs the CALLER already persisted are left untouched."""
+    r5), and inputs the CALLER already persisted are left untouched.
+
+    ``higher_is_better``: per-list (or shared) score direction. The default
+    ``None`` keeps the column-name convention — a ``score`` column ranks
+    descending (similarity), a ``dist`` column ascending (distance). Pass
+    explicit directions when a list's column name doesn't encode its
+    direction (e.g. ``knn_search`` emits cosine/dot SIMILARITY under
+    ``dist``) — ADVICE r8."""
     from pyspark.sql import Window
 
     spark = ranked_lists[0].sparkSession
+    if isinstance(higher_is_better, bool):
+        higher_is_better = [higher_is_better] * len(ranked_lists)
+    if higher_is_better is not None and len(higher_is_better) != len(ranked_lists):
+        raise ValueError("higher_is_better must align with ranked_lists")
     ours: list[DataFrame] = []
     inputs: list[DataFrame] = []
     for df in ranked_lists:
@@ -163,7 +175,7 @@ def rrf_fuse(
         inputs.append(df)
     try:
         scored = []
-        for df in inputs:
+        for li, df in enumerate(inputs):
             if max_list_rows is not None:
                 n = df.limit(max_list_rows + 1).count()
                 if n > max_list_rows:
@@ -172,13 +184,16 @@ def rrf_fuse(
                         "small top-n candidate lists (raise max_list_rows only if "
                         "a single-task sort of that size is acceptable)"
                     )
-            order = [c for c in ("score", "dist") if c in df.columns]
-            w = (
-                Window.orderBy(F.col(order[0]).desc() if order[0] == "score" else F.col(order[0]).asc(),
-                               F.col(id_col).asc())
-                if order
-                else Window.orderBy(F.col(id_col).asc())
-            )
+            order = [c for c in ("score", "dist", "maxsim") if c in df.columns]
+            if order:
+                if higher_is_better is not None:
+                    desc = higher_is_better[li]
+                else:
+                    desc = order[0] != "dist"
+                key = F.col(order[0]).desc() if desc else F.col(order[0]).asc()
+                w = Window.orderBy(key, F.col(id_col).asc())
+            else:
+                w = Window.orderBy(F.col(id_col).asc())
             scored.append(
                 df.withColumn("__rank", F.row_number().over(w)).select(
                     id_col, (F.lit(1.0) / (F.lit(rrf_k) + F.col("__rank"))).alias("__rrf")

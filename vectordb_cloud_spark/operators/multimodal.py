@@ -9,8 +9,9 @@ Three decode backends:
 - ``"real"`` — actual codecs. PNG and WAV are decoded with the pure-stdlib
   implementations in ``functions/codecs.py`` (zlib/struct/wave — no PIL or
   ffmpeg needed); other image formats fall through to PIL when importable.
-  Video frame-sampling alone stays stubbed (container formats genuinely
-  need ffmpeg).
+  Video frame-sampling decodes uncompressed (fourcc ``DIB``/raw) AVI via
+  the stdlib RIFF parser in ``functions/codecs.py``; compressed fourccs
+  raise ``CodecError`` (those genuinely need ffmpeg).
 - ``"pil"`` — import-gated PIL fast path for formats the stdlib decoder
   doesn't cover (JPEG, WebP, ...). Raises ImportError here (PIL absent).
 - ``"fake"`` — the deterministic md5-chain pixel stream. This is what the

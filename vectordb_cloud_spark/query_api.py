@@ -10,9 +10,19 @@ migrating user actually calls; every branch delegates to the operators
 that already carry the plan-shape and oracle guarantees:
 
 - vector query           → ``operators.knn.knn_search`` (shuffle-free top-k)
-- vector + prefetch      → candidate union → ``exact_rescore_topk``
-  (broadcast id join; the PQ/BQ two-stage shape)
-- ``{"fusion": "rrf"}``  → ``operators.lexical.rrf_fuse``
+- query + prefetch       → candidate union → rescore with the top-level
+  query (broadcast left-semi id join; the PQ/BQ two-stage shape). The
+  rescore query may itself be dense, sparse, or a multivector token
+  matrix (MaxSim) — Qdrant's documented hybrid funnels.
+- nested ``prefetch``    → each prefetch spec may carry its own
+  ``prefetch`` list; inner legs produce candidates, the outer leg's
+  ``query`` rescores them — recursion to any depth, so the standard
+  sparse→dense→MaxSim funnel is one call.
+- prefetch leg queries   → dense vector (``knn_search``), sparse
+  ``{"indices","values"}`` (``sparse_topk``), or a token-matrix
+  multivector (``multivector_topk`` MaxSim) — selected by query shape.
+- ``{"fusion": "rrf"}``  → ``operators.lexical.rrf_fuse`` (per-leg score
+  direction threaded: cosine/dot similarity legs rank descending)
 - ``{"fusion": "dbsf"}`` → distribution-based score fusion (per-list
   μ±3σ normalization, Qdrant's documented DBSF), top-n-sized work only
 - ``{"sample": "random"}`` → ``sources.random_sample`` (seeded, exact)
@@ -21,10 +31,12 @@ that already carry the plan-shape and oracle guarantees:
 - ``query=None``         → id-ordered scroll page
 
 ``using`` selects a named vector (``vec_{name}`` column, see
-``CollectionCatalog.vector_col_of``); ``query_filter`` takes the
-:mod:`vectordb_cloud_spark.filters` DSL document. Filters on a prefetch
-apply inside that prefetch; the top-level filter applies to the final
-candidate set — Qdrant's documented scoping.
+``CollectionCatalog.vector_col_of``; sparse legs use the
+``sparse_{name}_indices/values`` pair, multivector legs ``mv_{name}``);
+``query_filter`` takes the :mod:`vectordb_cloud_spark.filters` DSL
+document. Filters on a prefetch apply inside that prefetch; the
+top-level filter applies to the final candidate set BEFORE the final
+limit (Qdrant filters merged candidates, then truncates — ADVICE r8).
 """
 
 from __future__ import annotations
@@ -56,7 +68,9 @@ def dbsf_fuse(
         higher_is_better = [higher_is_better] * len(ranked_lists)
     parts = []
     for df, hib in zip(ranked_lists, higher_is_better):
-        score_col = "score" if "score" in df.columns else "dist"
+        score_col = next(
+            (c for c in ("score", "dist", "maxsim") if c in df.columns), "dist"
+        )
         s = F.col(score_col).cast("double")
         stats = df.agg(
             F.avg(s).alias("mu"), F.coalesce(F.stddev(s), F.lit(0.0)).alias("sd")
@@ -82,25 +96,103 @@ def dbsf_fuse(
     )
 
 
+def _sparse_cols(using: str | None) -> tuple[str, str]:
+    if using:
+        return f"sparse_{using}_indices", f"sparse_{using}_values"
+    return "indices", "values"
+
+
+def _is_sparse_query(q: Any) -> bool:
+    return isinstance(q, dict) and "indices" in q and "values" in q
+
+
+def _is_multivector_query(q: Any) -> bool:
+    return (
+        isinstance(q, (list, tuple))
+        and len(q) > 0
+        and isinstance(q[0], (list, tuple))
+    )
+
+
+def _score_query(
+    base: DataFrame,
+    query: Any,
+    using: str | None,
+    pred: Column | None,
+    k: int,
+    id_col: str,
+    metric: str,
+) -> tuple[DataFrame, bool]:
+    """Score ``base`` (the full collection or a candidate-restricted frame)
+    with one query — dense / sparse / multivector dispatch by query shape.
+    Returns ``(topk_df, higher_is_better)`` so fusion knows each leg's
+    score direction (ADVICE r8: cosine/dot similarity also lands in the
+    ``dist`` column)."""
+    if _is_sparse_query(query):
+        from vectordb_cloud_spark.operators.sparse import sparse_topk
+
+        icol, vcol = _sparse_cols(using)
+        df = base.filter(F.col(icol).isNotNull())
+        if pred is not None:
+            df = df.filter(pred)
+        out = sparse_topk(
+            df, list(query["indices"]), [float(x) for x in query["values"]],
+            k=k, id_col=id_col, idx_col=icol, val_col=vcol,
+        )
+        return out, True
+    if _is_multivector_query(query):
+        from vectordb_cloud_spark.operators.multivector import multivector_topk
+
+        tokens_col = f"mv_{using}" if using else "token_vectors"
+        out = multivector_topk(
+            base, [[float(x) for x in tok] for tok in query],
+            k=k, tokens_col=tokens_col, id_col=id_col, filters=pred,
+        )
+        return out, True
+    if isinstance(query, (list, tuple)):
+        from vectordb_cloud_spark.operators.knn import knn_search
+
+        out = knn_search(
+            base, [float(x) for x in query], k=k,
+            vector_col=_vector_col(using), filters=pred, metric=metric,
+            tiebreak=id_col,
+        )
+        return out, metric in ("cosine", "dot")
+    raise ValueError(f"unsupported leg query: {query!r}")
+
+
+def _candidate_union(legs: list[DataFrame], id_col: str) -> DataFrame:
+    cand = legs[0].select(id_col)
+    for extra in legs[1:]:
+        cand = cand.unionByName(extra.select(id_col))
+    return cand.distinct()
+
+
 def _run_prefetch(
     points: DataFrame,
     spec: dict[str, Any],
     id_col: str,
     metric: str,
-) -> DataFrame:
-    from vectordb_cloud_spark.operators.knn import knn_search
-
+) -> tuple[DataFrame, bool]:
+    """One prefetch leg, recursively: if the spec carries its own
+    ``prefetch`` list, those inner legs run first and the leg's ``query``
+    rescores only their candidate union (broadcast left-semi join — the
+    multi-stage funnel). Returns ``(topk_df, higher_is_better)``."""
     if "query" not in spec:
         raise ValueError(f"prefetch needs a 'query' vector: {spec!r}")
+    base = points
+    inner = spec.get("prefetch")
+    if inner:
+        inner_specs = [inner] if isinstance(inner, dict) else list(inner)
+        legs = [
+            _run_prefetch(points, s, id_col, metric)[0] for s in inner_specs
+        ]
+        cand = _candidate_union(legs, id_col)
+        base = points.join(F.broadcast(cand), id_col, "left_semi")
     pred = compile_filter(spec.get("filter"), id_col=id_col)
-    return knn_search(
-        points,
-        [float(x) for x in spec["query"]],
-        k=int(spec.get("limit", 100)),
-        vector_col=_vector_col(spec.get("using")),
-        filters=pred,
-        metric=spec.get("metric", metric),
-        tiebreak=id_col,
+    return _score_query(
+        base, spec["query"], spec.get("using"), pred,
+        int(spec.get("limit", 100)), id_col, spec.get("metric", metric),
     )
 
 
@@ -125,40 +217,53 @@ def query_points(
 
     # --- fusion / rescore branches need the prefetch lists first
     if prefetch:
-        lists = [
-            _run_prefetch(points, spec, id_col, metric) for spec in prefetch
-        ]
+        if isinstance(prefetch, dict):
+            prefetch = [prefetch]
+        ran = [_run_prefetch(points, spec, id_col, metric) for spec in prefetch]
+        lists = [df for df, _ in ran]
+        hibs = [hib for _, hib in ran]
         if isinstance(query, dict) and "fusion" in query:
             from vectordb_cloud_spark.operators.lexical import rrf_fuse
 
             kind = query["fusion"]
+            # With a top-level filter, fuse over ALL candidates (the lists
+            # are top-n, so this is bounded by Σ prefetch limits), filter
+            # the merged set, THEN truncate — Qdrant filters merged
+            # candidates before limiting (ADVICE r8).
+            fuse_k = limit if pred is None else sum(
+                int(s.get("limit", 100)) for s in prefetch
+            )
             if kind == "rrf":
-                fused = rrf_fuse(lists, id_col=id_col, k=limit, rrf_k=rrf_k,
-                                 max_list_rows=None)
+                fused = rrf_fuse(lists, id_col=id_col, k=fuse_k, rrf_k=rrf_k,
+                                 max_list_rows=None, higher_is_better=hibs)
             elif kind == "dbsf":
-                fused = dbsf_fuse(lists, id_col=id_col, k=limit)
+                fused = dbsf_fuse(lists, id_col=id_col, k=fuse_k,
+                                  higher_is_better=hibs)
             else:
                 raise ValueError(f"unknown fusion {kind!r}")
             if pred is not None:
                 score_col = [c for c in fused.columns if c != id_col][0]
-                fused = fused.join(
-                    points.filter(pred).select(id_col), id_col, "left_semi"
-                ).orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+                fused = (
+                    fused.join(
+                        points.filter(pred).select(id_col), id_col, "left_semi"
+                    )
+                    .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+                    .limit(limit)
+                )
             return fused
-        if isinstance(query, (list, tuple)):
-            from vectordb_cloud_spark.operators.knn import exact_rescore_topk
-
-            cand = lists[0].select(id_col)
-            for extra in lists[1:]:
-                cand = cand.unionByName(extra.select(id_col))
-            cand = cand.distinct()
-            base = points if pred is None else points.filter(pred)
-            return exact_rescore_topk(
-                base, cand, [float(x) for x in query], k=limit,
-                id_col=id_col, vector_col=vcol,
+        if (
+            isinstance(query, (list, tuple)) or _is_sparse_query(query)
+        ):
+            # rescore the candidate union with the top-level query — dense,
+            # sparse, or multivector (MaxSim), per query shape
+            cand = _candidate_union(lists, id_col)
+            base = points.join(F.broadcast(cand), id_col, "left_semi")
+            out, _ = _score_query(
+                base, query, using, pred, limit, id_col, metric
             )
+            return out
         raise ValueError(
-            "prefetch requires a fusion directive or a rescore vector as "
+            "prefetch requires a fusion directive or a rescore query as "
             f"the top-level query; got {query!r}"
         )
 
@@ -166,32 +271,14 @@ def query_points(
     if query is None:
         df = points if pred is None else points.filter(pred)
         return df.orderBy(F.col(id_col).asc()).limit(limit)
-    if isinstance(query, (list, tuple)):
-        from vectordb_cloud_spark.operators.knn import knn_search
-
-        return knn_search(points, [float(x) for x in query], k=limit,
-                          vector_col=vcol, filters=pred, metric=metric,
-                          tiebreak=id_col)
+    if isinstance(query, (list, tuple)) or _is_sparse_query(query):
+        # dense vector, multivector token matrix (MaxSim), or sparse
+        # {"indices","values"} (Qdrant SparseVector; `using` names the
+        # configured vector — columns follow the collection conventions)
+        out, _ = _score_query(points, query, using, pred, limit, id_col,
+                              metric)
+        return out
     if isinstance(query, dict):
-        if "indices" in query and "values" in query:
-            # sparse query vector (Qdrant SparseVector) — `using` names the
-            # configured sparse vector; columns follow the collection
-            # convention sparse_{name}_indices/values (or the bare
-            # indices/values pair when `using` is None)
-            from vectordb_cloud_spark.operators.sparse import sparse_topk
-
-            if using:
-                icol, vcol_s = (f"sparse_{using}_indices",
-                                f"sparse_{using}_values")
-            else:
-                icol, vcol_s = "indices", "values"
-            df = points.filter(F.col(icol).isNotNull())
-            if pred is not None:
-                df = df.filter(pred)
-            return sparse_topk(df, list(query["indices"]),
-                               [float(x) for x in query["values"]],
-                               k=limit, id_col=id_col,
-                               idx_col=icol, val_col=vcol_s)
         if query.get("sample") == "random":
             from vectordb_cloud_spark.sources.readers import random_sample
 
