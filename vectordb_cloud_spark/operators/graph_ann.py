@@ -965,17 +965,30 @@ def graph_beam_search(
     over the filtered subset, exactly as HNSW engines fall back to
     payload-index scans.
 
-    Per hop this is one action: a filtered scan of the adjacency table
-    broadcast-joined into a filtered scan of the base table (Spark
-    materializes the broadcast side as its own small job), then a
-    driver-side top-``beam`` over ≤ beam×degree scored rows — at 100 TB
-    with a src-bucketed adjacency layout, both scans are file-pruned
-    probes, and the corpus is never shuffled.
+    Per hop this is two bounded single-stage actions: (1) an ``src IN
+    (beam)`` probe of the adjacency table collecting ≤ beam×degree dst
+    ids, (2) an ``id IN (new candidates)`` probe of the base table scoring
+    them. Both predicates push down to the scans (row-group/bucket/file
+    pruning); there is no shuffle, no broadcast exchange, and no AQE
+    replanning anywhere in the loop — r8 measured the broadcast-join
+    formulation at ~20 Spark jobs per query (exchange + distinct-shuffle
+    jobs per hop) vs ~9 for this shape, a 1.7× latency cut at identical
+    results. Dedup and the visited-set subtraction happen driver-side on
+    ≤ beam×degree ids. At 100 TB with a src-bucketed adjacency layout,
+    both probes stay file-pruned, and the corpus is never shuffled.
     """
     dist_to_q = lambda col: l2_distance_to(col, query_vector)  # noqa: E731
     match_flag = (
         F.lit(True) if filters is None else filters.cast("boolean")
     ).alias("match")
+
+    def _in_ids(col_name: str, ids) -> Column:
+        # hot-loop IN predicate: Column.isin(list) marshals every literal
+        # through py4j (~0.5 ms each — 576 candidates cost ~0.3 s/hop,
+        # measured r9); a parsed SQL IN list is one string round trip
+        return F.expr(
+            f"`{col_name}` IN ({','.join(str(int(i)) for i in ids)})"
+        )
 
     seed_rows = points.select(
         F.col(id_col).alias("id"),
@@ -983,7 +996,7 @@ def graph_beam_search(
         match_flag,
     )
     if entry_ids is not None:
-        seeds = seed_rows.filter(F.col("id").isin([int(i) for i in entry_ids]))
+        seeds = seed_rows.filter(_in_ids("id", entry_ids))
     else:
         seeds = seed_rows.orderBy(F.col("id").asc()).limit(entry_points)
     visited: dict[int, float] = {}
@@ -999,21 +1012,19 @@ def graph_beam_search(
     beam_ids = sorted(visited, key=lambda i: (visited[i], i))[:beam]
 
     for _ in range(max_hops):
-        # ONE job per hop: pruned adjacency probe -> drop already-visited
-        # (the visited set is driver-bounded: entry + hops·beam·degree ids,
-        # folded in as an isin literal) -> join the base table -> score.
-        # Fusing the old frontier-collect + scoring jobs halves per-hop
-        # round trips, the dominant cost of a beam query locally.
-        cand = (
-            graph.filter(F.col("src").isin(list(beam_ids)))
-            .select(F.col("dst").alias("__cand"))
-            .distinct()
-            .filter(~F.col("__cand").isin(list(visited)))
+        # hop job 1: pruned adjacency probe (src IN beam pushes down);
+        # dedup + visited subtraction on the driver — ≤ beam×degree ids
+        dst_rows = (
+            graph.filter(_in_ids("src", beam_ids))
+            .select("dst")
+            .collect()
         )
+        new_ids = sorted({int(r["dst"]) for r in dst_rows} - visited.keys())
+        if not new_ids:
+            break
+        # hop job 2: pruned base-table probe scores only the new candidates
         scored = (
-            points.join(
-                F.broadcast(cand), F.col(id_col) == F.col("__cand"), "inner"
-            )
+            points.filter(_in_ids(id_col, new_ids))
             .select(F.col(id_col).alias("id"),
                     dist_to_q(F.col(vec_col)).alias("dist"), match_flag)
             .collect()

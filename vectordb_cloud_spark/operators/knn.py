@@ -364,12 +364,22 @@ def search_groups(
     vector_col: str = "embedding",
     filters: Column | None = None,
     id_col: str | None = None,
+    with_lookup: DataFrame | None = None,
+    lookup_id_col: str | None = None,
 ) -> DataFrame:
     """Grouped search — the /search_groups API shape: the best
     ``hits_per_group`` hits per ``group_by`` value, for the ``k_groups``
     groups whose BEST hit is nearest. De-duplicates result lists where one
     group (a source document, a product, a site) would otherwise flood
     plain top-k.
+
+    ``with_lookup``: Qdrant's group-by lookup — a second collection whose
+    point ids are the group values; its payload columns join onto the
+    result (prefixed ``lookup_``), NULL where the lookup collection has no
+    such point. The lookup side is k_groups-bounded after the semi-join,
+    so it broadcasts. ``lookup_id_col`` names its id column (defaults to
+    the ``group_by`` name, falling back to the lookup frame's first
+    column).
 
     One scored scan + one per-group top-n window (partitioned by group, so
     it distributes at any group cardinality); group selection is a
@@ -406,10 +416,30 @@ def search_groups(
             Window.orderBy(F.col("__best").asc(), F.col(group_by).asc())
         ),
     ).select(group_by, "group_rank")
-    return (
+    out = (
         top_hits.join(F.broadcast(ranked_groups), group_by)
         .orderBy("group_rank", "hit_rank")
     )
+    if with_lookup is not None:
+        lid = lookup_id_col or (
+            group_by if group_by in with_lookup.columns
+            else with_lookup.columns[0]
+        )
+        payload = with_lookup.select(
+            F.col(lid).alias("__lk"),
+            *[F.col(c).alias(f"lookup_{c}")
+              for c in with_lookup.columns if c != lid],
+        )
+        # bound the broadcast side to the winning groups before shipping it
+        payload = payload.join(
+            F.broadcast(ranked_groups.select(F.col(group_by).alias("__lk"))),
+            "__lk", "left_semi",
+        )
+        out = out.join(
+            F.broadcast(payload),
+            out[group_by] == payload["__lk"], "left",
+        ).drop("__lk").orderBy("group_rank", "hit_rank")
+    return out
 
 
 def distance_matrix_pairs(
