@@ -23,14 +23,13 @@ def test_every_oracle_has_a_query():
 
 def test_registry_oracle_coverage_invariant():
     """The registry is exactly 50 entries (the driver records only the
-    first 50) and every query is oracle-backed except the one with no
-    possible DuckDB twin (uuid3: DuckDB 1.0 md5 is VARCHAR-only, so the
-    binary DNS namespace is inexpressible). A change that silently drops an
-    oracle or grows the registry past the cap fails here, not in the
-    driver run."""
+    first 50) and — since the r9 rotation retired uuid3_content_ids (no
+    possible DuckDB twin; exact unit test in test_ids.py) — every entry is
+    oracle-backed. A change that silently drops an oracle or grows the
+    registry past the cap fails here, not in the driver run."""
     qs, orc = entrymod.queries(), entrymod.oracle_sql()
     assert len(qs) == 50
-    assert set(qs) - set(orc) == {"uuid3_content_ids"}
+    assert set(qs) - set(orc) == set()
 
 
 def test_all_queries_runnable_sf0001(spark):

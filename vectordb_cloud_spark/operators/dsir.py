@@ -26,14 +26,28 @@ Spark-first shape (no Python in the per-doc path):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 DEFAULT_BUCKETS = 10_000  # the paper's hashed feature dimensionality
 
 
+def _hash64(col: Column, hash_fn: str) -> Column:
+    """String → non-negative long. ``xxhash64`` is the production default
+    (fastest, JVM-native); ``md5_32`` takes the top 32 bits of md5 via
+    conv() — slower but exactly replayable in DuckDB as
+    ``('0x' || substr(md5(s), 1, 8))::BIGINT``, the same trick the MinHash
+    oracle rows use (operators/dedup.py _shingle_hash)."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(col)
+    if hash_fn == "md5_32":
+        return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
 def hashed_ngram_features(docs: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text",
-                          n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+                          n_buckets: int = DEFAULT_BUCKETS,
+                          hash_fn: str = "xxhash64") -> DataFrame:
     """(doc, bucket) rows: words + word-bigrams hashed into ``n_buckets``.
     One row per token occurrence — the multiset the unigram models count."""
     from vectordb_cloud_spark.functions.text import words
@@ -59,7 +73,8 @@ def hashed_ngram_features(docs: DataFrame, id_col: str = "doc_id",
         ).alias("__g"),
     ).filter(F.col("__g") != "")
     return grams.select(
-        id_col, F.pmod(F.xxhash64("__g"), F.lit(n_buckets)).alias("bucket")
+        id_col,
+        F.pmod(_hash64(F.col("__g"), hash_fn), F.lit(n_buckets)).alias("bucket"),
     )
 
 
@@ -93,11 +108,12 @@ def dsir_log_ratios(target_feats: DataFrame, raw_feats: DataFrame,
 def dsir_scores(docs: DataFrame, ratios: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text",
                 n_buckets: int = DEFAULT_BUCKETS,
-                normalize: bool = True) -> DataFrame:
+                normalize: bool = True,
+                hash_fn: str = "xxhash64") -> DataFrame:
     """Per-doc importance score Σ_features log_ratio (optionally divided by
     the feature count, making it a per-token average so long documents
     don't dominate purely by length). Returns docs + ``dsir_score``."""
-    feats = hashed_ngram_features(docs, id_col, text_col, n_buckets)
+    feats = hashed_ngram_features(docs, id_col, text_col, n_buckets, hash_fn)
     agg = [F.sum("log_ratio").alias("__s"), F.count("*").alias("__n")]
     scored = (
         feats.join(F.broadcast(ratios), "bucket")
@@ -115,7 +131,8 @@ def dsir_scores(docs: DataFrame, ratios: DataFrame, id_col: str = "doc_id",
 def importance_sample(scored: DataFrame, n: int, seed: int = 42,
                       id_col: str = "doc_id",
                       score_col: str = "dsir_score",
-                      temperature: float = 1.0) -> DataFrame:
+                      temperature: float = 1.0,
+                      hash_fn: str = "xxhash64") -> DataFrame:
     """Sample ``n`` docs WITHOUT replacement, proportional to
     softmax(score / temperature), via the Gumbel-top-k trick: key =
     score/T + Gumbel noise, take the top n — ONE TakeOrderedAndProject, no
@@ -124,9 +141,13 @@ def importance_sample(scored: DataFrame, n: int, seed: int = 42,
     ``temperature → ∞`` approaches uniform; small T approaches argmax."""
     if temperature <= 0:
         raise ValueError("temperature must be > 0")
-    # uniform in (0,1): bucketed hash with half-step offset avoids log(0)
+    # uniform in (0,1): bucketed hash with half-step offset avoids log(0).
+    # The (id, seed) pair hashes as the string "id:seed" so both hash modes
+    # see identical bytes (md5_32 is string-only).
     m = 1_000_003
-    u = (F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(m)) + 0.5) / m
+    h = _hash64(F.concat_ws(":", F.col(id_col).cast("string"),
+                            F.lit(str(seed))), hash_fn)
+    u = (F.pmod(h, F.lit(m)) + 0.5) / m
     gumbel = -F.log(-F.log(u))
     key = F.col(score_col) / F.lit(float(temperature)) + gumbel
     return (
@@ -140,13 +161,17 @@ def importance_sample(scored: DataFrame, n: int, seed: int = 42,
 def dsir_select(raw_docs: DataFrame, target_docs: DataFrame, n: int,
                 id_col: str = "doc_id", text_col: str = "text",
                 n_buckets: int = DEFAULT_BUCKETS, seed: int = 42,
-                temperature: float = 1.0, alpha: float = 1.0) -> DataFrame:
+                temperature: float = 1.0, alpha: float = 1.0,
+                hash_fn: str = "xxhash64") -> DataFrame:
     """The end-to-end DSIR recipe: fit both hashed-ngram models, score the
     raw corpus, Gumbel-top-k sample ``n`` target-resembling documents."""
     ratios = dsir_log_ratios(
-        hashed_ngram_features(target_docs, id_col, text_col, n_buckets),
-        hashed_ngram_features(raw_docs, id_col, text_col, n_buckets),
+        hashed_ngram_features(target_docs, id_col, text_col, n_buckets,
+                              hash_fn),
+        hashed_ngram_features(raw_docs, id_col, text_col, n_buckets, hash_fn),
         n_buckets, alpha,
     )
-    scored = dsir_scores(raw_docs, ratios, id_col, text_col, n_buckets)
-    return importance_sample(scored, n, seed, id_col, temperature=temperature)
+    scored = dsir_scores(raw_docs, ratios, id_col, text_col, n_buckets,
+                         hash_fn=hash_fn)
+    return importance_sample(scored, n, seed, id_col,
+                             temperature=temperature, hash_fn=hash_fn)
