@@ -494,7 +494,8 @@ def main():
             from vectordb_cloud_spark.operators.dedup import span_dedup_corpus
 
             passage = " ".join(f"shared{i}" for i in range(40))
-            for n in (10_000, 100_000):
+            # r9 extends the series to 1M docs (120M tokens) — VERDICT r8 #6
+            for n in (10_000, 100_000, 1_000_000):
                 docs = (
                     spark.range(n)
                     .select(
@@ -523,18 +524,33 @@ def main():
                     args.runs,
                 )
 
-        # DSIR importance resampling: model fit + scoring are token-linear
-        # (replicate_docs is fine here — unlike the dedup ops, duplicate
-        # content doesn't change DSIR's work shape, only the counts)
+        # DSIR importance resampling: model fit + scoring are token-linear.
+        # r9 (VERDICT r8 #6): the old 5k->50k replicate pair was plan-
+        # overhead-dominated (1.06x at 10x rows — proves nothing). Synthetic
+        # 80-token docs at 500k/5M rows put real token volume (40M/400M
+        # tokens) through the two explode+agg passes, so the measured ratio
+        # reflects the claimed linearity, not fixed costs.
         if "dsir" in only:
             from vectordb_cloud_spark.operators.dsir import dsir_select
 
-            for factor in (1, 10):
-                docs = replicate_docs(spark, SF_DIR, factor)
-                p = os.path.join(tmp, f"dsirdocs_{factor}")
+            for n in (500_000, 5_000_000):
+                docs = (
+                    spark.range(n)
+                    .select(
+                        F.col("id").alias("doc_id"),
+                        F.concat_ws(" ", F.transform(
+                            F.sequence(F.lit(0), F.lit(79)),
+                            lambda i: F.concat(
+                                F.lit("t"),
+                                F.pmod(F.xxhash64(F.col("id"), i),
+                                       F.lit(50_000)),
+                            ),
+                        )).alias("text"),
+                    )
+                )
+                p = os.path.join(tmp, f"dsirdocs_{n}")
                 docs.write.mode("overwrite").parquet(p)
                 docs = spark.read.parquet(p)
-                n = docs.count()
                 target = docs.limit(100)
                 results.setdefault("dsir_select", {})[n] = timed(
                     lambda docs=docs, target=target: noop(
