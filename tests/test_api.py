@@ -130,3 +130,43 @@ def test_count_and_set_payload_tenant_scoped(svc):
         else:
             assert r["site"] != "relabeled"
     assert svc.count(2) == other_before
+
+
+def test_query_universal_endpoint_tenant_scoped(svc):
+    """Qdrant POST /points/query through the service: text queries embed
+    via the service's embedder, prefetch funnels run tenant-scoped, vector
+    columns never leave the envelope."""
+    for i, (uid, text) in enumerate([
+        (9, "spark joins data"), (9, "spark shuffles data"),
+        (9, "cats and dogs"), (10, "spark joins data"),
+    ], start=1):
+        assert svc.insert(i, uid, text, "s", "en") == 1
+    # dense text query == /search ordering for the same tenant
+    hits = svc.query(9, {"query": {"text": "spark joins"}, "limit": 2})
+    want = [r["id"] for r in svc.search(9, "spark joins", limit=2).collect()]
+    assert [h["id"] for h in hits] == want
+    assert all("embedding" not in h for h in hits)
+    # tenant isolation: user 10's doc never appears for user 9
+    assert all(h["id"] != 4 for h in
+               svc.query(9, {"query": {"text": "spark joins"}, "limit": 10}))
+    # fusion over two text prefetch legs
+    fused = svc.query(9, {
+        "query": {"fusion": "rrf"},
+        "prefetch": [{"query": {"text": "spark joins"}, "limit": 3},
+                     {"query": {"text": "cats"}, "limit": 3}],
+        "limit": 3,
+    })
+    assert len(fused) == 3 and all("rrf_score" in h for h in fused)
+    # nested funnel: prefetch-of-prefetch translates text at every level
+    funnel = svc.query(9, {
+        "query": {"text": "spark joins"},
+        "prefetch": [{"query": {"text": "spark"}, "limit": 3,
+                      "prefetch": [{"query": {"text": "data"}, "limit": 3}]}],
+        "limit": 2,
+    })
+    assert len(funnel) == 2
+    # scroll branch (no query): id-ordered page, filter DSL applies
+    page = svc.query(9, {"limit": 2,
+                         "filter": {"must": [{"key": "lang",
+                                              "match": {"value": "en"}}]}})
+    assert [h["id"] for h in page] == [1, 2]

@@ -230,3 +230,31 @@ def test_facet_endpoint(server):
     # other tenants see nothing
     status, body = _get(server, "/facet", user_id=7, key="site")
     assert body == {"hits": []}
+
+
+def test_query_endpoint(server):
+    """Qdrant POST /points/query flattened to this app's GET convention:
+    the full request document rides in the `body` JSON param."""
+    for i, text in enumerate(["red apples", "green apples", "blue cars"]):
+        _get(server, "/insert", id=70 + i, user_id=8, text=text,
+             site="s", lang="en")
+    body = json.dumps({"query": {"text": "apples"}, "limit": 2})
+    status, hits = _get(server, "/query", user_id=8, body=body)
+    assert status == 200 and len(hits) == 2
+    assert all("dist" in h and "embedding" not in h for h in hits)
+    # fusion document
+    body = json.dumps({
+        "query": {"fusion": "rrf"},
+        "prefetch": [{"query": {"text": "apples"}, "limit": 2},
+                     {"query": {"text": "cars"}, "limit": 2}],
+        "limit": 2,
+    })
+    status, hits = _get(server, "/query", user_id=8, body=body)
+    assert status == 200 and len(hits) == 2 and "rrf_score" in hits[0]
+    # malformed body -> 422 envelope
+    status, body_out = _get(server, "/query", user_id=8, body="{not json")
+    assert status == 422 and body_out["status_code"] == 10422
+    # unsupported query -> 422, not a 500
+    status, body_out = _get(server, "/query", user_id=8,
+                            body=json.dumps({"query": 42}))
+    assert status == 422

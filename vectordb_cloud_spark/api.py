@@ -195,6 +195,48 @@ class VectorService:
         return {"hits": [{"value": r["value"], "count": r["n"]}
                          for r in rows]}
 
+    def query(self, user_id: int, body: dict) -> list[dict]:
+        """Qdrant POST /points/query, tenant-scoped: the universal query
+        API (vector / sparse / multivector / fusion / recommend / discover
+        / sample / scroll, with recursive ``prefetch`` funnels) over the
+        tenant-pruned collection read. ``body`` is the Qdrant request
+        document; ``{"text": ...}`` anywhere a query vector is expected
+        embeds through the service's embedder (the reference's
+        text-in/ids-out shape). Returns JSON-ready hit dicts with vector
+        columns dropped (Qdrant returns vectors only on request)."""
+        from vectordb_cloud_spark.query_api import query_points
+
+        def _embed_text(q):
+            if isinstance(q, dict) and set(q) == {"text"}:
+                return mock_vector(q["text"], self.dim)
+            return q
+
+        def _translate(spec: dict) -> dict:
+            out = dict(spec)
+            if "query" in out:
+                out["query"] = _embed_text(out["query"])
+            inner = out.get("prefetch")
+            if inner:
+                inner = [inner] if isinstance(inner, dict) else list(inner)
+                out["prefetch"] = [_translate(s) for s in inner]
+            return out
+
+        body = _translate(dict(body))
+        points = self.catalog.read_for_user(self.index_name, user_id)
+        hits = query_points(
+            points, body.get("query"), prefetch=body.get("prefetch"),
+            using=body.get("using"), query_filter=body.get("filter"),
+            limit=int(body.get("limit", 10)), id_col="id",
+        )
+        keep = [
+            c for c in hits.columns
+            if c != "embedding" and c != "token_vectors"
+            and not c.startswith(("vec_", "mv_", "sparse_", "__"))
+            and not c.endswith(("_indices", "_values"))
+        ]
+        return [r.asDict(recursive=True)
+                for r in hits.select(*keep).collect()]
+
     def info(self) -> dict:
         """Qdrant GET /collections/{name} over the service's collection."""
         return self.catalog.collection_info(self.index_name)

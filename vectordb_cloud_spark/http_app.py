@@ -155,6 +155,25 @@ def _routes(service: VectorService) -> dict[str, Callable[[dict[str, str]], Any]
         return service.facet(p["user_id"], p["key"], p["limit"],
                              query_filter=_parse_filter(p["filter"]))
 
+    def query(params):
+        # Qdrant POST /points/query, flattened to GET params: `body` is
+        # the full request document as JSON (query/prefetch/filter/limit/
+        # using), tenant-scoped by user_id
+        import json as _json
+
+        p = _coerce(params, [("user_id", int, _MISSING),
+                             ("body", str, _MISSING)])
+        try:
+            body = _json.loads(p["body"])
+        except ValueError as exc:
+            raise ValidationError(f"body is not valid JSON: {exc}") from exc
+        if not isinstance(body, dict):
+            raise ValidationError("body must be a JSON object")
+        try:
+            return service.query(p["user_id"], body)
+        except ValueError as exc:
+            raise ValidationError(str(exc)) from exc
+
     return {
         "/": index,
         "/insert": insert,
@@ -168,6 +187,7 @@ def _routes(service: VectorService) -> dict[str, Callable[[dict[str, str]], Any]
         "/create_index": create_index,
         "/delete_index": delete_index,
         "/facet": facet,
+        "/query": query,
     }
 
 
