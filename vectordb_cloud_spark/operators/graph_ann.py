@@ -995,7 +995,7 @@ def graph_beam_search(
         dist_to_q(F.col(vec_col)).alias("dist"),
         match_flag,
     )
-    if entry_ids is not None:
+    if entry_ids:  # empty list falls back like None (an `IN ()` won't parse)
         seeds = seed_rows.filter(_in_ids("id", entry_ids))
     else:
         seeds = seed_rows.orderBy(F.col("id").asc()).limit(entry_points)
