@@ -94,9 +94,18 @@ def dsir_log_ratios(target_feats: DataFrame, raw_feats: DataFrame,
                 F.coalesce("tn", F.lit(0)).alias("tn"),
                 F.coalesce("rn", F.lit(0)).alias("rn"))
     )
-    tot = joined.agg(F.sum("tn").alias("T"), F.sum("rn").alias("R")).first()
-    T, R = float(tot["T"]), float(tot["R"])
-    return joined.select(
+    # materialize the model ONCE: the counts table is n_buckets rows (10k
+    # default — ~100 KB), but leaving it lazy re-runs BOTH corpora's
+    # tokenize→hash→explode passes in every downstream action (the totals
+    # probe, the scoring join, the sampling action — r9 measured 3 full
+    # corpus passes per dsir_select). Collected here, the model costs one
+    # pass and rides back in as a local relation; the log arithmetic stays
+    # a JVM expression so the doubles match the SQL oracle bit-for-bit.
+    rows = joined.collect()
+    T = float(sum(row["tn"] for row in rows))
+    R = float(sum(row["rn"] for row in rows))
+    counts = spark.createDataFrame(rows, "bucket int, tn long, rn long")
+    return counts.select(
         "bucket",
         (
             F.log((F.col("tn") + alpha) / F.lit(T + alpha * n_buckets))

@@ -60,7 +60,7 @@ def ann_recall_report(
     from vectordb_cloud_spark import queries as qmod
     from vectordb_cloud_spark.operators.ann import (
         brute_force_topk,
-        ivf_search_persisted,
+        ivf_search,
         lsh_knn,
         recall_at_k,
     )
@@ -92,6 +92,7 @@ def ann_recall_report(
                                 qmod._LSH_G * qmod._LSH_TABLES)
     centers, ivf_path = qmod._ivf_index(spark, sf_dir,
                                         k_centroids=IVF_K_CENTROIDS)
+    ivf_df = spark.read.parquet(ivf_path)  # list the layout ONCE
     codebooks, pq_path = qmod._pq_index(spark, sf_dir)
     encoded = spark.read.parquet(pq_path).cache()
     if graph is None:
@@ -121,8 +122,8 @@ def ann_recall_report(
         sums["lsh_knn"] += recall_at_k(
             lsh_knn(lsh_model, emb, qv, k=k), exact, "vec_id")
         sums["ann_ivf_topk"] += recall_at_k(
-            ivf_search_persisted(spark, ivf_path, centers, qv, k=k,
-                                 nprobe=IVF_NPROBE, tiebreak="vec_id"),
+            ivf_search(ivf_df, centers, qv, k=k,
+                       nprobe=IVF_NPROBE, tiebreak="vec_id"),
             exact, "vec_id")
         sums["pq_adc_topk"] += recall_at_k(
             pq_search(encoded, codebooks, qv, k=k, tiebreak="vec_id"),
