@@ -250,3 +250,59 @@ def test_single_stage_multivector_query(spark):
 
     want = sorted(range(8), key=lambda i: (-maxsim(i), i))[:3]
     assert got == want
+
+
+def test_formula_query_rescopes_prefetch_leg(spark):
+    """Qdrant formula query: one prefetch leg's candidates re-ordered by a
+    formula over $score and payload fields, verified against numpy."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(20, 3).round(3)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]], int(i % 4)) for i in range(20)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    q = [0.2, -0.1, 0.3]
+    out = query_points(
+        df, {"formula": {"sum": [{"neg": "$score"}, "label"]}},
+        prefetch=[{"query": q, "limit": 10}], limit=4,
+    ).collect()
+    dists = {i: float(np.linalg.norm(vecs[i] - np.array(q)))
+             for i in range(20)}
+    leg = sorted(range(20), key=lambda i: (dists[i], i))[:10]
+    want = sorted(leg, key=lambda i: (-(-dists[i] + (i % 4)), i))[:4]
+    assert [r["vec_id"] for r in out] == want
+    # top-level filter prunes candidates BEFORE the limit
+    flt = query_points(
+        df, {"formula": {"sum": [{"neg": "$score"}, "label"]}},
+        prefetch=[{"query": q, "limit": 10}], limit=4,
+        query_filter={"must": [{"key": "label", "range": {"gte": 1}}]},
+    ).collect()
+    want_f = sorted([i for i in leg if i % 4 >= 1],
+                    key=lambda i: (-(-dists[i] + (i % 4)), i))[:4]
+    assert [r["vec_id"] for r in flt] == want_f
+    with pytest.raises(ValueError, match="one prefetch leg"):
+        query_points(df, {"formula": {"neg": "$score"}},
+                     prefetch=[{"query": q}, {"query": q}], limit=2)
+
+
+def test_group_by_and_order_by_through_query_points(embeddings, emb_rows):
+    from vectordb_cloud_spark.operators.knn import search_groups
+
+    q = _vec(emb_rows, 0)
+    got = query_points(embeddings, query=q, group_by="label", limit=3,
+                       group_size=2).collect()
+    want = search_groups(embeddings, q, group_by="label", k_groups=3,
+                         hits_per_group=2, id_col="vec_id").collect()
+    assert [(r["vec_id"], r["group_rank"], r["hit_rank"]) for r in got] == \
+        [(r["vec_id"], r["group_rank"], r["hit_rank"]) for r in want]
+    with pytest.raises(ValueError, match="dense vector"):
+        query_points(embeddings, query={"sample": "random"},
+                     group_by="label")
+    # scroll order_by: (key, id) ascending
+    page = query_points(embeddings, limit=5, order_by="label").collect()
+    want_rows = sorted(
+        ((r["label"], r["vec_id"]) for r in embeddings.collect())
+    )[:5]
+    assert [(r["label"], r["vec_id"]) for r in page] == want_rows

@@ -223,16 +223,27 @@ class VectorService:
 
         body = _translate(dict(body))
         points = self.catalog.read_for_user(self.index_name, user_id)
+        lookup = None
+        if body.get("with_lookup"):
+            # Qdrant group-by lookup: the value is another collection's
+            # name; its point ids are the group values
+            lookup = self.catalog.read(str(body["with_lookup"]))
         hits = query_points(
             points, body.get("query"), prefetch=body.get("prefetch"),
             using=body.get("using"), query_filter=body.get("filter"),
             limit=int(body.get("limit", 10)), id_col="id",
+            group_by=body.get("group_by"),
+            group_size=int(body.get("group_size", 3)),
+            with_lookup=lookup,
+            lookup_id_col="id" if lookup is not None else None,
+            order_by=body.get("order_by"),
         )
         keep = [
             c for c in hits.columns
-            if c != "embedding" and c != "token_vectors"
-            and not c.startswith(("vec_", "mv_", "sparse_", "__"))
-            and not c.endswith(("_indices", "_values"))
+            if not c.endswith(("embedding", "token_vectors",
+                               "_indices", "_values"))
+            and not c.startswith(("vec_", "mv_", "sparse_", "__",
+                                  "lookup_vec_", "lookup_mv_"))
         ]
         return [r.asDict(recursive=True)
                 for r in hits.select(*keep).collect()]

@@ -28,7 +28,13 @@ that already carry the plan-shape and oracle guarantees:
 - ``{"sample": "random"}`` → ``sources.random_sample`` (seeded, exact)
 - ``{"recommend": ...}`` → ``operators.knn.recommend``
 - ``{"discover": ...}``  → ``operators.discover.discover``
-- ``query=None``         → id-ordered scroll page
+- ``{"formula": ...}`` + one prefetch leg → ``formula.rescore_with_formula``
+  (Qdrant score boosting: ``$score`` binds to the leg's native score
+  column, payload fields resolve as variables)
+- ``group_by=``/``group_size=``/``with_lookup=`` → grouped query via
+  ``operators.knn.search_groups`` (dense vector queries)
+- ``query=None``         → id-ordered scroll page (``order_by=`` walks
+  ``(key, id)`` ascending — Qdrant scroll ordering)
 
 ``using`` selects a named vector (``vec_{name}`` column, see
 ``CollectionCatalog.vector_col_of``; sparse legs use the
@@ -207,13 +213,37 @@ def query_points(
     metric: str = "l2",
     seed: int = 42,
     rrf_k: int = 60,
+    group_by: str | None = None,
+    group_size: int = 3,
+    with_lookup: DataFrame | None = None,
+    lookup_id_col: str | None = None,
+    order_by: str | None = None,
 ) -> DataFrame:
     """One entry point for every read — see module docstring for the
     dispatch table. Returns a DataFrame whose shape matches the operator
     that served the branch (ids + score/dist columns for searches, full
-    rows for scroll/sample)."""
+    rows for scroll/sample).
+
+    ``group_by``/``group_size``/``with_lookup``: Qdrant's grouped query —
+    a dense vector query returns the best ``group_size`` hits per group
+    for the ``limit`` nearest groups, optionally joining the group head's
+    payload from a second collection (``operators.knn.search_groups``).
+    ``order_by``: Qdrant scroll ordering — with ``query=None`` the page
+    walks ``(order_by, id)`` ascending instead of plain id order."""
     pred = compile_filter(query_filter, id_col=id_col)
     vcol = _vector_col(using)
+
+    if group_by is not None:
+        from vectordb_cloud_spark.operators.knn import search_groups
+
+        if not isinstance(query, (list, tuple)) or _is_multivector_query(query):
+            raise ValueError("group_by requires a dense vector query")
+        return search_groups(
+            points, [float(x) for x in query], group_by,
+            k_groups=limit, hits_per_group=group_size, vector_col=vcol,
+            filters=pred, id_col=id_col, with_lookup=with_lookup,
+            lookup_id_col=lookup_id_col,
+        )
 
     # --- fusion / rescore branches need the prefetch lists first
     if prefetch:
@@ -222,6 +252,31 @@ def query_points(
         ran = [_run_prefetch(points, spec, id_col, metric) for spec in prefetch]
         lists = [df for df, _ in ran]
         hibs = [hib for _, hib in ran]
+        if isinstance(query, dict) and "formula" in query:
+            # Qdrant formula query: rescore ONE prefetch leg's candidates
+            # with a formula over $score (the leg's native score column —
+            # a distance for l2 legs, a similarity for sparse/maxsim legs)
+            # and payload fields. Top-level filter prunes candidates first.
+            from vectordb_cloud_spark.formula import rescore_with_formula
+
+            if len(lists) != 1:
+                raise ValueError(
+                    "a formula query rescopes exactly one prefetch leg; "
+                    f"got {len(lists)}"
+                )
+            leg = lists[0]
+            score_col = next(
+                (c for c in ("score", "dist", "maxsim") if c in leg.columns),
+                "dist",
+            )
+            if pred is not None:
+                leg = leg.join(
+                    points.filter(pred).select(id_col), id_col, "left_semi"
+                )
+            return rescore_with_formula(
+                leg, query["formula"], k=limit,
+                score_col=score_col, id_col=id_col,
+            )
         if isinstance(query, dict) and "fusion" in query:
             from vectordb_cloud_spark.operators.lexical import rrf_fuse
 
@@ -270,6 +325,12 @@ def query_points(
     # --- single-stage branches
     if query is None:
         df = points if pred is None else points.filter(pred)
+        if order_by is not None:
+            # Qdrant scroll order_by: (key, id) ascending — the id tiebreak
+            # keeps the order total so pages never skip/duplicate ties
+            return df.orderBy(
+                F.col(order_by).asc(), F.col(id_col).asc()
+            ).limit(limit)
         return df.orderBy(F.col(id_col).asc()).limit(limit)
     if isinstance(query, (list, tuple)) or _is_sparse_query(query):
         # dense vector, multivector token matrix (MaxSim), or sparse
