@@ -349,7 +349,10 @@ def main():
                        "r7 and earlier (which compacted a clean table)"),
         "ann_ivf_topk": ("r9: pruning geometry k_centroids=192/nprobe=48 "
                          "(75% of files pruned, recall 0.872) replaced "
-                         "k=8/nprobe=4 (50% scanned)"),
+                         "k=8/nprobe=4 (50% scanned); searches reuse a "
+                         "memoized read relation (re-listing 192 partition "
+                         "dirs per query cost ~0.85s — a serving tier "
+                         "keeps the table registered)"),
         "graph_beam_search_single": ("r9: per-hop probes reformulated as "
                                      "two pruned SQL-IN collects (no "
                                      "broadcast/distinct jobs) — identical "

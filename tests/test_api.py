@@ -170,3 +170,33 @@ def test_query_universal_endpoint_tenant_scoped(svc):
                          "filter": {"must": [{"key": "lang",
                                               "match": {"value": "en"}}]}})
     assert [h["id"] for h in page] == [1, 2]
+
+
+def test_query_batch_matches_per_request(svc):
+    """Qdrant /points/query/batch: plain dense requests share one scan but
+    return exactly what per-request query() returns, in input order; mixed
+    batches interleave fast-path and dispatched entries correctly."""
+    for i, (uid, text) in enumerate([
+        (21, "red apples"), (21, "green apples"), (21, "blue cars"),
+        (21, "fast trains"), (22, "red apples"),
+    ], start=41):
+        assert svc.insert(i, uid, text, "s", "en") == 1
+    bodies = [
+        {"query": {"text": "apples"}, "limit": 2},
+        {"query": {"fusion": "rrf"},
+         "prefetch": [{"query": {"text": "apples"}, "limit": 3},
+                      {"query": {"text": "cars"}, "limit": 3}],
+         "limit": 2},
+        {"query": {"text": "trains"}, "limit": 3},
+        {"limit": 2},  # scroll — not a dense body, dispatches per-request
+    ]
+    got = svc.query_batch(21, bodies)
+    want = [svc.query(21, b) for b in bodies]
+    assert len(got) == len(want) == 4
+    for g, w in zip(got, want):
+        assert [r["id"] for r in g] == [r["id"] for r in w]
+    # dense rows carry dist + payload, no vectors, no query_id leak
+    assert all("dist" in r and "embedding" not in r and "query_id" not in r
+               for r in got[0])
+    # tenant isolation holds on the shared-scan path
+    assert all(r["id"] != 45 for r in got[0] + got[2])

@@ -258,3 +258,19 @@ def test_query_endpoint(server):
     status, body_out = _get(server, "/query", user_id=8,
                             body=json.dumps({"query": 42}))
     assert status == 422
+
+
+def test_query_batch_endpoint(server):
+    for i, text in enumerate(["alpha one", "alpha two", "beta three"]):
+        _get(server, "/insert", id=90 + i, user_id=9, text=text,
+             site="s", lang="en")
+    bodies = json.dumps([
+        {"query": {"text": "alpha"}, "limit": 2},
+        {"query": {"text": "beta"}, "limit": 1},
+    ])
+    status, out = _get(server, "/query_batch", user_id=9, bodies=bodies)
+    assert status == 200 and len(out) == 2
+    assert len(out[0]) == 2 and len(out[1]) == 1
+    status, body = _get(server, "/query_batch", user_id=9,
+                        bodies=json.dumps({"query": [1.0]}))
+    assert status == 422 and body["status_code"] == 10422

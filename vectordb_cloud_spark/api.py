@@ -248,6 +248,62 @@ class VectorService:
         return [r.asDict(recursive=True)
                 for r in hits.select(*keep).collect()]
 
+    def query_batch(self, user_id: int, bodies: list[dict]) -> list[list[dict]]:
+        """Qdrant POST /points/query/batch, tenant-scoped. Plain dense
+        requests (a vector or ``{"text": ...}`` query, only ``limit``
+        beside it) are served by ONE shared corpus scan —
+        ``operators.knn.knn_batch`` broadcasts the query batch and
+        window-ranks per query, so N requests cost one pass over the
+        tenant's buckets instead of N (the Spark-first batching the
+        per-request endpoint can't give you). Anything else (prefetch,
+        filters, fusion, group_by, ...) dispatches through
+        :meth:`query` per request. Results align with the input order."""
+        from vectordb_cloud_spark.operators.knn import knn_batch
+
+        def _plain_dense(b: dict):
+            if set(b) - {"query", "limit"}:
+                return None
+            q = b.get("query")
+            if isinstance(q, dict) and set(q) == {"text"}:
+                return mock_vector(q["text"], self.dim)
+            if (isinstance(q, (list, tuple)) and q
+                    and not isinstance(q[0], (list, tuple))):
+                return [float(x) for x in q]
+            return None
+
+        results: list[list[dict] | None] = [None] * len(bodies)
+        batch = [(i, _plain_dense(b), int(b.get("limit", 10)))
+                 for i, b in enumerate(bodies)]
+        batch = [(i, qv, k) for i, qv, k in batch if qv is not None]
+        if len(batch) >= 2:
+            points = self.catalog.read_for_user(self.index_name, user_id)
+            queries = self.spark.createDataFrame(
+                [(i, qv) for i, qv, _ in batch],
+                "query_id int, embedding array<float>",
+            )
+            max_k = max(k for _, _, k in batch)
+            hits = knn_batch(points, queries, k=max_k,
+                             points_vec="embedding", metric="l2",
+                             tiebreak="id")
+            keep = [c for c in hits.columns
+                    if c != "embedding" and not c.startswith("__")]
+            rows = hits.select(*keep).collect()
+            per_query: dict[int, list] = {i: [] for i, _, _ in batch}
+            for r in rows:
+                per_query[r["query_id"]].append(r)
+            limits = {i: k for i, _, k in batch}
+            for i, lst in per_query.items():
+                lst.sort(key=lambda r: (r["dist"], r["id"]))
+                results[i] = [
+                    {k: v for k, v in r.asDict(recursive=True).items()
+                     if k != "query_id"}
+                    for r in lst[: limits[i]]
+                ]
+        for i, body in enumerate(bodies):
+            if results[i] is None:
+                results[i] = self.query(user_id, body)
+        return results  # type: ignore[return-value]
+
     def info(self) -> dict:
         """Qdrant GET /collections/{name} over the service's collection."""
         return self.catalog.collection_info(self.index_name)

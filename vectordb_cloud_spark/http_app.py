@@ -174,6 +174,25 @@ def _routes(service: VectorService) -> dict[str, Callable[[dict[str, str]], Any]
         except ValueError as exc:
             raise ValidationError(str(exc)) from exc
 
+    def query_batch(params):
+        # Qdrant POST /points/query/batch: `bodies` is a JSON ARRAY of
+        # request documents; plain dense entries share one corpus scan
+        import json as _json
+
+        p = _coerce(params, [("user_id", int, _MISSING),
+                             ("bodies", str, _MISSING)])
+        try:
+            bodies = _json.loads(p["bodies"])
+        except ValueError as exc:
+            raise ValidationError(f"bodies is not valid JSON: {exc}") from exc
+        if not isinstance(bodies, list) or not all(
+                isinstance(b, dict) for b in bodies):
+            raise ValidationError("bodies must be a JSON array of objects")
+        try:
+            return service.query_batch(p["user_id"], bodies)
+        except ValueError as exc:
+            raise ValidationError(str(exc)) from exc
+
     return {
         "/": index,
         "/insert": insert,
@@ -188,6 +207,7 @@ def _routes(service: VectorService) -> dict[str, Callable[[dict[str, str]], Any]
         "/delete_index": delete_index,
         "/facet": facet,
         "/query": query,
+        "/query_batch": query_batch,
     }
 
 

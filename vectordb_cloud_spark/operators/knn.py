@@ -85,6 +85,7 @@ def knn_batch(
     metric: str = "l2",
     dist_col: str = "dist",
     exclude_self: str | None = None,
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """Exact top-k for a *batch* of query vectors.
 
@@ -115,6 +116,8 @@ def knn_batch(
     else:
         raise ValueError(f"unknown metric {metric!r}")
     scored = joined.withColumn(dist_col, dist)
+    if tiebreak is not None:
+        order.append(F.col(tiebreak).asc())
     w = Window.partitionBy(query_id).orderBy(*order)
     return (
         scored.withColumn("__rk", F.row_number().over(w))
