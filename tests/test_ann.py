@@ -237,3 +237,17 @@ def test_ivf_compact_merges_small_files(spark, embeddings, tmp_path):
     assert [(r["vec_id"], round(r["dist"], 9)) for r in before] == [
         (r["vec_id"], round(r["dist"], 9)) for r in after
     ]
+
+
+def test_ivf_assign_broadcast_matches_literal(spark, embeddings):
+    """Above max_literal_cells the centroid set rides as a broadcast row
+    instead of plan literals (the 4096-cell per-row rebuild trap) — the
+    assignment must be identical either way."""
+    from vectordb_cloud_spark.operators.ann import ivf_assign, ivf_build
+
+    centers, _ = ivf_build(embeddings, k_centroids=12)
+    lit = ivf_assign(embeddings, centers, max_literal_cells=10**9)
+    bc = ivf_assign(embeddings, centers, max_literal_cells=0)
+    a = {r["vec_id"]: r["centroid_id"] for r in lit.collect()}
+    b = {r["vec_id"]: r["centroid_id"] for r in bc.collect()}
+    assert a == b and len(a) == embeddings.count()
