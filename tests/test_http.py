@@ -274,3 +274,16 @@ def test_query_batch_endpoint(server):
     status, body = _get(server, "/query_batch", user_id=9,
                         bodies=json.dumps({"query": [1.0]}))
     assert status == 422 and body["status_code"] == 10422
+
+
+def test_query_endpoint_malformed_specs_are_422(server):
+    _get(server, "/insert", id=99, user_id=11, text="x y z", site="s",
+         lang="en")
+    # well-formed JSON, malformed spec: missing discover 'target' -> KeyError
+    status, body = _get(server, "/query", user_id=11,
+                        body=json.dumps({"query": {"discover": {}}}))
+    assert status == 422 and body["status_code"] == 10422
+    # null limit -> TypeError
+    status, body = _get(server, "/query", user_id=11,
+                        body=json.dumps({"limit": None}))
+    assert status == 422 and body["status_code"] == 10422

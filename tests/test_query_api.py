@@ -306,3 +306,27 @@ def test_group_by_and_order_by_through_query_points(embeddings, emb_rows):
         ((r["label"], r["vec_id"]) for r in embeddings.collect())
     )[:5]
     assert [(r["label"], r["vec_id"]) for r in page] == want_rows
+
+
+def test_order_by_object_form_and_desc(embeddings):
+    page = query_points(
+        embeddings, limit=5,
+        order_by={"key": "label", "direction": "desc"},
+    ).collect()
+    want = sorted(
+        ((r["label"], r["vec_id"]) for r in embeddings.collect()),
+        key=lambda t: (-t[0], t[1]),
+    )[:5]
+    assert [(r["label"], r["vec_id"]) for r in page] == want
+    with pytest.raises(ValueError, match="direction"):
+        query_points(embeddings, limit=2,
+                     order_by={"key": "label", "direction": "sideways"})
+
+
+def test_beam_search_empty_collection_returns_empty(spark):
+    from vectordb_cloud_spark.operators.graph_ann import graph_beam_search
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    adj = spark.createDataFrame([], "src long, dst long, dist double")
+    out = graph_beam_search(empty, adj, [0.0, 0.0], k=5)
+    assert out.count() == 0 and out.columns == ["vec_id", "dist"]

@@ -200,10 +200,12 @@ class VectorService:
         API (vector / sparse / multivector / fusion / recommend / discover
         / sample / scroll, with recursive ``prefetch`` funnels) over the
         tenant-pruned collection read. ``body`` is the Qdrant request
-        document; ``{"text": ...}`` anywhere a query vector is expected
-        embeds through the service's embedder (the reference's
-        text-in/ids-out shape). Returns JSON-ready hit dicts with vector
-        columns dropped (Qdrant returns vectors only on request)."""
+        document; a ``{"text": ...}`` TOP-LEVEL or PREFETCH query (at any
+        nesting depth) embeds through the service's embedder (the
+        reference's text-in/ids-out shape); recommend/discover documents
+        take point ids / raw vectors, as in the operators. Returns
+        JSON-ready hit dicts with vector columns dropped (Qdrant returns
+        vectors only on request)."""
         from vectordb_cloud_spark.query_api import query_points
 
         def _embed_text(q):
@@ -238,15 +240,24 @@ class VectorService:
             lookup_id_col="id" if lookup is not None else None,
             order_by=body.get("order_by"),
         )
-        keep = [
-            c for c in hits.columns
+        keep = self._response_columns(hits.columns)
+        return [r.asDict(recursive=True)
+                for r in hits.select(*keep).collect()]
+
+    @staticmethod
+    def _response_columns(cols: list[str]) -> list[str]:
+        """The JSON response envelope's column set: everything except
+        vector-typed columns (dense, named, multivector, sparse pairs —
+        also behind a ``lookup_`` prefix) and internal ``__*`` columns.
+        Shared by query() and query_batch() so the envelope doesn't depend
+        on which path served the request."""
+        return [
+            c for c in cols
             if not c.endswith(("embedding", "token_vectors",
                                "_indices", "_values"))
             and not c.startswith(("vec_", "mv_", "sparse_", "__",
                                   "lookup_vec_", "lookup_mv_"))
         ]
-        return [r.asDict(recursive=True)
-                for r in hits.select(*keep).collect()]
 
     def query_batch(self, user_id: int, bodies: list[dict]) -> list[list[dict]]:
         """Qdrant POST /points/query/batch, tenant-scoped. Plain dense
@@ -285,8 +296,9 @@ class VectorService:
             hits = knn_batch(points, queries, k=max_k,
                              points_vec="embedding", metric="l2",
                              tiebreak="id")
-            keep = [c for c in hits.columns
-                    if c != "embedding" and not c.startswith("__")]
+            keep = self._response_columns(hits.columns)
+            if "query_id" not in keep:
+                keep.append("query_id")
             rows = hits.select(*keep).collect()
             per_query: dict[int, list] = {i: [] for i, _, _ in batch}
             for r in rows:

@@ -171,8 +171,10 @@ def _routes(service: VectorService) -> dict[str, Callable[[dict[str, str]], Any]
             raise ValidationError("body must be a JSON object")
         try:
             return service.query(p["user_id"], body)
-        except ValueError as exc:
-            raise ValidationError(str(exc)) from exc
+        except (ValueError, KeyError, TypeError) as exc:
+            # malformed-but-valid-JSON specs (missing 'target', null limit,
+            # wrong types) are client errors: 422 envelope, never a 500
+            raise ValidationError(f"bad query document: {exc}") from exc
 
     def query_batch(params):
         # Qdrant POST /points/query/batch: `bodies` is a JSON ARRAY of
@@ -190,8 +192,8 @@ def _routes(service: VectorService) -> dict[str, Callable[[dict[str, str]], Any]
             raise ValidationError("bodies must be a JSON array of objects")
         try:
             return service.query_batch(p["user_id"], bodies)
-        except ValueError as exc:
-            raise ValidationError(str(exc)) from exc
+        except (ValueError, KeyError, TypeError) as exc:
+            raise ValidationError(f"bad query document: {exc}") from exc
 
     return {
         "/": index,

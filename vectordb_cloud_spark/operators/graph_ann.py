@@ -1011,6 +1011,12 @@ def graph_beam_search(
     _absorb(seeds.collect())
     beam_ids = sorted(visited, key=lambda i: (visited[i], i))[:beam]
 
+    spark = points.sparkSession
+    if not beam_ids:
+        # empty collection / no matching seeds: graceful empty result (an
+        # `IN ()` probe would not parse)
+        return spark.createDataFrame([], f"{id_col} long, dist double")
+
     for _ in range(max_hops):
         # hop job 1: pruned adjacency probe (src IN beam pushes down);
         # dedup + visited subtraction on the driver — ≤ beam×degree ids
@@ -1039,7 +1045,6 @@ def graph_beam_search(
             break
 
     best = sorted(matches.items(), key=lambda kv: (kv[1], kv[0]))[:k]
-    spark = points.sparkSession
     return spark.createDataFrame(
         [(int(i), float(d)) for i, d in best], f"{id_col} long, dist double"
     )

@@ -1227,6 +1227,17 @@ _IVF_INDEX_CURRENT: tuple | None = None  # ((sf_dir, k_centroids), centers)
 _IVF_ASSIGNED_DF = None  # memoized read relation over _IVF_LAYOUT
 
 
+def _ivf_assigned(spark: SparkSession):
+    """The memoized read relation over the persisted IVF layout —
+    re-keyed per SparkSession so a caller with a fresh session never gets
+    a relation bound to a stopped one (re-listing ~k partition dirs per
+    QUERY is the thing being avoided; once per session is fine)."""
+    global _IVF_ASSIGNED_DF
+    if _IVF_ASSIGNED_DF is None or _IVF_ASSIGNED_DF.sparkSession is not spark:
+        _IVF_ASSIGNED_DF = spark.read.parquet(_IVF_LAYOUT)
+    return _IVF_ASSIGNED_DF
+
+
 def _ivf_index(spark: SparkSession, sf_dir: str, k_centroids: int = 192):
     global _IVF_INDEX_CURRENT, _IVF_ASSIGNED_DF
     key = (os.path.abspath(sf_dir), k_centroids)
@@ -1249,10 +1260,10 @@ def _ivf_index(spark: SparkSession, sf_dir: str, k_centroids: int = 192):
         _IVF_CENTERS_PARQUET,
     )
     _IVF_INDEX_CURRENT = (key, centers)
-    # memoize the READ relation: re-listing ~k_centroids partition dirs on
-    # every query costs ~0.85 s at k=192 locally (r9 measured; a serving
-    # tier keeps the table registered with a cached file index — this is
-    # that, per-fixture)
+    # refresh the memoized READ relation (see _ivf_assigned): re-listing
+    # ~k_centroids partition dirs on every query costs ~0.85 s at k=192
+    # locally (r9 measured; a serving tier keeps the table registered
+    # with a cached file index — this is that, per-fixture)
     _IVF_ASSIGNED_DF = spark.read.parquet(_IVF_LAYOUT)
     return centers, _IVF_LAYOUT
 
@@ -1306,7 +1317,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # probe LIMIT mirrors nprobe. Searches reuse the memoized relation
     # (the probe still prunes partitions per query); re-listing the
     # layout per query is a serving anti-pattern, not index cost.
-    hits = ivf_search(_IVF_ASSIGNED_DF, centers, qv, k=10, nprobe=48,
+    hits = ivf_search(_ivf_assigned(spark), centers, qv, k=10, nprobe=48,
                       tiebreak="vec_id")
     return hits.select("vec_id", F.round("dist", 6).alias("dist"))
 

@@ -34,7 +34,8 @@ that already carry the plan-shape and oracle guarantees:
 - ``group_by=``/``group_size=``/``with_lookup=`` → grouped query via
   ``operators.knn.search_groups`` (dense vector queries)
 - ``query=None``         → id-ordered scroll page (``order_by=`` walks
-  ``(key, id)`` ascending — Qdrant scroll ordering)
+  ``(key, id)`` — Qdrant scroll ordering; a bare string is ascending,
+  the object form ``{"key": ..., "direction": "desc"}`` flips it)
 
 ``using`` selects a named vector (``vec_{name}`` column, see
 ``CollectionCatalog.vector_col_of``; sparse legs use the
@@ -74,9 +75,7 @@ def dbsf_fuse(
         higher_is_better = [higher_is_better] * len(ranked_lists)
     parts = []
     for df, hib in zip(ranked_lists, higher_is_better):
-        score_col = next(
-            (c for c in ("score", "dist", "maxsim") if c in df.columns), "dist"
-        )
+        score_col = _leg_score_col(df.columns)
         s = F.col(score_col).cast("double")
         stats = df.agg(
             F.avg(s).alias("mu"), F.coalesce(F.stddev(s), F.lit(0.0)).alias("sd")
@@ -100,6 +99,15 @@ def dbsf_fuse(
         .orderBy(F.col("dbsf_score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def _leg_score_col(cols: list[str]) -> str:
+    """The score column a candidate leg carries — shared by every consumer
+    (dbsf normalization, formula rescoring) so a new leg type only needs
+    one update here; rrf_fuse in operators/lexical.py mirrors the same
+    (score, dist, maxsim) precedence."""
+    return next((c for c in ("score", "dist", "maxsim") if c in cols),
+                "dist")
 
 
 def _sparse_cols(using: str | None) -> tuple[str, str]:
@@ -217,7 +225,7 @@ def query_points(
     group_size: int = 3,
     with_lookup: DataFrame | None = None,
     lookup_id_col: str | None = None,
-    order_by: str | None = None,
+    order_by: str | dict | None = None,
 ) -> DataFrame:
     """One entry point for every read — see module docstring for the
     dispatch table. Returns a DataFrame whose shape matches the operator
@@ -265,10 +273,7 @@ def query_points(
                     f"got {len(lists)}"
                 )
             leg = lists[0]
-            score_col = next(
-                (c for c in ("score", "dist", "maxsim") if c in leg.columns),
-                "dist",
-            )
+            score_col = _leg_score_col(leg.columns)
             if pred is not None:
                 leg = leg.join(
                     points.filter(pred).select(id_col), id_col, "left_semi"
@@ -326,11 +331,23 @@ def query_points(
     if query is None:
         df = points if pred is None else points.filter(pred)
         if order_by is not None:
-            # Qdrant scroll order_by: (key, id) ascending — the id tiebreak
-            # keeps the order total so pages never skip/duplicate ties
-            return df.orderBy(
-                F.col(order_by).asc(), F.col(id_col).asc()
-            ).limit(limit)
+            # Qdrant scroll order_by — bare string (ascending) or the
+            # object form {"key": ..., "direction": "asc"|"desc"}. The id
+            # tiebreak keeps the order total so pages never skip/duplicate
+            # ties.
+            if isinstance(order_by, dict):
+                key_name = order_by["key"]
+                direction = order_by.get("direction", "asc")
+            else:
+                key_name, direction = order_by, "asc"
+            if direction not in ("asc", "desc"):
+                raise ValueError(
+                    f"order_by direction must be 'asc' or 'desc', "
+                    f"got {direction!r}"
+                )
+            key = (F.col(key_name).desc() if direction == "desc"
+                   else F.col(key_name).asc())
+            return df.orderBy(key, F.col(id_col).asc()).limit(limit)
         return df.orderBy(F.col(id_col).asc()).limit(limit)
     if isinstance(query, (list, tuple)) or _is_sparse_query(query):
         # dense vector, multivector token matrix (MaxSim), or sparse
