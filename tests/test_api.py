@@ -200,3 +200,25 @@ def test_query_batch_matches_per_request(svc):
                for r in got[0])
     # tenant isolation holds on the shared-scan path
     assert all(r["id"] != 45 for r in got[0] + got[2])
+
+
+def test_query_response_shaping_and_offset(svc):
+    """Qdrant with_payload / with_vectors selectors + offset paging through
+    the universal endpoint."""
+    for i, text in enumerate(["aa bb", "aa cc", "aa dd", "ee ff"], start=61):
+        assert svc.insert(i, 30, text, "s", "en") == 1
+    full = svc.query(30, {"query": {"text": "aa"}, "limit": 4})
+    page = svc.query(30, {"query": {"text": "aa"}, "limit": 2, "offset": 2})
+    assert [h["id"] for h in page] == [h["id"] for h in full][2:4]
+    # payload off: only id + score-like keys
+    bare = svc.query(30, {"query": {"text": "aa"}, "limit": 2,
+                          "with_payload": False})
+    assert set(bare[0]) <= {"id", "dist"}
+    # payload field list
+    some = svc.query(30, {"query": {"text": "aa"}, "limit": 2,
+                          "with_payload": ["lang"]})
+    assert set(some[0]) == {"id", "dist", "lang"}
+    # vectors on request
+    vec = svc.query(30, {"query": {"text": "aa"}, "limit": 1,
+                         "with_vectors": True})
+    assert "embedding" in vec[0] and len(vec[0]["embedding"]) == svc.dim

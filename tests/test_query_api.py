@@ -330,3 +330,50 @@ def test_beam_search_empty_collection_returns_empty(spark):
     adj = spark.createDataFrame([], "src long, dst long, dist double")
     out = graph_beam_search(empty, adj, [0.0, 0.0], k=5)
     assert out.count() == 0 and out.columns == ["vec_id", "dist"]
+
+
+def test_offset_paging_matches_unpaged(embeddings, emb_rows):
+    q = _vec(emb_rows, 0)
+    full = [r["vec_id"] for r in
+            query_points(embeddings, query=q, limit=9).collect()]
+    page2 = [r["vec_id"] for r in
+             query_points(embeddings, query=q, limit=3, offset=3).collect()]
+    assert page2 == full[3:6]
+    # fusion branch pages too
+    pre = [{"query": q, "limit": 12}]
+    fused = [r["vec_id"] for r in
+             query_points(embeddings, {"fusion": "rrf"}, prefetch=pre,
+                          limit=8).collect()]
+    fpage = [r["vec_id"] for r in
+             query_points(embeddings, {"fusion": "rrf"}, prefetch=pre,
+                          limit=4, offset=4).collect()]
+    assert fpage == fused[4:8]
+    # scroll branch
+    scroll = [r["vec_id"] for r in
+              query_points(embeddings, limit=4, offset=2).collect()]
+    assert scroll == [2, 3, 4, 5]
+    with pytest.raises(ValueError, match="offset"):
+        query_points(embeddings, query=q, limit=2, offset=-1)
+    with pytest.raises(ValueError, match="group_by"):
+        query_points(embeddings, query=q, group_by="label", offset=2)
+
+
+def test_recommend_lookup_from_other_frame(spark):
+    """Qdrant recommend lookup_from: example ids resolve against a second
+    collection; the searched collection is not id-excluded."""
+    from vectordb_cloud_spark.operators.knn import recommend
+
+    books = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [10.0, 10.0])],
+        "vec_id long, embedding array<double>",
+    )
+    movies = spark.createDataFrame(
+        [(1, [0.1, 0.0]), (2, [9.0, 9.0]), (3, [5.0, 5.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = [r["vec_id"] for r in
+           recommend(movies, [1], k=3, lookup_from=books,
+                     tiebreak="vec_id").collect()]
+    # query = books#1 vector (0,0); movie 1 is NOT excluded despite
+    # sharing the example's id value
+    assert got == [1, 3, 2]

@@ -230,6 +230,13 @@ class VectorService:
             # Qdrant group-by lookup: the value is another collection's
             # name; its point ids are the group values
             lookup = self.catalog.read(str(body["with_lookup"]))
+        example_src = None
+        if body.get("lookup_from"):
+            # Qdrant recommend lookup_from: {"collection": name} or a bare
+            # name — example ids resolve against that collection
+            lf = body["lookup_from"]
+            name = lf["collection"] if isinstance(lf, dict) else str(lf)
+            example_src = self.catalog.read(name)
         hits = query_points(
             points, body.get("query"), prefetch=body.get("prefetch"),
             using=body.get("using"), query_filter=body.get("filter"),
@@ -239,10 +246,44 @@ class VectorService:
             with_lookup=lookup,
             lookup_id_col="id" if lookup is not None else None,
             order_by=body.get("order_by"),
+            offset=int(body.get("offset", 0)),
+            lookup_from=example_src,
         )
-        keep = self._response_columns(hits.columns)
+        keep = self._select_response(
+            hits.columns,
+            with_vectors=bool(body.get("with_vectors", False)),
+            with_payload=body.get("with_payload", True),
+        )
         return [r.asDict(recursive=True)
                 for r in hits.select(*keep).collect()]
+
+    # response-shaping: Qdrant's with_payload / with_vectors selectors.
+    # id + score/rank columns always ride; payload columns follow
+    # with_payload (True = all, False = none, list = those fields);
+    # vector columns only when with_vectors.
+    _SCORE_COLS = frozenset({
+        "id", "dist", "score", "rrf_score", "dbsf_score", "maxsim",
+        "new_score", "context_score", "sq_dist", "group_rank", "hit_rank",
+        "query_id",
+    })
+
+    def _select_response(self, cols: list[str], with_vectors: bool = False,
+                         with_payload=True) -> list[str]:
+        nonvec = set(self._response_columns(cols))
+        keep = []
+        for c in cols:
+            if c.startswith("__"):
+                continue
+            if c in self._SCORE_COLS:
+                keep.append(c)
+            elif c not in nonvec:  # vector-typed
+                if with_vectors:
+                    keep.append(c)
+            elif with_payload is True or (
+                isinstance(with_payload, (list, tuple)) and c in with_payload
+            ):
+                keep.append(c)
+        return keep
 
     @staticmethod
     def _response_columns(cols: list[str]) -> list[str]:

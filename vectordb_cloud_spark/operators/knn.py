@@ -265,6 +265,7 @@ def recommend(
     filters: Column | None = None,
     tiebreak: str | None = None,
     strategy: str = "average_vector",
+    lookup_from: DataFrame | None = None,
 ) -> DataFrame:
     """Recommendation search from example points — the /recommend API with
     both Qdrant strategies. ``average_vector`` (default): the query vector
@@ -290,6 +291,12 @@ def recommend(
     ids, file-skippable at scale); both strategies stay a single map pass +
     TakeOrderedAndProject — compose with the ANN layouts by passing their
     probe predicate as ``filters``.
+
+    ``lookup_from``: Qdrant's recommend lookup_from — the example ids
+    resolve against a SECOND collection (same ``id_col``/``vector_col``
+    naming), e.g. recommend movies from liked books. The searched
+    collection's points are then NOT excluded by id (the id spaces are
+    unrelated).
     """
     import numpy as np
 
@@ -302,8 +309,9 @@ def recommend(
     if strategy not in ("average_vector", "best_score"):
         raise ValueError(f"unknown recommend strategy {strategy!r}")
     all_ids = positive_ids + negative_ids
+    example_src = points if lookup_from is None else lookup_from
     rows = (
-        points.filter(F.col(id_col).isin(all_ids))
+        example_src.filter(F.col(id_col).isin(all_ids))
         .select(F.col(id_col).alias("__id"),
                 F.col(vector_col).cast("array<double>").alias("__v"))
         .collect()
@@ -312,8 +320,11 @@ def recommend(
     missing = [i for i in all_ids if i not in found]
     if missing:
         raise ValueError(f"example ids not found in collection: {missing}")
-    not_example = ~F.col(id_col).isin(all_ids)
-    pred = not_example if filters is None else (filters & not_example)
+    if lookup_from is None:
+        not_example = ~F.col(id_col).isin(all_ids)
+        pred = not_example if filters is None else (filters & not_example)
+    else:
+        pred = filters  # foreign id space: nothing to exclude
     if strategy == "average_vector":
         q = np.mean([found[i] for i in positive_ids], axis=0)
         if negative_ids:

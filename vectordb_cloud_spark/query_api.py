@@ -226,6 +226,8 @@ def query_points(
     with_lookup: DataFrame | None = None,
     lookup_id_col: str | None = None,
     order_by: str | dict | None = None,
+    offset: int = 0,
+    lookup_from: DataFrame | None = None,
 ) -> DataFrame:
     """One entry point for every read — see module docstring for the
     dispatch table. Returns a DataFrame whose shape matches the operator
@@ -237,15 +239,37 @@ def query_points(
     for the ``limit`` nearest groups, optionally joining the group head's
     payload from a second collection (``operators.knn.search_groups``).
     ``order_by``: Qdrant scroll ordering — with ``query=None`` the page
-    walks ``(order_by, id)`` ascending instead of plain id order."""
+    walks ``(order_by, id)`` ascending instead of plain id order.
+
+    ``offset``: Qdrant result paging — skip the first ``offset`` ranked
+    rows, return the next ``limit`` (each branch fetches
+    ``limit + offset`` candidates, so deep paging costs what Qdrant
+    documents it costs). ``lookup_from``: for recommend queries, resolve
+    example ids against this second frame (Qdrant recommend
+    lookup_from)."""
     pred = compile_filter(query_filter, id_col=id_col)
     vcol = _vector_col(using)
+    if offset < 0:
+        raise ValueError(f"offset must be >= 0, got {offset}")
+    fetch = limit + offset
+
+    def _page(df: DataFrame, order: list | None = None) -> DataFrame:
+        # every branch frame is internally ordered (orderBy upstream of
+        # its limit), so Offset applies to the ranked stream; `order`
+        # re-sorts frames that come back as local relations (fusion)
+        if offset <= 0:
+            return df
+        if order is not None:
+            df = df.orderBy(*order)
+        return df.offset(offset)
 
     if group_by is not None:
         from vectordb_cloud_spark.operators.knn import search_groups
 
         if not isinstance(query, (list, tuple)) or _is_multivector_query(query):
             raise ValueError("group_by requires a dense vector query")
+        if offset:
+            raise ValueError("offset is not supported with group_by")
         return search_groups(
             points, [float(x) for x in query], group_by,
             k_groups=limit, hits_per_group=group_size, vector_col=vcol,
@@ -278,10 +302,10 @@ def query_points(
                 leg = leg.join(
                     points.filter(pred).select(id_col), id_col, "left_semi"
                 )
-            return rescore_with_formula(
-                leg, query["formula"], k=limit,
+            return _page(rescore_with_formula(
+                leg, query["formula"], k=fetch,
                 score_col=score_col, id_col=id_col,
-            )
+            ))
         if isinstance(query, dict) and "fusion" in query:
             from vectordb_cloud_spark.operators.lexical import rrf_fuse
 
@@ -290,9 +314,9 @@ def query_points(
             # are top-n, so this is bounded by Σ prefetch limits), filter
             # the merged set, THEN truncate — Qdrant filters merged
             # candidates before limiting (ADVICE r8).
-            fuse_k = limit if pred is None else sum(
+            fuse_k = fetch if pred is None else max(fetch, sum(
                 int(s.get("limit", 100)) for s in prefetch
-            )
+            ))
             if kind == "rrf":
                 fused = rrf_fuse(lists, id_col=id_col, k=fuse_k, rrf_k=rrf_k,
                                  max_list_rows=None, higher_is_better=hibs)
@@ -308,9 +332,12 @@ def query_points(
                         points.filter(pred).select(id_col), id_col, "left_semi"
                     )
                     .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
-                    .limit(limit)
+                    .limit(fetch)
                 )
-            return fused
+                return _page(fused)
+            score_col = [c for c in fused.columns if c != id_col][0]
+            return _page(fused,
+                         order=[F.col(score_col).desc(), F.col(id_col).asc()])
         if (
             isinstance(query, (list, tuple)) or _is_sparse_query(query)
         ):
@@ -319,9 +346,9 @@ def query_points(
             cand = _candidate_union(lists, id_col)
             base = points.join(F.broadcast(cand), id_col, "left_semi")
             out, _ = _score_query(
-                base, query, using, pred, limit, id_col, metric
+                base, query, using, pred, fetch, id_col, metric
             )
-            return out
+            return _page(out)
         raise ValueError(
             "prefetch requires a fusion directive or a rescore query as "
             f"the top-level query; got {query!r}"
@@ -347,36 +374,43 @@ def query_points(
                 )
             key = (F.col(key_name).desc() if direction == "desc"
                    else F.col(key_name).asc())
-            return df.orderBy(key, F.col(id_col).asc()).limit(limit)
-        return df.orderBy(F.col(id_col).asc()).limit(limit)
+            page = df.orderBy(key, F.col(id_col).asc())
+        else:
+            page = df.orderBy(F.col(id_col).asc())
+        if offset:
+            page = page.offset(offset)
+        return page.limit(limit)
     if isinstance(query, (list, tuple)) or _is_sparse_query(query):
         # dense vector, multivector token matrix (MaxSim), or sparse
         # {"indices","values"} (Qdrant SparseVector; `using` names the
         # configured vector — columns follow the collection conventions)
-        out, _ = _score_query(points, query, using, pred, limit, id_col,
+        out, _ = _score_query(points, query, using, pred, fetch, id_col,
                               metric)
-        return out
+        return _page(out)
     if isinstance(query, dict):
         if query.get("sample") == "random":
             from vectordb_cloud_spark.sources.readers import random_sample
 
             df = points if pred is None else points.filter(pred)
-            return random_sample(df, limit, seed=seed, id_col=id_col)
+            return _page(random_sample(df, fetch, seed=seed, id_col=id_col))
         if "recommend" in query:
             from vectordb_cloud_spark.operators.knn import recommend
 
             spec = query["recommend"]
-            return recommend(points, list(spec.get("positive") or []),
-                             list(spec.get("negative") or []), k=limit,
-                             id_col=id_col, vector_col=vcol, filters=pred,
-                             tiebreak=id_col,
-                             strategy=spec.get("strategy", "average_vector"))
+            return _page(recommend(
+                points, list(spec.get("positive") or []),
+                list(spec.get("negative") or []), k=fetch,
+                id_col=id_col, vector_col=vcol, filters=pred,
+                tiebreak=id_col,
+                strategy=spec.get("strategy", "average_vector"),
+                lookup_from=lookup_from))
         if "discover" in query:
             from vectordb_cloud_spark.operators.discover import discover
 
             spec = query["discover"]
             pairs = [(p["positive"], p["negative"])
                      for p in spec.get("context") or []]
-            return discover(points, spec["target"], pairs, k=limit,
-                            vector_col=vcol, id_col=id_col, filters=pred)
+            return _page(discover(points, spec["target"], pairs, k=fetch,
+                                  vector_col=vcol, id_col=id_col,
+                                  filters=pred))
     raise ValueError(f"unsupported query: {query!r}")
