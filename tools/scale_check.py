@@ -131,7 +131,8 @@ def main():
     vec_points = tuple(int(x) for x in args.vector_points.split(","))
     all_sections = {"knn", "ivf", "collection", "minhash", "simhash",
                     "lshcompound", "graph", "tpch", "sq", "beam", "sparse",
-                    "graphsharded", "spandedup", "payloadindex", "dsir"}
+                    "graphsharded", "spandedup", "payloadindex", "dsir",
+                    "linededup"}
     only = set(args.only.split(",")) if args.only else all_sections
     unknown = only - all_sections
     if unknown:
@@ -520,6 +521,45 @@ def main():
                 results.setdefault("span_dedup_corpus", {})[n] = timed(
                     lambda docs=docs: noop(
                         span_dedup_corpus(docs, window=30)
+                    ),
+                    args.runs,
+                )
+
+        # line-level boilerplate dedup: two skinny shuffles (line-hash
+        # distinct-doc counts, positional rebuild) — linear-in-lines claim.
+        # Synthetic 8-line docs; every 5th doc carries two planted banner
+        # lines (constant boilerplate rate, same reasoning as spandedup).
+        if "linededup" in only:
+            from vectordb_cloud_spark.operators.dedup import line_dedup_corpus
+
+            for n in (100_000, 1_000_000):
+                docs = (
+                    spark.range(n)
+                    .select(
+                        F.col("id").alias("doc_id"),
+                        F.concat(
+                            F.concat_ws("\n", F.transform(
+                                F.sequence(F.lit(0), F.lit(7)),
+                                lambda i: F.concat(
+                                    F.lit("line body token "),
+                                    F.pmod(F.xxhash64(F.col("id"), i),
+                                           F.lit(1_000_000_000)),
+                                ),
+                            )),
+                            F.when(
+                                F.col("id") % 5 == 0,
+                                F.lit("\nZZ BANNER accept cookies now"
+                                      "\nZZ FOOTER all rights reserved"),
+                            ).otherwise(F.lit("")),
+                        ).alias("text"),
+                    )
+                )
+                p = os.path.join(tmp, f"linedocs_{n}")
+                docs.write.mode("overwrite").parquet(p)
+                docs = spark.read.parquet(p)
+                results.setdefault("line_dedup_corpus", {})[n] = timed(
+                    lambda docs=docs: noop(
+                        line_dedup_corpus(docs, min_repeats=3)
                     ),
                     args.runs,
                 )
