@@ -274,3 +274,101 @@ def test_avi_roundtrip_property(w, h, n_frames, fps, seed):
     assert len(back) == n_frames
     for a, b in zip(frames, back):
         assert (a == b).all()
+
+
+# --- filter DSL vs a pure-Python Qdrant-semantics evaluator ---------------
+# Pins the ADVICE-r8 null semantics under fuzz: a condition on a
+# missing/null payload field never MATCHES (so must_not passes such rows,
+# min_should counts them as 0), is_empty covers null/''/[] — for random
+# boolean-clause trees over match/range/is_null/is_empty conditions.
+
+_FILTER_ROWS = [
+    (0, "en", 10, ["a"]),
+    (1, "de", None, []),
+    (2, None, 250, ["a", "b"]),
+    (3, "en", 400, None),
+    (4, "fr", 120, []),
+    (5, None, None, ["c"]),
+]
+
+
+def _cond_matches(row, cond) -> bool:
+    lang, n, tags = row[1], row[2], row[3]
+    if "is_null" in cond:
+        key = cond["is_null"]["key"] if isinstance(cond["is_null"], dict) else cond["is_null"]
+        return {"lang": lang, "n": n, "tags": tags}[key] is None
+    if "is_empty" in cond:
+        key = cond["is_empty"]["key"] if isinstance(cond["is_empty"], dict) else cond["is_empty"]
+        v = {"lang": lang, "n": n, "tags": tags}[key]
+        return v is None or v == "" or (isinstance(v, list) and not v)
+    key = cond["key"]
+    v = {"lang": lang, "n": n, "tags": tags}[key]
+    if "match" in cond:
+        return v is not None and v == cond["match"]["value"]
+    if "range" in cond:
+        if v is None:
+            return False
+        ok = True
+        r = cond["range"]
+        if "gte" in r:
+            ok = ok and v >= r["gte"]
+        if "lt" in r:
+            ok = ok and v < r["lt"]
+        return ok
+    raise AssertionError(cond)
+
+
+def _filter_matches(row, spec) -> bool:
+    out = True
+    must = spec.get("must") or []
+    if must:
+        out = out and all(_cond_matches(row, c) for c in must)
+    should = spec.get("should") or []
+    if should:
+        out = out and any(_cond_matches(row, c) for c in should)
+    must_not = spec.get("must_not") or []
+    if must_not:
+        out = out and not any(_cond_matches(row, c) for c in must_not)
+    if "min_should" in spec:
+        ms = spec["min_should"]
+        out = out and sum(
+            _cond_matches(row, c) for c in ms["conditions"]
+        ) >= ms["min_count"]
+    return out
+
+
+_condition_st = st.one_of(
+    st.builds(lambda v: {"key": "lang", "match": {"value": v}},
+              st.sampled_from(["en", "de", "fr", "zz"])),
+    st.builds(lambda g, w: {"key": "n", "range": {"gte": g, "lt": g + w}},
+              st.integers(0, 300), st.integers(1, 300)),
+    st.sampled_from([{"is_null": {"key": "lang"}}, {"is_null": {"key": "n"}},
+                     {"is_empty": "tags"}, {"is_empty": "lang"}]),
+)
+
+_filter_st = st.fixed_dictionaries(
+    {},
+    optional={
+        "must": st.lists(_condition_st, min_size=1, max_size=2),
+        "should": st.lists(_condition_st, min_size=1, max_size=2),
+        "must_not": st.lists(_condition_st, min_size=1, max_size=2),
+        "min_should": st.builds(
+            lambda cs, m: {"conditions": cs, "min_count": m},
+            st.lists(_condition_st, min_size=2, max_size=3),
+            st.integers(1, 2),
+        ),
+    },
+).filter(bool)
+
+
+@settings(max_examples=30, deadline=None)
+@given(spec=_filter_st)
+def test_filter_dsl_matches_python_semantics(spark_global, spec):
+    from vectordb_cloud_spark.filters import compile_filter
+
+    df = spark_global.createDataFrame(
+        _FILTER_ROWS, "id long, lang string, n long, tags array<string>"
+    )
+    got = sorted(r["id"] for r in df.filter(compile_filter(spec)).collect())
+    want = sorted(r[0] for r in _FILTER_ROWS if _filter_matches(r, spec))
+    assert got == want, spec
