@@ -148,3 +148,65 @@ def test_collection_info_shape(catalog, spark):
     vecs = catalog.collection_info("named")["config"]["params"]["vectors"]
     assert vecs == {"image": {"size": 4, "distance": "Euclid"},
                     "text": {"size": 3, "distance": "Euclid"}}
+
+
+def test_text_index_postings_match_and_staleness(spark, tmp_path):
+    """Full-text payload index (Qdrant field_schema='text'): the postings
+    sidecar's whole-token AND equals an explicit scan predicate; a write
+    bumps the version and the sidecar lazily rebuilds to include new
+    rows."""
+    from pyspark.sql import functions as F
+
+    from vectordb_cloud_spark.collections import CollectionCatalog
+    from vectordb_cloud_spark.functions.text import words
+
+    cat = CollectionCatalog(spark, str(tmp_path / "cat"))
+    cat.create("c", dim=2, n_buckets=4)
+    cat.create_payload_index("c", "text", "text")
+    rows = [
+        (1, [0.0, 0.0], "Spark joins shuffle data", 1),
+        (2, [1.0, 0.0], "spark DATA pipelines", 1),
+        (3, [0.0, 1.0], "database joins only", 2),   # 'data' is a substring
+        (4, [1.0, 1.0], "nothing relevant here", 2),
+        (5, [2.0, 0.0], None, 1),
+    ]
+    cat.upsert("c", spark.createDataFrame(
+        rows, "id long, embedding array<float>, text string, user_id long"))
+
+    got = sorted(r["id"] for r in
+                 cat.text_match_ids("c", "text", "DATA spark").collect())
+    # whole-token semantics: doc 3's 'database' does NOT match token 'data'
+    def scan_truth(query):
+        toks = {w.lower() for w in query.split()}
+        df = cat.read("c").filter(F.col("text").isNotNull())
+        out = df.select("id", F.transform(words("text"),
+                                          lambda w: F.lower(w)).alias("__w"))
+        for t in sorted(toks):
+            out = out.filter(F.array_contains("__w", t))
+        return sorted(r["id"] for r in out.collect())
+
+    assert got == scan_truth("DATA spark") == [1, 2]
+
+    hits = cat.search_text_filtered("c", [0.2, 0.0], "text", "spark data",
+                                    k=5).collect()
+    assert [r["id"] for r in hits] == [1, 2]  # nearest-first among matches
+
+    # staleness: a new doc with the tokens appears after one more upsert
+    cat.upsert("c", spark.createDataFrame(
+        [(6, [3.0, 0.0], "more spark data", 2)],
+        "id long, embedding array<float>, text string, user_id long"))
+    got2 = sorted(r["id"] for r in
+                  cat.text_match_ids("c", "text", "spark data").collect())
+    assert got2 == [1, 2, 6]
+    # exactly one sidecar version remains (stale pruned)
+    import os
+    vers = [d for d in os.listdir(tmp_path / "cat" / "c")
+            if d.startswith("textidx.v")]
+    assert len(vers) == 1
+
+    # guards
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="text"):
+        cat.text_match_ids("c", "lang", "x")  # no text index on lang
+    with _pytest.raises(ValueError, match="token"):
+        cat.text_match_ids("c", "text", "   ")

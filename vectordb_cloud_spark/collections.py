@@ -977,6 +977,123 @@ class CollectionCatalog:
         self._write_meta(name, meta)
         return meta
 
+    # -- full-text payload index (Qdrant field_schema="text") --------------
+    # Range clustering (the layout every other schema gets) cannot prune a
+    # SUBSTRING/token predicate — min/max stats say nothing about interior
+    # tokens. A "text"-indexed field therefore also gets a token-postings
+    # sidecar (``textidx.v{N}/{field}``: (token, id) rows, one dir per
+    # token-hash bucket), maintained with the same versioned lazy-build /
+    # atomic-publish / stale-prune lifecycle as the quantization and ANN
+    # sidecars. ``match.text`` filters on the field can then prefilter to
+    # the ids whose postings contain EVERY query token (the scan touches
+    # only the query's buckets) and verify the substring on those rows —
+    # the classic inverted-index acceleration, relationally.
+    _TEXT_IDX_BUCKETS = 64
+
+    def _text_index_dir(self, name: str, version: int, field: str) -> str:
+        return os.path.join(self._dir(name), f"textidx.v{version}", field)
+
+    def build_text_index(self, name: str, field: str) -> str:
+        """Materialize the postings sidecar for the CURRENT version (no-op
+        when fresh). Requires ``create_payload_index(field, "text")``."""
+        from vectordb_cloud_spark.functions.text import words
+
+        name = self.resolve(name)
+        meta = self.meta(name)
+        if (meta.payload_indexes or {}).get(field) != "text":
+            raise ValueError(
+                f"field {field!r} has no 'text' payload index declared")
+        if not self._has_data(name):
+            raise ValueError(f"collection {name!r} is empty")
+        tdir = self._text_index_dir(name, meta.version, field)
+        if os.path.isdir(tdir):
+            return tdir
+        df = self.read(name).select("id", field).filter(
+            F.col(field).isNotNull())
+        postings = df.select(
+            "id",
+            F.explode(
+                F.array_distinct(F.transform(words(F.col(field)),
+                                             lambda w: F.lower(w)))
+            ).alias("token"),
+        ).withColumn(
+            "tbucket", F.pmod(F.xxhash64("token"),
+                              F.lit(self._TEXT_IDX_BUCKETS)).cast("int")
+        )
+        stage = tdir + ".staging"
+        shutil.rmtree(stage, ignore_errors=True)
+        # one shuffle on the bucket key -> one file per bucket dir (the
+        # sparse_persist_inverted lesson: unshuffled, every task writes
+        # into every bucket directory)
+        (postings.repartition("tbucket")
+         .write.mode("overwrite").partitionBy("tbucket").parquet(stage))
+        os.makedirs(os.path.dirname(tdir), exist_ok=True)
+        if os.path.isdir(tdir):
+            shutil.rmtree(tdir)
+        os.rename(stage, tdir)
+        prefix = "textidx.v"
+        current = f"textidx.v{meta.version}"
+        for d in os.listdir(self._dir(name)):  # prune stale sidecars
+            if d.startswith(prefix) and d != current:
+                shutil.rmtree(os.path.join(self._dir(name), d),
+                              ignore_errors=True)
+        return tdir
+
+    def text_match_ids(self, name: str, field: str, text: str) -> DataFrame:
+        """Ids whose ``field`` contains EVERY token of ``text``
+        (case-insensitive) according to the postings sidecar — the
+        candidate set for a ``match.text`` filter. The ``tbucket IN``
+        predicate prunes to the query tokens' partition dirs; the per-doc
+        AND is one count aggregate. Rebuilds the sidecar lazily when the
+        data version moved."""
+        name = self.resolve(name)
+        tokens = sorted({w.lower() for w in str(text).split() if w})
+        if not tokens:
+            raise ValueError("match.text needs at least one token")
+        tdir = self.build_text_index(name, field)
+        post = self.spark.read.parquet(tdir)
+        # bucket routing must reuse Spark's xxhash64 (the writer's hash) —
+        # computed with a one-row job rather than reimplemented in Python
+        buckets = [
+            r["b"] for r in self.spark.createDataFrame(
+                [(t,) for t in tokens], "token string"
+            ).select(
+                F.pmod(F.xxhash64("token"),
+                       F.lit(self._TEXT_IDX_BUCKETS)).cast("int").alias("b")
+            ).distinct().collect()
+        ]
+        cand = (
+            post.filter(F.col("tbucket").isin(buckets)
+                        & F.col("token").isin(tokens))
+            .groupBy("id")
+            .agg(F.countDistinct("token").alias("__nt"))
+            .filter(F.col("__nt") == len(tokens))
+            .select("id")
+        )
+        return cand
+
+    def search_text_filtered(self, name: str, query_vector: list[float],
+                             field: str, text: str, k: int = 10,
+                             vector_col: str = "embedding",
+                             id_col: str = "id") -> DataFrame:
+        """kNN under an INDEXED full-text predicate: postings prefilter →
+        broadcast left-semi join → top-k over the candidates only.
+
+        Semantics note (matches Qdrant): on a text-INDEXED field, MatchText
+        goes through the index's tokenizer and matches WHOLE tokens — the
+        postings AND is therefore exact and no re-verify scan is needed
+        (tokens are stored literally; the bucket hash only routes). The
+        DSL's scan-stage ``match.text`` on unindexed fields keeps its
+        per-token SUBSTRING semantics (filters.py), mirroring the
+        reference's delete-by-word behavior — same split Qdrant documents
+        between indexed and unindexed text matching."""
+        from vectordb_cloud_spark.operators.knn import knn_search
+
+        cand = self.text_match_ids(name, field, text)
+        base = self.read(name).join(F.broadcast(cand), id_col, "left_semi")
+        return knn_search(base, query_vector, k=k, vector_col=vector_col,
+                          tiebreak=id_col)
+
     def collection_info(self, name: str) -> dict:
         """Qdrant GET /collections/{name}: status, point/segment counts,
         vector config, and the indexed payload schema (with per-field
