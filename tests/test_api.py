@@ -222,3 +222,35 @@ def test_query_response_shaping_and_offset(svc):
     vec = svc.query(30, {"query": {"text": "aa"}, "limit": 1,
                          "with_vectors": True})
     assert "embedding" in vec[0] and len(vec[0]["embedding"]) == svc.dim
+
+
+def test_search_routes_text_index_clauses(svc):
+    """A match.text clause on a text-INDEXED field routes through the
+    postings sidecar with whole-token semantics (Qdrant indexed
+    MatchText); unindexed fields keep the scan-stage substring form."""
+    svc.create_index("text", "text")
+    rows = [
+        (71, 40, "spark joins shuffle data"),
+        (72, 40, "database joins only"),      # 'data' only as a substring
+        (73, 40, "spark data pipelines"),
+        (74, 41, "spark data elsewhere"),     # other tenant
+    ]
+    for i, uid, text in rows:
+        assert svc.insert(i, uid, text, "s", "en") == 1
+    flt = {"must": [{"key": "text", "match": {"text": "spark data"}}]}
+    got = sorted(r["id"] for r in
+                 svc.search(40, "spark", limit=10,
+                            query_filter=flt).collect())
+    assert got == [71, 73]  # 72 excluded under token semantics
+    # residual clauses still apply scan-stage alongside the routed one
+    flt2 = {"must": [{"key": "text", "match": {"text": "spark data"}},
+                     {"key": "id", "range": {"gt": 71}}]}
+    got2 = sorted(r["id"] for r in
+                  svc.search(40, "spark", limit=10,
+                             query_filter=flt2).collect())
+    assert got2 == [73]
+    # routing helper splits correctly and leaves unindexed clauses alone
+    cand, residual = svc.catalog.route_text_clauses(
+        svc.index_name, {"must": [{"key": "lang", "match": {"text": "en"}}]})
+    assert cand is None and residual == {
+        "must": [{"key": "lang", "match": {"text": "en"}}]}

@@ -81,6 +81,13 @@ class VectorService:
         # tenant-pruned scan: user_id predicate + derived partition-bucket
         # predicate (PartitionFilters prune files, search.py:37 semantics)
         points = self.catalog.read_for_user(self.index_name, user_id)
+        # match.text clauses on text-INDEXED fields route through the
+        # postings sidecar (whole-token semantics, Qdrant's indexed
+        # MatchText); the residual filter stays scan-stage
+        cand_ids, query_filter = self.catalog.route_text_clauses(
+            self.index_name, query_filter)
+        if cand_ids is not None:
+            points = points.join(F.broadcast(cand_ids), "id", "left_semi")
         pred = None
         if site is not None:  # optional predicates (search.py:38-41)
             pred = F.col("site") == F.lit(site)
@@ -92,6 +99,8 @@ class VectorService:
             pred = extra if pred is None else pred & extra
         meta = self.catalog.meta(self.index_name) if not exact else None
         if (meta is not None and (meta.ann_index or meta.quantization)
+                and cand_ids is None  # text-routed searches go exact over
+                # the (small) candidate set — the filtered-ANN fallback
                 and self.catalog._has_data(self.index_name)):
             # empty collection falls through to the exact path below, which
             # returns the reference's [] instead of a build error

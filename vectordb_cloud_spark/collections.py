@@ -1072,6 +1072,46 @@ class CollectionCatalog:
         )
         return cand
 
+    def route_text_clauses(self, name: str,
+                           query_filter: dict | None) -> tuple:
+        """Split a filter DSL document into (candidate_ids | None,
+        residual_filter): top-level ``must`` clauses of the form
+        ``{"key": f, "match": {"text": ...}}`` where ``f`` carries a
+        ``"text"`` payload index are served by the postings sidecar
+        (whole-token semantics — Qdrant's documented behavior for MatchText
+        on an INDEXED field); everything else stays a scan-stage predicate.
+        Multiple routed clauses intersect. Nested/should/must_not text
+        clauses are conservatively left to the scan (their boolean context
+        can't use a prefilter)."""
+        if not query_filter:
+            return None, query_filter
+        meta = self.meta(self.resolve(name))
+        indexed = {f for f, s in (meta.payload_indexes or {}).items()
+                   if s == "text"}
+        must = query_filter.get("must")
+        if not indexed or not must:
+            return None, query_filter
+        must = [must] if isinstance(must, dict) else list(must)
+        routed, kept = [], []
+        for c in must:
+            if (isinstance(c, dict) and c.get("key") in indexed
+                    and isinstance(c.get("match"), dict)
+                    and "text" in c["match"]
+                    and str(c["match"]["text"]).split()):
+                routed.append((c["key"], str(c["match"]["text"])))
+            else:
+                kept.append(c)
+        if not routed:
+            return None, query_filter
+        cand = None
+        for field, text in routed:
+            ids = self.text_match_ids(name, field, text)
+            cand = ids if cand is None else cand.join(ids, "id", "inner")
+        residual = {k: v for k, v in query_filter.items() if k != "must"}
+        if kept:
+            residual["must"] = kept
+        return cand, (residual or None)
+
     def search_text_filtered(self, name: str, query_vector: list[float],
                              field: str, text: str, k: int = 10,
                              vector_col: str = "embedding",
