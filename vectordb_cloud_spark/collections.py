@@ -46,7 +46,11 @@ DEFAULT_BUCKETS = 32  # tenant-hash partition count; at 100 TB raise toward 1024
 INDEX_FILES_PER_BUCKET = 4
 # Qdrant payload-index schema types (PUT /collections/{c}/index field_schema)
 PAYLOAD_INDEX_TYPES = {"keyword", "integer", "float", "bool", "datetime",
-                       "text", "uuid", "geo"}
+                       "text", "text_whitespace", "uuid", "geo"}
+# schemas that get the token-postings sidecar; "text" tokenizes with
+# Qdrant's default `word` tokenizer (split on any non-alphanumeric),
+# "text_whitespace" with Qdrant's `whitespace` tokenizer
+TEXT_INDEX_SCHEMAS = {"text", "text_whitespace"}
 _RESERVED_FIELDS = {"id", "embedding", "__bucket"}
 
 
@@ -115,6 +119,10 @@ class CollectionCatalog:
         # latency (r9: ~0.85 s/query on a 192-dir IVF layout; the same
         # pathology applies to every endpoint that calls read())
         self._read_memo: dict[str, tuple[str, DataFrame]] = {}
+        # same pattern for text-postings sidecar relations, keyed by the
+        # immutable textidx.v{N}/{field} dir (serving: a routed match.text
+        # query then schedules ZERO jobs at construction time)
+        self._text_memo: dict[str, DataFrame] = {}
         os.makedirs(root, exist_ok=True)
 
     # -- registry ---------------------------------------------------------
@@ -345,6 +353,11 @@ class CollectionCatalog:
                               ann_index=ann_index,
                               sparse_vectors=sparse_vectors,
                               shard_key=shard_key)
+        # defensive: a fresh collection must never serve a memoized relation
+        # from a previous same-name incarnation (drop+recreate restarts the
+        # version counter, so data.v{N} paths can collide)
+        self._read_memo.pop(name, None)
+        self._purge_text_memo(self._dir(name))
         os.makedirs(self._dir(name), exist_ok=True)
         with open(os.path.join(self._dir(name), META_FILE), "w") as f:
             json.dump(asdict(meta), f)
@@ -358,6 +371,12 @@ class CollectionCatalog:
         if not self.exists(name):
             return False
         shutil.rmtree(self._dir(name))
+        # the memo key is the data.v{N} PATH, which a drop+recreate of the
+        # same name reuses (version restarts) — without this, read() after
+        # recreate returns a relation whose cached file listing points at
+        # deleted part files (FileNotFoundException / stale data)
+        self._read_memo.pop(name, None)
+        self._purge_text_memo(self._dir(name))
         aliases = self.list_aliases()
         survivors = {a: c for a, c in aliases.items() if c != name}
         if len(survivors) != len(aliases):
@@ -993,16 +1012,37 @@ class CollectionCatalog:
     def _text_index_dir(self, name: str, version: int, field: str) -> str:
         return os.path.join(self._dir(name), f"textidx.v{version}", field)
 
+    def _text_index_schema(self, meta: "CollectionMeta", field: str) -> str:
+        schema = (meta.payload_indexes or {}).get(field)
+        if schema not in TEXT_INDEX_SCHEMAS:
+            raise ValueError(
+                f"field {field!r} has no text payload index declared "
+                f"(create_payload_index(field, 'text'))")
+        return schema
+
+    def _tokenize_query(self, schema: str, text: str) -> list[str]:
+        """Driver-side tokenization of a match.text query — the exact twin
+        of the tokenizer ``build_text_index`` used (parity-tested)."""
+        from vectordb_cloud_spark.functions.hashing import word_tokens_py
+
+        if schema == "text_whitespace":
+            return sorted({w.lower() for w in str(text).split() if w})
+        return sorted(set(word_tokens_py(text)))
+
     def build_text_index(self, name: str, field: str) -> str:
         """Materialize the postings sidecar for the CURRENT version (no-op
-        when fresh). Requires ``create_payload_index(field, "text")``."""
-        from vectordb_cloud_spark.functions.text import words
+        when fresh). Requires ``create_payload_index(field, "text")``.
+
+        Tokenization follows the declared schema: ``"text"`` uses Qdrant's
+        default ``word`` tokenizer (split on any non-alphanumeric — so
+        ``match.text: "cookies"`` finds a doc containing "cookies.");
+        ``"text_whitespace"`` keeps whole whitespace-delimited tokens with
+        punctuation attached (Qdrant's ``whitespace`` tokenizer)."""
+        from vectordb_cloud_spark.functions.text import word_tokens, words
 
         name = self.resolve(name)
         meta = self.meta(name)
-        if (meta.payload_indexes or {}).get(field) != "text":
-            raise ValueError(
-                f"field {field!r} has no 'text' payload index declared")
+        schema = self._text_index_schema(meta, field)
         if not self._has_data(name):
             raise ValueError(f"collection {name!r} is empty")
         tdir = self._text_index_dir(name, meta.version, field)
@@ -1010,12 +1050,13 @@ class CollectionCatalog:
             return tdir
         df = self.read(name).select("id", field).filter(
             F.col(field).isNotNull())
+        if schema == "text_whitespace":
+            toks = F.transform(words(F.col(field)), lambda w: F.lower(w))
+        else:
+            toks = word_tokens(F.col(field))
         postings = df.select(
             "id",
-            F.explode(
-                F.array_distinct(F.transform(words(F.col(field)),
-                                             lambda w: F.lower(w)))
-            ).alias("token"),
+            F.explode(F.array_distinct(toks)).alias("token"),
         ).withColumn(
             "tbucket", F.pmod(F.xxhash64("token"),
                               F.lit(self._TEXT_IDX_BUCKETS)).cast("int")
@@ -1035,9 +1076,18 @@ class CollectionCatalog:
         current = f"textidx.v{meta.version}"
         for d in os.listdir(self._dir(name)):  # prune stale sidecars
             if d.startswith(prefix) and d != current:
-                shutil.rmtree(os.path.join(self._dir(name), d),
-                              ignore_errors=True)
+                stale = os.path.join(self._dir(name), d)
+                shutil.rmtree(stale, ignore_errors=True)
+                self._purge_text_memo(stale)
         return tdir
+
+    def _purge_text_memo(self, path_prefix: str) -> None:
+        """Drop memoized postings relations under ``path_prefix`` (a pruned
+        sidecar version or a dropped collection dir)."""
+        stale = [k for k in self._text_memo
+                 if k == path_prefix or k.startswith(path_prefix + os.sep)]
+        for k in stale:
+            del self._text_memo[k]
 
     def text_match_ids(self, name: str, field: str, text: str) -> DataFrame:
         """Ids whose ``field`` contains EVERY token of ``text``
@@ -1046,22 +1096,23 @@ class CollectionCatalog:
         predicate prunes to the query tokens' partition dirs; the per-doc
         AND is one count aggregate. Rebuilds the sidecar lazily when the
         data version moved."""
+        from vectordb_cloud_spark.functions.hashing import pmod64, xxhash64
+
         name = self.resolve(name)
-        tokens = sorted({w.lower() for w in str(text).split() if w})
+        schema = self._text_index_schema(self.meta(name), field)
+        tokens = self._tokenize_query(schema, text)
         if not tokens:
             raise ValueError("match.text needs at least one token")
         tdir = self.build_text_index(name, field)
-        post = self.spark.read.parquet(tdir)
-        # bucket routing must reuse Spark's xxhash64 (the writer's hash) —
-        # computed with a one-row job rather than reimplemented in Python
-        buckets = [
-            r["b"] for r in self.spark.createDataFrame(
-                [(t,) for t in tokens], "token string"
-            ).select(
-                F.pmod(F.xxhash64("token"),
-                       F.lit(self._TEXT_IDX_BUCKETS)).cast("int").alias("b")
-            ).distinct().collect()
-        ]
+        post = self._text_memo.get(tdir)
+        if post is None:
+            post = self.spark.read.parquet(tdir)
+            self._text_memo[tdir] = post
+        # bucket routing reuses the writer's hash (Spark xxhash64, seed 42)
+        # via its pure-Python twin — zero extra Spark jobs per query
+        # (bit-parity with the JVM pinned in tests/test_text_index.py)
+        buckets = sorted({pmod64(xxhash64(t), self._TEXT_IDX_BUCKETS)
+                          for t in tokens})
         cand = (
             post.filter(F.col("tbucket").isin(buckets)
                         & F.col("token").isin(tokens))
@@ -1086,8 +1137,8 @@ class CollectionCatalog:
         if not query_filter:
             return None, query_filter
         meta = self.meta(self.resolve(name))
-        indexed = {f for f, s in (meta.payload_indexes or {}).items()
-                   if s == "text"}
+        indexed = {f: s for f, s in (meta.payload_indexes or {}).items()
+                   if s in TEXT_INDEX_SCHEMAS}
         must = query_filter.get("must")
         if not indexed or not must:
             return None, query_filter
@@ -1097,7 +1148,8 @@ class CollectionCatalog:
             if (isinstance(c, dict) and c.get("key") in indexed
                     and isinstance(c.get("match"), dict)
                     and "text" in c["match"]
-                    and str(c["match"]["text"]).split()):
+                    and self._tokenize_query(indexed[c["key"]],
+                                             str(c["match"]["text"]))):
                 routed.append((c["key"], str(c["match"]["text"])))
             else:
                 kept.append(c)

@@ -36,6 +36,18 @@ def words(col: Column | str) -> Column:
     return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
 
 
+def word_tokens(col: Column | str) -> Column:
+    """Qdrant's default ``word`` tokenizer: lowercase, split on every
+    non-alphanumeric character (Unicode letters + digits are the word
+    chars), empties dropped. This is what an INDEXED MatchText field
+    tokenizes with — ``"hello, world!"`` -> ``["hello", "world"]`` — so a
+    query token matches through trailing punctuation. Driver-side twin:
+    :func:`vectordb_cloud_spark.functions.hashing.word_tokens_py`
+    (parity-tested)."""
+    return F.array_remove(
+        F.split(F.lower(_c(col)), r"[^\p{L}\p{N}]+"), "")
+
+
 def token_count(col: Column | str) -> Column:
     """Whitespace token count (the cheap proxy; see ``bpe_token_estimate``
     for the BPE-ish variant)."""
