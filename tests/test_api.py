@@ -254,3 +254,25 @@ def test_search_routes_text_index_clauses(svc):
         svc.index_name, {"must": [{"key": "lang", "match": {"text": "en"}}]})
     assert cand is None and residual == {
         "must": [{"key": "lang", "match": {"text": "en"}}]}
+
+
+def test_search_plan_memo_and_invalidation(svc):
+    """Serving plan cache (VERDICT r9 #4): a repeat /search request reuses
+    the compiled DataFrame (zero plan reconstruction); any write publishes
+    a new data version and naturally invalidates, so new points appear."""
+    for i, text in [(201, "alpha data"), (202, "beta data")]:
+        assert svc.insert(i, 50, text, "s", "en") == 1
+    df1 = svc.search(50, "alpha data", limit=5)
+    r1 = [r["id"] for r in df1.collect()]
+    df2 = svc.search(50, "alpha data", limit=5)
+    assert df2 is df1  # memo hit: literally the same compiled plan
+    # different tenant / k / vector -> different plan
+    assert svc.search(51, "alpha data", limit=5) is not df1
+    assert svc.search(50, "alpha data", limit=3) is not df1
+    assert svc.search(50, "other words", limit=5) is not df1
+    # a write advances the version: memo key misses, fresh plan sees the row
+    assert svc.insert(203, 50, "alpha data twin", "s", "en") == 1
+    df3 = svc.search(50, "alpha data", limit=5)
+    assert df3 is not df1
+    ids = [r["id"] for r in df3.collect()]
+    assert 203 in ids and set(r1) <= set(ids + r1)

@@ -166,3 +166,46 @@ def test_routed_search_consistent_with_scan_semantics(cat, spark):
     # set must be the whole-token subset, never missing a whole-token hit
     assert routed_ids == [1, 2]
     assert set(routed_ids) <= set(scan_ids)
+
+
+def test_murmur3_matches_spark_hash(spark):
+    """Pure-Python Murmur3 == Spark F.hash for longs and strings — the
+    driver-side shard-bucket derivation depends on it (collections.py
+    _shard_bucket_value)."""
+    from vectordb_cloud_spark.functions.hashing import (murmur3_long,
+                                                        murmur3_string)
+
+    longs = [0, 1, -1, 7, 42, 2**31, -(2**31) - 1, 2**62, -(2**63), 999999]
+    rows = spark.createDataFrame([(v,) for v in longs], "v long").select(
+        "v", F.hash("v").alias("h"),
+        F.pmod(F.hash("v"), F.lit(16)).alias("b")).collect()
+    for r in rows:
+        assert murmur3_long(r["v"]) == r["h"], r["v"]
+        assert murmur3_long(r["v"]) % 16 == r["b"], r["v"]
+
+    rows = spark.createDataFrame([(s,) for s in TRICKY], "s string").select(
+        "s", F.hash("s").alias("h")).collect()
+    for r in rows:
+        assert murmur3_string(r["s"]) == r["h"], r["s"]
+
+
+def test_shard_bucket_value_no_job(spark, tmp_path):
+    """read_for_user / read_for_shard derive the bucket predicate without
+    scheduling a Spark job (long and string shard keys)."""
+    from vectordb_cloud_spark.collections import CollectionCatalog
+
+    cat = CollectionCatalog(spark, str(tmp_path / "cat"))
+    cat.create("c", dim=2, n_buckets=4)
+    cat.upsert("c", spark.createDataFrame(
+        [(1, [0.0, 0.0], "a", 7), (2, [1.0, 0.0], "b", 8)],
+        "id long, embedding array<float>, text string, user_id long"))
+    cat.read_for_user("c", 7)  # warm the read memo
+
+    sc = spark.sparkContext
+    sc.setJobGroup("sbv_probe", "read_for_user construction")
+    try:
+        df = cat.read_for_user("c", 7)
+    finally:
+        sc.setJobGroup(None, None)
+    assert list(sc.statusTracker().getJobIdsForGroup("sbv_probe")) == []
+    assert [r["id"] for r in df.select("id").collect()] == [1]

@@ -542,9 +542,22 @@ class CollectionCatalog:
 
     def _shard_bucket_value(self, meta: CollectionMeta, df: DataFrame, value):
         """Driver-side twin of ``_bucket_of`` for one key value (the same
-        hash Spark uses, so the derived __bucket predicate is exact)."""
+        hash Spark uses, so the derived __bucket predicate is exact).
+
+        Long and string keys — every shard key in practice — hash in pure
+        Python (Murmur3_x86_32, Spark's ``F.hash``; parity-tested in
+        tests/test_text_index.py): the r9 version paid a one-row Spark job
+        of pure latency per serving request here. Exotic key types keep the
+        JVM fallback."""
+        from vectordb_cloud_spark.functions.hashing import (murmur3_long,
+                                                            murmur3_string)
+
         dt = {f.name: f.dataType.simpleString()
               for f in df.schema.fields}.get(meta.shard_key, "")
+        if dt in self._INTEGRAL or (dt == "" and isinstance(value, int)):
+            return murmur3_long(int(value)) % meta.n_buckets
+        if dt == "string" or (dt == "" and isinstance(value, str)):
+            return murmur3_string(str(value)) % meta.n_buckets
         lit = F.lit(value).cast("long") if dt in self._INTEGRAL else F.lit(value)
         return (
             self.spark.range(1)

@@ -97,3 +97,73 @@ def word_tokens_py(text: str) -> list[str]:
     on every non-alphanumeric character, drop empties. Must stay the exact
     twin of ``functions.text.word_tokens`` (JVM) — parity-tested."""
     return [t for t in _WORD_SPLIT.split(str(text).lower()) if t]
+
+
+# ---------------------------------------------------------------------------
+# Murmur3_x86_32 — the algorithm behind Spark's ``F.hash`` (seed 42).
+# Public algorithm (Austin Appleby's MurmurHash3); Spark hashes a LONG as
+# two 32-bit halves and a string's UTF-8 bytes as 4-byte little-endian
+# words + per-byte tail rounds. Used driver-side to derive the __bucket
+# value for one shard-key value without scheduling a one-row Spark job
+# (JVM parity pinned in tests/test_text_index.py).
+# ---------------------------------------------------------------------------
+
+_M32 = 0xFFFFFFFF
+_C1 = 0xCC9E2D51
+_C2 = 0x1B873593
+
+
+def _rotl32(x: int, r: int) -> int:
+    return ((x << r) | (x >> (32 - r))) & _M32
+
+
+def _mix_k1(k1: int) -> int:
+    k1 = (k1 * _C1) & _M32
+    k1 = _rotl32(k1, 15)
+    return (k1 * _C2) & _M32
+
+
+def _mix_h1(h1: int, k1: int) -> int:
+    h1 ^= k1
+    h1 = _rotl32(h1, 13)
+    return (h1 * 5 + 0xE6546B64) & _M32
+
+
+def _fmix(h1: int, length: int) -> int:
+    h1 ^= length
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & _M32
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & _M32
+    h1 ^= h1 >> 16
+    # to signed 32-bit (what Spark's int column carries)
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+def murmur3_long(value: int, seed: int = 42) -> int:
+    """Spark ``F.hash(col.cast('long'))``: the long's low and high 32-bit
+    halves, one Murmur3 round each."""
+    v = value & ((1 << 64) - 1)  # two's-complement view
+    low = v & _M32
+    high = (v >> 32) & _M32
+    h1 = _mix_h1(seed & _M32, _mix_k1(low))
+    h1 = _mix_h1(h1, _mix_k1(high))
+    return _fmix(h1, 8)
+
+
+def murmur3_string(value: str, seed: int = 42) -> int:
+    """Spark ``F.hash(string_col)``: Murmur3 over the UTF-8 bytes —
+    4-byte little-endian words, then one round per TRAILING byte (Spark's
+    hashUnsafeBytes tail handling; bytes are Java-signed)."""
+    data = value.encode("utf-8")
+    n = len(data)
+    h1 = seed & _M32
+    aligned = n - n % 4
+    for i in range(0, aligned, 4):
+        h1 = _mix_h1(h1, _mix_k1(int.from_bytes(data[i:i + 4], "little")))
+    for i in range(aligned, n):
+        b = data[i]
+        if b >= 128:  # Java byte is signed
+            b -= 256
+        h1 = _mix_h1(h1, _mix_k1(b & _M32))
+    return _fmix(h1, n)

@@ -23,7 +23,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from vectordb_cloud_spark.functions.vector import cosine_similarity, l2_distance, l2_distance_to
+import math
+
+from vectordb_cloud_spark.functions.vector import (cosine_similarity, distance_to_expr,
+                                                   l2_distance, l2_distance_to,
+                                                   lit_double_array)
 
 
 def knn_search(
@@ -50,23 +54,25 @@ def knn_search(
     """
     df = points if filters is None else points.filter(filters)
     if metric == "l2":
-        dist = l2_distance_to(F.col(vector_col), query_vector)
+        dist = l2_distance_to(vector_col, query_vector)
         order = [F.col(dist_col).asc()]
     elif metric == "cosine":
-        q = F.array(*[F.lit(float(x)) for x in query_vector])
-        dist = cosine_similarity(F.col(vector_col), q)
+        from vectordb_cloud_spark.functions.vector import cosine_similarity_to
+
+        dist = cosine_similarity_to(vector_col, query_vector)
         order = [F.col(dist_col).desc()]
     elif metric == "dot":
         # Qdrant Distance.DOT: similarity, descending
         from vectordb_cloud_spark.functions.vector import dot_product
 
-        q = F.array(*[F.lit(float(x)) for x in query_vector])
-        dist = dot_product(F.col(vector_col), q)
+        dist = (distance_to_expr(vector_col, query_vector, "dot")
+                if all(map(math.isfinite, map(float, query_vector)))
+                else dot_product(F.col(vector_col), lit_double_array(query_vector)))
         order = [F.col(dist_col).desc()]
     elif metric == "manhattan":
         from vectordb_cloud_spark.functions.vector import manhattan_distance_to
 
-        dist = manhattan_distance_to(F.col(vector_col), query_vector)
+        dist = manhattan_distance_to(vector_col, query_vector)
         order = [F.col(dist_col).asc()]
     else:
         raise ValueError(f"unknown metric {metric!r}")
@@ -180,7 +186,7 @@ def exact_rescore_topk(
     )
     rescored = (
         points.join(F.broadcast(cand), F.col(id_col) == F.col("__cand"))
-        .withColumn("dist", l2_distance_to(F.col(vector_col), query_vector))
+        .withColumn("dist", l2_distance_to(vector_col, query_vector))
     )
     return (
         rescored.select(id_col, "dist")

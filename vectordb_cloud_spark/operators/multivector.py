@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from vectordb_cloud_spark.functions.vector import lit_double_array
+
 
 def split_into_tokens(vector_col: Column | str, n_tokens: int) -> Column:
     """Reshape a flat ``array<float>`` into ``n_tokens`` contiguous token
@@ -55,7 +57,7 @@ def maxsim_score(
     col = F.col(doc_tokens) if isinstance(doc_tokens, str) else doc_tokens
     score: Column | None = None
     for q in query_tokens:
-        qlit = F.array(*[F.lit(float(x)) for x in q])
+        qlit = lit_double_array(q)
         best = F.array_max(
             F.transform(
                 col,

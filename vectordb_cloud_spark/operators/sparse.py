@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from vectordb_cloud_spark.functions.vector import lit_double_array, lit_long_array
+
 
 def _check_query(query_indices: list[int], query_values: list[float]) -> None:
     """Shared query validation: aligned arrays, no duplicate dimensions.
@@ -185,8 +187,8 @@ def sparse_topk_inverted(
     min/max skip most pages)."""
     _check_query(query_indices, query_values)
     qmap = F.map_from_arrays(
-        F.array(*[F.lit(int(i)) for i in query_indices]),
-        F.array(*[F.lit(float(v)) for v in query_values]),
+        lit_long_array(query_indices),
+        lit_double_array(query_values),
     )
     hits = postings.filter(F.col("dim").isin([int(i) for i in query_indices]))
     if bucket_dims is not None:

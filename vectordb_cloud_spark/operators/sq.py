@@ -35,11 +35,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from vectordb_cloud_spark.functions.vector import l2_distance_to
+from vectordb_cloud_spark.functions.vector import l2_distance_to, lit_double_array
 
 
 def _lit_doubles(xs: list[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in xs])
+    return lit_double_array(xs)
 
 
 # ---------------------------------------------------------------------------
