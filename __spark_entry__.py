@@ -3,11 +3,11 @@
 ``entry(spark)`` — flagship query smoke check on sf0.001.
 ``queries()`` — every implemented operator from SURVEY.md §2 (and the
 north-star extensions) as (spark, sf_dir) -> DataFrame callables.
-``oracle_sql()`` — matching DuckDB SQL for the correctness gate (49/50
-queries, including the ANN/LSH/PQ index searches and the multimodal
-md5-chain decode, which the oracle REPLAYS over materialized structures);
-the one rows-only entry is uuid3 (DuckDB md5 cannot take the binary DNS
-namespace).
+``oracle_sql()`` — matching DuckDB SQL for the correctness gate: ALL
+50/50 registry entries are oracle-backed (since r9), including the
+ANN/LSH/PQ/quantized/text-index searches and the multimodal md5-chain
+decode, which the oracle REPLAYS over the materialized index/collection
+structures the Spark side actually wrote.
 
 Implementation lives in ``vectordb_cloud_spark/queries.py``.
 """

@@ -136,6 +136,20 @@ def test_filtered_beam_search_matches_unfiltered_when_filter_is_true(
     ]
 
 
+def test_explicit_empty_entry_ids_returns_empty(spark, embeddings, graph):
+    """entry_ids=[] means 'nowhere to start' (e.g. a filtered entry
+    selection matched nothing) and returns the empty frame; only
+    entry_ids=None falls back to the default smallest-id seeds
+    (ADVICE r9)."""
+    qv = [float(x) for x in
+          embeddings.filter(F.col("vec_id") == 0).first()["embedding"]]
+    got = graph_beam_search(embeddings, graph, qv, k=5, entry_ids=[])
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["vec_id", "dist"]
+    fallback = graph_beam_search(embeddings, graph, qv, k=5, entry_ids=None)
+    assert fallback.count() > 0
+
+
 def test_graph_knn_join_batch_recall(spark, embeddings, graph):
     """Batch beam search: k rows per query, exact distances, recall vs the
     per-query exact baseline — the graph twin of ivf_knn_join's gate."""

@@ -183,8 +183,10 @@ def _condition(cond: dict[str, Any], id_col: str, resolve: Resolver) -> Column:
         # compile time (resolver-based), so the type-generic probe is the
         # string cast: arrays render as "[...]" in Spark 3+, so an empty
         # array becomes the literal "[]".  (Caveat: a *string* payload whose
-        # value is exactly "[]" also matches — acceptable for a
-        # schema-blind DSL compiler.)
+        # value is exactly "[]" also matches, and "" counts as empty where
+        # Qdrant's IsEmpty would not — an intentional extension of a
+        # schema-blind DSL compiler, documented in COVERAGE.md §2.2 and
+        # pinned by the test_properties.py fuzz oracle.)
         s = col.try_cast("string")
         return col.isNull() | (s == F.lit("")) | (s == F.lit("[]"))
     if "nested" in cond:

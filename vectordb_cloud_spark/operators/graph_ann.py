@@ -995,7 +995,15 @@ def graph_beam_search(
         dist_to_q(F.col(vec_col)).alias("dist"),
         match_flag,
     )
-    if entry_ids:  # empty list falls back like None (an `IN ()` won't parse)
+    if entry_ids is not None and len(entry_ids) == 0:
+        # an explicitly EMPTY entry set (e.g. a filtered entry selection
+        # that matched nothing) means "nowhere to start", not "use
+        # defaults" — return the empty frame instead of silently beam-
+        # searching from arbitrary seeds (ADVICE r9). `None` keeps the
+        # smallest-id fallback below.
+        return points.sparkSession.createDataFrame(
+            [], f"{id_col} long, dist double")
+    if entry_ids:
         seeds = seed_rows.filter(_in_ids("id", entry_ids))
     else:
         seeds = seed_rows.orderBy(F.col("id").asc()).limit(entry_points)
