@@ -119,6 +119,51 @@ def test_whitespace_tokenizer_variant(cat, spark):
     assert got2 == [1]
 
 
+def test_restrict_to_ids_pushdown_parity(cat, spark):
+    """Small candidate sets restrict the base scan with an id IN predicate
+    (row-group pruning on the id-sorted layout) instead of a semi join —
+    results must be identical either way, and an empty candidate set gives
+    the empty frame (r10, SCALE.md textindex rows)."""
+    cat.create("c", dim=2, n_buckets=2)
+    cat.upsert("c", _docs(spark))
+    pts = cat.read("c")
+    cand = spark.createDataFrame([(1,), (3,)], "id long")
+    got = sorted(r["id"] for r in
+                 cat.restrict_to_ids(pts, cand).select("id").collect())
+    semi = sorted(r["id"] for r in
+                  pts.join(F.broadcast(cand), "id", "left_semi")
+                  .select("id").collect())
+    assert got == semi == [1, 3]
+    # the small-int path is a pushed Filter, not a Join
+    plan = cat.restrict_to_ids(pts, cand)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Join" not in plan
+    # empty candidates -> empty result, no IN () parse error
+    empty = cand.filter(F.lit(False))
+    assert cat.restrict_to_ids(pts, empty).count() == 0
+    # above the pushdown cap the semi join takes over (same results)
+    big = spark.range(5000).select(F.col("id"))
+    via_big = sorted(r["id"] for r in
+                     cat.restrict_to_ids(pts, big).select("id").collect())
+    assert via_big == [1, 2, 3, 4]
+    plan_big = cat.restrict_to_ids(pts, big)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Join" in plan_big
+
+
+def test_routed_search_uses_pushdown(cat, spark):
+    """End-to-end: search_text_filtered over a small candidate set compiles
+    to a scan-stage IN filter (no join in the plan) and returns the same
+    hits as the unrouted exact path restricted by hand."""
+    cat.create("c", dim=2, n_buckets=2)
+    cat.create_payload_index("c", "text", "text")
+    cat.upsert("c", _docs(spark))
+    hits = cat.search_text_filtered("c", [0.0, 0.0], "text", "cookies", k=2)
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert [r["id"] for r in hits.collect()] == [1, 2]
+
+
 def test_text_match_ids_schedules_no_job(cat, spark):
     """Bucket routing is pure-Python now: constructing the candidate
     DataFrame (sidecar already built) runs ZERO Spark jobs — the r9 version

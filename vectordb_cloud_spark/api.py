@@ -118,7 +118,10 @@ class VectorService:
         cand_ids, query_filter = self.catalog.route_text_clauses(
             self.index_name, query_filter)
         if cand_ids is not None:
-            points = points.join(F.broadcast(cand_ids), "id", "left_semi")
+            # small candidate sets push down as an id IN predicate (row-
+            # group pruning on the id-sorted buckets); large ones stay a
+            # broadcast left-semi join (collections.restrict_to_ids)
+            points = self.catalog.restrict_to_ids(points, cand_ids)
         pred = None
         if site is not None:  # optional predicates (search.py:38-41)
             pred = F.col("site") == F.lit(site)

@@ -1177,12 +1177,44 @@ class CollectionCatalog:
             residual["must"] = kept
         return cand, (residual or None)
 
+    # candidate sets at or below this size restrict the base scan with a
+    # driver-side IN predicate instead of a semi join: the data layout is
+    # id-sorted within buckets (upsert/_swap_buckets), so parquet min/max
+    # row-group stats prune the probe to the row groups that actually hold
+    # candidates — the base-table cost tracks the CANDIDATE count, not the
+    # corpus (measured in SCALE.md textindex rows). Larger sets keep the
+    # broadcast left-semi join (never collect unbounded ids).
+    _ID_PUSHDOWN_MAX = 4096
+
+    def restrict_to_ids(self, points: DataFrame, cand: DataFrame,
+                        id_col: str = "id") -> DataFrame:
+        """Restrict ``points`` to the ids in ``cand`` (one column). Small
+        candidate sets (≤ _ID_PUSHDOWN_MAX, integral ids) become a parsed
+        SQL ``IN`` predicate — pushes to the scan as row-group pruning on
+        the id-sorted layout, and costs one bounded collect (the postings
+        AND is a few-bucket aggregate). Anything else: broadcast left-semi
+        join, the standard shape."""
+        rows = cand.limit(self._ID_PUSHDOWN_MAX + 1).collect()
+        if len(rows) <= self._ID_PUSHDOWN_MAX:
+            if not rows:
+                return points.filter(F.lit(False))
+            vals = [r[0] for r in rows]
+            if all(isinstance(v, int) and not isinstance(v, bool)
+                   for v in vals):
+                # parsed SQL IN, not Column.isin: isin marshals every
+                # literal through py4j (~0.5 ms each — the graph_ann
+                # hot-loop lesson, operators/graph_ann.py)
+                in_list = ",".join(str(int(v)) for v in sorted(vals))
+                return points.filter(F.expr(f"`{id_col}` IN ({in_list})"))
+        return points.join(F.broadcast(cand), id_col, "left_semi")
+
     def search_text_filtered(self, name: str, query_vector: list[float],
                              field: str, text: str, k: int = 10,
                              vector_col: str = "embedding",
                              id_col: str = "id") -> DataFrame:
         """kNN under an INDEXED full-text predicate: postings prefilter →
-        broadcast left-semi join → top-k over the candidates only.
+        candidate restriction (IN-pushdown / semi join, ``restrict_to_ids``)
+        → top-k over the candidates only.
 
         Semantics note (matches Qdrant): on a text-INDEXED field, MatchText
         goes through the index's tokenizer and matches WHOLE tokens — the
@@ -1195,7 +1227,7 @@ class CollectionCatalog:
         from vectordb_cloud_spark.operators.knn import knn_search
 
         cand = self.text_match_ids(name, field, text)
-        base = self.read(name).join(F.broadcast(cand), id_col, "left_semi")
+        base = self.restrict_to_ids(self.read(name), cand, id_col=id_col)
         return knn_search(base, query_vector, k=k, vector_col=vector_col,
                           tiebreak=id_col)
 
