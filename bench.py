@@ -60,6 +60,18 @@ def main():
     results: dict[str, float] = {}
     builds: dict[str, float] = {}
 
+    def loadavg() -> float:
+        try:
+            with open("/proc/loadavg") as f:
+                return float(f.read().split()[0])
+        except (OSError, ValueError, IndexError):
+            return -1.0
+
+    # ambient baseline BEFORE the index-build phase (the builds themselves
+    # push the 1-min load average up; 'start' should mean the co-tenant
+    # load the suite walked into)
+    load_start = loadavg()
+
     # Index construction (IVF: KMeans + centroid-partitioned write; PQ:
     # codebook training + code encoding) is a build-time cost like
     # collection_build, not per-query work — measure each once explicitly so
@@ -93,14 +105,6 @@ def main():
     builds["graph_index_build"] = round(time.time() - t0, 3)
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
-    def loadavg() -> float:
-        try:
-            with open("/proc/loadavg") as f:
-                return float(f.read().split()[0])
-        except (OSError, ValueError, IndexError):
-            return -1.0
-
-    load_start = loadavg()
     query_load: dict[str, float] = {}
     retried: dict[str, int] = {}
     _current_label: list = [None]

@@ -164,6 +164,91 @@ def test_routed_search_uses_pushdown(cat, spark):
     assert [r["id"] for r in hits.collect()] == [1, 2]
 
 
+def test_match_tokens_filter_clause(spark):
+    """The match.tokens DSL extension: whole-token AND under the named
+    tokenizer — the scan-predicate twin of an INDEXED MatchText."""
+    from vectordb_cloud_spark.filters import compile_filter
+
+    df = _docs(spark)
+    pred = compile_filter({"must": [
+        {"key": "text", "match": {"tokens": ["cookies"]}}]})
+    got = sorted(r["id"] for r in df.filter(pred).collect())
+    assert got == [1, 2]  # 'cookies.' and 'Cookies,' tokenize to 'cookies'
+    ws = compile_filter({"must": [{"key": "text", "match": {
+        "tokens": ["cookies"], "tokenizer": "whitespace"}}]})
+    assert df.filter(ws).count() == 0  # punctuation stays attached
+    both = compile_filter({"must": [{"key": "text", "match": {
+        "tokens": ["essential", "cookies"]}}]})
+    assert [r["id"] for r in df.filter(both).collect()] == [1]
+
+
+def test_has_id_large_list_parses_as_sql_in(spark):
+    """>64 integral ids compile to one parsed SQL IN instead of
+    Column.isin's per-literal py4j marshaling — same results."""
+    from vectordb_cloud_spark.filters import compile_filter
+
+    df = spark.range(1000).select(F.col("id"))
+    ids = list(range(0, 500, 3))
+    pred = compile_filter({"must": [{"has_id": ids}]})
+    assert df.filter(pred).count() == len(ids)
+    small = compile_filter({"must": [{"has_id": [1, 2]}]})
+    assert df.filter(small).count() == 2
+
+
+def test_rewrite_text_filter_query_parity(cat, spark):
+    """rewrite_text_filter keeps indexed whole-token semantics on the
+    filter-document path: small candidate sets become has_id (postings-
+    served), oversized ones become match.tokens — both must select the
+    same rows the postings AND selects, and residual clauses survive."""
+    cat.create("c", dim=2, n_buckets=2)
+    cat.create_payload_index("c", "text", "text")
+    cat.upsert("c", _docs(spark))
+    doc = {"must": [{"key": "text", "match": {"text": "cookies"}},
+                    {"key": "user_id", "match": {"value": 1}}],
+           "must_not": [{"key": "user_id", "match": {"value": 9}}]}
+    out = cat.rewrite_text_filter("c", doc)
+    assert out["must"][0] == {"has_id": [1, 2]} or \
+        sorted(out["must"][0]["has_id"]) == [1, 2]
+    assert out["must"][1] == {"key": "user_id", "match": {"value": 1}}
+    assert out["must_not"] == doc["must_not"]
+    # oversized candidate sets fall back to the whole-token scan clause
+    cat._ID_PUSHDOWN_MAX = 1
+    out2 = cat.rewrite_text_filter("c", doc)
+    m = out2["must"][0]["match"]
+    assert m["tokens"] == ["cookies"] and m["tokenizer"] == "word"
+    from vectordb_cloud_spark.filters import compile_filter
+
+    ids_a = sorted(r["id"] for r in
+                   cat.read("c").filter(compile_filter(out)).collect())
+    ids_b = sorted(r["id"] for r in
+                   cat.read("c").filter(compile_filter(out2)).collect())
+    assert ids_a == ids_b == [1, 2]
+
+
+def test_service_query_routes_indexed_match_text(spark, tmp_path):
+    """/query parity with /search on a text-indexed field: match.text
+    'cookie' whole-token matches ONLY the doc whose token is exactly
+    'cookie' — the unrouted substring semantics would also match the
+    'cookies' docs (the r9 behavior-flip, now closed on every endpoint)."""
+    from vectordb_cloud_spark.api import VectorService
+
+    svc = VectorService(spark, str(tmp_path / "svc"), dim=2)
+    svc.create_index("text", "text")
+    rows = _docs(spark).select(
+        "id", F.col("id").alias("text_id"), "text", "user_id",
+        F.lit("s").alias("site"), F.lit("en").alias("lang"), "embedding")
+    svc.catalog.upsert(svc.index_name, rows)
+    flt = {"must": [{"key": "text", "match": {"text": "cookie"}}]}
+    hits = svc.query(2, {"query": [0.0, 1.0], "limit": 10, "filter": flt})
+    assert [h["id"] for h in hits] == [3]
+    # and through a prefetch leg's filter
+    hits2 = svc.query(2, {
+        "query": [0.0, 1.0], "limit": 10,
+        "prefetch": [{"query": [0.0, 1.0], "limit": 5, "filter": flt}],
+    })
+    assert [h["id"] for h in hits2] == [3]
+
+
 def test_text_match_ids_schedules_no_job(cat, spark):
     """Bucket routing is pure-Python now: constructing the candidate
     DataFrame (sidecar already built) runs ZERO Spark jobs — the r9 version

@@ -267,6 +267,15 @@ class VectorService:
             out = dict(spec)
             if "query" in out:
                 out["query"] = _embed_text(out["query"])
+            if out.get("filter"):
+                # text-INDEXED match.text clauses keep their whole-token
+                # index semantics on /query too (no indexed-vs-unindexed
+                # behavior flip between endpoints): routed clauses rewrite
+                # to has_id (postings-served) or match.tokens filter-DSL
+                # equivalents, which thread through fusion/prefetch filter
+                # semantics unchanged (collections.rewrite_text_filter)
+                out["filter"] = self.catalog.rewrite_text_filter(
+                    self.index_name, out["filter"])
             inner = out.get("prefetch")
             if inner:
                 inner = [inner] if isinstance(inner, dict) else list(inner)

@@ -1208,6 +1208,68 @@ class CollectionCatalog:
                 return points.filter(F.expr(f"`{id_col}` IN ({in_list})"))
         return points.join(F.broadcast(cand), id_col, "left_semi")
 
+    def rewrite_text_filter(self, name: str,
+                            query_filter: dict | None) -> dict | None:
+        """Rewrite top-level ``must`` ``match.text`` clauses on
+        text-INDEXED fields into index-equivalent filter-DSL clauses —
+        for callers that thread a FILTER DOCUMENT through richer
+        semantics (the universal query API: fusion applies the top-level
+        filter to merged candidates, prefetch legs carry their own
+        filters) and therefore cannot take a candidate frame the way
+        ``VectorService.search`` does.
+
+        A routed clause whose postings AND yields ≤ _ID_PUSHDOWN_MAX ids
+        becomes ``{"has_id": [...]}`` (the postings sidecar did the work;
+        the list compiles to one parsed SQL IN — filters.py fast path).
+        Larger ones become the whole-token ``match.tokens`` scan clause
+        (same INDEXED MatchText semantics, no postings probe). Either
+        way the indexed field keeps Qdrant's whole-token semantics on
+        every endpoint instead of flipping to substring on /query
+        (the r9 routed-vs-unindexed behavior-flip lesson). Nested /
+        should / must_not text clauses keep scan-stage semantics, as in
+        ``route_text_clauses``."""
+        if not query_filter:
+            return query_filter
+        name = self.resolve(name)
+        meta = self.meta(name)
+        indexed = {f: s for f, s in (meta.payload_indexes or {}).items()
+                   if s in TEXT_INDEX_SCHEMAS}
+        must = query_filter.get("must")
+        if not indexed or not must:
+            return query_filter
+        must = [must] if isinstance(must, dict) else list(must)
+        out_must, changed = [], False
+        for c in must:
+            if (isinstance(c, dict) and c.get("key") in indexed
+                    and isinstance(c.get("match"), dict)
+                    and "text" in c["match"]):
+                schema = indexed[c["key"]]
+                tokens = self._tokenize_query(schema,
+                                              str(c["match"]["text"]))
+                if not tokens:
+                    out_must.append(c)
+                    continue
+                ids_df = self.text_match_ids(name, c["key"],
+                                             str(c["match"]["text"]))
+                rows = ids_df.limit(self._ID_PUSHDOWN_MAX + 1).collect()
+                if len(rows) <= self._ID_PUSHDOWN_MAX:
+                    out_must.append({"has_id": [r[0] for r in rows]})
+                else:
+                    out_must.append({"key": c["key"], "match": {
+                        "tokens": tokens,
+                        "tokenizer": ("whitespace"
+                                      if schema == "text_whitespace"
+                                      else "word"),
+                    }})
+                changed = True
+            else:
+                out_must.append(c)
+        if not changed:
+            return query_filter
+        out = {k: v for k, v in query_filter.items() if k != "must"}
+        out["must"] = out_must
+        return out
+
     def search_text_filtered(self, name: str, query_vector: list[float],
                              field: str, text: str, k: int = 10,
                              vector_col: str = "embedding",

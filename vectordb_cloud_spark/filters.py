@@ -120,6 +120,27 @@ def _match_pred(col: Column, spec: dict[str, Any]) -> Column:
         return pred
     if "regex" in spec:
         return col.rlike(str(spec["regex"]))
+    if "tokens" in spec:
+        # WHOLE-TOKEN match (extension): every given token must occur as a
+        # complete token of the field under the named tokenizer — the
+        # semantics an INDEXED MatchText has (Qdrant tokenizes indexed
+        # fields), expressed as a scan predicate. Emitted by the service's
+        # query-filter router when a text-indexed match.text clause has too
+        # many candidates for a has_id rewrite (api.py); also usable
+        # directly. `tokens` are taken as ALREADY tokenized+lowercased.
+        from vectordb_cloud_spark.functions.text import word_tokens, words
+
+        tokens = [str(t) for t in spec["tokens"]]
+        if not tokens:
+            return F.lit(True)
+        if spec.get("tokenizer", "word") == "whitespace":
+            toks_col = F.transform(words(col), lambda w: F.lower(w))
+        else:
+            toks_col = word_tokens(col)
+        pred = F.array_contains(toks_col, tokens[0])
+        for t in tokens[1:]:
+            pred = pred & F.array_contains(toks_col, t)
+        return pred
     raise ValueError(f"unsupported match condition: {spec!r}")
 
 
@@ -174,7 +195,20 @@ def _condition(cond: dict[str, Any], id_col: str, resolve: Resolver) -> Column:
         return _field_condition(cond, resolve)
     if "has_id" in cond:
         ids = list(cond["has_id"])
-        return resolve(id_col).isin(ids) if ids else F.lit(False)
+        if not ids:
+            return F.lit(False)
+        if (resolve is _default_resolver and len(ids) > 64
+                and all(isinstance(v, int) and not isinstance(v, bool)
+                        for v in ids)):
+            # large integral id lists as ONE parsed SQL IN: Column.isin
+            # marshals every literal through py4j (~0.5 ms each — the
+            # graph_ann hot-loop measurement), which at has_id lists the
+            # text router emits (up to 4096 ids) would cost seconds of
+            # pure plan construction. Only on the default column resolver
+            # (nested/element resolvers can't be named in SQL text).
+            return F.expr(
+                f"`{id_col}` IN ({','.join(str(int(v)) for v in ids)})")
+        return resolve(id_col).isin(ids)
     if "is_null" in cond:
         return resolve(_key_of(cond["is_null"])).isNull()
     if "is_empty" in cond:
