@@ -276,3 +276,27 @@ def test_search_plan_memo_and_invalidation(svc):
     assert df3 is not df1
     ids = [r["id"] for r in df3.collect()]
     assert 203 in ids and set(r1) <= set(ids + r1)
+
+
+def test_query_plan_memo_and_invalidation(svc):
+    """The /query endpoint memoizes compiled plans like /search (r10):
+    repeat bodies reuse the DataFrame (construction — including any
+    filter-rewrite postings probe — is skipped), and a write invalidates
+    via the immutable data-dir key component."""
+    for i, text in [(211, "gamma data"), (212, "delta data")]:
+        assert svc.insert(i, 60, text, "s", "en") == 1
+    body = {"query": {"text": "gamma data"}, "limit": 3}
+    before = len(svc._plan_memo)
+    r1 = svc.query(60, body)
+    assert len(svc._plan_memo) == before + 1
+    r2 = svc.query(60, body)
+    assert len(svc._plan_memo) == before + 1  # memo hit, no new entry
+    assert r1 == r2
+    # different body / tenant -> different plan entries
+    svc.query(60, {"query": {"text": "gamma data"}, "limit": 2})
+    svc.query(61, body)
+    assert len(svc._plan_memo) == before + 3
+    # write invalidates: the new point appears on the same body
+    assert svc.insert(213, 60, "gamma data twin", "s", "en") == 1
+    r3 = svc.query(60, body)
+    assert 213 in [h["id"] for h in r3]

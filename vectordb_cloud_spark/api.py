@@ -256,7 +256,45 @@ class VectorService:
         take point ids / raw vectors, as in the operators. Returns
         JSON-ready hit dicts with vector columns dropped (Qdrant returns
         vectors only on request)."""
+        import json as _json
+
         from vectordb_cloud_spark.query_api import query_points
+
+        # compiled-plan memo, the /search pattern: everything downstream is
+        # a deterministic function of (data versions, tenant, body) — the
+        # RAW body keys the memo (text embedding + filter rewrite are
+        # deterministic), lookup collections' immutable data dirs ride in
+        # the key so their writes invalidate too. A repeat body skips the
+        # whole construction, including the filter-rewrite postings probe.
+        memo_key = None
+        data_dir = self.catalog._current_data_dir(self.index_name)
+        if data_dir is not None:
+            try:
+                body_key = _json.dumps(body, sort_keys=True, default=None)
+            except (TypeError, ValueError):
+                body_key = None  # non-JSON body (e.g. a DataFrame) — no memo
+            if body_key is not None:
+                extra = []
+                for slot in ("with_lookup", "lookup_from"):
+                    v = body.get(slot)
+                    if v:
+                        name = (v["collection"] if isinstance(v, dict)
+                                else str(v))
+                        try:
+                            extra.append(
+                                self.catalog._current_data_dir(
+                                    self.catalog.resolve(name)))
+                        except (KeyError, FileNotFoundError, ValueError):
+                            extra = None
+                            break
+                if extra is not None:
+                    memo_key = ("query", data_dir, user_id, body_key,
+                                tuple(extra))
+        if memo_key is not None:
+            hit = self._plan_memo.get(memo_key)
+            if hit is not None:
+                self._plan_memo.move_to_end(memo_key)
+                return [r.asDict(recursive=True) for r in hit.collect()]
 
         def _embed_text(q):
             if isinstance(q, dict) and set(q) == {"text"}:
@@ -313,8 +351,9 @@ class VectorService:
             with_vectors=bool(body.get("with_vectors", False)),
             with_payload=body.get("with_payload", True),
         )
-        return [r.asDict(recursive=True)
-                for r in hits.select(*keep).collect()]
+        shaped = hits.select(*keep)
+        self._memo_plan(memo_key, shaped)
+        return [r.asDict(recursive=True) for r in shaped.collect()]
 
     # response-shaping: Qdrant's with_payload / with_vectors selectors.
     # id + score/rank columns always ride; payload columns follow

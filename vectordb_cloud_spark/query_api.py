@@ -182,6 +182,38 @@ def _candidate_union(legs: list[DataFrame], id_col: str) -> DataFrame:
     return cand.distinct()
 
 
+# candidate sets at or below this size hand off between funnel stages as a
+# parsed SQL IN predicate instead of a broadcast semi join — prefetch legs
+# are top-n bounded (Σ leg limits), so this is the common case
+_CAND_PUSHDOWN_MAX = 4096
+
+
+def _restrict_to_candidates(
+    points: DataFrame, legs: list[DataFrame], id_col: str
+) -> DataFrame:
+    """Restrict ``points`` to the union of the legs' candidate ids — the
+    funnel's stage handoff. Prefetch candidate lists are top-n bounded, so
+    they collect driver-side (one bounded job per stage, exactly Qdrant's
+    sequential prefetch execution) and push into the next stage's scan as
+    ONE parsed ``id IN (...)`` predicate: on an id-sorted/bucketed layout
+    that is row-group/file pruning, so a rescore stage reads the
+    candidates' row groups instead of re-scanning the corpus behind a
+    semi join. Non-integral ids or oversize unions keep the broadcast
+    left-semi join."""
+    cand = _candidate_union(legs, id_col)
+    rows = cand.limit(_CAND_PUSHDOWN_MAX + 1).collect()
+    if len(rows) <= _CAND_PUSHDOWN_MAX:
+        if not rows:
+            return points.filter(F.lit(False))
+        vals = [r[0] for r in rows]
+        if all(isinstance(v, int) and not isinstance(v, bool) for v in vals):
+            # parsed SQL IN, not Column.isin (per-literal py4j marshaling
+            # — the graph_ann hot-loop lesson)
+            in_list = ",".join(str(int(v)) for v in sorted(vals))
+            return points.filter(F.expr(f"`{id_col}` IN ({in_list})"))
+    return points.join(F.broadcast(cand), id_col, "left_semi")
+
+
 def _run_prefetch(
     points: DataFrame,
     spec: dict[str, Any],
@@ -201,8 +233,7 @@ def _run_prefetch(
         legs = [
             _run_prefetch(points, s, id_col, metric)[0] for s in inner_specs
         ]
-        cand = _candidate_union(legs, id_col)
-        base = points.join(F.broadcast(cand), id_col, "left_semi")
+        base = _restrict_to_candidates(points, legs, id_col)
     pred = compile_filter(spec.get("filter"), id_col=id_col)
     return _score_query(
         base, spec["query"], spec.get("using"), pred,
@@ -299,9 +330,12 @@ def query_points(
             leg = lists[0]
             score_col = _leg_score_col(leg.columns)
             if pred is not None:
-                leg = leg.join(
-                    points.filter(pred).select(id_col), id_col, "left_semi"
-                )
+                # survivors = candidate ids passing the top-level filter —
+                # probed via id IN (row-group pruned) + pred, never a
+                # corpus-wide filter scan on the join's build side
+                keep = _restrict_to_candidates(points, [leg], id_col) \
+                    .filter(pred).select(id_col)
+                leg = leg.join(F.broadcast(keep), id_col, "left_semi")
             return _page(rescore_with_formula(
                 leg, query["formula"], k=fetch,
                 score_col=score_col, id_col=id_col,
@@ -327,10 +361,10 @@ def query_points(
                 raise ValueError(f"unknown fusion {kind!r}")
             if pred is not None:
                 score_col = [c for c in fused.columns if c != id_col][0]
+                keep = _restrict_to_candidates(points, [fused], id_col) \
+                    .filter(pred).select(id_col)
                 fused = (
-                    fused.join(
-                        points.filter(pred).select(id_col), id_col, "left_semi"
-                    )
+                    fused.join(F.broadcast(keep), id_col, "left_semi")
                     .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
                     .limit(fetch)
                 )
@@ -342,9 +376,9 @@ def query_points(
             isinstance(query, (list, tuple)) or _is_sparse_query(query)
         ):
             # rescore the candidate union with the top-level query — dense,
-            # sparse, or multivector (MaxSim), per query shape
-            cand = _candidate_union(lists, id_col)
-            base = points.join(F.broadcast(cand), id_col, "left_semi")
+            # sparse, or multivector (MaxSim), per query shape; candidates
+            # hand off as an id IN probe (row-group pruning) when bounded
+            base = _restrict_to_candidates(points, lists, id_col)
             out, _ = _score_query(
                 base, query, using, pred, fetch, id_col, metric
             )
