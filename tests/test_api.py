@@ -278,6 +278,52 @@ def test_search_plan_memo_and_invalidation(svc):
     assert 203 in ids and set(r1) <= set(ids + r1)
 
 
+def test_plan_memo_invalidates_on_index_and_recreate(svc, spark):
+    """Two memo holes from the r10 review: (a) create/drop_payload_index
+    changes match.text ROUTING semantics without a data-version bump — the
+    payload-index state rides in the memo key; (b) drop+recreate restarts
+    the version counter, so a recurring data.v{N} path must not hit the
+    first incarnation's cached file listing — the dir inode rides too."""
+    assert svc.insert(301, 70, "memo cookies probe", "s", "en") == 1
+    flt = {"must": [{"key": "text", "match": {"text": "cookies"}}]}
+    df1 = svc.search(70, "memo", limit=5, query_filter=flt)
+    assert svc.search(70, "memo", limit=5, query_filter=flt) is df1
+    # (a) declaring the index flips the clause from substring to routed
+    svc.create_index("text", "text")
+    df2 = svc.search(70, "memo", limit=5, query_filter=flt)
+    assert df2 is not df1
+    svc.catalog.drop_payload_index(svc.index_name, "text")
+    df3 = svc.search(70, "memo", limit=5, query_filter=flt)
+    assert df3 is not df2
+    # (b) drop + recreate + reinsert: same data.v path, different files
+    svc.catalog.drop(svc.index_name)
+    svc.catalog.create(svc.index_name, svc.dim)
+    assert svc.insert(302, 70, "memo cookies probe", "s", "en") == 1
+    df4 = svc.search(70, "memo", limit=5, query_filter=flt)
+    assert [r["id"] for r in df4.collect()] == [302]  # not stale, not FNF
+
+
+def test_query_with_lookup_object_form(svc, spark):
+    """with_lookup accepts Qdrant's object form {"collection": name} on
+    the execution path too (the memo-key builder already did)."""
+    import pyspark.sql.functions as SF
+
+    assert svc.insert(311, 75, "alpha group doc", "s", "en") == 1
+    assert svc.insert(312, 75, "beta group doc", "s", "en") == 1
+    # lookup collection keyed by the group value (user_id)
+    svc.catalog.create("profiles75", dim=2)
+    svc.catalog.upsert("profiles75", spark.createDataFrame(
+        [(75, [0.0, 0.0], "tenant seventy-five", 75)],
+        "id long, embedding array<float>, text string, user_id long"))
+    body = {"query": {"text": "alpha"}, "limit": 2, "group_by": "user_id",
+            "group_size": 1, "with_lookup": {"collection": "profiles75"}}
+    hits = svc.query(75, body)
+    assert hits and hits[0]["lookup_text"] == "tenant seventy-five"
+    # bare-string form unchanged
+    body2 = dict(body, with_lookup="profiles75")
+    assert svc.query(75, body2) == hits
+
+
 def test_query_plan_memo_and_invalidation(svc):
     """The /query endpoint memoizes compiled plans like /search (r10):
     repeat bodies reuse the DataFrame (construction — including any

@@ -292,6 +292,45 @@ def test_knn_dot_and_manhattan_metrics(spark):
     assert got_l1 == list(want_l1)
 
 
+def test_dot_metric_empty_and_nonfinite_query(spark):
+    """An EMPTY query vector is rejected up front (every metric would
+    otherwise emit NULL distances via zip_with null-padding, and the
+    one-expr dot path crashed on withColumn(None) — r10 review); a
+    non-finite component falls back to the Column builders and works."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    for metric in ("l2", "dot", "cosine", "manhattan"):
+        with _pytest.raises(ValueError, match="non-empty"):
+            knn_search(df, [], k=3, metric=metric)
+    inf = knn_search(df, [float("inf"), 0.0], k=1, metric="dot",
+                     tiebreak="vec_id").collect()
+    assert len(inf) == 1
+
+
+def test_restrict_to_ids_shared_primitive(spark):
+    """The shared scan-restriction helper: IN pushdown for small integral
+    sets (no Join node), semi join for strings, empty -> empty."""
+    from pyspark.sql import functions as SF
+
+    from vectordb_cloud_spark.operators.knn import restrict_to_ids
+
+    pts = spark.range(100).select(SF.col("id"))
+    cand = spark.createDataFrame([(3,), (7,)], "id long")
+    out = restrict_to_ids(pts, cand)
+    assert sorted(r["id"] for r in out.collect()) == [3, 7]
+    assert "Join" not in out._jdf.queryExecution().executedPlan().toString()
+    spts = spark.createDataFrame([("a",), ("b",)], "id string")
+    scand = spark.createDataFrame([("b",)], "id string")
+    out2 = restrict_to_ids(spts, scand)
+    assert [r["id"] for r in out2.collect()] == ["b"]
+    assert "Join" in out2._jdf.queryExecution().executedPlan().toString()
+    assert restrict_to_ids(pts, cand.filter(SF.lit(False))).count() == 0
+
+
 def test_recommend_best_score_strategy(spark):
     """Qdrant best_score: points nearer a negative than every positive rank
     below all clean points; clean points rank by nearest-positive distance."""

@@ -164,6 +164,41 @@ def test_routed_search_uses_pushdown(cat, spark):
     assert [r["id"] for r in hits.collect()] == [1, 2]
 
 
+def test_whitespace_tokens_python_jvm_parity(spark):
+    """The text_whitespace query tokenizer must twin the JVM index build
+    (F.split on Java \\s+ + lower + drop empties) — including on Unicode
+    whitespace, which Java \\s does NOT split on but Python str.split()
+    would (r10 review: an NBSP doc would silently drop out of routed
+    results if the twins disagreed)."""
+    from vectordb_cloud_spark.functions.hashing import whitespace_tokens_py
+    from vectordb_cloud_spark.functions.text import words
+
+    cases = TRICKY + ["hello world", "em space", "end tab\t",
+                      " lead nbsp", "a   b"]
+    rows = spark.createDataFrame([(s,) for s in cases], "s string").select(
+        "s",
+        F.array_remove(F.transform(words("s"), lambda w: F.lower(w)),
+                       "").alias("toks"),
+    ).collect()
+    for r in rows:
+        assert whitespace_tokens_py(r["s"]) == r["toks"], repr(r["s"])
+    assert whitespace_tokens_py("hello world") == ["hello world"]
+
+
+def test_whitespace_index_matches_nbsp_token(cat, spark):
+    """End-to-end: a doc whose token contains an NBSP is findable through
+    the text_whitespace index by the same NBSP-containing query text."""
+    cat.create("c", dim=2, n_buckets=2)
+    cat.create_payload_index("c", "text", "text_whitespace")
+    rows = spark.createDataFrame(
+        [(1, [0.0, 0.0], "hello world extra", 1)],
+        "id long, embedding array<float>, text string, user_id long")
+    cat.upsert("c", rows)
+    got = [r["id"] for r in
+           cat.text_match_ids("c", "text", "hello world").collect()]
+    assert got == [1]
+
+
 def test_match_tokens_filter_clause(spark):
     """The match.tokens DSL extension: whole-token AND under the named
     tokenizer — the scan-predicate twin of an INDEXED MatchText."""

@@ -98,13 +98,26 @@ class VectorService:
         # are keyed by the same version
         data_dir = self.catalog._current_data_dir(self.index_name)
         memo_key = None
-        if data_dir is not None:
-            memo_key = (
-                data_dir, user_id, limit, site, lang, bool(exact),
-                _json.dumps(query_filter, sort_keys=True, default=str)
-                if query_filter else None,
-                _struct.pack(f"{len(qvec)}d", *[float(x) for x in qvec]),
-            )
+        stamp = self._memo_stamp(data_dir)
+        if stamp is not None:
+            try:
+                # type-tagged serialization: default=str would collide a
+                # datetime with its equal string form under one key while
+                # compile_filter builds differently-typed literals
+                filt_key = (_json.dumps(
+                    query_filter, sort_keys=True,
+                    default=lambda o: f"__{type(o).__name__}__:{o}")
+                    if query_filter else None)
+            except (TypeError, ValueError):
+                filt_key = None
+                memo_key = None
+            else:
+                memo_key = (
+                    data_dir, stamp, user_id, limit, site, lang,
+                    bool(exact), filt_key,
+                    _struct.pack(f"{len(qvec)}d",
+                                 *[float(x) for x in qvec]),
+                )
             hit = self._plan_memo.get(memo_key)
             if hit is not None:
                 self._plan_memo.move_to_end(memo_key)
@@ -158,6 +171,25 @@ class VectorService:
             return self._memo_plan(memo_key, search_response(hits))
         hits = knn_search(points, qvec, k=limit, filters=pred, tiebreak="id")
         return self._memo_plan(memo_key, search_response(hits))
+
+    def _memo_stamp(self, data_dir: str | None):
+        """Memo-key components beyond the path of the current data version:
+        the dir's inode (drop+recreate restarts the version counter, so a
+        recurring ``data.v1`` path must not hit the old incarnation's
+        cached file listing) and the payload-index declaration state
+        (create/drop_payload_index changes match.text ROUTING semantics
+        without any data rewrite). Returns None when unstampable — caller
+        skips the memo."""
+        import os as _os
+
+        if data_dir is None:
+            return None
+        try:
+            ino = _os.stat(data_dir).st_ino
+        except OSError:
+            return None
+        meta = self.catalog.meta(self.index_name)
+        return (ino, tuple(sorted((meta.payload_indexes or {}).items())))
 
     def _memo_plan(self, key, df: DataFrame) -> DataFrame:
         if key is not None:
@@ -268,7 +300,8 @@ class VectorService:
         # whole construction, including the filter-rewrite postings probe.
         memo_key = None
         data_dir = self.catalog._current_data_dir(self.index_name)
-        if data_dir is not None:
+        stamp = self._memo_stamp(data_dir)
+        if stamp is not None:
             try:
                 body_key = _json.dumps(body, sort_keys=True, default=None)
             except (TypeError, ValueError):
@@ -278,18 +311,18 @@ class VectorService:
                 for slot in ("with_lookup", "lookup_from"):
                     v = body.get(slot)
                     if v:
-                        name = (v["collection"] if isinstance(v, dict)
-                                else str(v))
                         try:
+                            name = (str(v["collection"])
+                                    if isinstance(v, dict) else str(v))
                             extra.append(
                                 self.catalog._current_data_dir(
                                     self.catalog.resolve(name)))
                         except (KeyError, FileNotFoundError, ValueError):
-                            extra = None
-                            break
+                            extra = None  # malformed/unknown: no memo;
+                            break         # execution raises its own error
                 if extra is not None:
-                    memo_key = ("query", data_dir, user_id, body_key,
-                                tuple(extra))
+                    memo_key = ("query", data_dir, stamp, user_id,
+                                body_key, tuple(extra))
         if memo_key is not None:
             hit = self._plan_memo.get(memo_key)
             if hit is not None:
@@ -324,9 +357,12 @@ class VectorService:
         points = self.catalog.read_for_user(self.index_name, user_id)
         lookup = None
         if body.get("with_lookup"):
-            # Qdrant group-by lookup: the value is another collection's
-            # name; its point ids are the group values
-            lookup = self.catalog.read(str(body["with_lookup"]))
+            # Qdrant group-by lookup: another collection's name — bare
+            # string or the object form {"collection": name} (same grammar
+            # as lookup_from); its point ids are the group values
+            wl = body["with_lookup"]
+            lookup = self.catalog.read(
+                str(wl["collection"]) if isinstance(wl, dict) else str(wl))
         example_src = None
         if body.get("lookup_from"):
             # Qdrant recommend lookup_from: {"collection": name} or a bare

@@ -1036,10 +1036,16 @@ class CollectionCatalog:
     def _tokenize_query(self, schema: str, text: str) -> list[str]:
         """Driver-side tokenization of a match.text query — the exact twin
         of the tokenizer ``build_text_index`` used (parity-tested)."""
-        from vectordb_cloud_spark.functions.hashing import word_tokens_py
+        from vectordb_cloud_spark.functions.hashing import (
+            whitespace_tokens_py,
+            word_tokens_py,
+        )
 
         if schema == "text_whitespace":
-            return sorted({w.lower() for w in str(text).split() if w})
+            # NOT str.split(): Java \s+ (the index writer's split) treats
+            # NBSP/Unicode spaces as token CONTENT, so the query twin must
+            # too or exact-match docs silently drop out (r10 review)
+            return sorted(set(whitespace_tokens_py(text)))
         return sorted(set(word_tokens_py(text)))
 
     def build_text_index(self, name: str, field: str) -> str:
@@ -1064,7 +1070,11 @@ class CollectionCatalog:
         df = self.read(name).select("id", field).filter(
             F.col(field).isNotNull())
         if schema == "text_whitespace":
-            toks = F.transform(words(F.col(field)), lambda w: F.lower(w))
+            # array_remove "": F.split keeps trailing empty strings (e.g.
+            # text ending in a tab), which would otherwise mint an
+            # empty-token posting the query twin can never produce
+            toks = F.array_remove(
+                F.transform(words(F.col(field)), lambda w: F.lower(w)), "")
         else:
             toks = word_tokens(F.col(field))
         postings = df.select(
@@ -1193,20 +1203,11 @@ class CollectionCatalog:
         SQL ``IN`` predicate — pushes to the scan as row-group pruning on
         the id-sorted layout, and costs one bounded collect (the postings
         AND is a few-bucket aggregate). Anything else: broadcast left-semi
-        join, the standard shape."""
-        rows = cand.limit(self._ID_PUSHDOWN_MAX + 1).collect()
-        if len(rows) <= self._ID_PUSHDOWN_MAX:
-            if not rows:
-                return points.filter(F.lit(False))
-            vals = [r[0] for r in rows]
-            if all(isinstance(v, int) and not isinstance(v, bool)
-                   for v in vals):
-                # parsed SQL IN, not Column.isin: isin marshals every
-                # literal through py4j (~0.5 ms each — the graph_ann
-                # hot-loop lesson, operators/graph_ann.py)
-                in_list = ",".join(str(int(v)) for v in sorted(vals))
-                return points.filter(F.expr(f"`{id_col}` IN ({in_list})"))
-        return points.join(F.broadcast(cand), id_col, "left_semi")
+        join. Delegates to the shared ``operators.knn.restrict_to_ids``."""
+        from vectordb_cloud_spark.operators.knn import restrict_to_ids
+
+        return restrict_to_ids(points, cand, id_col=id_col,
+                               max_ids=self._ID_PUSHDOWN_MAX)
 
     def rewrite_text_filter(self, name: str,
                             query_filter: dict | None) -> dict | None:

@@ -53,6 +53,23 @@ EARTH_RADIUS_M = 6371008.8
 Resolver = Callable[[str], Column]
 
 
+def int_in_expr(col_name: str, vals) -> Column | None:
+    """ONE parsed SQL ``col IN (...)`` predicate over integral literals,
+    or None when any value is non-integral (callers fall back to isin /
+    joins). ``Column.isin`` marshals every literal through py4j (~0.5 ms
+    each — the graph_ann hot-loop measurement); the parsed string is one
+    round trip. Shared by has_id compilation, the routed-text /funnel id
+    pushdowns (operators.knn.restrict_to_ids), and the beam-search hop
+    probes, so the integral-only guard and rendering live in one place."""
+    vals = list(vals)
+    if not vals or not all(
+        isinstance(v, int) and not isinstance(v, bool) for v in vals
+    ):
+        return None
+    return F.expr(
+        f"`{col_name}` IN ({','.join(str(int(v)) for v in vals)})")
+
+
 def _default_resolver(key: str) -> Column:
     c = F.col(key.split(".")[0])
     for part in key.split(".")[1:]:
@@ -197,17 +214,14 @@ def _condition(cond: dict[str, Any], id_col: str, resolve: Resolver) -> Column:
         ids = list(cond["has_id"])
         if not ids:
             return F.lit(False)
-        if (resolve is _default_resolver and len(ids) > 64
-                and all(isinstance(v, int) and not isinstance(v, bool)
-                        for v in ids)):
-            # large integral id lists as ONE parsed SQL IN: Column.isin
-            # marshals every literal through py4j (~0.5 ms each — the
-            # graph_ann hot-loop measurement), which at has_id lists the
-            # text router emits (up to 4096 ids) would cost seconds of
-            # pure plan construction. Only on the default column resolver
-            # (nested/element resolvers can't be named in SQL text).
-            return F.expr(
-                f"`{id_col}` IN ({','.join(str(int(v)) for v in ids)})")
+        if resolve is _default_resolver and len(ids) > 64:
+            # large integral id lists (the text router emits up to 4096)
+            # as ONE parsed SQL IN — seconds of py4j marshaling avoided.
+            # Only on the default column resolver (nested/element
+            # resolvers can't be named in SQL text).
+            pred = int_in_expr(id_col, ids)
+            if pred is not None:
+                return pred
         return resolve(id_col).isin(ids)
     if "is_null" in cond:
         return resolve(_key_of(cond["is_null"])).isNull()

@@ -92,6 +92,22 @@ def pmod64(value: int, m: int) -> int:
 _WORD_SPLIT = re.compile(r"[\W_]+", re.UNICODE)
 
 
+# Java \s (as used by F.split(col, r"\s+") WITHOUT
+# UNICODE_CHARACTER_CLASS) matches ASCII whitespace ONLY: a NBSP or
+# em-space is NOT a separator on the JVM side, while Python's bare
+# str.split() would split on it — a query tokenized with str.split()
+# could then miss a doc whose posting kept 'hello world' whole.
+_JAVA_WS_SPLIT = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def whitespace_tokens_py(text: str) -> list[str]:
+    """Driver-side twin of the ``text_whitespace`` index tokenizer
+    (``functions.text.words`` + lower + drop empties): split on ASCII
+    whitespace exactly like Java ``\\s+``, lowercase, keep punctuation
+    attached. Parity-pinned in tests/test_text_index.py (incl. NBSP)."""
+    return [t.lower() for t in _JAVA_WS_SPLIT.split(str(text)) if t]
+
+
 def word_tokens_py(text: str) -> list[str]:
     """Qdrant's default ``word`` tokenizer, driver-side: lowercase, split
     on every non-alphanumeric character, drop empties. Must stay the exact

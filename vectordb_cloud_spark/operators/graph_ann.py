@@ -985,10 +985,10 @@ def graph_beam_search(
     def _in_ids(col_name: str, ids) -> Column:
         # hot-loop IN predicate: Column.isin(list) marshals every literal
         # through py4j (~0.5 ms each — 576 candidates cost ~0.3 s/hop,
-        # measured r9); a parsed SQL IN list is one string round trip
-        return F.expr(
-            f"`{col_name}` IN ({','.join(str(int(i)) for i in ids)})"
-        )
+        # measured r9); the shared parsed-SQL rendering is one round trip
+        from vectordb_cloud_spark.filters import int_in_expr
+
+        return int_in_expr(col_name, [int(i) for i in ids])
 
     seed_rows = points.select(
         F.col(id_col).alias("id"),

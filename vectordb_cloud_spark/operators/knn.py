@@ -30,6 +30,41 @@ from vectordb_cloud_spark.functions.vector import (cosine_similarity, distance_t
                                                    lit_double_array)
 
 
+# candidate sets at or below this size restrict a scan with a driver-side
+# IN predicate instead of a broadcast semi join: on an id-sorted layout
+# parquet min/max row-group stats prune the probe to the row groups that
+# actually hold candidates, so the scan cost tracks the CANDIDATE count,
+# not the corpus (SCALE.md textindex rows). Larger or non-integral sets
+# keep the join (never collect unbounded ids).
+ID_PUSHDOWN_MAX = 4096
+
+
+def restrict_to_ids(
+    points: DataFrame,
+    cand: DataFrame,
+    id_col: str = "id",
+    max_ids: int = ID_PUSHDOWN_MAX,
+) -> DataFrame:
+    """Restrict ``points`` to the ids in ``cand`` (one id column): bounded
+    collect (``limit(max_ids + 1)``) + one parsed SQL ``IN`` predicate for
+    small integral sets (``filters.int_in_expr``), broadcast left-semi
+    join otherwise. The shared primitive behind the routed-text candidate
+    pushdown (collections) and the prefetch-funnel stage handoff
+    (query_api)."""
+    from vectordb_cloud_spark.filters import int_in_expr
+
+    rows = cand.limit(max_ids + 1).collect()
+    if len(rows) <= max_ids:
+        if not rows:
+            return points.filter(F.lit(False))
+        pred = int_in_expr(id_col, sorted(r[0] for r in rows)) \
+            if all(isinstance(r[0], int) and not isinstance(r[0], bool)
+                   for r in rows) else None
+        if pred is not None:
+            return points.filter(pred)
+    return points.join(F.broadcast(cand), id_col, "left_semi")
+
+
 def knn_search(
     points: DataFrame,
     query_vector: list[float],
@@ -52,6 +87,11 @@ def knn_search(
     corpora) return deterministically — pass the point id column whenever the
     result feeds an exact comparison.
     """
+    if not query_vector:
+        # zip_with null-pads the shorter side, so an empty query would
+        # yield NULL distances on every metric (and the one-expr dot path
+        # returned None outright, r10 review) — fail loudly instead
+        raise ValueError("query_vector must be non-empty")
     df = points if filters is None else points.filter(filters)
     if metric == "l2":
         dist = l2_distance_to(vector_col, query_vector)
@@ -65,9 +105,13 @@ def knn_search(
         # Qdrant Distance.DOT: similarity, descending
         from vectordb_cloud_spark.functions.vector import dot_product
 
-        dist = (distance_to_expr(vector_col, query_vector, "dot")
-                if all(map(math.isfinite, map(float, query_vector)))
-                else dot_product(F.col(vector_col), lit_double_array(query_vector)))
+        # distance_to_expr returns None when inexpressible as one SQL
+        # parse (non-finite values OR an empty query vector) — fall back
+        # to the Column builders, never pass None to withColumn
+        _e = distance_to_expr(vector_col, query_vector, "dot")
+        dist = (_e if _e is not None
+                else dot_product(F.col(vector_col),
+                                 lit_double_array(query_vector)))
         order = [F.col(dist_col).desc()]
     elif metric == "manhattan":
         from vectordb_cloud_spark.functions.vector import manhattan_distance_to

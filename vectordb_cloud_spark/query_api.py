@@ -182,12 +182,6 @@ def _candidate_union(legs: list[DataFrame], id_col: str) -> DataFrame:
     return cand.distinct()
 
 
-# candidate sets at or below this size hand off between funnel stages as a
-# parsed SQL IN predicate instead of a broadcast semi join — prefetch legs
-# are top-n bounded (Σ leg limits), so this is the common case
-_CAND_PUSHDOWN_MAX = 4096
-
-
 def _restrict_to_candidates(
     points: DataFrame, legs: list[DataFrame], id_col: str
 ) -> DataFrame:
@@ -199,19 +193,11 @@ def _restrict_to_candidates(
     that is row-group/file pruning, so a rescore stage reads the
     candidates' row groups instead of re-scanning the corpus behind a
     semi join. Non-integral ids or oversize unions keep the broadcast
-    left-semi join."""
-    cand = _candidate_union(legs, id_col)
-    rows = cand.limit(_CAND_PUSHDOWN_MAX + 1).collect()
-    if len(rows) <= _CAND_PUSHDOWN_MAX:
-        if not rows:
-            return points.filter(F.lit(False))
-        vals = [r[0] for r in rows]
-        if all(isinstance(v, int) and not isinstance(v, bool) for v in vals):
-            # parsed SQL IN, not Column.isin (per-literal py4j marshaling
-            # — the graph_ann hot-loop lesson)
-            in_list = ",".join(str(int(v)) for v in sorted(vals))
-            return points.filter(F.expr(f"`{id_col}` IN ({in_list})"))
-    return points.join(F.broadcast(cand), id_col, "left_semi")
+    left-semi join (shared primitive: ``operators.knn.restrict_to_ids``)."""
+    from vectordb_cloud_spark.operators.knn import restrict_to_ids
+
+    return restrict_to_ids(points, _candidate_union(legs, id_col),
+                           id_col=id_col)
 
 
 def _run_prefetch(
