@@ -283,26 +283,36 @@ def test_avi_roundtrip_property(w, h, n_frames, fps, seed):
 # boolean-clause trees over match/range/is_null/is_empty conditions.
 
 _FILTER_ROWS = [
-    (0, "en", 10, ["a"]),
-    (1, "de", None, []),
-    (2, None, 250, ["a", "b"]),
-    (3, "en", 400, None),
-    (4, "fr", 120, []),
-    (5, None, None, ["c"]),
+    (0, "en", 10, ["a"], "Hello, world!"),
+    (1, "de", None, [], "fresh cookies. daily"),
+    (2, None, 250, ["a", "b"], "hello-there WORLD"),
+    (3, "en", 400, None, None),
+    (4, "fr", 120, [], ""),
+    (5, None, None, ["c"], "two cookies two"),
 ]
 
 
 def _cond_matches(row, cond) -> bool:
-    lang, n, tags = row[1], row[2], row[3]
+    lang, n, tags, text = row[1], row[2], row[3], row[4]
+    fields = {"lang": lang, "n": n, "tags": tags, "text": text}
     if "is_null" in cond:
         key = cond["is_null"]["key"] if isinstance(cond["is_null"], dict) else cond["is_null"]
-        return {"lang": lang, "n": n, "tags": tags}[key] is None
+        return fields[key] is None
     if "is_empty" in cond:
         key = cond["is_empty"]["key"] if isinstance(cond["is_empty"], dict) else cond["is_empty"]
-        v = {"lang": lang, "n": n, "tags": tags}[key]
+        v = fields[key]
         return v is None or v == "" or (isinstance(v, list) and not v)
     key = cond["key"]
-    v = {"lang": lang, "n": n, "tags": tags}[key]
+    v = fields[key]
+    if "match" in cond and "tokens" in cond["match"]:
+        # the r10 whole-token extension: every given token occurs as a
+        # complete word-tokenizer token (null text matches nothing)
+        from vectordb_cloud_spark.functions.hashing import word_tokens_py
+
+        if v is None:
+            return False
+        toks = set(word_tokens_py(v))
+        return all(t in toks for t in cond["match"]["tokens"])
     if "match" in cond:
         return v is not None and v == cond["match"]["value"]
     if "range" in cond:
@@ -344,6 +354,10 @@ _condition_st = st.one_of(
               st.integers(0, 300), st.integers(1, 300)),
     st.sampled_from([{"is_null": {"key": "lang"}}, {"is_null": {"key": "n"}},
                      {"is_empty": "tags"}, {"is_empty": "lang"}]),
+    st.builds(lambda ts: {"key": "text", "match": {"tokens": ts}},
+              st.lists(st.sampled_from(
+                  ["hello", "world", "cookies", "two", "there", "zz"]),
+                  min_size=1, max_size=2, unique=True)),
 )
 
 _filter_st = st.fixed_dictionaries(
@@ -367,7 +381,7 @@ def test_filter_dsl_matches_python_semantics(spark_global, spec):
     from vectordb_cloud_spark.filters import compile_filter
 
     df = spark_global.createDataFrame(
-        _FILTER_ROWS, "id long, lang string, n long, tags array<string>"
+        _FILTER_ROWS, "id long, lang string, n long, tags array<string>, text string"
     )
     got = sorted(r["id"] for r in df.filter(compile_filter(spec)).collect())
     want = sorted(r[0] for r in _FILTER_ROWS if _filter_matches(r, spec))
