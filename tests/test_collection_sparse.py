@@ -45,6 +45,55 @@ def test_sparse_search_dot_topk(catalog, spark):
         catalog.search_sparse("c", "image", [1], [1.0])
 
 
+def test_sparse_index_sidecar_lifecycle(catalog, spark, tmp_path):
+    """sparseidx.v{N}: an {"index": ...} sparse config routes
+    search_sparse through the dim-bucketed inverted postings sidecar —
+    same results as the scan path, lazy rebuild after a write moves the
+    version, stale versions pruned (the quant.v/textidx lifecycle)."""
+    import os
+
+    catalog.create("c", dim=2, sparse_vectors={"text": {"index": {}}})
+    catalog.upsert("c", _rows(spark, [
+        (1, [1.0, 0.0], "a", 0, [2, 7, 40], [1.0, 2.0, 0.5]),
+        (2, [0.0, 1.0], "b", 0, [7, 13], [3.0, 1.0]),
+        (3, [1.0, 1.0], "c", 1, [40, 99], [2.0, 2.0]),
+        (4, [0.5, 0.5], "d", 1, None, None),
+    ]))
+    got = catalog.search_sparse("c", "text", [7, 40], [1.0, 2.0], k=3)
+    assert [(r["id"], r["score"]) for r in got.collect()] == \
+        [(3, 4.0), (1, 3.0), (2, 3.0)]
+    v = catalog.meta("c").version
+    sdir = catalog._sparse_index_dir("c", v, "text")
+    assert os.path.isdir(sdir)  # built lazily by the routed search
+    # scan-path parity on the same collection (force the scan form)
+    scan = catalog.search_sparse("c", "text", [7, 40], [1.0, 2.0], k=3,
+                                 use_index=False)
+    assert [(r["id"], r["score"]) for r in scan.collect()] == \
+        [(3, 4.0), (1, 3.0), (2, 3.0)]
+    # a predicate keeps the scan path (postings carry no payload)
+    flt = catalog.search_sparse("c", "text", [7, 40], [1.0, 2.0], k=3,
+                                predicate=F.col("user_id") == 0)
+    assert [r["id"] for r in flt.collect()] == [1, 2]
+    # write -> version advances -> sidecar rebuilt, stale one pruned,
+    # the new point appears
+    catalog.upsert("c", _rows(spark, [
+        (5, [0.2, 0.2], "e", 0, [7], [10.0]),
+    ]))
+    got2 = catalog.search_sparse("c", "text", [7, 40], [1.0, 2.0], k=1)
+    assert [(r["id"], r["score"]) for r in got2.collect()] == [(5, 10.0)]
+    v2 = catalog.meta("c").version
+    assert os.path.isdir(catalog._sparse_index_dir("c", v2, "text"))
+    assert not os.path.isdir(sdir)  # old version pruned
+    # config without "index" stays scan-path (no sidecar appears)
+    catalog.create("p", dim=2, sparse_vectors={"text": {}})
+    catalog.upsert("p", _rows(spark, [
+        (1, [1.0, 0.0], "a", 0, [7], [1.0]),
+    ]))
+    catalog.search_sparse("p", "text", [7], [1.0], k=1).collect()
+    assert not any(d.startswith("sparseidx.v")
+                   for d in os.listdir(catalog._dir("p")))
+
+
 def test_sparse_validation(catalog, spark):
     _seed(catalog, spark)
     # length mismatch

@@ -1472,13 +1472,19 @@ class CollectionCatalog:
 
     def search_sparse(self, name: str, sparse_name: str,
                       query_indices: list[int], query_values: list[float],
-                      k: int = 10, predicate=None,
-                      id_col: str = "id") -> DataFrame:
+                      k: int = 10, predicate=None, id_col: str = "id",
+                      use_index: bool | None = None) -> DataFrame:
         """Top-k dot-product search over a named sparse vector (Qdrant
-        query with ``using: <sparse_name>``). Scan scoring — the per-row
-        work is |query| sorted-array lookups in codegen; persist an
-        inverted layout (operators.sparse.sparse_persist_inverted) when the
-        corpus outgrows scanning."""
+        query with ``using: <sparse_name>``).
+
+        Two physical paths, same results (operator-level parity-tested):
+        scan scoring (one map-fold over each row's stored dims — the r10
+        form), or the versioned ``sparseidx.v{N}`` inverted-postings
+        sidecar when the sparse config declares ``{"index": ...}`` (Qdrant
+        sparse vectors are always index-backed; the config opts into the
+        sidecar build here) or ``use_index=True`` forces it. The sidecar
+        path prunes the read to the query dims' bucket dirs + row groups
+        — bytes ∝ the query's posting lists, not the corpus."""
         from vectordb_cloud_spark.operators.sparse import sparse_topk
 
         name = self.resolve(name)
@@ -1488,11 +1494,87 @@ class CollectionCatalog:
                 f"collection {name!r} has no sparse vector {sparse_name!r} "
                 f"(configured: {sorted(meta.sparse_vectors or {})})")
         icol, vcol = self.sparse_cols_of(sparse_name)
+        spec = (meta.sparse_vectors or {}).get(sparse_name)
+        route = (use_index if use_index is not None
+                 else isinstance(spec, dict) and "index" in spec)
+        if route and predicate is None and self._has_data(name):
+            # Qdrant's sparse index IS an inverted index: serve through
+            # the dim-bucketed postings sidecar (lazy versioned build, the
+            # textidx/quant.v lifecycle). Payload predicates stay on the
+            # scan path — postings carry no payload columns, and a
+            # filtered sparse search over the base table is the standard
+            # selective-filter fallback.
+            from vectordb_cloud_spark.operators.sparse import (
+                sparse_read_inverted,
+                sparse_topk_inverted,
+            )
+
+            sdir = self.build_sparse_index(name, sparse_name)
+            postings, nb = sparse_read_inverted(self.spark, sdir)
+            out = sparse_topk_inverted(postings, query_indices,
+                                       query_values, k=k, bucket_dims=nb)
+            if id_col != "id":
+                out = out.select(F.col("id").alias(id_col), "score")
+            return out
         df = self.read(name).filter(F.col(icol).isNotNull())
         if predicate is not None:
             df = df.filter(predicate)
         return sparse_topk(df, query_indices, query_values, k=k,
                            id_col=id_col, idx_col=icol, val_col=vcol)
+
+    # one tiny file per vocab dim is an object-store anti-pattern at
+    # SPLADE vocab sizes — dims hash into this many bucket dirs, with
+    # dim-sorted row groups pruning WITHIN each bucket (the textidx
+    # geometry, operators/sparse.py sparse_persist_inverted)
+    _SPARSE_IDX_BUCKETS = 64
+
+    def _sparse_index_dir(self, name: str, version: int,
+                          sparse_name: str) -> str:
+        return os.path.join(self._dir(name), f"sparseidx.v{version}",
+                            sparse_name)
+
+    def build_sparse_index(self, name: str, sparse_name: str) -> str:
+        """Materialize the inverted-postings sidecar for a named sparse
+        vector at the CURRENT version (no-op when fresh) — the quant.v /
+        textidx.v lifecycle: lazy rebuild when the data version moved,
+        atomic staging+rename publish, stale versions pruned. Layout:
+        ``sparseidx.v{N}/{sparse_name}/bucket=H/...`` with dim-sorted row
+        groups, so a query reads its dims' buckets and row groups only
+        (operators.sparse.sparse_persist_inverted geometry)."""
+        from vectordb_cloud_spark.operators.sparse import (
+            sparse_invert,
+            sparse_persist_inverted,
+        )
+
+        name = self.resolve(name)
+        meta = self.meta(name)
+        if sparse_name not in (meta.sparse_vectors or {}):
+            raise ValueError(
+                f"collection {name!r} has no sparse vector {sparse_name!r} "
+                f"(configured: {sorted(meta.sparse_vectors or {})})")
+        if not self._has_data(name):
+            raise ValueError(f"collection {name!r} is empty")
+        sdir = self._sparse_index_dir(name, meta.version, sparse_name)
+        if os.path.isdir(sdir):
+            return sdir
+        icol, vcol = self.sparse_cols_of(sparse_name)
+        df = self.read(name).filter(F.col(icol).isNotNull())
+        postings = sparse_invert(df, id_col="id", idx_col=icol,
+                                 val_col=vcol)
+        stage = sdir + ".staging"
+        shutil.rmtree(stage, ignore_errors=True)
+        sparse_persist_inverted(postings, stage,
+                                bucket_dims=self._SPARSE_IDX_BUCKETS)
+        os.makedirs(os.path.dirname(sdir), exist_ok=True)
+        if os.path.isdir(sdir):
+            shutil.rmtree(sdir)
+        os.rename(stage, sdir)
+        current = f"sparseidx.v{meta.version}"
+        for d in os.listdir(self._dir(name)):  # prune stale sidecars
+            if d.startswith("sparseidx.v") and d != current:
+                shutil.rmtree(os.path.join(self._dir(name), d),
+                              ignore_errors=True)
+        return sdir
 
     # -- collection-attached ANN index (the hnsw_config slot) --------------
     # Same versioned-sidecar lifecycle as quantization: build_ann_index()
