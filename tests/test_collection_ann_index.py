@@ -59,15 +59,36 @@ def test_ivf_index_config_full_probe_exact(catalog, spark):
 
 
 def test_ivf_partial_probe_recall_and_filters(catalog, spark):
+    """The partial probe is EXACT within its probed inverted lists: replay
+    the centroid routing from the sidecar's params and require search_ann
+    to equal a brute-force top-k restricted to the probed partitions.
+    (A fixed recall-vs-global-exact threshold proved flaky — uniform-
+    random data + KMeans outcomes that shift with the shared session's
+    file/partition layout wobbled the overlap 3-6/10 across full-suite
+    runs; exactness-within-probes is deterministic AND a stronger claim.
+    Production-shaped recall is gated in test_recall_report.py.)"""
+    import json
+
+    from vectordb_cloud_spark.operators.ann import route_probe_ids
+    from vectordb_cloud_spark.operators.knn import knn_search
+
     _seed(catalog, spark, "c", {"ivf": {"k_centroids": 8, "nprobe": 4}})
     qv = [0.1] * 8
-    got = [r["id"] for r in catalog.search_ann("c", qv, k=10).collect()]
+    got = [(r["id"], round(r["dist"], 9)) for r in
+           catalog.search_ann("c", qv, k=10).collect()]
+    adir = catalog._ann_dir("c", catalog.meta("c").version)
+    with open(os.path.join(adir, "params.json")) as f:
+        centers = [(int(i), list(c)) for i, c in json.load(f)["centers"]]
+    probe = route_probe_ids(centers, qv, 4)
+    layout = spark.read.parquet(os.path.join(adir, "ivf"))
+    want_df = knn_search(layout.filter(F.col("centroid_id").isin(probe)),
+                         qv, k=10, tiebreak="id")
+    want = [(r["id"], round(r["dist"], 9)) for r in want_df.collect()]
+    assert got == want
+    # sanity: the probe really pruned (some exact-global hits missing is
+    # the expected lossy-ANN behavior, not an error) and overlap is nonzero
     exact = _exact(catalog, "c", qv, 10)
-    # nprobe=4 of 8 lists over UNIFORM-random vectors: expected overlap is
-    # only ~nprobe/k_centroids of the top-10 plus routing luck — require
-    # clearly-better-than-chance, not a knife-edge 5 (production-shaped
-    # recall is gated in test_recall_report.py / RECALL.md)
-    assert len(set(got) & set(exact)) >= 4
+    assert len(set(i for i, _ in got) & set(exact)) >= 1
     pred = F.col("user_id") == 1
     flt = [r["id"] for r in
            catalog.search_ann("c", qv, k=5, predicate=pred).collect()]
