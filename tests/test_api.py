@@ -346,3 +346,41 @@ def test_query_plan_memo_and_invalidation(svc):
     assert svc.insert(213, 60, "gamma data twin", "s", "en") == 1
     r3 = svc.query(60, body)
     assert 213 in [h["id"] for h in r3]
+
+
+def test_query_memo_invalidates_on_lookup_recreate(svc, spark):
+    """ADVICE r10 (medium): the /query memo keys each LOOKUP collection by
+    (data dir, incarnation nonce) — drop+recreate of a lookup collection
+    restarts its version counter (same data.v1 path, different files), so
+    without the nonce the memoized plan would serve the first
+    incarnation's cached file listing (FileNotFoundException or stale
+    lookup rows)."""
+    assert svc.insert(401, 80, "alpha lookup doc", "s", "en") == 1
+    svc.catalog.create("prof80", dim=2)
+    svc.catalog.upsert("prof80", spark.createDataFrame(
+        [(80, [0.0, 0.0], "first incarnation", 80)],
+        "id long, embedding array<float>, text string, user_id long"))
+    body = {"query": {"text": "alpha"}, "limit": 2, "group_by": "user_id",
+            "group_size": 1, "with_lookup": {"collection": "prof80"}}
+    r1 = svc.query(80, body)
+    assert r1[0]["lookup_text"] == "first incarnation"
+    assert svc.query(80, body) == r1  # memo hit path exercised
+    svc.catalog.drop("prof80")
+    svc.catalog.create("prof80", dim=2)
+    svc.catalog.upsert("prof80", spark.createDataFrame(
+        [(80, [0.0, 0.0], "second incarnation", 80)],
+        "id long, embedding array<float>, text string, user_id long"))
+    r2 = svc.query(80, body)  # same path, new nonce -> fresh plan
+    assert r2[0]["lookup_text"] == "second incarnation"
+
+
+def test_collection_nonce_distinguishes_incarnations(svc):
+    """Every create() persists a creation nonce; drop+recreate of the same
+    name yields a different one (the memo-stamp primitive — inodes can
+    recycle and st_ino is meaningless on object-store mounts)."""
+    n1 = svc.catalog.meta(svc.index_name).nonce
+    assert n1
+    svc.catalog.drop(svc.index_name)
+    svc.catalog.create(svc.index_name, svc.dim)
+    n2 = svc.catalog.meta(svc.index_name).nonce
+    assert n2 and n2 != n1

@@ -230,3 +230,27 @@ def test_read_inverted_detects_unbucketed_layout(spark, sparse_docs,
     assert n_buckets is None
     got = sparse_topk_inverted(postings, QI, QV, k=10).collect()
     assert [r["id"] for r in got] == [2, 1, 5, 3]
+
+
+def test_sparse_dot_to_duplicate_dims_and_nonfinite_stored(spark):
+    """ADVICE r10: the map-fold builder itself (a) sums duplicate query
+    dims driver-side instead of throwing Spark's duplicate-map-key error
+    at runtime (the public search entries still reject duplicates up
+    front), and (b) never multiplies a stored dim outside the query's
+    support — a non-finite stored value there contributes exact +0.0,
+    exactly as the old per-query-dim chain behaved."""
+    import pytest as _pytest
+
+    from vectordb_cloud_spark.operators.sparse import sparse_dot_to
+
+    df = spark.createDataFrame(
+        [(1, [0, 3, 7], [1.0, float("inf"), 2.0]),
+         (2, [3, 5], [float("nan"), 1.0])],
+        "doc_id long, indices array<int>, values array<float>")
+    score = sparse_dot_to("indices", "values", [0, 7, 0], [1.0, 2.0, 0.5])
+    got = {r["doc_id"]: r["s"]
+           for r in df.select("doc_id", score.alias("s")).collect()}
+    # dim 0 weight folds to 1.0 + 0.5; stored inf at unqueried dim 3 is a
+    # null-key branch, never multiplied
+    assert got[1] == _pytest.approx(1.5 * 1.0 + 2.0 * 2.0)
+    assert got[2] == 0.0  # stored NaN at dim 3, dim 3 not in query

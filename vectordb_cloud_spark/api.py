@@ -172,24 +172,43 @@ class VectorService:
         hits = knn_search(points, qvec, k=limit, filters=pred, tiebreak="id")
         return self._memo_plan(memo_key, search_response(hits))
 
-    def _memo_stamp(self, data_dir: str | None):
-        """Memo-key components beyond the path of the current data version:
-        the dir's inode (drop+recreate restarts the version counter, so a
-        recurring ``data.v1`` path must not hit the old incarnation's
-        cached file listing) and the payload-index declaration state
-        (create/drop_payload_index changes match.text ROUTING semantics
-        without any data rewrite). Returns None when unstampable — caller
-        skips the memo."""
+    def _incarnation(self, name: str, data_dir: str | None):
+        """Which INCARNATION of a collection name a data dir belongs to:
+        the creation nonce persisted in ``_meta.json`` (drop+recreate
+        restarts the version counter, so a recurring ``data.v1`` path must
+        not hit the old incarnation's cached file listing). Legacy
+        catalogs without a nonce fall back to the dir's inode — best
+        effort only (inodes recycle; meaningless on object-store mounts),
+        which is exactly why create() now persists a nonce. Returns None
+        when unstampable — caller skips the memo."""
         import os as _os
 
+        try:
+            nonce = self.catalog.meta(name).nonce
+        except (OSError, TypeError, ValueError):
+            return None
+        if nonce is not None:
+            return nonce
         if data_dir is None:
             return None
         try:
-            ino = _os.stat(data_dir).st_ino
+            return _os.stat(data_dir).st_ino
         except OSError:
             return None
+
+    def _memo_stamp(self, data_dir: str | None):
+        """Memo-key components beyond the path of the current data version:
+        the collection's incarnation (see ``_incarnation``) and the
+        payload-index declaration state (create/drop_payload_index changes
+        match.text ROUTING semantics without any data rewrite). Returns
+        None when unstampable — caller skips the memo."""
+        if data_dir is None:
+            return None
+        inc = self._incarnation(self.index_name, data_dir)
+        if inc is None:
+            return None
         meta = self.catalog.meta(self.index_name)
-        return (ino, tuple(sorted((meta.payload_indexes or {}).items())))
+        return (inc, tuple(sorted((meta.payload_indexes or {}).items())))
 
     def _memo_plan(self, key, df: DataFrame) -> DataFrame:
         if key is not None:
@@ -312,11 +331,20 @@ class VectorService:
                     v = body.get(slot)
                     if v:
                         try:
-                            name = (str(v["collection"])
-                                    if isinstance(v, dict) else str(v))
-                            extra.append(
-                                self.catalog._current_data_dir(
-                                    self.catalog.resolve(name)))
+                            name = self.catalog.resolve(
+                                str(v["collection"])
+                                if isinstance(v, dict) else str(v))
+                            ldir = self.catalog._current_data_dir(name)
+                            # incarnation rides with the path: a lookup
+                            # collection dropped+recreated reuses data.v1,
+                            # and serving its OLD memoized plan would read
+                            # deleted part files (ADVICE r10, the same
+                            # hazard _memo_stamp closes for the primary)
+                            linc = self._incarnation(name, ldir)
+                            if linc is None:
+                                extra = None
+                                break
+                            extra.append((ldir, linc))
                         except (KeyError, FileNotFoundError, ValueError):
                             extra = None  # malformed/unknown: no memo;
                             break         # execution raises its own error

@@ -101,6 +101,15 @@ class CollectionMeta:
     # {"graph": {"degree": D, "beam": B, "max_hops": H}} (HNSW-class).
     # Same versioned-sidecar lifecycle as quantization (``ann.v{N}``).
     ann_index: dict | None = None
+    # Creation nonce: a uuid stamped once at create() and never rewritten.
+    # Serving-layer plan memos key on (nonce, data.v{N} path) to tell one
+    # incarnation of a name from the next — drop+recreate restarts the
+    # version counter, so a recurring ``data.v1`` path alone would hit a
+    # stale memoized plan whose cached file listing points at deleted part
+    # files. An inode stamp is NOT a substitute: the filesystem may recycle
+    # the inode, and st_ino is meaningless on object-store/FUSE mounts
+    # (ADVICE r10). None only for catalogs written before this field.
+    nonce: str | None = None
 
 
 class CollectionCatalog:
@@ -348,11 +357,14 @@ class CollectionCatalog:
                               for k, v in sparse_vectors.items()}
         if shard_key in ("id", "embedding", "__bucket") or shard_key.startswith("vec_"):
             raise ValueError(f"cannot shard on reserved column {shard_key!r}")
+        import uuid as _uuid
+
         meta = CollectionMeta(name, dim, metric, id_type, n_buckets,
                               vectors=vectors, quantization=quantization,
                               ann_index=ann_index,
                               sparse_vectors=sparse_vectors,
-                              shard_key=shard_key)
+                              shard_key=shard_key,
+                              nonce=_uuid.uuid4().hex)
         # defensive: a fresh collection must never serve a memoized relation
         # from a previous same-name incarnation (drop+recreate restarts the
         # version counter, so data.v{N} paths can collide)
@@ -1154,18 +1166,21 @@ class CollectionCatalog:
         ``"text"`` payload index are served by the postings sidecar
         (whole-token semantics — Qdrant's documented behavior for MatchText
         on an INDEXED field); everything else stays a scan-stage predicate.
-        Multiple routed clauses intersect. Nested/should/must_not text
-        clauses are conservatively left to the scan (their boolean context
-        can't use a prefilter)."""
+        Multiple routed clauses intersect. Indexed should/must_not/nested
+        text clauses can't use a prefilter (their boolean context isn't a
+        candidate cut), but they do NOT fall back to substring semantics:
+        the residual document passes through ``rewrite_text_filter``, which
+        turns them into whole-token ``match.tokens`` scan clauses — one
+        MatchText semantics per field in every boolean position."""
         if not query_filter:
             return None, query_filter
         meta = self.meta(self.resolve(name))
         indexed = {f: s for f, s in (meta.payload_indexes or {}).items()
                    if s in TEXT_INDEX_SCHEMAS}
-        must = query_filter.get("must")
-        if not indexed or not must:
+        if not indexed:
             return None, query_filter
-        must = [must] if isinstance(must, dict) else list(must)
+        must = query_filter.get("must")
+        must = ([must] if isinstance(must, dict) else list(must)) if must else []
         routed, kept = [], []
         for c in must:
             if (isinstance(c, dict) and c.get("key") in indexed
@@ -1176,15 +1191,19 @@ class CollectionCatalog:
                 routed.append((c["key"], str(c["match"]["text"])))
             else:
                 kept.append(c)
+        residual = {k: v for k, v in query_filter.items() if k != "must"}
+        if kept:
+            residual["must"] = kept
+        # non-must indexed match.text -> match.tokens (no probe; the
+        # residual's must holds only unroutable clauses, so this never
+        # double-probes)
+        residual = self.rewrite_text_filter(name, residual or None)
         if not routed:
-            return None, query_filter
+            return None, residual
         cand = None
         for field, text in routed:
             ids = self.text_match_ids(name, field, text)
             cand = ids if cand is None else cand.join(ids, "id", "inner")
-        residual = {k: v for k, v in query_filter.items() if k != "must"}
-        if kept:
-            residual["must"] = kept
         return cand, (residual or None)
 
     # candidate sets at or below this size restrict the base scan with a
@@ -1219,57 +1238,92 @@ class CollectionCatalog:
         filters) and therefore cannot take a candidate frame the way
         ``VectorService.search`` does.
 
-        A routed clause whose postings AND yields ≤ _ID_PUSHDOWN_MAX ids
-        becomes ``{"has_id": [...]}`` (the postings sidecar did the work;
-        the list compiles to one parsed SQL IN — filters.py fast path).
-        Larger ones become the whole-token ``match.tokens`` scan clause
-        (same INDEXED MatchText semantics, no postings probe). Either
-        way the indexed field keeps Qdrant's whole-token semantics on
-        every endpoint instead of flipping to substring on /query
-        (the r9 routed-vs-unindexed behavior-flip lesson). Nested /
-        should / must_not text clauses keep scan-stage semantics, as in
-        ``route_text_clauses``."""
+        A TOP-LEVEL-MUST routed clause whose postings AND yields
+        ≤ _ID_PUSHDOWN_MAX ids becomes ``{"has_id": [...]}`` (the postings
+        sidecar did the work; the list compiles to one parsed SQL IN —
+        filters.py fast path). Every other indexed match.text clause —
+        larger must clauses, and clauses under ``should`` / ``must_not``
+        / ``min_should`` / nested boolean docs at any depth — becomes the
+        whole-token ``match.tokens`` scan clause (same INDEXED MatchText
+        semantics, no postings probe, so boolean context is irrelevant).
+        Either way an indexed field keeps Qdrant's whole-token semantics
+        in EVERY boolean position of every endpoint, instead of flipping
+        to substring outside top-level must (ADVICE r10 — a must_not
+        substring clause would exclude MORE points than Qdrant).
+        ``nested:`` conditions' sub-filters are left alone: their keys
+        resolve against array ELEMENTS, a different namespace than the
+        top-level payload indexes. Unindexed match.text keeps scan-stage
+        substring semantics everywhere, as before."""
         if not query_filter:
             return query_filter
         name = self.resolve(name)
         meta = self.meta(name)
         indexed = {f: s for f, s in (meta.payload_indexes or {}).items()
                    if s in TEXT_INDEX_SCHEMAS}
-        must = query_filter.get("must")
-        if not indexed or not must:
+        if not indexed:
             return query_filter
-        must = [must] if isinstance(must, dict) else list(must)
-        out_must, changed = [], False
-        for c in must:
-            if (isinstance(c, dict) and c.get("key") in indexed
+
+        changed = False
+
+        def _tokens_form(c: dict) -> dict | None:
+            """match.tokens twin of an indexed match.text clause (None =
+            not such a clause / nothing to rewrite)."""
+            if not (isinstance(c, dict) and c.get("key") in indexed
                     and isinstance(c.get("match"), dict)
                     and "text" in c["match"]):
-                schema = indexed[c["key"]]
-                tokens = self._tokenize_query(schema,
-                                              str(c["match"]["text"]))
-                if not tokens:
-                    out_must.append(c)
-                    continue
-                ids_df = self.text_match_ids(name, c["key"],
-                                             str(c["match"]["text"]))
-                rows = ids_df.limit(self._ID_PUSHDOWN_MAX + 1).collect()
+                return None
+            schema = indexed[c["key"]]
+            tokens = self._tokenize_query(schema, str(c["match"]["text"]))
+            if not tokens:
+                return None
+            return {"key": c["key"], "match": {
+                "tokens": tokens,
+                "tokenizer": ("whitespace" if schema == "text_whitespace"
+                              else "word"),
+            }}
+
+        def _walk_clause(c, probe: bool):
+            """Rewrite one clause-list item. ``probe=True`` only for
+            top-level must items (AND context: a has_id candidate cut is
+            sound and pays for its postings probe)."""
+            nonlocal changed
+            if not isinstance(c, dict):
+                return c
+            if any(k in c for k in ("must", "should", "must_not",
+                                    "min_should")):
+                return _walk_doc(c)  # nested boolean doc
+            tf = _tokens_form(c)
+            if tf is None:
+                return c
+            changed = True
+            if probe:
+                rows = (self.text_match_ids(name, c["key"],
+                                            str(c["match"]["text"]))
+                        .limit(self._ID_PUSHDOWN_MAX + 1).collect())
                 if len(rows) <= self._ID_PUSHDOWN_MAX:
-                    out_must.append({"has_id": [r[0] for r in rows]})
-                else:
-                    out_must.append({"key": c["key"], "match": {
-                        "tokens": tokens,
-                        "tokenizer": ("whitespace"
-                                      if schema == "text_whitespace"
-                                      else "word"),
-                    }})
-                changed = True
-            else:
-                out_must.append(c)
-        if not changed:
-            return query_filter
-        out = {k: v for k, v in query_filter.items() if k != "must"}
-        out["must"] = out_must
-        return out
+                    return {"has_id": [r[0] for r in rows]}
+            return tf
+
+        def _walk_doc(doc: dict, top: bool = False) -> dict:
+            out = dict(doc)
+            for slot in ("must", "should", "must_not"):
+                cl = doc.get(slot)
+                if not cl:
+                    continue
+                cl = [cl] if isinstance(cl, dict) else list(cl)
+                out[slot] = [_walk_clause(c, probe=(top and slot == "must"))
+                             for c in cl]
+            ms = doc.get("min_should")
+            if isinstance(ms, dict) and ms.get("conditions"):
+                out["min_should"] = {
+                    **ms,
+                    "conditions": [_walk_clause(c, probe=False)
+                                   for c in ms["conditions"]],
+                }
+            return out
+
+        out = _walk_doc(query_filter, top=True)
+        return out if changed else query_filter
 
     def search_text_filtered(self, name: str, query_vector: list[float],
                              field: str, text: str, k: int = 10,

@@ -127,8 +127,16 @@ def _match_pred(col: Column, spec: dict[str, Any]) -> Column:
         # the null trap by requiring non-null explicitly.
         return col.isNotNull() & ~col.isin(vals)
     if "text" in spec:
-        # full-text match: every lowercased whitespace token must occur
-        tokens = [t for t in str(spec["text"]).lower().split() if t]
+        # full-text match on an UNINDEXED field: every query token must
+        # occur as a SUBSTRING (the scan-stage extension — Qdrant only
+        # defines MatchText on indexed fields). Query tokens derive from
+        # the same `word` tokenizer the indexed path uses (lowercase,
+        # split on non-alphanumeric, functions.hashing.word_tokens_py) so
+        # the two paths share ONE token derivation; only the match
+        # semantics differ (substring here, whole-token there).
+        from vectordb_cloud_spark.functions.hashing import word_tokens_py
+
+        tokens = word_tokens_py(str(spec["text"]))
         if not tokens:
             return F.lit(True)
         pred = F.lower(col).contains(tokens[0])

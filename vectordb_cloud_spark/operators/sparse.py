@@ -59,21 +59,35 @@ def sparse_dot_to(idx_col: Column | str, val_col: Column | str,
     convention); with ascending query dims the shared-term partial sums
     are bit-identical to the old query-dim-order fold — non-shared terms
     contribute exact +0.0 either way. Non-finite query values fall back
-    to the element-wise chain ('inf'/'nan' are not SQL literals)."""
+    to the element-wise chain ('inf'/'nan' are not SQL literals).
+
+    Robustness (ADVICE r10): duplicate query dims are summed driver-side
+    before the map literal renders (Spark's default duplicate-map-key
+    policy is EXCEPTION — the public search entry points still reject
+    duplicates up front via ``_check_query``, but this builder must not
+    throw at runtime); and a stored dim NOT in the query contributes an
+    exact +0.0 REGARDLESS of its stored value — the null-key branch
+    never multiplies, so a non-finite stored value outside the query's
+    support cannot poison the score to NaN (the per-dim chain's
+    behavior, preserved)."""
     import math
 
     idx = F.col(idx_col) if isinstance(idx_col, str) else idx_col
     val = F.col(val_col) if isinstance(val_col, str) else val_col
     vals = [float(v) for v in query_values]
     if vals and all(map(math.isfinite, vals)):
+        qacc: dict[int, float] = {}
+        for i, v in zip(query_indices, vals):
+            qacc[int(i)] = qacc.get(int(i), 0.0) + v
         map_sql = "map(" + ",".join(
-            f"{int(i)},{v!r}D" for i, v in zip(query_indices, vals)) + ")"
+            f"{i},{v!r}D" for i, v in qacc.items()) + ")"
         qmap = F.expr(map_sql)
         return F.aggregate(
             F.zip_with(
                 idx, val.cast("array<double>"),
-                lambda i, v: F.coalesce(F.element_at(qmap, i),
-                                        F.lit(0.0)) * v,
+                lambda i, v: F.when(F.element_at(qmap, i).isNotNull(),
+                                    F.element_at(qmap, i) * v)
+                .otherwise(F.lit(0.0)),
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,
