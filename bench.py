@@ -160,6 +160,15 @@ def main():
         lambda: noop_write(qmod.price_percentiles_by_flag_approx(spark, sf_dir)),
     )
 
+    # r11 rotated-out rows stay timed at library level so BENCH series
+    # remain comparable round over round (oracles stay spot-runnable)
+    bench_one("simhash_near_dup_pairs",
+              lambda: noop_write(qmod.simhash_near_dup_pairs_q(spark, sf_dir)))
+    bench_one("geo_radius_search",
+              lambda: noop_write(qmod.geo_radius_search(spark, sf_dir)))
+    bench_one("discover_topk",
+              lambda: noop_write(qmod.discover_topk(spark, sf_dir)))
+
     # PII scrub over the full corpus (library-level, registry is at its
     # 50-entry cap): redaction + audit counts as scan-stage column algebra
     from vectordb_cloud_spark.functions.pii import scrub_corpus
@@ -408,12 +417,16 @@ def main():
                                      "two pruned SQL-IN collects (no "
                                      "broadcast/distinct jobs) — identical "
                                      "results, ~2.5x faster"),
-        "registry": ("r10 rotation: in text_routed_search, "
+        "registry": ("r11 rotation: in collection_search_sparse, "
+                     "query_text_rewrite_search, query_batch_shared_scan "
+                     "(the r10-new serving surfaces under the oracle); "
+                     "out simhash_near_dup_pairs, geo_radius_search, "
+                     "discover_topk (oracle-green r8-r10, shapes covered "
+                     "by remaining rows; pytest ground truth retained). "
+                     "r10 rotation: in text_routed_search, "
                      "query_funnel_maxsim, collection_search_ann; out "
                      "knn_batch_topk, scalar_functions_parity, "
-                     "price_percentiles_by_flag (shape-redundant); "
-                     "search_groups_topk upgraded in place with "
-                     "with_lookup group-head payload columns"),
+                     "price_percentiles_by_flag"),
         "measurement": ("r10: /proc/loadavg stamped at suite start/end + "
                         "per query (query_load); a median >1.5x the best "
                         "single run is re-measured up to 2x and the best "

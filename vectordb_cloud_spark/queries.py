@@ -991,11 +991,21 @@ def _simhash_oracle_sql() -> str:
     """
 
 
-@_q("simhash_near_dup_pairs", _simhash_oracle_sql())
 def simhash_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs — dedup op #3, exercising the banded
     (band_idx, band_value) equi-join with the pigeonhole recall guarantee
-    (bands = max_hamming + 1; see operators/dedup.py). Oracle-checked: under
+    (bands = max_hamming + 1; see operators/dedup.py).
+
+    r11 rotation: registry row retired to library level (the registry
+    holds exactly 50 oracle rows and the r10-new serving surfaces took
+    priority — VERDICT r10 next-round #1). The oracle SQL below stays
+    wired for `tools/check_queries.py simhash_near_dup_pairs`-style spot
+    runs, and pytest pins the brute-force parity (test_dedup.py: banded
+    output == exact hamming pairs under md5_60 at several thresholds);
+    the dedup family keeps three oracle rows (minhash / embedding-LSH /
+    lsh-join).
+
+    Oracle-checked through r10: under
     md5_60 the guaranteed-recall output equals brute-force hamming pairs,
     which DuckDB re-derives from scratch (_simhash_oracle_sql); banding ==
     brute-force is additionally gated in tests/test_dedup.py."""
@@ -2886,9 +2896,8 @@ def filter_dsl_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source", "n_chars")
 
 
-@_q(
-    "geo_radius_search",
-    """
+def _geo_radius_oracle_sql() -> str:
+    return """
     WITH pts AS (
       SELECT c_custkey,
              (c_custkey * 7919 % 18000) / 100.0 - 90.0 AS lat,
@@ -2906,8 +2915,9 @@ def filter_dsl_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             + cos(radians(lat)) * cos(radians(10.0))
               * sin(radians(20.0 - lon) / 2) ^ 2, 1.0))) <= 3000000.0
     ORDER BY c_custkey
-    """,
-)
+    """
+
+
 def geo_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geo-radius filter (Qdrant `geo_radius` condition) as haversine column
     math: points within 3000 km of (10°N, 20°E), with the distance column.
@@ -2915,7 +2925,12 @@ def geo_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     modular arithmetic then exact decimal division — bit-identical in both
     engines); the fixture's nearest point sits >4 km from the radius
     boundary, so cross-engine libm noise (~1e-9 m) cannot flip membership.
-    Plan: pure scan-stage expressions, filter before project, no shuffle."""
+    Plan: pure scan-stage expressions, filter before project, no shuffle.
+
+    r11 rotation: registry row retired to library level (oracle-green
+    r8-r10; _geo_radius_oracle_sql stays wired for spot runs, the geo
+    grammar stays fuzz-covered in test_filters/test_properties) — the
+    slot went to the r10-new serving surfaces per VERDICT r10 #1."""
     from vectordb_cloud_spark.filters import compile_filter, geo_distance_meters_to
 
     cust = _t(spark, sf_dir, "customer")
@@ -2965,14 +2980,18 @@ def _discover_oracle_sql() -> str:
     """
 
 
-@_q("discover_topk", _discover_oracle_sql())
 def discover_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Discovery search (Qdrant /points/discover): target vector 0 steered
     by three (positive, negative) context pairs (ids 1..6); rank by pairs
     satisfied (closer-to-positive), tiebreak by target distance — the
     documented public semantics. Examples excluded from results, like the
     recommend row. One narrow scan + TakeOrderedAndProject; operator in
-    operators/discover.py."""
+    operators/discover.py.
+
+    r11 rotation: registry row retired to library level (oracle-green
+    r8-r10; _discover_oracle_sql stays wired for spot runs and
+    test_discover.py pins the hand-computed context-pair semantics) —
+    the slot went to the r10-new serving surfaces per VERDICT r10 #1."""
     from vectordb_cloud_spark.operators.discover import discover
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -3720,6 +3739,252 @@ def collection_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = _query_vec(spark, sf_dir, 0)
     hits = cat.search_ann("annc", qv, k=10)
     return hits.select("id", F.round("dist", 6).alias("dist"))
+
+
+# ---------------------------------------------------------------------------
+# r11 registry rotation (VERDICT r10 next-round #1): the r10-new serving
+# surfaces under the hard oracle — collection search_sparse through the
+# sparseidx.v inverted-postings sidecar lifecycle (the sparse twin of
+# collection_search_ann), a /query request whose filter exercises the
+# rewrite_text_filter has_id + match.tokens rewrites end-to-end, and
+# query_batch's shared-scan path (two dense requests, ONE corpus pass).
+# Rotated out to library level: simhash_near_dup_pairs, geo_radius_search,
+# discover_topk (all oracle-green r8-r10, shapes covered by the remaining
+# dedup/filter rows; pytest ground truth retained — see their docstrings).
+# ---------------------------------------------------------------------------
+
+# --- collection search_sparse through the sparseidx.v sidecar --------------
+_SPCOL_BASE = os.path.join(_ORACLE_ART_BASE, "sparse_col")
+_SPCOL_K = 10
+_SPCOL_CURRENT: str | None = None
+
+
+def _sparse_collection(spark: SparkSession, sf_dir: str):
+    """Collection fixture: named sparse vectors ("splade") derived from the
+    embeddings table by the funnel's activation-threshold rule (dims where
+    the value exceeds _FUNNEL_T), upserted into a catalog collection whose
+    sparse config declares ``{"index": ...}`` — so ``search_sparse`` serves
+    through the lazy versioned ``sparseidx.v{N}`` dim-bucketed
+    inverted-postings sidecar (collections.py build_sparse_index). The
+    sparse twin of ``_ann_collection``."""
+    global _SPCOL_CURRENT
+    import shutil
+
+    from vectordb_cloud_spark.collections import CollectionCatalog
+
+    key = os.path.abspath(sf_dir)
+    cat = CollectionCatalog(spark, _SPCOL_BASE)
+    if _SPCOL_CURRENT == key:
+        return cat
+    shutil.rmtree(_SPCOL_BASE, ignore_errors=True)
+    cat = CollectionCatalog(spark, _SPCOL_BASE)
+    cat.create("sparsec", dim=_EMB_DIM, n_buckets=4,
+               sparse_vectors={"splade": {"index": {"on_disk": True}}})
+    emb = _t(spark, sf_dir, "embeddings")
+    vec = F.col("embedding")
+    pos = F.sequence(F.lit(0), F.lit(_EMB_DIM - 1))
+    live = F.filter(
+        pos, lambda i: F.element_at(vec, (i + F.lit(1)).cast("int"))
+        .cast("double") > F.lit(_FUNNEL_T))
+    vals = F.transform(
+        live, lambda i: F.element_at(vec, (i + F.lit(1)).cast("int"))
+        .cast("double"))
+    cat.upsert("sparsec", emb.select(
+        F.col("vec_id").alias("id"), "embedding",
+        (F.col("vec_id") % 50).alias("user_id"),
+        live.alias("sparse_splade_indices"),
+        vals.alias("sparse_splade_values"),
+    ))
+    _SPCOL_CURRENT = key
+    return cat
+
+
+def _spcol_oracle_sql() -> str:
+    """DuckDB twin of collection ``search_sparse`` through the sidecar:
+    derive the query's active dims from embeddings vec_id=0 with the same
+    threshold rule, join them against the postings the catalog's
+    build_sparse_index actually wrote (sparseidx.v{N} — stale versions
+    pruned, so one glob match; hive_partitioning exposes the dim-bucket
+    dirs a real query prunes to), DECIMAL(38,18)-exact per-doc sum
+    (order-independent in both engines, the sparse_topk_inverted rule),
+    score-desc top-k."""
+    post_glob = os.path.join(_SPCOL_BASE, "sparsec", "sparseidx.v*",
+                             "splade", "bucket=*", "*.parquet")
+    return f"""
+    WITH q AS (
+      SELECT i - 1 AS qdim, qe[i]::DOUBLE AS qval
+      FROM (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           range(1, {_EMB_DIM} + 1) t(i)
+      WHERE qe[i]::DOUBLE > {_FUNNEL_T}
+    ),
+    contrib AS (
+      SELECT p.id, CAST(p.value::DOUBLE * q.qval AS DECIMAL(38,18)) AS c
+      FROM read_parquet('{post_glob}', hive_partitioning=1) p
+      JOIN q ON CAST(p.dim AS INT) = q.qdim
+    ),
+    scored AS (SELECT id, round(sum(c)::DOUBLE, 6) AS score
+               FROM contrib GROUP BY id)
+    SELECT id, score FROM scored
+    WHERE score <> 0.0
+    ORDER BY score DESC, id ASC LIMIT {_SPCOL_K}
+    """
+
+
+@_q("collection_search_sparse", _spcol_oracle_sql())
+def collection_search_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection ``search_sparse`` (VERDICT r10 #1a): the sparseidx.v{N}
+    inverted-postings sidecar proven THROUGH the collection lifecycle —
+    create with a sparse_vectors config that declares an index → bucketed
+    upsert with per-write sparse validation (aligned arrays, strictly
+    ascending unique indices) → lazy versioned dim-bucketed sidecar build
+    (atomic staging+rename, stale prune) → query-dims bucket pruning +
+    decimal-exact per-doc dot product (collections.py search_sparse /
+    build_sparse_index). The sparse twin of ``collection_search_ann``;
+    the oracle replays scoring from the sidecar files the catalog wrote."""
+    cat = _sparse_collection(spark, sf_dir)
+    qv = _query_vec(spark, sf_dir, 0)
+    qdims = [i for i, v in enumerate(qv) if v > _FUNNEL_T]
+    qvals = [float(qv[i]) for i in qdims]
+    return cat.search_sparse("sparsec", "splade", qdims, qvals, k=_SPCOL_K)
+
+
+# --- /query with an indexed match.text filter: the rewrite path ------------
+_QTR_MATCH_TEXT = "vector scan"  # must clause -> has_id (postings probe)
+_QTR_NOT_TOKEN = "sort"          # must_not clause -> match.tokens rewrite
+_QTR_K = 10
+
+
+def _query_rewrite_oracle_sql() -> str:
+    """DuckDB twin of the /query rewrite path: the must match.text clause
+    resolves to ids whose postings (textidx.v{N} sidecar files) contain
+    EVERY query token; the must_not clause excludes ids whose postings
+    contain its token (whole-token indexed MatchText semantics in BOTH
+    boolean positions — the engine evaluates must_not as a match.tokens
+    scan predicate over the same word tokenizer that built the postings,
+    so postings membership is an exact replay); tenant filter on the data
+    files, exact L2 vs the mock-embedded query (deterministic, inlined),
+    (dist, id) top-k."""
+    from vectordb_cloud_spark.functions.embedding import mock_vector
+    from vectordb_cloud_spark.functions.hashing import word_tokens_py
+
+    qv = mock_vector(_TXT_QUERY_TEXT, _EMB_DIM)
+    qlit = "[" + ", ".join(repr(float(v)) for v in qv) + "]::DOUBLE[]"
+    tokens = sorted(set(word_tokens_py(_QTR_MATCH_TEXT)))
+    tok_in = ", ".join("'" + t + "'" for t in tokens)
+    post_glob = os.path.join(_TXT_SVC_ROOT, _TXT_COLLECTION, "textidx.v*",
+                             "text", "*", "*.parquet")
+    data_glob = os.path.join(_TXT_SVC_ROOT, _TXT_COLLECTION, "data.v*",
+                             "*", "*.parquet")
+    l2 = _SQL_L2.format(a="b.embedding", b="q.qe")
+    return f"""
+    WITH q AS (SELECT {qlit} AS qe),
+    cand AS (
+      SELECT id FROM read_parquet('{post_glob}', hive_partitioning=1)
+      WHERE token IN ({tok_in})
+      GROUP BY id HAVING count(DISTINCT token) = {len(tokens)}
+    ),
+    excl AS (
+      SELECT DISTINCT id
+      FROM read_parquet('{post_glob}', hive_partitioning=1)
+      WHERE token = '{_QTR_NOT_TOKEN}'
+    ),
+    base AS (
+      SELECT id, text, embedding
+      FROM read_parquet('{data_glob}', hive_partitioning=1)
+      WHERE user_id = {_TXT_USER}
+        AND id IN (SELECT id FROM cand)
+        AND id NOT IN (SELECT id FROM excl)
+    )
+    SELECT b.id, b.text AS string, round({l2}, 6) AS dist
+    FROM base b, q
+    ORDER BY {l2} ASC, b.id ASC
+    LIMIT {_QTR_K}
+    """
+
+
+@_q("query_text_rewrite_search", _query_rewrite_oracle_sql())
+def query_text_rewrite_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POST /points/query with an indexed match.text filter (VERDICT r10
+    #1b): the universal query API's filter document passes through
+    ``rewrite_text_filter`` (api.py _translate), which turns the must
+    clause into a postings-served ``has_id`` candidate cut and the
+    must_not clause into the whole-token ``match.tokens`` scan predicate
+    (the r11 boolean-context rewrite — substring semantics would exclude
+    MORE docs than Qdrant's indexed MatchText). The endpoint's public
+    contract returns JSON hit dicts, so this row transports them into a
+    local DataFrame for the compare — all Spark work (rewrite probe,
+    tenant-pruned scan, exact kNN) happens inside ``VectorService.query``.
+    The oracle replays both rewrites from the postings files the catalog
+    wrote, then the tenant + kNN stages from the data files."""
+    svc = _text_service(spark, sf_dir)
+    body = {
+        "query": {"text": _TXT_QUERY_TEXT},
+        "filter": {
+            "must": [{"key": "text",
+                      "match": {"text": _QTR_MATCH_TEXT}}],
+            "must_not": [{"key": "text",
+                          "match": {"text": _QTR_NOT_TOKEN}}],
+        },
+        "limit": _QTR_K,
+    }
+    rows = svc.query(_TXT_USER, body)
+    out = spark.createDataFrame(
+        [(int(r["id"]), str(r["text"]), float(r["dist"])) for r in rows],
+        "id long, string string, dist double",
+    )
+    return out.withColumn("dist", F.round("dist", 6))
+
+
+# --- query_batch: N dense requests, ONE shared corpus scan ------------------
+_QB_TEXTS = ("fast vector search", "group by window")
+_QB_K = 8
+
+
+def _query_batch_oracle_sql() -> str:
+    """DuckDB twin of the shared-scan batch: each request is an exact
+    tenant-scoped L2 top-k against its own mock-embedded vector
+    (deterministic, inlined) over the SAME data files — the engine serves
+    both from one broadcast-queries × corpus pass (operators.knn.knn_batch
+    windowed per query_id), which must equal the per-query answers."""
+    from vectordb_cloud_spark.functions.embedding import mock_vector
+
+    data_glob = os.path.join(_TXT_SVC_ROOT, _TXT_COLLECTION, "data.v*",
+                             "*", "*.parquet")
+    parts = []
+    for i, text in enumerate(_QB_TEXTS):
+        qv = mock_vector(text, _EMB_DIM)
+        qlit = "[" + ", ".join(repr(float(v)) for v in qv) + "]::DOUBLE[]"
+        l2 = _SQL_L2.format(a="b.embedding", b="q.qe")
+        parts.append(f"""
+    (SELECT {i} AS query_idx, b.id, b.text AS string, round({l2}, 6) AS dist
+     FROM (SELECT id, text, embedding
+           FROM read_parquet('{data_glob}', hive_partitioning=1)
+           WHERE user_id = {_TXT_USER}) b,
+          (SELECT {qlit} AS qe) q
+     ORDER BY {l2} ASC, b.id ASC
+     LIMIT {_QB_K})""")
+    return " UNION ALL ".join(parts)
+
+
+@_q("query_batch_shared_scan", _query_batch_oracle_sql())
+def query_batch_shared_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POST /points/query/batch (VERDICT r10 #1c): two plain dense
+    requests served by ONE shared corpus scan — ``VectorService.
+    query_batch`` broadcasts the query batch and window-ranks per query
+    (operators.knn.knn_batch), so N requests cost one pass over the
+    tenant's buckets instead of N. Both result sets ride back in one
+    DataFrame tagged by request index and are hash-matched against
+    per-query oracle kNN — proving the shared scan changes the COST, not
+    the answers. As with /query, the endpoint returns JSON dicts; the
+    row transports them into a local DataFrame for the compare."""
+    svc = _text_service(spark, sf_dir)
+    bodies = [{"query": {"text": t}, "limit": _QB_K} for t in _QB_TEXTS]
+    res = svc.query_batch(_TXT_USER, bodies)
+    rows = [(i, int(r["id"]), str(r["text"]), float(r["dist"]))
+            for i, hits in enumerate(res) for r in hits]
+    out = spark.createDataFrame(
+        rows, "query_idx int, id long, string string, dist double")
+    return out.withColumn("dist", F.round("dist", 6))
 
 
 def registry() -> dict[str, QueryFn]:
