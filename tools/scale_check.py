@@ -734,9 +734,18 @@ def main():
                 )
                 cat.upsert("c", rows)
                 t0 = time.time()
-                cat.build_text_index("c", "text")
+                tdir = cat.build_text_index("c", "text")
                 results.setdefault("text_index_build", {})[n] = round(
                     time.time() - t0, 3)
+                nf = sum(1 for _, _, fs in os.walk(tdir)
+                         for f in fs if f.endswith(".parquet"))
+                nd = len([d for d in os.listdir(tdir)
+                          if d.startswith("tbucket=")])
+                results.setdefault("_notes", {})[
+                    f"text_index_files_at_{n}"] = (
+                    f"{nf} parquet files across {nd} tbucket dirs "
+                    f"(one file per bucket — the write shuffles on the "
+                    f"bucket key before partitionBy)")
                 results.setdefault("text_routed_search_rare", {})[n] = timed(
                     lambda cat=cat: noop(cat.search_text_filtered(
                         "c", [0.1, 0.2, 0.3, 0.4], "text", "needleword",
@@ -754,8 +763,14 @@ def main():
                 "(restrict_to_ids) instead of a full-scan semi join. "
                 "text_index_build is the one-off explode+shuffle over "
                 "corpus tokens — ~linear once fixed plan overhead "
-                "amortizes (measured 14.4x for the 10x jump from 10M to "
-                "100M postings; flat below that).")
+                "amortizes. r11 re-measure with file counts named "
+                "(VERDICT r10 #3): the repartition('tbucket') before the "
+                "partitionBy write yields EXACTLY one file per bucket "
+                "dir at every size (64 files / 64 dirs / 571 MB at 100M "
+                "postings), so the r10 'small-file fanout' diagnosis was "
+                "stale — the build is just token-linear (plus the r11 "
+                "session fix dropping per-op py4j capture), and there is "
+                "nothing for a sidecar compaction pass to coalesce.")
 
         # multi-tenant contract (VERDICT r9 #7, README '1000 users'): the
         # SAME 1M-row corpus sharded across 10 vs 1000 tenants — per-tenant

@@ -51,25 +51,50 @@ def maxsim_score(
     doc_tokens: Column | str, query_tokens: list[list[float]]
 ) -> Column:
     """MaxSim: sum over query tokens of the max dot product against any doc
-    token — one nested JVM expression, no UDFs."""
+    token — one nested JVM expression, no UDFs.
+
+    The query rides as ONE literal token matrix folded by ``aggregate``
+    rather than a per-token chain of ``array_max`` subtrees (the r10
+    map-fold audit, PLANS.md r11): throughput is the same at realistic
+    |Q| — the |Q|x|D| dot products are inherent to MaxSim, unlike the
+    sparse per-dim chain's redundant searches — but the expression tree
+    stays O(1) in token count, so a 64-token ColBERT query can't blow
+    past whole-stage codegen's method-size limit. The fold seeds with
+    the FIRST token's best and folds the rest, reproducing the chain's
+    ((b1+b2)+b3) addition order bit-exactly (verified at |Q|=4 and 32
+    over 1M rows)."""
+    import math
+
     if not query_tokens:
         raise ValueError("query_tokens must be non-empty")
     col = F.col(doc_tokens) if isinstance(doc_tokens, str) else doc_tokens
-    score: Column | None = None
-    for q in query_tokens:
-        qlit = lit_double_array(q)
-        best = F.array_max(
+    vals = [[float(x) for x in q] for q in query_tokens]
+    if all(math.isfinite(x) for q in vals for x in q):
+        # whole matrix as ONE parsed literal (the lit_double_array
+        # rationale, one level up: |Q| expr parses collapse to one)
+        qmat = F.expr("array(" + ",".join(
+            "array(" + ",".join(f"{x!r}D" for x in q) + ")"
+            for q in vals) + ")")
+    else:
+        qmat = F.array(*[lit_double_array(q) for q in vals])
+
+    def best(q: Column) -> Column:
+        return F.array_max(
             F.transform(
                 col,
                 lambda d: F.aggregate(
-                    F.zip_with(d.cast("array<double>"), qlit, lambda x, y: x * y),
+                    F.zip_with(d.cast("array<double>"), q, lambda x, y: x * y),
                     F.lit(0.0),
                     lambda acc, v: acc + v,
                 ),
             )
         )
-        score = best if score is None else score + best
-    return score
+
+    return F.aggregate(
+        F.slice(qmat, 2, len(query_tokens) - 1),
+        best(F.element_at(qmat, 1)),
+        lambda acc, q: acc + best(q),
+    )
 
 
 def multivector_topk(
