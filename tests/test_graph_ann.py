@@ -369,3 +369,29 @@ def test_graph_knn_join_sliced_matches_unsliced(spark, embeddings, graph):
     b = sorted((r["query_id"], r["vec_id"], round(r["dist"], 9))
                for r in sliced.collect())
     assert a == b
+
+
+def test_graph_coarse_entry_ids_seed_beam_search(spark, embeddings):
+    """Two-level entry selection (r11): coarse entries come from the
+    deterministic mod-sample nearest to the QUERY, so beam search starts
+    next to the target instead of at a global medoid. On the small
+    fixture both seedings must agree with exact top-k; the coarse ids
+    themselves must come from the sample stratum."""
+    from vectordb_cloud_spark.operators.ann import brute_force_topk
+    from vectordb_cloud_spark.operators.graph_ann import (
+        graph_beam_search,
+        graph_coarse_entry_ids,
+        knn_graph_build,
+    )
+
+    qv = [float(x) for x in embeddings.orderBy("vec_id").first()["embedding"]]
+    entries = graph_coarse_entry_ids(embeddings, qv, n_entry=4,
+                                     sample_mod=7)
+    assert entries and all(i % 7 == 0 for i in entries)
+    graph = knn_graph_build(embeddings, degree=8, refine_rounds=1)
+    hits = graph_beam_search(embeddings, graph, qv, k=5, beam=24,
+                             max_hops=4, entry_ids=entries)
+    exact = {r["vec_id"] for r in
+             brute_force_topk(embeddings, qv, k=5).collect()}
+    got = {r["vec_id"] for r in hits.collect()}
+    assert len(got & exact) >= 4  # near-exact on the small fixture

@@ -72,3 +72,24 @@ def test_bq_recall_floor(report):
     # 1 bit/dim + 48x oversample rescore (r7; 4x floored at 0.3/measured
     # 0.35 — not production-grade, VERDICT r6 #1)
     assert report["bq_hamming_rescore_topk"] >= 0.9
+
+
+def test_million_row_artifact_rows_meet_floors():
+    """The 1M-row recall series (VERDICT r10 #6) is a ~10-minute artifact
+    run (tools/recall_check.py --million), so this test parses RECALL.md
+    instead of re-measuring: the 1M rows must be present and at/above the
+    floors in recall.MILLION_RECALL_FLOORS (the tool asserts the same
+    floors at generation time; the corpus and queries are deterministic,
+    so the artifact numbers are reproducible, not a cached fluke)."""
+    import re
+    from pathlib import Path
+
+    from vectordb_cloud_spark.recall import MILLION_RECALL_FLOORS
+
+    text = Path(__file__).resolve().parent.parent.joinpath(
+        "RECALL.md").read_text()
+    for fam, floor in MILLION_RECALL_FLOORS.items():
+        m = re.search(rf"\|\s*{fam}\s*\|\s*([0-9.]+)\s*\|", text)
+        assert m, f"RECALL.md lacks the 1M-row {fam} row"
+        assert float(m.group(1)) >= floor, (
+            f"{fam} artifact recall {m.group(1)} below floor {floor}")

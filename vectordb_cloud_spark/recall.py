@@ -35,6 +35,14 @@ GRAPH_ENTRIES = 16  # medoid entry points (graph_entry_points) — r7: +0.09 rec
 BQ_OVERSAMPLE = 48  # 64-dim codes are coarse: rescore recall 16->0.73, 32->0.85, 48->0.94 at sf0.1 (Qdrant documents the same oversample-for-BQ practice)
 PQ_RERANK_OVERSAMPLE = 4  # with M=16/K=256 codebooks: 0.988 at sf0.1
 
+# Floors for the --million series (tools/recall_check.py --million and
+# tests/test_recall_report.py parse-the-artifact check). Set from the r11
+# measurement (IVF 1.000, graph+coarse-entries 1.000) minus a drift
+# margin — recall here is deterministic (fixed corpus, fixed queries).
+# ann_graph_medoid_1m carries NO floor: it is the documented negative
+# result (flat-graph navigability loss on a clumped 1M corpus, 0.000).
+MILLION_RECALL_FLOORS = {"ann_ivf_topk_1m": 0.9, "ann_graph_coarse_1m": 0.9}
+
 
 def ann_recall_report(
     spark: SparkSession,
@@ -152,4 +160,111 @@ def ann_recall_report(
     graph.unpersist()
     sq_codes.unpersist()
     bq_codes.unpersist()
+    return {name: round(s / len(queries), 3) for name, s in sums.items()}
+
+
+def million_row_corpus(spark: SparkSession, sf_dir: str,
+                       n_rows: int = 1_000_000):
+    """Deterministic 1M-row ANN corpus: the sf embeddings fixture
+    replicated with per-replica hash-derived jitter (±2.5% per
+    coordinate), so replicas CLUMP around the originals — the corpus
+    keeps cluster structure, the production shape for ANN evaluation. (A
+    uniform-random corpus is the known worst case for navigable graphs —
+    SCALE.md graph_sharded_parity note — and says nothing about recall on
+    real embeddings.) Replica 0 is the untouched fixture, so fixture
+    query vectors have exact on-corpus neighbors."""
+    from pyspark.sql import functions as F
+
+    from vectordb_cloud_spark import queries as qmod
+
+    emb0 = qmod._t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n0 = emb0.count()
+    reps = (n_rows + n0 - 1) // n0
+    rep = spark.range(reps).select(F.col("id").alias("rep"))
+    jittered = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x, i: x + (
+            F.pmod(F.xxhash64(F.col("vec_id"), F.col("rep"), i),
+                   F.lit(1000)).cast("double") / 1000.0 - 0.5
+        ) * 0.05,
+    )
+    return (
+        emb0.crossJoin(rep)
+        .filter(F.col("vec_id") + F.col("rep") * n0 < n_rows)
+        .select(
+            (F.col("vec_id") + F.col("rep") * F.lit(n0)).alias("vec_id"),
+            F.when(F.col("rep") == 0,
+                   F.col("embedding").cast("array<double>"))
+            .otherwise(jittered).cast("array<float>").alias("embedding"),
+        )
+        # the crossJoin of a one-file fixture read inherits ONE partition —
+        # cached downstream, that serializes every evaluation (the
+        # interpreted zip_with distance of IVF assignment most of all)
+        # onto a single core; spread it before the cache
+        .repartition(64)
+    )
+
+
+def million_recall_report(spark: SparkSession, sf_dir: str,
+                          n_rows: int = 1_000_000, k: int = 10,
+                          n_queries: int = 8) -> dict[str, float]:
+    """Recall@k for IVF and graph at a 1M-row corpus (VERDICT r10 #6 —
+    RECALL.md was sf0.01/sf0.1 only; the nprobe/beam dials must be shown
+    to hold at meaningful scale). Ground truth is exact brute force over
+    the full corpus per query. The graph uses the sharded build (the
+    ≥520k-row scale path) and is measured TWICE: with the registry
+    global-medoid seeds (which fail at 1M on a clumped corpus — flat kNN
+    graphs lose navigability, the honest negative result) and with
+    per-query coarse-entry seeds (graph_coarse_entry_ids — HNSW's upper
+    layer as one bounded sample scan), which restores recall at the
+    registry beam/hop dials."""
+    from vectordb_cloud_spark import queries as qmod
+    from vectordb_cloud_spark.operators.ann import (
+        brute_force_topk,
+        ivf_build,
+        ivf_search,
+        recall_at_k,
+    )
+    from vectordb_cloud_spark.operators.graph_ann import (
+        graph_beam_search,
+        graph_coarse_entry_ids,
+        graph_entry_points,
+        knn_graph_build_sharded,
+    )
+
+    corpus = million_row_corpus(spark, sf_dir, n_rows).cache()
+    corpus.count()
+    emb0 = qmod._t(spark, sf_dir, "embeddings")
+    qrows = (emb0.select("vec_id", "embedding").orderBy("vec_id")
+             .limit(n_queries).collect())
+    queries = [[float(x) for x in r["embedding"]] for r in qrows]
+
+    centers, assigned = ivf_build(corpus, k_centroids=IVF_K_CENTROIDS,
+                                  sample_fraction=0.2)
+    assigned = assigned.cache()
+    assigned.count()
+    graph = knn_graph_build_sharded(
+        corpus, degree=GRAPH_DEGREE, refine_rounds=1).cache()
+    graph.count()
+    entry_ids = graph_entry_points(corpus, n_entry=GRAPH_ENTRIES)
+
+    sums = {"ann_ivf_topk_1m": 0.0, "ann_graph_medoid_1m": 0.0,
+            "ann_graph_coarse_1m": 0.0}
+    for qv in queries:
+        exact = brute_force_topk(corpus, qv, k=k)
+        sums["ann_ivf_topk_1m"] += recall_at_k(
+            ivf_search(assigned, centers, qv, k=k, nprobe=IVF_NPROBE,
+                       tiebreak="vec_id"), exact, "vec_id")
+        sums["ann_graph_medoid_1m"] += recall_at_k(
+            graph_beam_search(corpus, graph, qv, k=k, beam=GRAPH_BEAM,
+                              max_hops=GRAPH_MAX_HOPS,
+                              entry_ids=entry_ids), exact, "vec_id")
+        coarse = graph_coarse_entry_ids(corpus, qv, n_entry=GRAPH_ENTRIES)
+        sums["ann_graph_coarse_1m"] += recall_at_k(
+            graph_beam_search(corpus, graph, qv, k=k, beam=GRAPH_BEAM,
+                              max_hops=GRAPH_MAX_HOPS,
+                              entry_ids=coarse), exact, "vec_id")
+    corpus.unpersist()
+    assigned.unpersist()
+    graph.unpersist()
     return {name: round(s / len(queries), 3) for name, s in sums.items()}
