@@ -266,6 +266,15 @@ class VectorService:
 
     def _store_shape(self, shape_key: tuple, cand: DataFrame,
                      k: int) -> None:
+        prior = self._shape_memo.get(shape_key)
+        if prior is not None:
+            # re-store of a live shape (a non-finite-vector request falls
+            # through the fast path to here) — drop the superseded view
+            # rather than leaking it in the session catalog
+            try:
+                self.spark.catalog.dropTempView(prior[0])
+            except Exception:  # pragma: no cover - already dropped
+                pass
         view = f"vdb_search_shape_{id(self):x}_{self._shape_seq}"
         self._shape_seq += 1
         cand.createOrReplaceTempView(view)
