@@ -490,6 +490,28 @@ def main():
                     ),
                     args.runs,
                 )
+                # the dim-BUCKETED form (the collection sparseidx.v
+                # geometry, bucket_dims=64): file counts named so the
+                # textidx one-file-per-bucket evidence covers both
+                # sidecar families (VERDICT r10 #3)
+                pb = os.path.join(tmp, f"sparse_b_{n}")
+                t0 = time.time()
+                sparse_persist_inverted(
+                    sparse_invert(docs, id_col="doc_id"), pb,
+                    bucket_dims=64)
+                results.setdefault("sparse_invert_build_bucketed", {})[
+                    n] = round(time.time() - t0, 3)
+                nf = sum(1 for root, _, fs in os.walk(pb)
+                         for f in fs
+                         if f.endswith(".parquet") and "_meta" not in root)
+                nd = len([d for d in os.listdir(pb)
+                          if d.startswith("bucket=")])
+                results.setdefault("_notes", {})[
+                    f"sparseidx_files_at_{n}"] = (
+                    f"{nf} parquet files across {nd} bucket dirs "
+                    f"(one per bucket + the _meta sidecar — the "
+                    f"repartition-on-bucket write, same geometry the "
+                    f"collection sparseidx.v sidecar gets)")
 
         # span-level exact-substring dedup: corpus-token-linear claim.
         # NOT replicate_docs: replicas share every interior window, so the
