@@ -431,3 +431,38 @@ def test_search_template_respects_filters_and_k(svc):
     hits2 = svc.search(95, "completely new query", limit=2, site="s1",
                        query_filter=flt).collect()
     assert [r["id"] for r in hits2] == [601]
+
+
+def test_search_survives_unserializable_filter(svc):
+    """A filter document json.dumps(sort_keys=True) cannot serialize
+    (mixed str/int keys are unorderable) must SKIP the memo, not crash:
+    the r11 review found the except branch set memo_key=None and the
+    shape-memo probe then evaluated memo_key[:8] -> TypeError."""
+    assert svc.insert(701, 97, "alpha beta", "s", "en") == 1
+    flt = {"must": [{"key": "site", "match": {"value": "s"}}], 2: "ignored"}
+    for _ in range(2):  # twice: full construction both times, still correct
+        hits = svc.search(97, "alpha beta", limit=3,
+                          query_filter=flt).collect()
+        assert [r["id"] for r in hits] == [701]
+
+
+def test_search_template_tiebreaks_on_point_id(svc, spark):
+    """The templated shape-SQL must tiebreak tied distances on the POINT
+    id, like the built path (knn_search tiebreak='id') — not on the
+    `text_id AS id` OUTPUT alias the outer ORDER BY would capture first
+    (r11 review). Two rows with identical embeddings and text_id ordering
+    OPPOSITE to point-id ordering pin the difference."""
+    from vectordb_cloud_spark.functions.embedding import mock_embed
+
+    df = spark.createDataFrame(
+        [(1, 900, "same text", 98, "s", "en"),
+         (2, 100, "same text", 98, "s", "en")],
+        "id long, text_id long, text string, user_id long, "
+        "site string, lang string",
+    ).withColumn("embedding", mock_embed("text", svc.dim))
+    svc.catalog.upsert(svc.index_name, df)
+    built = svc.search(98, "anything", limit=2).collect()  # stores the shape
+    templ = svc.search(98, "other words", limit=2).collect()  # template path
+    # tied distances -> point-id order (1 then 2), i.e. text_ids [900, 100]
+    assert [r["id"] for r in built] == [900, 100]
+    assert [r["id"] for r in templ] == [900, 100]

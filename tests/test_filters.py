@@ -270,3 +270,19 @@ def test_haversine_known_distance(spark):
         F.lit(48.8566), F.lit(2.3522), F.lit(51.5074), F.lit(-0.1278)
     ).alias("d")).first()["d"]
     assert 340_000 < d < 348_000
+
+
+def test_match_text_pure_punctuation_substring_fallback(spark):
+    """A query the word tokenizer reduces to ZERO tokens ('!!!') must fall
+    back to one raw substring match, not lit(True) — under must_not,
+    match-all would exclude EVERY row (r11 review). A genuinely empty
+    query stays vacuously true (zero tokens to require), matching the
+    match.tokens branch."""
+    df = spark.createDataFrame(
+        [(1, "wow !!! loud"), (2, "quiet text")], "doc_id long, text string")
+    spec = {"must": [{"key": "text", "match": {"text": "!!!"}}]}
+    assert ids(df.filter(compile_filter(spec))) == [1]
+    spec_not = {"must_not": [{"key": "text", "match": {"text": "!!!"}}]}
+    assert ids(df.filter(compile_filter(spec_not))) == [2]
+    spec_empty = {"must": [{"key": "text", "match": {"text": "   "}}]}
+    assert df.filter(compile_filter(spec_empty)).count() == 2

@@ -395,3 +395,26 @@ def test_graph_coarse_entry_ids_seed_beam_search(spark, embeddings):
              brute_force_topk(embeddings, qv, k=5).collect()}
     got = {r["vec_id"] for r in hits.collect()}
     assert len(got & exact) >= 4  # near-exact on the small fixture
+
+
+def test_graph_coarse_entry_ids_empty_stratum_returns_none(spark, embeddings):
+    """An id space with NO multiple of sample_mod must yield None (the
+    default-seeds signal), never [] — graph_beam_search treats an explicit
+    empty list as 'nowhere to start' and would silently return zero hits
+    (r11 review)."""
+    from vectordb_cloud_spark.operators.graph_ann import (
+        graph_beam_search,
+        graph_coarse_entry_ids,
+        knn_graph_build,
+    )
+
+    qv = [float(x) for x in embeddings.orderBy("vec_id").first()["embedding"]]
+    no_stratum = embeddings.filter(F.col("vec_id") % 1_000_003 != 0)
+    entries = graph_coarse_entry_ids(no_stratum, qv, n_entry=4,
+                                     sample_mod=1_000_003)
+    assert entries is None
+    # and the beam search still serves through the default entry selection
+    graph = knn_graph_build(embeddings, degree=8, refine_rounds=1)
+    hits = graph_beam_search(embeddings, graph, qv, k=5, beam=24,
+                             max_hops=4, entry_ids=entries)
+    assert hits.count() == 5

@@ -254,3 +254,23 @@ def test_sparse_dot_to_duplicate_dims_and_nonfinite_stored(spark):
     # null-key branch, never multiplied
     assert got[1] == _pytest.approx(1.5 * 1.0 + 2.0 * 2.0)
     assert got[2] == 0.0  # stored NaN at dim 3, dim 3 not in query
+
+
+def test_sparse_dot_duplicate_dims_overflow_falls_back(spark):
+    """Two FINITE duplicate-dim values whose sum overflows to inf must not
+    render an 'inf' map literal (F.expr would throw at parse time) — the
+    finiteness guard applies to the SUMMED per-dim values, and the
+    element-wise chain serves the query (r11 review)."""
+    import math as _math
+
+    from vectordb_cloud_spark.operators.sparse import sparse_dot_to
+
+    big = 1.7e308
+    df = spark.createDataFrame(
+        [(1, [3], [1.0]), (2, [4], [1.0])],
+        "doc_id long, indices array<int>, values array<double>")
+    out = {r["doc_id"]: r["s"] for r in df.select(
+        F.col("doc_id"),
+        sparse_dot_to("indices", "values", [3, 3], [big, big]).alias("s"),
+    ).collect()}
+    assert _math.isinf(out[1]) and out[2] == 0.0

@@ -55,6 +55,18 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if only - set(qs):
+        # explicitly-named rows that are not in the 50-slot registry:
+        # resolve them from the library of retired-but-oracle-backed rows
+        # (r11 rotation) so spot runs keep working after a rotation
+        from vectordb_cloud_spark import queries as _qmod
+
+        lib, lib_orc = _qmod.library(), _qmod.library_oracles()
+        for n in sorted(only - set(qs)):
+            if n in lib:
+                qs[n] = lib[n]
+                if n in lib_orc:
+                    oracles[n] = lib_orc[n]
     failures = []
     for name, fn in qs.items():
         if only and name not in only:

@@ -31,7 +31,8 @@ class VectorService:
     def __init__(self, spark: SparkSession, catalog_root: str,
                  index_name: str = "EverGrowingVDB", dim: int = DEFAULT_DIM,
                  quantization: dict | None = None,
-                 ann_index: dict | None = None):
+                 ann_index: dict | None = None,
+                 disable_callsite_capture: bool = True):
         self.spark = spark
         self.catalog = CollectionCatalog(spark, catalog_root)
         self.index_name = index_name
@@ -70,6 +71,12 @@ class VectorService:
         self._shape_memo: OrderedDict[tuple, tuple[str, str]] = OrderedDict()
         self._SHAPE_MEMO_CAP = 128
         self._shape_seq = 0
+        # observability: how often requests were served WITHOUT plan
+        # construction (exact-repeat plan-memo hits vs distinct-text
+        # shape-template hits) — asserted by the oracle rows and tests,
+        # readable in production
+        self._plan_hits = 0
+        self._shape_hits = 0
         # Serving sessions should not pay PySpark's per-op call-site
         # capture (SPARK-47274: 3-4 extra py4j round trips on every
         # DataFrame method, ~3 ms each — it alone turns the ~4 ms
@@ -77,7 +84,14 @@ class VectorService:
         # at build time; when the service is handed a session that was
         # built elsewhere, set the conf AND drop pyspark's
         # read-once cache so it takes effect (best-effort — private attr,
-        # guarded for forward compatibility).
+        # guarded for forward compatibility). NOTE: the fallback flip is
+        # PROCESS-GLOBAL (pyspark caches the flag once per process), so an
+        # application that wants call-site capture kept for its other
+        # DataFrame code must construct the service with
+        # ``disable_callsite_capture=False`` — instantiation must not
+        # silently change global behavior for hosts that opted out.
+        if not disable_callsite_capture:
+            return
         try:
             try:
                 # static conf: settable only at session build
@@ -148,9 +162,10 @@ class VectorService:
         # of (data version, tenant, predicates, k, qvec) — including the
         # text-index routing and ANN/quantized sidecar paths, whose sidecars
         # are keyed by the same version
-        data_dir = self.catalog._current_data_dir(self.index_name)
+        meta0 = self._safe_meta()
+        data_dir = self.catalog._current_data_dir(self.index_name, meta=meta0)
         memo_key = None
-        stamp = self._memo_stamp(data_dir)
+        stamp = self._memo_stamp(data_dir, meta0)
         if stamp is not None:
             try:
                 # type-tagged serialization: default=str would collide a
@@ -161,8 +176,9 @@ class VectorService:
                     default=lambda o: f"__{type(o).__name__}__:{o}")
                     if query_filter else None)
             except (TypeError, ValueError):
-                filt_key = None
-                memo_key = None
+                # non-serializable filter document: skip BOTH memo probes
+                # (memo_key stays None) but serve the request normally
+                pass
             else:
                 memo_key = (
                     data_dir, stamp, user_id, limit, site, lang,
@@ -170,9 +186,11 @@ class VectorService:
                     _struct.pack(f"{len(qvec)}d",
                                  *[float(x) for x in qvec]),
                 )
+        if memo_key is not None:
             hit = self._plan_memo.get(memo_key)
             if hit is not None:
                 self._plan_memo.move_to_end(memo_key)
+                self._plan_hits += 1
                 return hit
             # distinct-text fast path: the candidate view + SQL template
             # for this SHAPE (everything but the vector) is already built
@@ -180,6 +198,7 @@ class VectorService:
             # but one py4j call
             df = self._serve_from_shape(memo_key[:8], qvec)
             if df is not None:
+                self._shape_hits += 1
                 return self._memo_plan(memo_key, df)
         # tenant-pruned scan: user_id predicate + derived partition-bucket
         # predicate (PartitionFilters prune files, search.py:37 semantics)
@@ -203,7 +222,8 @@ class VectorService:
         extra = compile_filter(query_filter, id_col="id")
         if extra is not None:
             pred = extra if pred is None else pred & extra
-        meta = self.catalog.meta(self.index_name) if not exact else None
+        meta = (meta0 or self.catalog.meta(self.index_name)
+                ) if not exact else None
         if (meta is not None and (meta.ann_index or meta.quantization)
                 and cand_ids is None  # text-routed searches go exact over
                 # the (small) candidate set — the filtered-ANN fallback
@@ -250,17 +270,24 @@ class VectorService:
     # "id") + search_response, so the templated path is bit-equal to the
     # built path — parity-pinned in test_api.py. The vector rides as ONE
     # from_json string constant (see _shape_memo comment above).
+    # The point id is carried as __pid so the outer ORDER BY cannot
+    # capture the `text_id AS id` OUTPUT alias (Spark resolves sort
+    # references against the projection's aliases first) — the tiebreak
+    # must be the POINT id, exactly like the built path, even for rows
+    # where text_id != id. `dist`/`__pid` are not output names, so both
+    # resolve to the child attributes (Spark adds missing sort columns
+    # and prunes them after the sort).
     _SHAPE_SQL = """
     SELECT text_id AS id, text AS string, dist AS score
     FROM (
-      SELECT text_id, text, id,
+      SELECT text_id, text, id AS __pid,
              SQRT(aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>),
                   from_json('{{qjson}}', 'array<double>'),
                   (x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE),
                   (acc, v) -> acc + v)) AS dist
       FROM {view}
     )
-    ORDER BY dist ASC, id ASC
+    ORDER BY dist ASC, __pid ASC
     LIMIT {k}
     """
 
@@ -301,7 +328,16 @@ class VectorService:
         _, sql = memo
         return self.spark.sql(sql.replace("{qjson}", _json.dumps(vals)))
 
-    def _incarnation(self, name: str, data_dir: str | None):
+    def _safe_meta(self, name: str | None = None):
+        """One ``_meta.json`` read, or None when unreadable (collection
+        missing / concurrently dropped / malformed) — memo callers skip
+        the memo on None instead of raising off the serving path."""
+        try:
+            return self.catalog.meta(name or self.index_name)
+        except (OSError, TypeError, ValueError):
+            return None
+
+    def _incarnation(self, name: str, data_dir: str | None, meta=None):
         """Which INCARNATION of a collection name a data dir belongs to:
         the creation nonce persisted in ``_meta.json`` (drop+recreate
         restarts the version counter, so a recurring ``data.v1`` path must
@@ -309,15 +345,17 @@ class VectorService:
         catalogs without a nonce fall back to the dir's inode — best
         effort only (inodes recycle; meaningless on object-store mounts),
         which is exactly why create() now persists a nonce. Returns None
-        when unstampable — caller skips the memo."""
+        when unstampable — caller skips the memo. ``meta`` lets hot-path
+        callers reuse an already-read CollectionMeta instead of paying
+        another disk read per request."""
         import os as _os
 
-        try:
-            nonce = self.catalog.meta(name).nonce
-        except (OSError, TypeError, ValueError):
+        if meta is None:
+            meta = self._safe_meta(name)
+        if meta is None:
             return None
-        if nonce is not None:
-            return nonce
+        if meta.nonce is not None:
+            return meta.nonce
         if data_dir is None:
             return None
         try:
@@ -325,18 +363,23 @@ class VectorService:
         except OSError:
             return None
 
-    def _memo_stamp(self, data_dir: str | None):
+    def _memo_stamp(self, data_dir: str | None, meta=None):
         """Memo-key components beyond the path of the current data version:
         the collection's incarnation (see ``_incarnation``) and the
         payload-index declaration state (create/drop_payload_index changes
         match.text ROUTING semantics without any data rewrite). Returns
-        None when unstampable — caller skips the memo."""
+        None when unstampable — caller skips the memo. Pass the request's
+        already-read ``meta`` so the hot serving path pays ONE meta read
+        (nonce and payload_indexes live on the same CollectionMeta)."""
         if data_dir is None:
             return None
-        inc = self._incarnation(self.index_name, data_dir)
+        if meta is None:
+            meta = self._safe_meta()
+        if meta is None:
+            return None
+        inc = self._incarnation(self.index_name, data_dir, meta=meta)
         if inc is None:
             return None
-        meta = self.catalog.meta(self.index_name)
         return (inc, tuple(sorted((meta.payload_indexes or {}).items())))
 
     def _memo_plan(self, key, df: DataFrame) -> DataFrame:
@@ -447,8 +490,9 @@ class VectorService:
         # the key so their writes invalidate too. A repeat body skips the
         # whole construction, including the filter-rewrite postings probe.
         memo_key = None
-        data_dir = self.catalog._current_data_dir(self.index_name)
-        stamp = self._memo_stamp(data_dir)
+        meta0 = self._safe_meta()
+        data_dir = self.catalog._current_data_dir(self.index_name, meta=meta0)
+        stamp = self._memo_stamp(data_dir, meta0)
         if stamp is not None:
             try:
                 body_key = _json.dumps(body, sort_keys=True, default=None)
@@ -484,6 +528,7 @@ class VectorService:
             hit = self._plan_memo.get(memo_key)
             if hit is not None:
                 self._plan_memo.move_to_end(memo_key)
+                self._plan_hits += 1
                 return [r.asDict(recursive=True) for r in hit.collect()]
 
         def _embed_text(q):

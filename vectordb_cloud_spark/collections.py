@@ -239,8 +239,12 @@ class CollectionCatalog:
     def _data_dir_v(self, name: str, version: int) -> str:
         return os.path.join(self._dir(name), f"{DATA_DIR}.v{version}")
 
-    def _current_data_dir(self, name: str) -> str | None:
-        meta = self.meta(name)
+    def _current_data_dir(self, name: str,
+                          meta: "CollectionMeta | None" = None) -> str | None:
+        # ``meta``: reuse an already-read CollectionMeta (the serving path
+        # reads _meta.json once per request and threads it through)
+        if meta is None:
+            meta = self.meta(name)
         if meta.version <= 0:
             # pre-MVCC layout migration: a catalog written before versioning
             # kept its data in a bare "data" dir — serve it (the first write

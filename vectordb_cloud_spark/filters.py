@@ -138,7 +138,16 @@ def _match_pred(col: Column, spec: dict[str, Any]) -> Column:
 
         tokens = word_tokens_py(str(spec["text"]))
         if not tokens:
-            return F.lit(True)
+            # the word tokenizer dropped EVERYTHING (pure punctuation,
+            # e.g. "!!!"): fall back to one substring match on the raw
+            # query so the clause still selects — lit(True) here would
+            # make a must_not exclude every row. A genuinely empty query
+            # is vacuously true (zero tokens to require), matching the
+            # match.tokens branch below.
+            raw = str(spec["text"]).strip().lower()
+            if not raw:
+                return F.lit(True)
+            return F.lower(col).contains(raw)
         pred = F.lower(col).contains(tokens[0])
         for t in tokens[1:]:
             pred = pred & F.lower(col).contains(t)

@@ -915,7 +915,7 @@ def graph_coarse_entry_ids(
     sample_mod: int = 31,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> list[int]:
+) -> list[int] | None:
     """PER-QUERY entry selection for large corpora — HNSW's upper layer
     approximated with one bounded scan: brute-force the query against the
     deterministic ~n/``sample_mod`` node sample (``pmod(id, sample_mod)
@@ -934,14 +934,23 @@ def graph_coarse_entry_ids(
     ~3% table (mod-sampling is deterministic, so it stays consistent
     under upserts), the same storage trick as the IVF centroid table.
     Cheap-to-compose alternative: route entries through the IVF sidecar
-    when one exists."""
+    when one exists.
+
+    Returns ``None`` when the mod-sample stratum is EMPTY (an id space
+    with no multiple of ``sample_mod`` — offset/sparse id allocations):
+    ``graph_beam_search`` treats an explicit ``[]`` as "nowhere to start"
+    and returns zero hits, so an empty stratum must fall back to the
+    graph's default entry selection (persisted medoids), not silently
+    zero out recall. Callers pass the result straight through as
+    ``entry_ids`` — ``None`` IS the default-seeds signal."""
     from vectordb_cloud_spark.operators.knn import knn_search
 
     cand = points.filter(
         F.pmod(F.col(id_col), F.lit(int(sample_mod))) == 0)
     hits = knn_search(cand, query_vector, k=n_entry, vector_col=vec_col,
                       tiebreak=id_col)
-    return [int(r[0]) for r in hits.select(id_col).collect()]
+    entries = [int(r[0]) for r in hits.select(id_col).collect()]
+    return entries or None
 
 
 def graph_load_entry_points(spark, path: str) -> list[int] | None:

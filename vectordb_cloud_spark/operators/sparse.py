@@ -75,10 +75,14 @@ def sparse_dot_to(idx_col: Column | str, val_col: Column | str,
     idx = F.col(idx_col) if isinstance(idx_col, str) else idx_col
     val = F.col(val_col) if isinstance(val_col, str) else val_col
     vals = [float(v) for v in query_values]
-    if vals and all(map(math.isfinite, vals)):
-        qacc: dict[int, float] = {}
-        for i, v in zip(query_indices, vals):
-            qacc[int(i)] = qacc.get(int(i), 0.0) + v
+    qacc: dict[int, float] = {}
+    for i, v in zip(query_indices, vals):
+        qacc[int(i)] = qacc.get(int(i), 0.0) + v
+    # finiteness is checked on the SUMMED per-dim values: two finite
+    # duplicates can overflow to inf when summed, and 'inf'/'nan' are not
+    # SQL literals — such a query must take the element-wise chain, not
+    # throw at F.expr parse time
+    if qacc and all(map(math.isfinite, qacc.values())):
         map_sql = "map(" + ",".join(
             f"{i},{v!r}D" for i, v in qacc.items()) + ")"
         qmap = F.expr(map_sql)
