@@ -466,3 +466,59 @@ def test_search_template_tiebreaks_on_point_id(svc, spark):
     # tied distances -> point-id order (1 then 2), i.e. text_ids [900, 100]
     assert [r["id"] for r in built] == [900, 100]
     assert [r["id"] for r in templ] == [900, 100]
+
+
+def test_search_template_survives_cleared_temp_views(svc):
+    """If the host clears the session's temp views under a live shape memo,
+    the next distinct-text request must rebuild (and re-store) instead of
+    raising AnalysisException from the dead view name."""
+    assert svc.insert(801, 99, "gamma delta", "s", "en") == 1
+    svc.search(99, "gamma delta", limit=3).collect()
+    assert len(svc._shape_memo) >= 1
+    for (view, _sql) in list(svc._shape_memo.values()):
+        svc.spark.catalog.dropTempView(view)
+    hits = svc.search(99, "fresh words here", limit=3).collect()
+    assert [r["id"] for r in hits] == [801]
+
+
+def test_query_template_serves_distinct_texts(svc):
+    """r11: /query's plain dense subset gets the /search shape-template
+    treatment — a body differing only in query text/vector reuses the
+    shape's candidate view + SQL (one spark.sql), bit-equal to full
+    construction, invalidated by writes."""
+    rows = [(901, "alpha beta", "s0"), (902, "gamma delta", "s1"),
+            (903, "epsilon zeta", "s0"), (904, "eta theta", "s0")]
+    for pid, text, site in rows:
+        assert svc.insert(pid, 77, text, site, "en") == 1
+    body = {"query": {"text": "first query"}, "limit": 2, "offset": 1,
+            "filter": {"must": [{"key": "site", "match": {"value": "s0"}}]}}
+    svc.query(77, body)  # full construction + shape store
+    assert svc._shape_hits == 0
+    body2 = dict(body, query={"text": "second distinct query"})
+    got = svc.query(77, body2)
+    assert svc._shape_hits == 1  # template path taken
+    # ground truth: a FRESH service (empty memos) builds the same body
+    ref_svc = VectorService(svc.spark, svc.catalog.root,
+                            index_name=svc.index_name, dim=svc.dim)
+    assert got == ref_svc.query(77, body2)  # bit-equal incl. offset paging
+    # write -> new data version -> template rebuilt over the new files
+    assert svc.insert(905, 77, "second distinct query twin", "s0", "en") == 1
+    got3 = svc.query(77, dict(body2, offset=0, limit=4))
+    assert 905 in [h["id"] for h in got3]
+
+
+def test_query_template_ineligible_bodies_keep_full_construction(svc):
+    """Prefetch/fusion/group_by/sparse bodies never store or probe the
+    /query shape template — only the plain dense subset does."""
+    for pid, text in [(911, "red apple"), (912, "green pear")]:
+        assert svc.insert(pid, 78, text, "s", "en") == 1
+    hits_before = svc._shape_hits
+    shapes_before = len([k for k in svc._shape_memo if k[0] == "qshape"])
+    body = {"prefetch": [{"query": {"text": "apple"}, "limit": 2}],
+            "query": {"fusion": "rrf"}, "limit": 2}
+    svc.query(78, body)
+    svc.query(78, dict(body, prefetch=[{"query": {"text": "pear"},
+                                        "limit": 2}]))
+    assert svc._shape_hits == hits_before
+    assert len([k for k in svc._shape_memo if k[0] == "qshape"]) == \
+        shapes_before

@@ -293,11 +293,21 @@ class VectorService:
 
     def _store_shape(self, shape_key: tuple, cand: DataFrame,
                      k: int) -> None:
+        self._register_shape(
+            shape_key, cand, self._SHAPE_SQL.replace("{k}", str(int(k))))
+
+    def _register_shape(self, shape_key: tuple, cand: DataFrame,
+                        sql_template: str) -> None:
+        """Register ``cand`` as this shape's temp view and memoize the
+        per-request SQL (only ``{view}`` is formatted here; the
+        ``{qjson}`` slot survives for ``_serve_from_shape`` to bind each
+        request's vector). Shared by the /search and /query templates —
+        one LRU, one eviction policy, superseded/evicted views dropped
+        rather than leaked in the session catalog."""
         prior = self._shape_memo.get(shape_key)
         if prior is not None:
             # re-store of a live shape (a non-finite-vector request falls
             # through the fast path to here) — drop the superseded view
-            # rather than leaking it in the session catalog
             try:
                 self.spark.catalog.dropTempView(prior[0])
             except Exception:  # pragma: no cover - already dropped
@@ -305,14 +315,75 @@ class VectorService:
         view = f"vdb_search_shape_{id(self):x}_{self._shape_seq}"
         self._shape_seq += 1
         cand.createOrReplaceTempView(view)
-        self._shape_memo[shape_key] = (
-            view, self._SHAPE_SQL.format(view=view, k=int(k)))
+        self._shape_memo[shape_key] = (view, sql_template.format(view=view))
         while len(self._shape_memo) > self._SHAPE_MEMO_CAP:
             _, (old_view, _) = self._shape_memo.popitem(last=False)
             try:
                 self.spark.catalog.dropTempView(old_view)
             except Exception:  # pragma: no cover - already dropped
                 pass
+
+    # /query twin of _SHAPE_SQL for the TEMPLATE-ELIGIBLE subset: a plain
+    # dense kNN body (vector or {"text":...} query + filter/limit/offset/
+    # using/response selectors — the high-QPS production shape; prefetch/
+    # fusion/group_by/recommend/... keep full construction). The view
+    # holds the tenant read filtered by the REWRITTEN filter document
+    # (rewrite_text_filter is deterministic per data version, which rides
+    # in the shape key), so a distinct-text /query costs one spark.sql
+    # exactly like /search. Mirrors query_points' plain dense leg:
+    # knn_search(metric='l2', tiebreak='id') + offset paging + the
+    # _select_response projection ({keep} is baked at store time).
+    _QSHAPE_SQL = """
+    SELECT {keep}
+    FROM (
+      SELECT *, SQRT(aggregate(zip_with(CAST({vcol} AS ARRAY<DOUBLE>),
+           from_json('{{qjson}}', 'array<double>'),
+           (x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE),
+           (acc, v) -> acc + v)) AS dist
+      FROM {view}
+    )
+    ORDER BY dist ASC, id ASC
+    LIMIT {k}{off}
+    """
+
+    _QSHAPE_KEYS = frozenset({"query", "filter", "limit", "offset",
+                              "using", "with_payload", "with_vectors"})
+
+    def _query_dense_vec(self, body: dict):
+        """The embedded query vector of a template-eligible /query body,
+        else None (any other grammar branch, or a non-dense query)."""
+        if (not isinstance(body, dict) or set(body) - self._QSHAPE_KEYS
+                or "query" not in body):
+            return None
+        q = body["query"]
+        if isinstance(q, dict) and set(q) == {"text"}:
+            return mock_vector(q["text"], self.dim)
+        if (isinstance(q, (list, tuple)) and q
+                and not isinstance(q[0], (list, tuple, dict))):
+            try:
+                return [float(x) for x in q]
+            except (TypeError, ValueError):
+                return None
+        return None
+
+    def _query_shape_key(self, data_dir, stamp, user_id,
+                         body: dict) -> tuple | None:
+        """Everything about a template-eligible /query body EXCEPT the
+        query vector — the /query analog of the /search shape key."""
+        import json as _json
+
+        try:
+            filt_key = (_json.dumps(body.get("filter"), sort_keys=True)
+                        if body.get("filter") else None)
+            k = int(body.get("limit", 10))
+            off = int(body.get("offset", 0) or 0)
+        except (TypeError, ValueError):
+            return None
+        wp = body.get("with_payload", True)
+        wp_key = tuple(wp) if isinstance(wp, (list, tuple)) else bool(wp)
+        return ("qshape", data_dir, stamp, user_id, body.get("using"),
+                filt_key, k, off, wp_key,
+                bool(body.get("with_vectors", False)))
 
     def _serve_from_shape(self, shape_key: tuple, qvec) -> DataFrame | None:
         import json as _json
@@ -326,7 +397,15 @@ class VectorService:
             return None  # not JSON-expressible; the built path handles it
         self._shape_memo.move_to_end(shape_key)
         _, sql = memo
-        return self.spark.sql(sql.replace("{qjson}", _json.dumps(vals)))
+        try:
+            return self.spark.sql(sql.replace("{qjson}", _json.dumps(vals)))
+        except Exception:
+            # the temp view is gone (e.g. the host called
+            # spark.catalog.clearTempViews or dropped it by name): evict
+            # the stale shape and let the caller rebuild + re-store —
+            # a robustness fallback, never the expected path
+            self._shape_memo.pop(shape_key, None)
+            return None
 
     def _safe_meta(self, name: str | None = None):
         """One ``_meta.json`` read, or None when unreadable (collection
@@ -524,12 +603,26 @@ class VectorService:
                 if extra is not None:
                     memo_key = ("query", data_dir, stamp, user_id,
                                 body_key, tuple(extra))
+        qshape_key = None
         if memo_key is not None:
             hit = self._plan_memo.get(memo_key)
             if hit is not None:
                 self._plan_memo.move_to_end(memo_key)
                 self._plan_hits += 1
                 return [r.asDict(recursive=True) for r in hit.collect()]
+            # distinct-text fast path (the /search shape template, on
+            # /query's plain dense subset): a body differing only in its
+            # query vector/text reuses this shape's candidate view + SQL
+            qvec = self._query_dense_vec(body)
+            if qvec is not None:
+                qshape_key = self._query_shape_key(
+                    data_dir, stamp, user_id, body)
+            if qshape_key is not None:
+                df = self._serve_from_shape(qshape_key, qvec)
+                if df is not None:
+                    self._shape_hits += 1
+                    self._memo_plan(memo_key, df)
+                    return [r.asDict(recursive=True) for r in df.collect()]
 
         def _embed_text(q):
             if isinstance(q, dict) and set(q) == {"text"}:
@@ -590,6 +683,28 @@ class VectorService:
             with_payload=body.get("with_payload", True),
         )
         shaped = hits.select(*keep)
+        if qshape_key is not None and "dist" not in points.columns:
+            # remember this shape's candidate frame (tenant read + the
+            # REWRITTEN filter — body was _translate()d above) + rendered
+            # SQL so the next distinct-text body with the same shape skips
+            # construction. `dist` as a stored payload column would
+            # collide with the computed column — such schemas (unseen in
+            # practice) just keep full construction.
+            from vectordb_cloud_spark.query_api import _vector_col
+
+            vcol = _vector_col(body.get("using"))
+            if vcol in points.columns and "id" in points.columns:
+                flt = compile_filter(body.get("filter"), id_col="id")
+                cand = points if flt is None else points.filter(flt)
+                off = int(body.get("offset", 0) or 0)
+                sql = (
+                    self._QSHAPE_SQL
+                    .replace("{keep}", ", ".join(f"`{c}`" for c in keep))
+                    .replace("{vcol}", f"`{vcol}`")
+                    .replace("{k}", str(int(body.get("limit", 10))))
+                    .replace("{off}", f" OFFSET {off}" if off else "")
+                )
+                self._register_shape(qshape_key, cand, sql)
         self._memo_plan(memo_key, shaped)
         return [r.asDict(recursive=True) for r in shaped.collect()]
 
