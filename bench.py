@@ -402,6 +402,23 @@ def main():
 
         bench_one("service_search_http", _hit)
 
+        # /query with a DISTINCT body per request (r11: the plain dense
+        # subset serves from the same shape-keyed template as /search —
+        # one spark.sql per distinct text instead of full query_points
+        # construction)
+        qseq = [0]
+
+        def _hit_query():
+            qseq[0] += 1
+            body = json.dumps({"query": {"text": f"corpus probe {qseq[0]}"},
+                               "limit": 5})
+            url = base.replace("/search?", "/query?") + urllib.parse.urlencode(
+                {"user_id": 7, "body": body})
+            with urllib.request.urlopen(url) as resp:
+                resp.read()
+
+        bench_one("service_query_http", _hit_query)
+
         # exact-repeat form (the r10 basis): plan-memo hit, zero
         # construction — kept as its own entry for comparability
         url_rep = base + urllib.parse.urlencode(
