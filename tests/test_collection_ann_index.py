@@ -195,3 +195,29 @@ def test_ivf_sq_small_tenant_filter_not_starved(catalog, spark):
            catalog.search_ann("x", qv, k=5, predicate=pred).collect()]
     exact = _exact(catalog, "x", qv, 5, predicate=pred)
     assert got == exact  # full probe + tenant-pruned candidates == exact
+
+
+def test_graph_index_coarse_sample_seeding(catalog, spark):
+    """r11: the graph sidecar persists a deterministic mod-sample table
+    beside the adjacency, and search seeds each query from its nearest
+    sample members instead of the global medoids (the 1M-row navigability
+    fix, through the collection lifecycle). Fallback: an empty stratum /
+    a legacy sidecar without the table keeps the medoid seeds."""
+    import shutil
+
+    _seed(catalog, spark, "gc", {"graph": {"degree": 8, "beam": 32,
+                                           "coarse_mod": 7, "n_entry": 4}},
+          n=300)
+    qv = [0.1] * 8
+    got = [r["id"] for r in catalog.search_ann("gc", qv, k=10).collect()]
+    exact = _exact(catalog, "gc", qv, 10)
+    assert len(set(got) & set(exact)) >= 5
+    adir = catalog._ann_dir("gc", catalog.meta("gc").version)
+    cdir = os.path.join(adir, "coarse_sample")
+    assert os.path.isdir(cdir)
+    ids = [r["id"] for r in spark.read.parquet(cdir).collect()]
+    assert ids and all(i % 7 == 0 for i in ids)
+    # legacy sidecar (no sample table): search still serves via medoids
+    shutil.rmtree(cdir)
+    got2 = [r["id"] for r in catalog.search_ann("gc", qv, k=10).collect()]
+    assert len(got2) == 10

@@ -1707,9 +1707,28 @@ class CollectionCatalog:
             graph.select("src", "dst", F.col("dist").cast("double")).write \
                 .mode("overwrite").parquet(os.path.join(stage, "graph"))
             entries = graph_entry_points(df, id_col=id_col, vec_col=vector_col)
+            # coarse-entry SAMPLE table (r11, the 1M-row RECALL finding):
+            # a flat kNN graph loses navigability on clumped corpora —
+            # clusters become islands and beam search from GLOBAL medoid
+            # seeds cannot reach the query's cluster (recall 0.000 at 1M
+            # vs 1.000 at 6k). Persist the deterministic ~1/coarse_mod
+            # mod-sample (ids + vectors) beside the graph; search seeds
+            # each query from its nearest sample members — HNSW's upper
+            # layer as one bounded scan of a SMALL materialized table
+            # (the IVF centroid-table storage trick; mod-sampling stays
+            # consistent under upserts). Medoid entry_ids remain the
+            # fallback for an empty stratum / legacy sidecars.
+            coarse_mod = int(spec.get("coarse_mod", 31))
+            df.filter(F.pmod(F.col(id_col), F.lit(coarse_mod)) == 0) \
+                .select(id_col, vector_col) \
+                .coalesce(16) \
+                .write.mode("overwrite") \
+                .parquet(os.path.join(stage, "coarse_sample"))
             params = {"kind": "graph", "entry_ids": entries,
                       "beam": int(spec.get("beam", 32)),
-                      "max_hops": int(spec.get("max_hops", 4))}
+                      "max_hops": int(spec.get("max_hops", 4)),
+                      "coarse_mod": coarse_mod,
+                      "n_entry": int(spec.get("n_entry", 16))}
         params["vector_col"] = vector_col
         with open(os.path.join(stage, "params.json"), "w") as f:
             json.dump(params, f)
@@ -1767,10 +1786,28 @@ class CollectionCatalog:
             return exact_rescore_topk(base, cand, query_vector, k,
                                       id_col=id_col, vector_col=vector_col)
         graph = self.spark.read.parquet(os.path.join(adir, "graph"))
+        entry_ids = params["entry_ids"]
+        cdir = os.path.join(adir, "coarse_sample")
+        if os.path.isdir(cdir):
+            # per-query coarse seeding from the persisted mod-sample (see
+            # build_ann_index): one bounded top-n_entry scan of the small
+            # sample table replaces the global medoid seeds that lose the
+            # query's cluster on large clumped corpora (RECALL.md 1M
+            # series). Falls back to the medoids when the stratum is
+            # empty (offset/sparse id spaces).
+            from vectordb_cloud_spark.operators.knn import knn_search
+
+            sample = self.spark.read.parquet(cdir)
+            seeds = [int(r[0]) for r in knn_search(
+                sample, query_vector, k=int(params.get("n_entry", 16)),
+                vector_col=vector_col, tiebreak=id_col,
+            ).select(id_col).collect()]
+            if seeds:
+                entry_ids = seeds
         return graph_beam_search(
             self.read(name), graph, query_vector, k=k, beam=params["beam"],
             max_hops=params["max_hops"], id_col=id_col, vec_col=vector_col,
-            filters=predicate, entry_ids=params["entry_ids"])
+            filters=predicate, entry_ids=entry_ids)
 
     def compact(self, name: str, max_files_per_bucket: int = 4) -> int:
         """Compact buckets that accumulated small files (every bucket-scoped
