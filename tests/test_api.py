@@ -522,3 +522,19 @@ def test_query_template_ineligible_bodies_keep_full_construction(svc):
     assert svc._shape_hits == hits_before
     assert len([k for k in svc._shape_memo if k[0] == "qshape"]) == \
         shapes_before
+
+
+def test_service_close_drops_shape_views(svc):
+    """close() drops the shape-template views from the session catalog and
+    clears the memos; the service still serves afterwards (rebuild)."""
+    assert svc.insert(921, 61, "closing time", "s", "en") == 1
+    svc.search(61, "closing time", limit=2).collect()
+    views = [v for (v, _) in svc._shape_memo.values()]
+    assert views
+    svc.close()
+    assert not svc._shape_memo and not svc._plan_memo
+    listed = {t.name for t in svc.spark.catalog.listTables()}
+    assert not (set(views) & listed)
+    svc.close()  # idempotent
+    hits = svc.search(61, "closing time again", limit=2).collect()
+    assert [r["id"] for r in hits] == [921]

@@ -416,6 +416,22 @@ class VectorService:
         except (OSError, TypeError, ValueError):
             return None
 
+    def close(self) -> None:
+        """Drop this service's shape-template temp views from the session
+        catalog and clear both memos. Optional hygiene for hosts that
+        build many short-lived services on one long-lived SparkSession —
+        eviction already bounds the view count (_SHAPE_MEMO_CAP), but a
+        dropped service's views would otherwise linger until the session
+        ends. Idempotent; the service keeps working after close() (the
+        next request simply rebuilds its shape)."""
+        while self._shape_memo:
+            _, (view, _) = self._shape_memo.popitem(last=False)
+            try:
+                self.spark.catalog.dropTempView(view)
+            except Exception:  # pragma: no cover - already dropped
+                pass
+        self._plan_memo.clear()
+
     def _incarnation(self, name: str, data_dir: str | None, meta=None):
         """Which INCARNATION of a collection name a data dir belongs to:
         the creation nonce persisted in ``_meta.json`` (drop+recreate
