@@ -538,3 +538,38 @@ def test_service_close_drops_shape_views(svc):
     svc.close()  # idempotent
     hits = svc.search(61, "closing time again", limit=2).collect()
     assert [r["id"] for r in hits] == [921]
+
+
+def test_query_template_randomized_parity(svc):
+    """Seeded sweep: for random (filter, limit, offset, selector) shapes,
+    a template-served body must equal a fresh-service full construction
+    of the same body — the property the two pinned tests sample."""
+    import random
+
+    rng = random.Random(11)
+    texts = ["amber wolf", "basalt ridge", "cedar grove", "dune sky",
+             "ember coast", "fjord light"]
+    for i, t in enumerate(texts):
+        assert svc.insert(950 + i, 55, t, f"s{i % 2}", "en") == 1
+    ref_svc = VectorService(svc.spark, svc.catalog.root,
+                            index_name=svc.index_name, dim=svc.dim)
+    for trial in range(4):
+        flt = rng.choice([
+            None,
+            {"must": [{"key": "site", "match": {"value": "s0"}}]},
+            {"must_not": [{"key": "text", "match": {"text": "wolf"}}]},
+        ])
+        body = {"query": {"text": f"warm {trial}"},
+                "limit": rng.randint(1, 4)}
+        if flt is not None:
+            body["filter"] = flt
+        if rng.random() < 0.5:
+            body["offset"] = rng.randint(0, 2)
+        if rng.random() < 0.5:
+            body["with_payload"] = rng.choice([False, ["text"]])
+        svc.query(55, body)                      # store this shape
+        probe = dict(body, query={"text": f"distinct {trial}"})
+        before = svc._shape_hits
+        got = svc.query(55, probe)               # template path
+        assert svc._shape_hits == before + 1, f"trial {trial}: no hit"
+        assert got == ref_svc.query(55, probe), f"trial {trial} mismatch"
