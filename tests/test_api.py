@@ -573,3 +573,31 @@ def test_query_template_randomized_parity(svc):
         got = svc.query(55, probe)               # template path
         assert svc._shape_hits == before + 1, f"trial {trial}: no hit"
         assert got == ref_svc.query(55, probe), f"trial {trial} mismatch"
+
+
+def test_query_template_noncanonical_selectors_stay_cold(svc):
+    """Shape-key hygiene (r11 review #2): object-form with_payload must
+    NOT collide with with_payload=True under one shape key, unhashable
+    selector values must not crash the probe, and a malformed offset must
+    fail identically whether the shape is warm or cold."""
+    import pytest as _pytest
+
+    for i, t in enumerate(["ash grove", "birch knoll"]):
+        assert svc.insert(970 + i, 44, t, "s", "en") == 1
+    base = {"query": {"text": "seed"}, "limit": 2}
+    svc.query(44, base)  # warm the plain shape (with_payload=True)
+    # object form: ineligible -> full construction (score cols only),
+    # never served from the with_payload=True template
+    got = svc.query(44, {"query": {"text": "x"}, "limit": 2,
+                         "with_payload": {"include": ["text"]}})
+    assert got and set(got[0]) == {"id", "dist"}
+    # and it must not have poisoned the True-form shape
+    got2 = svc.query(44, {"query": {"text": "y"}, "limit": 2})
+    assert "text" in got2[0]
+    # unhashable selector values: no TypeError, request still served
+    got3 = svc.query(44, {"query": {"text": "z"}, "limit": 2,
+                          "with_payload": [{"weird": 1}]})
+    assert got3 and "id" in got3[0]
+    # malformed offset: same error warm as cold
+    with _pytest.raises(TypeError):
+        svc.query(44, {"query": {"text": "w"}, "limit": 2, "offset": None})

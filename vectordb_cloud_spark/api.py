@@ -369,21 +369,42 @@ class VectorService:
     def _query_shape_key(self, data_dir, stamp, user_id,
                          body: dict) -> tuple | None:
         """Everything about a template-eligible /query body EXCEPT the
-        query vector — the /query analog of the /search shape key."""
+        query vector — the /query analog of the /search shape key.
+        Returns None for any slot value outside the canonical forms (the
+        body keeps full construction): selector/using forms must be
+        EXACT — a lax coercion here would collide distinct shapes under
+        one key (e.g. an object-form with_payload hashing like True) or
+        put unhashables in the key, and coercions must match the built
+        path exactly so a malformed body fails identically whether the
+        shape is warm or cold (offset=None must 422 both times)."""
         import json as _json
 
+        using = body.get("using")
+        if using is not None and not isinstance(using, str):
+            return None
+        wp = body.get("with_payload", True)
+        if isinstance(wp, (list, tuple)):
+            if not all(isinstance(c, str) for c in wp):
+                return None
+            wp_key = tuple(wp)
+        elif isinstance(wp, bool):
+            wp_key = wp
+        else:
+            return None  # object/other forms: full construction decides
+        wv = body.get("with_vectors", False)
+        if not isinstance(wv, bool):
+            return None
         try:
             filt_key = (_json.dumps(body.get("filter"), sort_keys=True)
                         if body.get("filter") else None)
+            # same coercions as the built path (query() / query_points):
+            # a value int() rejects must raise identically when warm
             k = int(body.get("limit", 10))
-            off = int(body.get("offset", 0) or 0)
+            off = int(body.get("offset", 0))
         except (TypeError, ValueError):
             return None
-        wp = body.get("with_payload", True)
-        wp_key = tuple(wp) if isinstance(wp, (list, tuple)) else bool(wp)
-        return ("qshape", data_dir, stamp, user_id, body.get("using"),
-                filt_key, k, off, wp_key,
-                bool(body.get("with_vectors", False)))
+        return ("qshape", data_dir, stamp, user_id, using,
+                filt_key, k, off, wp_key, wv)
 
     def _serve_from_shape(self, shape_key: tuple, qvec) -> DataFrame | None:
         import json as _json
@@ -709,10 +730,16 @@ class VectorService:
             from vectordb_cloud_spark.query_api import _vector_col
 
             vcol = _vector_col(body.get("using"))
-            if vcol in points.columns and "id" in points.columns:
+            # column names containing braces would break the {view}
+            # .format in _register_shape and backticks would break the
+            # rendered SQL — such schemas (unseen in practice) keep full
+            # construction rather than 500 on the store path
+            safe = not any(ch in c for c in [*keep, vcol]
+                           for ch in "{}`")
+            if vcol in points.columns and "id" in points.columns and safe:
                 flt = compile_filter(body.get("filter"), id_col="id")
                 cand = points if flt is None else points.filter(flt)
-                off = int(body.get("offset", 0) or 0)
+                off = int(body.get("offset", 0))
                 sql = (
                     self._QSHAPE_SQL
                     .replace("{keep}", ", ".join(f"`{c}`" for c in keep))

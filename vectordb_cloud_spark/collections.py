@@ -132,6 +132,12 @@ class CollectionCatalog:
         # immutable textidx.v{N}/{field} dir (serving: a routed match.text
         # query then schedules ZERO jobs at construction time)
         self._text_memo: dict[str, DataFrame] = {}
+        # and for the graph sidecar's coarse-entry sample (keyed by the
+        # immutable ann.v{N}/coarse_sample dir): the handle memo skips the
+        # per-query file listing/schema read; the top-k seeding job itself
+        # is the designed per-query cost (HNSW's upper layer). Entries die
+        # with their sidecar (pruned on rebuild alongside the dirs).
+        self._ann_sample_memo: dict[str, DataFrame] = {}
         os.makedirs(root, exist_ok=True)
 
     # -- registry ---------------------------------------------------------
@@ -1121,12 +1127,15 @@ class CollectionCatalog:
         return tdir
 
     def _purge_text_memo(self, path_prefix: str) -> None:
-        """Drop memoized postings relations under ``path_prefix`` (a pruned
-        sidecar version or a dropped collection dir)."""
-        stale = [k for k in self._text_memo
-                 if k == path_prefix or k.startswith(path_prefix + os.sep)]
-        for k in stale:
-            del self._text_memo[k]
+        """Drop memoized sidecar relations (postings AND coarse-sample)
+        under ``path_prefix`` (a pruned sidecar version or a dropped
+        collection dir) — a recreated same-name collection must never
+        serve a dead incarnation's cached file listing."""
+        for memo in (self._text_memo, self._ann_sample_memo):
+            stale = [k for k in memo
+                     if k == path_prefix or k.startswith(path_prefix + os.sep)]
+            for k in stale:
+                del memo[k]
 
     def text_match_ids(self, name: str, field: str, text: str) -> DataFrame:
         """Ids whose ``field`` contains EVERY token of ``text``
@@ -1737,8 +1746,10 @@ class CollectionCatalog:
         os.rename(stage, adir)
         for d in os.listdir(self._dir(name)):  # prune stale sidecars
             if d.startswith("ann.v") and d != f"ann.v{meta.version}":
-                shutil.rmtree(os.path.join(self._dir(name), d),
-                              ignore_errors=True)
+                stale = os.path.join(self._dir(name), d)
+                shutil.rmtree(stale, ignore_errors=True)
+                self._ann_sample_memo.pop(
+                    os.path.join(stale, "coarse_sample"), None)
         return adir
 
     def search_ann(self, name: str, query_vector: list[float], k: int = 10,
@@ -1797,7 +1808,10 @@ class CollectionCatalog:
             # empty (offset/sparse id spaces).
             from vectordb_cloud_spark.operators.knn import knn_search
 
-            sample = self.spark.read.parquet(cdir)
+            sample = self._ann_sample_memo.get(cdir)
+            if sample is None:
+                sample = self.spark.read.parquet(cdir)
+                self._ann_sample_memo[cdir] = sample
             seeds = [int(r[0]) for r in knn_search(
                 sample, query_vector, k=int(params.get("n_entry", 16)),
                 vector_col=vector_col, tiebreak=id_col,
