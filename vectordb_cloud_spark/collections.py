@@ -1658,7 +1658,7 @@ class CollectionCatalog:
                         id_col: str = "id") -> str:
         from vectordb_cloud_spark.operators.ann import ivf_build, ivf_persist
         from vectordb_cloud_spark.operators.graph_ann import (
-            graph_entry_points, knn_graph_build)
+            graph_entry_points, knn_graph_build, knn_graph_build_sharded)
 
         name = self.resolve(name)
         meta = self.meta(name)
@@ -1710,9 +1710,20 @@ class CollectionCatalog:
                           "nprobe": int(spec.get("nprobe", 2))}
         else:
             spec = meta.ann_index["graph"]
-            graph = knn_graph_build(
-                df, degree=int(spec.get("degree", 8)), id_col=id_col,
-                vec_col=vector_col)
+            # default to the SHARDED builder: center-literal count is
+            # capped at any corpus size (the plain builder's n/128 center
+            # literals blow up the plan past ~10^7 rows — its own
+            # docstring), and it degenerates to the unsharded candidate
+            # structure on small corpora (n_shards=1). `builder:
+            # "blocked"` keeps the legacy form for comparisons.
+            if spec.get("builder", "sharded") == "blocked":
+                graph = knn_graph_build(
+                    df, degree=int(spec.get("degree", 8)), id_col=id_col,
+                    vec_col=vector_col)
+            else:
+                graph = knn_graph_build_sharded(
+                    df, degree=int(spec.get("degree", 8)), id_col=id_col,
+                    vec_col=vector_col)
             graph.select("src", "dst", F.col("dist").cast("double")).write \
                 .mode("overwrite").parquet(os.path.join(stage, "graph"))
             entries = graph_entry_points(df, id_col=id_col, vec_col=vector_col)
