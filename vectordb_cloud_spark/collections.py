@@ -1723,7 +1723,8 @@ class CollectionCatalog:
             else:
                 graph = knn_graph_build_sharded(
                     df, degree=int(spec.get("degree", 8)), id_col=id_col,
-                    vec_col=vector_col)
+                    vec_col=vector_col,
+                    refine_rounds=int(spec.get("refine_rounds", 2)))
             graph.select("src", "dst", F.col("dist").cast("double")).write \
                 .mode("overwrite").parquet(os.path.join(stage, "graph"))
             entries = graph_entry_points(df, id_col=id_col, vec_col=vector_col)

@@ -41,7 +41,8 @@ PQ_RERANK_OVERSAMPLE = 4  # with M=16/K=256 codebooks: 0.988 at sf0.1
 # margin — recall here is deterministic (fixed corpus, fixed queries).
 # ann_graph_medoid_1m carries NO floor: it is the documented negative
 # result (flat-graph navigability loss on a clumped 1M corpus, 0.000).
-MILLION_RECALL_FLOORS = {"ann_ivf_topk_1m": 0.9, "ann_graph_coarse_1m": 0.9}
+MILLION_RECALL_FLOORS = {"ann_ivf_topk_1m": 0.9, "ann_graph_coarse_1m": 0.9,
+                         "collection_graph_1m": 0.9}
 
 
 def ann_recall_report(
@@ -268,3 +269,52 @@ def million_recall_report(spark: SparkSession, sf_dir: str,
     assigned.unpersist()
     graph.unpersist()
     return {name: round(s / len(queries), 3) for name, s in sums.items()}
+
+
+def collection_graph_million_recall(spark: SparkSession, sf_dir: str,
+                                    n_rows: int = 1_000_000, k: int = 10,
+                                    n_queries: int = 8) -> float:
+    """Recall@k of the COLLECTION graph serving stack at 1M rows — the
+    lifecycle twin of million_recall_report's ann_graph_coarse_1m row:
+    create with a graph ann_index config (r11 defaults: SHARDED build,
+    coarse-sample sidecar + per-query seeding), bucketed upsert of the
+    clumped corpus, lazy ann.v{N} build, then ``search_ann`` per query vs
+    exact brute force over the collection's own files. Proves the 1M
+    navigability fix holds THROUGH the catalog (sidecar params, persisted
+    sample, per-query seeding), not just at operator level."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vectordb_cloud_spark import queries as qmod
+    from vectordb_cloud_spark.collections import CollectionCatalog
+    from vectordb_cloud_spark.operators.ann import brute_force_topk, recall_at_k
+
+    corpus = million_row_corpus(spark, sf_dir, n_rows)
+    emb0 = qmod._t(spark, sf_dir, "embeddings")
+    dim = len(emb0.select("embedding").first()["embedding"])
+    root = tempfile.mkdtemp(prefix="recall_collection_1m_")
+    try:
+        cat = CollectionCatalog(spark, root)
+        cat.create("m1", dim=dim, ann_index={"graph": {
+            "degree": GRAPH_DEGREE, "beam": GRAPH_BEAM,
+            "max_hops": GRAPH_MAX_HOPS, "n_entry": GRAPH_ENTRIES,
+            # rounds=1 matches the operator-level 1M row (the extra
+            # default round buys recall the coarse seeding already
+            # provides; this keeps the two rows' build costs comparable)
+            "refine_rounds": 1}})
+        cat.upsert("m1", corpus.select(F.col("vec_id").alias("id"),
+                                       "embedding"))
+        qrows = (emb0.select("vec_id", "embedding").orderBy("vec_id")
+                 .limit(n_queries).collect())
+        base = cat.read("m1")
+        total = 0.0
+        for r in qrows:
+            qv = [float(x) for x in r["embedding"]]
+            exact = brute_force_topk(base, qv, k=k)
+            got = cat.search_ann("m1", qv, k=k)
+            total += recall_at_k(got, exact, "id")
+        return round(total / max(1, len(qrows)), 3)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
