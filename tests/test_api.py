@@ -601,3 +601,32 @@ def test_query_template_noncanonical_selectors_stay_cold(svc):
     # malformed offset: same error warm as cold
     with _pytest.raises(TypeError):
         svc.query(44, {"query": {"text": "w"}, "limit": 2, "offset": None})
+
+
+def test_query_score_threshold_through_template(svc):
+    """Qdrant score_threshold on /query (r11): applied on the built path
+    AND baked into the shape template's WHERE clause — distinct-text
+    requests with the same threshold serve from the template with
+    identical cuts; a different threshold is a different shape."""
+    import math as _math
+
+    for i, t in enumerate(["sun spot", "moon dust", "star sand"]):
+        assert svc.insert(980 + i, 33, t, "s", "en") == 1
+    ranked = svc.query(33, {"query": {"text": "probe"}, "limit": 3})
+    assert len(ranked) == 3
+    thr = (ranked[1]["dist"] + ranked[2]["dist"]) / 2  # keep top-2
+    body = {"query": {"text": "probe"}, "limit": 3, "score_threshold": thr}
+    got = svc.query(33, body)  # stores the thresholded shape
+    assert [h["id"] for h in got] == [h["id"] for h in ranked[:2]]
+    before = svc._shape_hits
+    got2 = svc.query(33, dict(body, query={"text": "different probe"}))
+    assert svc._shape_hits == before + 1  # template served
+    assert all(h["dist"] <= thr for h in got2) and got2
+    ref_svc = VectorService(svc.spark, svc.catalog.root,
+                            index_name=svc.index_name, dim=svc.dim)
+    assert got2 == ref_svc.query(33, dict(body,
+                                          query={"text": "different probe"}))
+    # non-finite threshold: memo skipped, built path still serves
+    got3 = svc.query(33, {"query": {"text": "x"}, "limit": 3,
+                          "score_threshold": _math.inf})
+    assert len(got3) == 3

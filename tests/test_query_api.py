@@ -377,3 +377,36 @@ def test_recommend_lookup_from_other_frame(spark):
     # query = books#1 vector (0,0); movie 1 is NOT excluded despite
     # sharing the example's id value
     assert got == [1, 3, 2]
+
+
+def test_score_threshold_dense_sparse_fusion(embeddings, emb_rows):
+    """Qdrant score_threshold: exclude WORSE-than-threshold results —
+    dist <= t on distance legs, score >= t on similarity/fusion scores.
+    Ground truth from the unthresholded ranking itself."""
+    from vectordb_cloud_spark.operators.knn import knn_search
+
+    q = _vec(emb_rows, 0)
+    ranked = knn_search(embeddings, q, k=10, tiebreak="vec_id").collect()
+    t = (ranked[2]["dist"] + ranked[3]["dist"]) / 2  # between ranks 3 and 4
+    got = query_points(embeddings, query=q, limit=10,
+                       score_threshold=t).collect()
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in ranked[:3]]
+    # threshold below the best distance: empty result, no error
+    assert query_points(embeddings, query=q, limit=10,
+                        score_threshold=-1.0).count() == 0
+    # fusion: rrf scores rank descending, cut keeps >= t
+    legs = [{"query": q, "limit": 5},
+            {"query": _vec(emb_rows, 1), "limit": 5}]
+    fused = query_points(embeddings, {"fusion": "rrf"}, prefetch=legs,
+                         limit=10).collect()
+    tf = fused[1]["rrf_score"]  # keep ranks 1-2 (ties by >=)
+    cut = query_points(embeddings, {"fusion": "rrf"}, prefetch=legs,
+                       limit=10, score_threshold=tf).collect()
+    assert [r["vec_id"] for r in cut] == \
+        [r["vec_id"] for r in fused if r["rrf_score"] >= tf]
+    # unsupported branches refuse loudly
+    with pytest.raises(ValueError, match="score_threshold"):
+        query_points(embeddings, None, limit=5, score_threshold=0.5)
+    with pytest.raises(ValueError, match="score_threshold"):
+        query_points(embeddings, {"recommend": {"positive": [0]}},
+                     limit=5, score_threshold=0.5)

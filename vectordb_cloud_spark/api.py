@@ -342,12 +342,13 @@ class VectorService:
            (acc, v) -> acc + v)) AS dist
       FROM {view}
     )
-    ORDER BY dist ASC, id ASC
+    {where}ORDER BY dist ASC, id ASC
     LIMIT {k}{off}
     """
 
     _QSHAPE_KEYS = frozenset({"query", "filter", "limit", "offset",
-                              "using", "with_payload", "with_vectors"})
+                              "using", "with_payload", "with_vectors",
+                              "score_threshold"})
 
     def _query_dense_vec(self, body: dict):
         """The embedded query vector of a template-eligible /query body,
@@ -378,6 +379,7 @@ class VectorService:
         path exactly so a malformed body fails identically whether the
         shape is warm or cold (offset=None must 422 both times)."""
         import json as _json
+        import math
 
         using = body.get("using")
         if using is not None and not isinstance(using, str):
@@ -401,10 +403,14 @@ class VectorService:
             # a value int() rejects must raise identically when warm
             k = int(body.get("limit", 10))
             off = int(body.get("offset", 0))
+            thr = body.get("score_threshold")
+            thr = None if thr is None else float(thr)
+            if thr is not None and not math.isfinite(thr):
+                return None  # not renderable as a SQL literal
         except (TypeError, ValueError):
             return None
         return ("qshape", data_dir, stamp, user_id, using,
-                filt_key, k, off, wp_key, wv)
+                filt_key, k, off, wp_key, wv, thr)
 
     def _serve_from_shape(self, shape_key: tuple, qvec) -> DataFrame | None:
         import json as _json
@@ -587,7 +593,8 @@ class VectorService:
     def query(self, user_id: int, body: dict) -> list[dict]:
         """Qdrant POST /points/query, tenant-scoped: the universal query
         API (vector / sparse / multivector / fusion / recommend / discover
-        / sample / scroll, with recursive ``prefetch`` funnels) over the
+        / sample / scroll, with recursive ``prefetch`` funnels, plus
+        ``score_threshold`` on the scored branches) over the
         tenant-pruned collection read. ``body`` is the Qdrant request
         document; a ``{"text": ...}`` TOP-LEVEL or PREFETCH query (at any
         nesting depth) embeds through the service's embedder (the
@@ -713,6 +720,7 @@ class VectorService:
             order_by=body.get("order_by"),
             offset=int(body.get("offset", 0)),
             lookup_from=example_src,
+            score_threshold=body.get("score_threshold"),
         )
         keep = self._select_response(
             hits.columns,
@@ -740,12 +748,17 @@ class VectorService:
                 flt = compile_filter(body.get("filter"), id_col="id")
                 cand = points if flt is None else points.filter(flt)
                 off = int(body.get("offset", 0))
+                thr = body.get("score_threshold")
                 sql = (
                     self._QSHAPE_SQL
                     .replace("{keep}", ", ".join(f"`{c}`" for c in keep))
                     .replace("{vcol}", f"`{vcol}`")
                     .replace("{k}", str(int(body.get("limit", 10))))
                     .replace("{off}", f" OFFSET {off}" if off else "")
+                    # l2 distances rank ascending: threshold keeps <= t
+                    .replace("{where}",
+                             f"WHERE dist <= {float(thr)!r}D\n    "
+                             if thr is not None else "")
                 )
                 self._register_shape(qshape_key, cand, sql)
         self._memo_plan(memo_key, shaped)

@@ -245,11 +245,25 @@ def query_points(
     order_by: str | dict | None = None,
     offset: int = 0,
     lookup_from: DataFrame | None = None,
+    score_threshold: float | None = None,
 ) -> DataFrame:
     """One entry point for every read — see module docstring for the
     dispatch table. Returns a DataFrame whose shape matches the operator
     that served the branch (ids + score/dist columns for searches, full
     rows for scroll/sample).
+
+    ``score_threshold``: Qdrant's minimal-score cut — results with a
+    WORSE score are excluded, where "worse" follows the branch's score
+    direction (distance legs drop score > threshold, similarity legs —
+    sparse/multivector/cosine/dot — and fusion scores drop score <
+    threshold). Every supported branch ranks monotonically in its score,
+    so cutting after the branch's top-``limit+offset`` equals cutting
+    before it, exactly Qdrant's semantics (fewer than ``limit`` rows come
+    back when the cut bites). Supported on the vector-query branches
+    (dense/sparse/multivector, single-stage and prefetch-rescore) and on
+    fusion; scroll/sample/order_by have no score to cut (Qdrant rejects
+    it there too) and recommend/discover/formula scores are composite —
+    unsupported, ValueError.
 
     ``group_by``/``group_size``/``with_lookup``: Qdrant's grouped query —
     a dense vector query returns the best ``group_size`` hits per group
@@ -270,6 +284,21 @@ def query_points(
         raise ValueError(f"offset must be >= 0, got {offset}")
     fetch = limit + offset
 
+    def _cut(df: DataFrame, score_col: str,
+             higher_is_better: bool) -> DataFrame:
+        # score_threshold: monotone-in-rank per branch, so cutting the
+        # branch's ranked top-`fetch` equals cutting before ranking
+        if score_threshold is None:
+            return df
+        t = float(score_threshold)
+        return df.filter(F.col(score_col) >= F.lit(t) if higher_is_better
+                         else F.col(score_col) <= F.lit(t))
+
+    def _no_threshold(branch: str) -> None:
+        if score_threshold is not None:
+            raise ValueError(
+                f"score_threshold is not supported with {branch}")
+
     def _page(df: DataFrame, order: list | None = None) -> DataFrame:
         # every branch frame is internally ordered (orderBy upstream of
         # its limit), so Offset applies to the ranked stream; `order`
@@ -287,6 +316,7 @@ def query_points(
             raise ValueError("group_by requires a dense vector query")
         if offset:
             raise ValueError("offset is not supported with group_by")
+        _no_threshold("group_by")
         return search_groups(
             points, [float(x) for x in query], group_by,
             k_groups=limit, hits_per_group=group_size, vector_col=vcol,
@@ -313,6 +343,7 @@ def query_points(
                     "a formula query rescopes exactly one prefetch leg; "
                     f"got {len(lists)}"
                 )
+            _no_threshold("formula rescoring")
             leg = lists[0]
             score_col = _leg_score_col(leg.columns)
             if pred is not None:
@@ -345,6 +376,10 @@ def query_points(
                                   higher_is_better=hibs)
             else:
                 raise ValueError(f"unknown fusion {kind!r}")
+            # fused scores (rrf sums / dbsf normalized sums) rank
+            # descending — the threshold keeps score >= t
+            fused = _cut(fused,
+                         [c for c in fused.columns if c != id_col][0], True)
             if pred is not None:
                 score_col = [c for c in fused.columns if c != id_col][0]
                 keep = _restrict_to_candidates(points, [fused], id_col) \
@@ -365,10 +400,10 @@ def query_points(
             # sparse, or multivector (MaxSim), per query shape; candidates
             # hand off as an id IN probe (row-group pruning) when bounded
             base = _restrict_to_candidates(points, lists, id_col)
-            out, _ = _score_query(
+            out, hib = _score_query(
                 base, query, using, pred, fetch, id_col, metric
             )
-            return _page(out)
+            return _page(_cut(out, _leg_score_col(out.columns), hib))
         raise ValueError(
             "prefetch requires a fusion directive or a rescore query as "
             f"the top-level query; got {query!r}"
@@ -376,6 +411,7 @@ def query_points(
 
     # --- single-stage branches
     if query is None:
+        _no_threshold("scroll/order_by")
         df = points if pred is None else points.filter(pred)
         if order_by is not None:
             # Qdrant scroll order_by — bare string (ascending) or the
@@ -404,18 +440,20 @@ def query_points(
         # dense vector, multivector token matrix (MaxSim), or sparse
         # {"indices","values"} (Qdrant SparseVector; `using` names the
         # configured vector — columns follow the collection conventions)
-        out, _ = _score_query(points, query, using, pred, fetch, id_col,
-                              metric)
-        return _page(out)
+        out, hib = _score_query(points, query, using, pred, fetch, id_col,
+                                metric)
+        return _page(_cut(out, _leg_score_col(out.columns), hib))
     if isinstance(query, dict):
         if query.get("sample") == "random":
             from vectordb_cloud_spark.sources.readers import random_sample
 
+            _no_threshold("random sampling")
             df = points if pred is None else points.filter(pred)
             return _page(random_sample(df, fetch, seed=seed, id_col=id_col))
         if "recommend" in query:
             from vectordb_cloud_spark.operators.knn import recommend
 
+            _no_threshold("recommend")
             spec = query["recommend"]
             return _page(recommend(
                 points, list(spec.get("positive") or []),
@@ -427,6 +465,7 @@ def query_points(
         if "discover" in query:
             from vectordb_cloud_spark.operators.discover import discover
 
+            _no_threshold("discover")
             spec = query["discover"]
             pairs = [(p["positive"], p["negative"])
                      for p in spec.get("context") or []]
