@@ -630,3 +630,30 @@ def test_query_score_threshold_through_template(svc):
     got3 = svc.query(33, {"query": {"text": "x"}, "limit": 3,
                           "score_threshold": _math.inf})
     assert len(got3) == 3
+
+
+def test_query_params_exact_false_routes_through_sidecar(spark, tmp_path):
+    """Qdrant /query params.exact=false (r11): a plain dense body serves
+    through the collection's ANN sidecar like /search's exact=False; with
+    no sidecar configured it silently stays exact; non-plain bodies keep
+    the exact grammar path."""
+    svc = VectorService(spark, str(tmp_path / "annq"), index_name="A",
+                        dim=8, ann_index={"ivf": {"k_centroids": 4,
+                                                  "nprobe": 4}})
+    for i in range(40):
+        assert svc.insert(i, 9, f"point number {i}", "s", "en") == 1
+    body = {"query": {"text": "point number 7"}, "limit": 5,
+            "params": {"exact": False}}
+    got = svc.query(9, body)
+    assert len(got) == 5 and "dist" in got[0] and "text" in got[0]
+    # nprobe == k_centroids: the full probe equals exact search
+    exact = svc.query(9, {"query": {"text": "point number 7"}, "limit": 5})
+    assert [h["id"] for h in got] == [h["id"] for h in exact]
+    # exact-repeat body hits the plan memo
+    before = svc._plan_hits
+    assert svc.query(9, body) == got and svc._plan_hits == before + 1
+    # no sidecar: silently exact
+    svc2 = VectorService(spark, str(tmp_path / "noq"), index_name="B", dim=8)
+    assert svc2.insert(1, 9, "solo", "s", "en") == 1
+    assert svc2.query(9, {"query": {"text": "solo"}, "limit": 2,
+                          "params": {"exact": False}})

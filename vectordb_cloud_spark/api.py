@@ -668,6 +668,20 @@ class VectorService:
                     self._memo_plan(memo_key, df)
                     return [r.asDict(recursive=True) for r in df.collect()]
 
+        # Qdrant params.exact=false: a plain dense body routes through the
+        # collection's ANN/quantized sidecar, exactly like /search's
+        # exact=False (with no sidecar configured it silently stays exact,
+        # as in Qdrant). Non-plain bodies (prefetch/fusion/sparse/...)
+        # keep the exact grammar path — Qdrant applies params per vector
+        # leg; here the universal endpoint supports the high-QPS plain
+        # shape, the one the sidecars exist for.
+        qparams = body.get("params")
+        if (isinstance(qparams, dict)
+                and qparams.get("exact", True) is False):
+            served = self._query_ann(user_id, body, memo_key)
+            if served is not None:
+                return served
+
         def _embed_text(q):
             if isinstance(q, dict) and set(q) == {"text"}:
                 return mock_vector(q["text"], self.dim)
@@ -806,6 +820,59 @@ class VectorService:
             and not c.startswith(("vec_", "mv_", "sparse_", "__",
                                   "lookup_vec_", "lookup_mv_"))
         ]
+
+    def _query_ann(self, user_id: int, body: dict,
+                   memo_key) -> list[dict] | None:
+        """Serve a ``params.exact=false`` /query body through the
+        collection's ANN or quantized sidecar. Returns None when the body
+        is not the supported plain-dense shape, no sidecar is configured,
+        or the collection is empty — the caller falls through to the
+        exact path (Qdrant's silent-exact behavior). ``with_vectors`` and
+        named ``using`` vectors also fall back (the sidecars index the
+        default dense column)."""
+        meta = self._safe_meta()
+        if meta is None or not (meta.ann_index or meta.quantization):
+            return None
+        core = {k: v for k, v in body.items() if k != "params"}
+        qvec = self._query_dense_vec(core)
+        if (qvec is None or core.get("using")
+                or core.get("with_vectors")
+                or not self.catalog._has_data(self.index_name)):
+            return None
+        try:
+            k = int(core.get("limit", 10))
+            off = int(core.get("offset", 0))
+            thr = core.get("score_threshold")
+            thr = None if thr is None else float(thr)
+        except (TypeError, ValueError):
+            return None
+        pred = F.col("user_id") == F.lit(user_id)
+        extra = compile_filter(
+            self.catalog.rewrite_text_filter(self.index_name,
+                                             core.get("filter")),
+            id_col="id")
+        if extra is not None:
+            pred = pred & extra
+        if meta.ann_index:
+            hits = self.catalog.search_ann(
+                self.index_name, qvec, k=k + off, predicate=pred)
+        else:
+            hits = self.catalog.search_quantized(
+                self.index_name, qvec, k=k + off, predicate=pred)
+        payload = self.catalog.read_for_user(self.index_name, user_id)
+        joined = (payload.join(F.broadcast(hits.select("id", "dist")), "id")
+                  .orderBy(F.col("dist").asc(), F.col("id").asc()))
+        if thr is not None:
+            joined = joined.filter(F.col("dist") <= F.lit(thr))
+        if off:
+            joined = joined.offset(off)
+        joined = joined.limit(k)
+        keep = self._select_response(
+            joined.columns, with_vectors=False,
+            with_payload=core.get("with_payload", True))
+        shaped = joined.select(*keep)
+        self._memo_plan(memo_key, shaped)
+        return [r.asDict(recursive=True) for r in shaped.collect()]
 
     def query_batch(self, user_id: int, bodies: list[dict]) -> list[list[dict]]:
         """Qdrant POST /points/query/batch, tenant-scoped. Plain dense
