@@ -657,3 +657,29 @@ def test_query_params_exact_false_routes_through_sidecar(spark, tmp_path):
     assert svc2.insert(1, 9, "solo", "s", "en") == 1
     assert svc2.query(9, {"query": {"text": "solo"}, "limit": 2,
                           "params": {"exact": False}})
+
+
+def test_query_params_quantization_and_hnsw_ef(spark, tmp_path):
+    """The rest of Qdrant's search params on the /query sidecar path:
+    quantization.ignore falls back to exact originals, rescore/
+    oversampling pass through, hnsw_ef overrides the graph beam."""
+    svc = VectorService(spark, str(tmp_path / "qz"), index_name="Q", dim=8,
+                        quantization={"scalar": {"type": "int8"}})
+    for i in range(30):
+        assert svc.insert(i, 4, f"quantized point {i}", "s", "en") == 1
+    body = {"query": {"text": "quantized point 3"}, "limit": 5}
+    exact = svc.query(4, body)
+    via_codes = svc.query(4, dict(
+        body, params={"exact": False,
+                      "quantization": {"rescore": True, "oversampling": 4}}))
+    assert [h["id"] for h in via_codes] == [h["id"] for h in exact]
+    ignored = svc.query(4, dict(
+        body, params={"exact": False, "quantization": {"ignore": True}}))
+    assert ignored == exact  # codes disabled -> plain exact path
+    svg = VectorService(spark, str(tmp_path / "gz"), index_name="G", dim=8,
+                        ann_index={"graph": {"degree": 8, "beam": 4,
+                                             "max_hops": 3}})
+    for i in range(60):
+        assert svg.insert(i, 4, f"graph point {i}", "s", "en") == 1
+    wide = svg.query(4, dict(body, params={"exact": False, "hnsw_ef": 48}))
+    assert len(wide) == 5 and "dist" in wide[0]

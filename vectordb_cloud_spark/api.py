@@ -829,10 +829,22 @@ class VectorService:
         or the collection is empty — the caller falls through to the
         exact path (Qdrant's silent-exact behavior). ``with_vectors`` and
         named ``using`` vectors also fall back (the sidecars index the
-        default dense column)."""
+        default dense column).
+
+        Honors the rest of Qdrant's search ``params`` on this path:
+        ``hnsw_ef`` overrides the graph config's beam width (ignored by
+        IVF, as in Qdrant); ``quantization: {ignore, rescore,
+        oversampling}`` — ignore=true skips the codes sidecar (exact over
+        originals), rescore/oversampling pass into search_quantized."""
         meta = self._safe_meta()
         if meta is None or not (meta.ann_index or meta.quantization):
             return None
+        qp = body.get("params") if isinstance(body.get("params"), dict) \
+            else {}
+        quant = qp.get("quantization") if isinstance(
+            qp.get("quantization"), dict) else {}
+        if not meta.ann_index and quant.get("ignore"):
+            return None  # quantized codes disabled: exact over originals
         core = {k: v for k, v in body.items() if k != "params"}
         qvec = self._query_dense_vec(core)
         if (qvec is None or core.get("using")
@@ -854,11 +866,16 @@ class VectorService:
         if extra is not None:
             pred = pred & extra
         if meta.ann_index:
+            ef = qp.get("hnsw_ef")
             hits = self.catalog.search_ann(
-                self.index_name, qvec, k=k + off, predicate=pred)
+                self.index_name, qvec, k=k + off, predicate=pred,
+                beam=int(ef) if ef else None)
         else:
+            ov = quant.get("oversampling")
             hits = self.catalog.search_quantized(
-                self.index_name, qvec, k=k + off, predicate=pred)
+                self.index_name, qvec, k=k + off, predicate=pred,
+                rescore=bool(quant.get("rescore", False)),
+                oversampling=int(ov) if ov else None)
         payload = self.catalog.read_for_user(self.index_name, user_id)
         joined = (payload.join(F.broadcast(hits.select("id", "dist")), "id")
                   .orderBy(F.col("dist").asc(), F.col("id").asc()))

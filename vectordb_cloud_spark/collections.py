@@ -1766,11 +1766,14 @@ class CollectionCatalog:
 
     def search_ann(self, name: str, query_vector: list[float], k: int = 10,
                    predicate=None, vector_col: str = "embedding",
-                   id_col: str = "id") -> DataFrame:
+                   id_col: str = "id", beam: int | None = None) -> DataFrame:
         """Top-k through the collection's attached ANN index (nprobe/beam
         from the config). Filters compose Qdrant-style: IVF pushes them
         into the pruned scan; graph navigates unfiltered and filters
-        results (the filtered-HNSW convention of graph_beam_search)."""
+        results (the filtered-HNSW convention of graph_beam_search).
+        ``beam`` overrides the graph config's beam width for this query —
+        Qdrant's search-time ``params.hnsw_ef`` (ignored by IVF layouts,
+        as Qdrant ignores hnsw_ef for non-HNSW indexes)."""
         from vectordb_cloud_spark.operators.ann import ivf_search_persisted
         from vectordb_cloud_spark.operators.graph_ann import graph_beam_search
         from vectordb_cloud_spark.operators.knn import exact_rescore_topk
@@ -1831,7 +1834,8 @@ class CollectionCatalog:
             if seeds:
                 entry_ids = seeds
         return graph_beam_search(
-            self.read(name), graph, query_vector, k=k, beam=params["beam"],
+            self.read(name), graph, query_vector, k=k,
+            beam=int(beam) if beam else params["beam"],
             max_hops=params["max_hops"], id_col=id_col, vec_col=vector_col,
             filters=predicate, entry_ids=entry_ids)
 
