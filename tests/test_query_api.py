@@ -410,3 +410,36 @@ def test_score_threshold_dense_sparse_fusion(embeddings, emb_rows):
     with pytest.raises(ValueError, match="score_threshold"):
         query_points(embeddings, {"recommend": {"positive": [0]}},
                      limit=5, score_threshold=0.5)
+
+
+def test_score_threshold_per_leg_group_by_and_nan(embeddings, emb_rows):
+    """Review fixes: a prefetch LEG's own score_threshold cuts that leg's
+    candidates before fusion; group_by + score_threshold cuts points then
+    groups the survivors (Qdrant query-groups); NaN thresholds are
+    rejected loudly instead of silently emptying the result."""
+    import math
+
+    from vectordb_cloud_spark.operators.knn import knn_search
+
+    q = _vec(emb_rows, 0)
+    ranked = knn_search(embeddings, q, k=10, tiebreak="vec_id").collect()
+    t = (ranked[2]["dist"] + ranked[3]["dist"]) / 2
+    # per-leg cut: the dense leg keeps only its top-3, so fusion can only
+    # surface ids from {leg2 top-5} ∪ {leg1 top-3}
+    fused = query_points(embeddings, {"fusion": "rrf"}, prefetch=[
+        {"query": q, "limit": 10, "score_threshold": t},
+        {"query": _vec(emb_rows, 1), "limit": 5},
+    ], limit=20).collect()
+    leg1 = {r["vec_id"] for r in ranked[:3]}
+    leg2 = {r["vec_id"] for r in
+            knn_search(embeddings, _vec(emb_rows, 1), k=5,
+                       tiebreak="vec_id").collect()}
+    assert {r["vec_id"] for r in fused} <= (leg1 | leg2)
+    # group_by: every returned hit meets the cut; groups come only from
+    # qualifying points
+    grouped = query_points(embeddings, query=q, group_by="label", limit=3,
+                           group_size=2, score_threshold=t).collect()
+    assert grouped and all(r["dist"] <= t for r in grouped)
+    with pytest.raises(ValueError, match="finite"):
+        query_points(embeddings, query=q, limit=5,
+                     score_threshold=float("nan"))

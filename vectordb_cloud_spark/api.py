@@ -851,6 +851,8 @@ class VectorService:
                 or core.get("with_vectors")
                 or not self.catalog._has_data(self.index_name)):
             return None
+        import math as _math
+
         try:
             k = int(core.get("limit", 10))
             off = int(core.get("offset", 0))
@@ -858,6 +860,8 @@ class VectorService:
             thr = None if thr is None else float(thr)
         except (TypeError, ValueError):
             return None
+        if thr is not None and not _math.isfinite(thr):
+            return None  # the exact path rejects NaN/inf with a 422
         pred = F.col("user_id") == F.lit(user_id)
         extra = compile_filter(
             self.catalog.rewrite_text_filter(self.index_name,
@@ -866,16 +870,21 @@ class VectorService:
         if extra is not None:
             pred = pred & extra
         if meta.ann_index:
+            # malformed values raise ValueError/TypeError — the same loud
+            # coercion style as limit above; the HTTP layer maps both to
+            # the 422 envelope (Qdrant validates params the same way)
             ef = qp.get("hnsw_ef")
             hits = self.catalog.search_ann(
                 self.index_name, qvec, k=k + off, predicate=pred,
                 beam=int(ef) if ef else None)
         else:
+            # Qdrant oversampling is a FLOAT (e.g. 2.4) — float(), not
+            # int(): truncation would silently shrink the rescore pool
             ov = quant.get("oversampling")
             hits = self.catalog.search_quantized(
                 self.index_name, qvec, k=k + off, predicate=pred,
                 rescore=bool(quant.get("rescore", False)),
-                oversampling=int(ov) if ov else None)
+                oversampling=float(ov) if ov else None)
         payload = self.catalog.read_for_user(self.index_name, user_id)
         joined = (payload.join(F.broadcast(hits.select("id", "dist")), "id")
                   .orderBy(F.col("dist").asc(), F.col("id").asc()))

@@ -1487,7 +1487,7 @@ class CollectionCatalog:
 
     def search_quantized(self, name: str, query_vector: list[float],
                          k: int = 10, predicate=None,
-                         oversampling: int | None = None,
+                         oversampling: float | None = None,
                          rescore: bool | None = None,
                          vector_col: str = "embedding",
                          id_col: str = "id") -> DataFrame:
@@ -1497,10 +1497,19 @@ class CollectionCatalog:
         measured operating points: int8 is near-lossless so it serves
         directly (rescore opt-in), binary ALWAYS rescores (hamming alone is
         a candidate generator) at 48x oversampling — the RECALL.md setting.
+        ``oversampling`` is a FLOAT, as in Qdrant (e.g. 2.4): fractional
+        values round the candidate pool UP (ceil), never down.
         Codes for a stale/missing snapshot rebuild lazily here."""
+        import math as _math
+
         from vectordb_cloud_spark.operators.knn import exact_rescore_topk
         from vectordb_cloud_spark.operators.sq import bq_search, sq_search
 
+        if oversampling is not None:
+            # operators take integral oversample factors (they compute
+            # k*oversample pool sizes); ceil preserves a fractional
+            # request's pool-at-least-k*x contract
+            oversampling = max(1, int(_math.ceil(float(oversampling))))
         name = self.resolve(name)
         qdir = self.quantize(name, vector_col=vector_col)
         with open(os.path.join(qdir, "params.json")) as f:
@@ -1715,11 +1724,18 @@ class CollectionCatalog:
             # literals blow up the plan past ~10^7 rows — its own
             # docstring), and it degenerates to the unsharded candidate
             # structure on small corpora (n_shards=1). `builder:
-            # "blocked"` keeps the legacy form for comparisons.
-            if spec.get("builder", "sharded") == "blocked":
+            # "blocked"` keeps the legacy form for comparisons; anything
+            # else is a config error, not a silent sharded build.
+            builder = spec.get("builder", "sharded")
+            if builder not in ("sharded", "blocked"):
+                raise ValueError(
+                    f"unknown graph builder {builder!r}: "
+                    "expected 'sharded' or 'blocked'")
+            if builder == "blocked":
                 graph = knn_graph_build(
                     df, degree=int(spec.get("degree", 8)), id_col=id_col,
-                    vec_col=vector_col)
+                    vec_col=vector_col,
+                    refine_rounds=int(spec.get("refine_rounds", 1)))
             else:
                 graph = knn_graph_build_sharded(
                     df, degree=int(spec.get("degree", 8)), id_col=id_col,

@@ -48,6 +48,7 @@ limit (Qdrant filters merged candidates, then truncates — ADVICE r8).
 
 from __future__ import annotations
 
+import math
 from typing import Any
 
 from pyspark.sql import Column, DataFrame, Window
@@ -128,6 +129,36 @@ def _is_multivector_query(q: Any) -> bool:
     )
 
 
+def _metric_score_expr(vector_col: str, qv: list[float],
+                       metric: str) -> tuple[Column, bool]:
+    """(score expression, higher_is_better) for a dense query under one
+    metric — the scan-predicate form of knn_search's dispatch, used where
+    a score cut must apply to POINTS before another operator ranks them
+    (group_by + score_threshold: Qdrant cuts points, then groups form
+    from the survivors)."""
+    from vectordb_cloud_spark.functions.vector import (
+        cosine_similarity_to,
+        distance_to_expr,
+        dot_product,
+        l2_distance_to,
+        lit_double_array,
+        manhattan_distance_to,
+    )
+
+    if metric == "l2":
+        return l2_distance_to(vector_col, qv), False
+    if metric == "cosine":
+        return cosine_similarity_to(vector_col, qv), True
+    if metric == "dot":
+        e = distance_to_expr(vector_col, qv, "dot")
+        if e is None:
+            e = dot_product(F.col(vector_col), lit_double_array(qv))
+        return e, True
+    if metric == "manhattan":
+        return manhattan_distance_to(vector_col, qv), False
+    raise ValueError(f"unknown metric {metric!r}")
+
+
 def _score_query(
     base: DataFrame,
     query: Any,
@@ -136,12 +167,14 @@ def _score_query(
     k: int,
     id_col: str,
     metric: str,
-) -> tuple[DataFrame, bool]:
+) -> tuple[DataFrame, bool, str]:
     """Score ``base`` (the full collection or a candidate-restricted frame)
     with one query — dense / sparse / multivector dispatch by query shape.
-    Returns ``(topk_df, higher_is_better)`` so fusion knows each leg's
-    score direction (ADVICE r8: cosine/dot similarity also lands in the
-    ``dist`` column)."""
+    Returns ``(topk_df, higher_is_better, score_col)`` so fusion knows
+    each leg's score direction (ADVICE r8: cosine/dot similarity also
+    lands in the ``dist`` column) and threshold cuts filter the COMPUTED
+    score column — not a same-named payload column `_leg_score_col`'s
+    precedence could pick up."""
     if _is_sparse_query(query):
         from vectordb_cloud_spark.operators.sparse import sparse_topk
 
@@ -153,7 +186,7 @@ def _score_query(
             df, list(query["indices"]), [float(x) for x in query["values"]],
             k=k, id_col=id_col, idx_col=icol, val_col=vcol,
         )
-        return out, True
+        return out, True, "score"
     if _is_multivector_query(query):
         from vectordb_cloud_spark.operators.multivector import multivector_topk
 
@@ -162,7 +195,7 @@ def _score_query(
             base, [[float(x) for x in tok] for tok in query],
             k=k, tokens_col=tokens_col, id_col=id_col, filters=pred,
         )
-        return out, True
+        return out, True, "maxsim"
     if isinstance(query, (list, tuple)):
         from vectordb_cloud_spark.operators.knn import knn_search
 
@@ -171,7 +204,7 @@ def _score_query(
             vector_col=_vector_col(using), filters=pred, metric=metric,
             tiebreak=id_col,
         )
-        return out, metric in ("cosine", "dot")
+        return out, metric in ("cosine", "dot"), "dist"
     raise ValueError(f"unsupported leg query: {query!r}")
 
 
@@ -221,10 +254,20 @@ def _run_prefetch(
         ]
         base = _restrict_to_candidates(points, legs, id_col)
     pred = compile_filter(spec.get("filter"), id_col=id_col)
-    return _score_query(
+    out, hib, sc = _score_query(
         base, spec["query"], spec.get("using"), pred,
         int(spec.get("limit", 100)), id_col, spec.get("metric", metric),
     )
+    thr = spec.get("score_threshold")
+    if thr is not None:
+        # per-leg cut (Qdrant Prefetch.score_threshold): applied to the
+        # leg's COMPUTED score before its candidates enter fusion/rescore
+        t = float(thr)
+        if not math.isfinite(t):
+            raise ValueError("prefetch score_threshold must be finite")
+        out = out.filter(F.col(sc) >= F.lit(t) if hib
+                         else F.col(sc) <= F.lit(t))
+    return out, hib
 
 
 def query_points(
@@ -260,10 +303,14 @@ def query_points(
     so cutting after the branch's top-``limit+offset`` equals cutting
     before it, exactly Qdrant's semantics (fewer than ``limit`` rows come
     back when the cut bites). Supported on the vector-query branches
-    (dense/sparse/multivector, single-stage and prefetch-rescore) and on
-    fusion; scroll/sample/order_by have no score to cut (Qdrant rejects
-    it there too) and recommend/discover/formula scores are composite —
-    unsupported, ValueError.
+    (dense/sparse/multivector, single-stage and prefetch-rescore), on
+    fusion, on ``group_by`` (the cut applies to points, then groups form
+    from the survivors — Qdrant's query-groups semantics), and per
+    prefetch leg via the spec's own ``score_threshold`` key;
+    scroll/sample/order_by have no score to cut (Qdrant rejects it there
+    too) and recommend/discover/formula scores are composite —
+    unsupported, ValueError. Non-finite thresholds are rejected (NaN
+    would silently empty the result).
 
     ``group_by``/``group_size``/``with_lookup``: Qdrant's grouped query —
     a dense vector query returns the best ``group_size`` hits per group
@@ -282,6 +329,13 @@ def query_points(
     vcol = _vector_col(using)
     if offset < 0:
         raise ValueError(f"offset must be >= 0, got {offset}")
+    if score_threshold is not None:
+        score_threshold = float(score_threshold)
+        if not math.isfinite(score_threshold):
+            # NaN compares false everywhere — it would silently empty the
+            # result instead of failing validation, and could never warm
+            # a serving template; reject like Qdrant does
+            raise ValueError("score_threshold must be finite")
     fetch = limit + offset
 
     def _cut(df: DataFrame, score_col: str,
@@ -316,7 +370,16 @@ def query_points(
             raise ValueError("group_by requires a dense vector query")
         if offset:
             raise ValueError("offset is not supported with group_by")
-        _no_threshold("group_by")
+        if score_threshold is not None:
+            # Qdrant query-groups accepts score_threshold: the cut applies
+            # to POINTS (by the query's own score), then groups form from
+            # the survivors — expressed as a scan predicate so
+            # search_groups ranks only qualifying hits
+            expr, hib_m = _metric_score_expr(
+                vcol, [float(x) for x in query], metric)
+            points = points.filter(
+                expr >= F.lit(score_threshold) if hib_m
+                else expr <= F.lit(score_threshold))
         return search_groups(
             points, [float(x) for x in query], group_by,
             k_groups=limit, hits_per_group=group_size, vector_col=vcol,
@@ -400,10 +463,10 @@ def query_points(
             # sparse, or multivector (MaxSim), per query shape; candidates
             # hand off as an id IN probe (row-group pruning) when bounded
             base = _restrict_to_candidates(points, lists, id_col)
-            out, hib = _score_query(
+            out, hib, sc = _score_query(
                 base, query, using, pred, fetch, id_col, metric
             )
-            return _page(_cut(out, _leg_score_col(out.columns), hib))
+            return _page(_cut(out, sc, hib))
         raise ValueError(
             "prefetch requires a fusion directive or a rescore query as "
             f"the top-level query; got {query!r}"
@@ -440,9 +503,9 @@ def query_points(
         # dense vector, multivector token matrix (MaxSim), or sparse
         # {"indices","values"} (Qdrant SparseVector; `using` names the
         # configured vector — columns follow the collection conventions)
-        out, hib = _score_query(points, query, using, pred, fetch, id_col,
-                                metric)
-        return _page(_cut(out, _leg_score_col(out.columns), hib))
+        out, hib, sc = _score_query(points, query, using, pred, fetch,
+                                    id_col, metric)
+        return _page(_cut(out, sc, hib))
     if isinstance(query, dict):
         if query.get("sample") == "random":
             from vectordb_cloud_spark.sources.readers import random_sample

@@ -308,13 +308,20 @@ def collection_graph_million_recall(spark: SparkSession, sf_dir: str,
                                        "embedding"))
         qrows = (emb0.select("vec_id", "embedding").orderBy("vec_id")
                  .limit(n_queries).collect())
-        base = cat.read("m1")
-        total = 0.0
-        for r in qrows:
-            qv = [float(x) for x in r["embedding"]]
-            exact = brute_force_topk(base, qv, k=k)
-            got = cat.search_ann("m1", qv, k=k)
-            total += recall_at_k(got, exact, "id")
-        return round(total / max(1, len(qrows)), 3)
+        # cache the ground-truth scan: brute force runs once per query
+        # (the million_recall_report pattern) — without this each of the
+        # n_queries iterations re-reads the full 1M-row parquet
+        base = cat.read("m1").select("id", "embedding").cache()
+        base.count()
+        try:
+            total = 0.0
+            for r in qrows:
+                qv = [float(x) for x in r["embedding"]]
+                exact = brute_force_topk(base, qv, k=k)
+                got = cat.search_ann("m1", qv, k=k)
+                total += recall_at_k(got, exact, "id")
+            return round(total / max(1, len(qrows)), 3)
+        finally:
+            base.unpersist()
     finally:
         shutil.rmtree(root, ignore_errors=True)
