@@ -626,10 +626,13 @@ def test_query_score_threshold_through_template(svc):
                             index_name=svc.index_name, dim=svc.dim)
     assert got2 == ref_svc.query(33, dict(body,
                                           query={"text": "different probe"}))
-    # non-finite threshold: memo skipped, built path still serves
-    got3 = svc.query(33, {"query": {"text": "x"}, "limit": 3,
-                          "score_threshold": _math.inf})
-    assert len(got3) == 3
+    # non-finite thresholds are rejected loudly on every path (fourth
+    # review pass: NaN compares false and would silently empty results)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="finite"):
+        svc.query(33, {"query": {"text": "x"}, "limit": 3,
+                       "score_threshold": _math.inf})
 
 
 def test_query_params_exact_false_routes_through_sidecar(spark, tmp_path):
