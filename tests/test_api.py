@@ -507,6 +507,49 @@ def test_query_template_serves_distinct_texts(svc):
     assert 905 in [h["id"] for h in got3]
 
 
+def test_query_template_params_exact_true_is_eligible(svc):
+    """ADVICE r11: a body carrying the explicit Qdrant-client default
+    ``params: {"exact": true}`` (or empty/null params) is exact-path
+    identical to one without params — it must not silently disqualify
+    the distinct-text template. The shape keys on the NORMALIZED body,
+    so params-default and params-free bodies SHARE one template."""
+    for pid, text in [(931, "iota kappa"), (932, "lambda mu"),
+                      (933, "nu xi")]:
+        assert svc.insert(pid, 79, text, "s0", "en") == 1
+    base = {"query": {"text": "warmup text"}, "limit": 2}
+    svc.query(79, dict(base, params={"exact": True}))  # stores the shape
+    before = svc._shape_hits
+    # distinct text + the other params spellings all hit the SAME shape
+    got_default = svc.query(
+        79, {"query": {"text": "second text"}, "limit": 2,
+             "params": {"exact": True}})
+    assert svc._shape_hits == before + 1
+    got_empty = svc.query(
+        79, {"query": {"text": "third text"}, "limit": 2, "params": {}})
+    assert svc._shape_hits == before + 2
+    got_none = svc.query(
+        79, {"query": {"text": "fourth text"}, "limit": 2, "params": None})
+    assert svc._shape_hits == before + 3
+    got_bare = svc.query(79, {"query": {"text": "fifth text"}, "limit": 2})
+    assert svc._shape_hits == before + 4
+    # parity: template answers equal a fresh-service full construction
+    ref = VectorService(svc.spark, svc.catalog.root,
+                        index_name=svc.index_name, dim=svc.dim)
+    for got, body in [
+        (got_default, {"query": {"text": "second text"}, "limit": 2,
+                       "params": {"exact": True}}),
+        (got_empty, {"query": {"text": "third text"}, "limit": 2}),
+        (got_none, {"query": {"text": "fourth text"}, "limit": 2}),
+        (got_bare, {"query": {"text": "fifth text"}, "limit": 2}),
+    ]:
+        assert got == ref.query(79, body)
+    # real knobs still keep full routing — no template probe/store
+    before = svc._shape_hits
+    svc.query(79, {"query": {"text": "sixth text"}, "limit": 2,
+                   "params": {"exact": False}})
+    assert svc._shape_hits == before
+
+
 def test_query_template_ineligible_bodies_keep_full_construction(svc):
     """Prefetch/fusion/group_by/sparse bodies never store or probe the
     /query shape template — only the plain dense subset does."""

@@ -408,8 +408,63 @@ def test_score_threshold_dense_sparse_fusion(embeddings, emb_rows):
     with pytest.raises(ValueError, match="score_threshold"):
         query_points(embeddings, None, limit=5, score_threshold=0.5)
     with pytest.raises(ValueError, match="score_threshold"):
-        query_points(embeddings, {"recommend": {"positive": [0]}},
+        query_points(embeddings, {"sample": "random"},
                      limit=5, score_threshold=0.5)
+
+
+def test_score_threshold_recommend_discover(embeddings, emb_rows):
+    """Qdrant accepts score_threshold on recommend and discover (r12,
+    ADVICE r11): each branch cuts on its PRIMARY ranking score —
+    recommend's distance (average_vector: plain monotone cut; best_score:
+    prefix cut on the clean tier, contaminated excluded), discover's
+    context_score (higher-is-better). Ground truth from the unthresholded
+    ranking itself."""
+    # average_vector: dist ascending — threshold between ranks 3 and 4
+    full = query_points(embeddings, {"recommend": {"positive": [0, 1]}},
+                        limit=10, id_col="vec_id").collect()
+    t = (full[2]["dist"] + full[3]["dist"]) / 2
+    cut = query_points(embeddings, {"recommend": {"positive": [0, 1]}},
+                       limit=10, id_col="vec_id",
+                       score_threshold=t).collect()
+    assert [r["vec_id"] for r in cut] == [r["vec_id"] for r in full[:3]]
+    # best_score with negatives: the cut keeps the CLEAN prefix within
+    # the bound and excludes every contaminated point (dist <= 0 rows)
+    body = {"recommend": {"positive": [0], "negative": [1],
+                          "strategy": "best_score"}}
+    full = query_points(embeddings, body, limit=100_000,
+                        id_col="vec_id").collect()
+    clean = [r for r in full if r["dist"] > 0]
+    assert clean and len(clean) < len(full)  # both tiers present
+    tb = (clean[min(2, len(clean) - 1)]["dist"]
+          + clean[min(3, len(clean) - 1)]["dist"]) / 2
+    cut = query_points(embeddings, body, limit=100_000, id_col="vec_id",
+                       score_threshold=tb).collect()
+    assert [r["vec_id"] for r in cut] == \
+        [r["vec_id"] for r in clean if r["dist"] <= tb]
+    # discover: context_score descending — cut at rank 2's score keeps
+    # exactly the rows at or above it (>= keeps ties)
+    import numpy as np
+
+    v0 = np.asarray(_vec(emb_rows, 0))
+    v1 = np.asarray(_vec(emb_rows, 1))
+    dbody = {"discover": {
+        "target": [float(x) for x in (v0 + v1) / 2],
+        "context": [{"positive": _vec(emb_rows, 0),
+                     "negative": _vec(emb_rows, 1)}],
+    }}
+    full = query_points(embeddings, dbody, limit=10, id_col="vec_id").collect()
+    td = full[1]["context_score"]
+    cut = query_points(embeddings, dbody, limit=10, id_col="vec_id",
+                       score_threshold=td).collect()
+    assert [r["vec_id"] for r in cut] == \
+        [r["vec_id"] for r in full if r["context_score"] >= td]
+    # non-finite thresholds stay loud on both branches
+    with pytest.raises(ValueError, match="finite"):
+        query_points(embeddings, body, limit=5, id_col="vec_id",
+                     score_threshold=float("inf"))
+    with pytest.raises(ValueError, match="finite"):
+        query_points(embeddings, dbody, limit=5, id_col="vec_id",
+                     score_threshold=float("nan"))
 
 
 def test_score_threshold_per_leg_group_by_and_nan(embeddings, emb_rows):

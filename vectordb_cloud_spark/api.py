@@ -656,11 +656,21 @@ class VectorService:
                 return [r.asDict(recursive=True) for r in hit.collect()]
             # distinct-text fast path (the /search shape template, on
             # /query's plain dense subset): a body differing only in its
-            # query vector/text reuses this shape's candidate view + SQL
-            qvec = self._query_dense_vec(body)
+            # query vector/text reuses this shape's candidate view + SQL.
+            # A body carrying the explicit Qdrant-client default
+            # params:{exact:true} (or empty params) is exact-path
+            # identical to one without params — strip it before the
+            # shape checks so it doesn't silently disqualify the
+            # template, keying the shape on the NORMALIZED body
+            # (ADVICE r11; exact=false and real knobs keep full routing)
+            tbody = body
+            qp0 = body.get("params")
+            if "params" in body and qp0 in (None, {}, {"exact": True}):
+                tbody = {k: v for k, v in body.items() if k != "params"}
+            qvec = self._query_dense_vec(tbody)
             if qvec is not None:
                 qshape_key = self._query_shape_key(
-                    data_dir, stamp, user_id, body)
+                    data_dir, stamp, user_id, tbody)
             if qshape_key is not None:
                 df = self._serve_from_shape(qshape_key, qvec)
                 if df is not None:
@@ -835,7 +845,16 @@ class VectorService:
         ``hnsw_ef`` overrides the graph config's beam width (ignored by
         IVF, as in Qdrant); ``quantization: {ignore, rescore,
         oversampling}`` — ignore=true skips the codes sidecar (exact over
-        originals), rescore/oversampling pass into search_quantized."""
+        originals), rescore/oversampling pass into search_quantized.
+
+        ``score_threshold`` on this path cuts on the distances the
+        sidecar RETURNS: on the quantized path with ``rescore=false``
+        those are the approximate (affine-decoded) distances, so cuts
+        near the boundary can admit/drop different points than the exact
+        path would for the same body — exactly Qdrant's behavior, where
+        the threshold applies to the scores the (possibly quantized)
+        search produced. Request ``quantization: {"rescore": true}`` for
+        an exact-distance cut (ADVICE r11, documented deviation-free)."""
         meta = self._safe_meta()
         if meta is None or not (meta.ann_index or meta.quantization):
             return None

@@ -63,18 +63,36 @@ def discover(
     vector_col: str = "embedding",
     id_col: str = "vec_id",
     filters: Column | None = None,
+    score_threshold: float | None = None,
 ) -> DataFrame:
     """Discovery search: best context score, then closest to target.
 
     Returns the top-k rows with ``context_score`` and ``target_dist``
     columns appended; deterministic via the id tiebreak.
+
+    ``score_threshold``: Qdrant accepts score_threshold on discover; the
+    cut applies to the PRIMARY ranking score (``context_score``, higher
+    is better — rows with ``context_score < t`` are excluded). The
+    ranking is lexicographic on (context_score desc, ...), so the
+    qualifying set is a prefix of the ranking and the cut is exact
+    (Qdrant's cut-then-limit semantics).
     """
+    import math
+
     df = points if filters is None else points.filter(filters)
     scored = df.withColumn(
         "context_score", context_score(vector_col, context_pairs)
     ).withColumn(
         "target_dist", l2_distance_to(F.col(vector_col), [float(x) for x in target])
     )
+    if score_threshold is not None:
+        score_threshold = float(score_threshold)
+        if not math.isfinite(score_threshold):
+            # NaN compares false everywhere — it would silently empty the
+            # result instead of failing validation (query_points' rule)
+            raise ValueError("score_threshold must be finite")
+        scored = scored.filter(
+            F.col("context_score") >= F.lit(score_threshold))
     return (
         scored.orderBy(
             F.col("context_score").desc(),

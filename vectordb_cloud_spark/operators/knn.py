@@ -316,6 +316,7 @@ def recommend(
     tiebreak: str | None = None,
     strategy: str = "average_vector",
     lookup_from: DataFrame | None = None,
+    score_threshold: float | None = None,
 ) -> DataFrame:
     """Recommendation search from example points — the /recommend API with
     both Qdrant strategies. ``average_vector`` (default): the query vector
@@ -347,7 +348,25 @@ def recommend(
     naming), e.g. recommend movies from liked books. The searched
     collection's points are then NOT excluded by id (the id spaces are
     unrelated).
+
+    ``score_threshold``: Qdrant accepts score_threshold on recommend; the
+    cut here follows this engine's distance convention (published scores
+    are distances, lower is better — results with ``dist > t`` are
+    excluded). ``average_vector`` is a plain dense leg, so the cut is the
+    ordinary monotone distance cut. ``best_score`` ranks in two tiers
+    (clean points first — see the parity note above), so the threshold is
+    a bound on the PRIMARY score, the clean tier's nearest-positive
+    distance: clean points pass iff that distance is <= t, and
+    contaminated points — which Qdrant's own formula scores as
+    ``-(best_neg²)``, below any practical threshold — are always excluded
+    when a threshold is given. That keeps the cut a PREFIX of the tiered
+    ranking (monotone-in-rank, Qdrant's cut-then-limit semantics) instead
+    of a numeric cut on the composite published score, which would
+    nonsensically admit contaminated points (their published score is
+    ``-best_neg <= 0``).
     """
+    import math
+
     import numpy as np
 
     from vectordb_cloud_spark.functions.vector import l2_distance_to
@@ -358,6 +377,12 @@ def recommend(
         raise ValueError("recommend needs at least one positive example id")
     if strategy not in ("average_vector", "best_score"):
         raise ValueError(f"unknown recommend strategy {strategy!r}")
+    if score_threshold is not None:
+        score_threshold = float(score_threshold)
+        if not math.isfinite(score_threshold):
+            # NaN compares false everywhere — it would silently empty the
+            # result instead of failing validation (query_points' rule)
+            raise ValueError("score_threshold must be finite")
     all_ids = positive_ids + negative_ids
     example_src = points if lookup_from is None else lookup_from
     rows = (
@@ -379,9 +404,13 @@ def recommend(
         q = np.mean([found[i] for i in positive_ids], axis=0)
         if negative_ids:
             q = q - np.mean([found[i] for i in negative_ids], axis=0)
-        return knn_search(points, [float(x) for x in q], k=k,
-                          vector_col=vector_col, filters=pred,
-                          tiebreak=tiebreak)
+        out = knn_search(points, [float(x) for x in q], k=k,
+                         vector_col=vector_col, filters=pred,
+                         tiebreak=tiebreak)
+        if score_threshold is not None:
+            # dist ranks ascending — the post-top-k cut is exact
+            out = out.filter(F.col("dist") <= F.lit(score_threshold))
+        return out
     # best_score: similarity = -L2 distance; all example folds fuse into
     # one projection over the scan
     best_pos = F.least(*[
@@ -409,6 +438,11 @@ def recommend(
             .withColumn("__key", key)
             .withColumn("dist", F.round(key, 6))
         )
+        if score_threshold is not None:
+            # prefix cut on the tiered ranking (docstring): clean points
+            # within the published primary-score bound; contaminated out
+            df = df.filter((F.col("__bad") == 0)
+                           & (F.col("dist") <= F.lit(score_threshold)))
         order = [F.col("__bad").asc(), F.col("__key").asc()]
         if tiebreak is not None:
             order.append(F.col(tiebreak).asc())
@@ -416,7 +450,10 @@ def recommend(
     order = [F.col("dist").asc()]
     if tiebreak is not None:
         order.append(F.col(tiebreak).asc())
-    return df.withColumn("dist", F.round(best_pos, 6)).orderBy(*order).limit(k)
+    df = df.withColumn("dist", F.round(best_pos, 6))
+    if score_threshold is not None:  # no negatives: every point is clean
+        df = df.filter(F.col("dist") <= F.lit(score_threshold))
+    return df.orderBy(*order).limit(k)
 
 
 def search_groups(

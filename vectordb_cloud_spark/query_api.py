@@ -305,12 +305,16 @@ def query_points(
     back when the cut bites). Supported on the vector-query branches
     (dense/sparse/multivector, single-stage and prefetch-rescore), on
     fusion, on ``group_by`` (the cut applies to points, then groups form
-    from the survivors — Qdrant's query-groups semantics), and per
-    prefetch leg via the spec's own ``score_threshold`` key;
-    scroll/sample/order_by have no score to cut (Qdrant rejects it there
-    too) and recommend/discover/formula scores are composite —
-    unsupported, ValueError. Non-finite thresholds are rejected (NaN
-    would silently empty the result).
+    from the survivors — Qdrant's query-groups semantics), on
+    ``recommend`` and ``discover`` (Qdrant accepts it there too — the cut
+    applies to each branch's PRIMARY ranking score: recommend's distance
+    — with best_score's tiered ranking cut as a prefix, see
+    ``operators.knn.recommend`` — and discover's context_score, higher is
+    better), and per prefetch leg via the spec's own ``score_threshold``
+    key; scroll/sample/order_by have no score to cut (Qdrant rejects it
+    there too) and formula scores are composite — unsupported,
+    ValueError. Non-finite thresholds are rejected (NaN would silently
+    empty the result).
 
     ``group_by``/``group_size``/``with_lookup``: Qdrant's grouped query —
     a dense vector query returns the best ``group_size`` hits per group
@@ -516,7 +520,6 @@ def query_points(
         if "recommend" in query:
             from vectordb_cloud_spark.operators.knn import recommend
 
-            _no_threshold("recommend")
             spec = query["recommend"]
             return _page(recommend(
                 points, list(spec.get("positive") or []),
@@ -524,15 +527,16 @@ def query_points(
                 id_col=id_col, vector_col=vcol, filters=pred,
                 tiebreak=id_col,
                 strategy=spec.get("strategy", "average_vector"),
-                lookup_from=lookup_from))
+                lookup_from=lookup_from,
+                score_threshold=score_threshold))
         if "discover" in query:
             from vectordb_cloud_spark.operators.discover import discover
 
-            _no_threshold("discover")
             spec = query["discover"]
             pairs = [(p["positive"], p["negative"])
                      for p in spec.get("context") or []]
             return _page(discover(points, spec["target"], pairs, k=fetch,
                                   vector_col=vcol, id_col=id_col,
-                                  filters=pred))
+                                  filters=pred,
+                                  score_threshold=score_threshold))
     raise ValueError(f"unsupported query: {query!r}")

@@ -260,11 +260,16 @@ def million_recall_report(spark: SparkSession, sf_dir: str,
             graph_beam_search(corpus, graph, qv, k=k, beam=GRAPH_BEAM,
                               max_hops=GRAPH_MAX_HOPS,
                               entry_ids=entry_ids), exact, "vec_id")
+        # empty-stratum fallback matches collections.search_ann's: the
+        # medoid entry set, never graph_beam_search's smallest-id default
+        # (ADVICE r11; unreachable on this fixture — id 0 is in every
+        # stratum — but the benchmark should mirror the catalog path)
         coarse = graph_coarse_entry_ids(corpus, qv, n_entry=GRAPH_ENTRIES)
         sums["ann_graph_coarse_1m"] += recall_at_k(
             graph_beam_search(corpus, graph, qv, k=k, beam=GRAPH_BEAM,
                               max_hops=GRAPH_MAX_HOPS,
-                              entry_ids=coarse), exact, "vec_id")
+                              entry_ids=coarse or entry_ids),
+            exact, "vec_id")
     corpus.unpersist()
     assigned.unpersist()
     graph.unpersist()
