@@ -428,9 +428,7 @@ def tpch_q3_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q(
-    "tpch_q5_region_revenue",
-    """
+_TPCH_Q5_ORACLE = """
     SELECT n.n_name,
            round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10)))::DOUBLE, 2) AS revenue
     FROM customer c
@@ -441,11 +439,17 @@ def tpch_q3_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN region r   ON n.n_regionkey = r.r_regionkey
     WHERE r.r_name = 'ASIA'
     GROUP BY n.n_name
-    """,
-)
+    """
+
+
 def tpch_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: star join — all dims broadcast; the only shuffle joins
-    are fact-fact (orders↔lineitem)."""
+    are fact-fact (orders↔lineitem). Rotated out of the registry in r12
+    (shape-redundant: the broadcast-dims + fact-fact-shuffle + decimal-agg
+    plan stays oracle-exercised through tpch_q3_revenue_topk and
+    tpch_q1_pricing_summary); stays wired for spot runs with its full
+    oracle via ``queries.library()``. The slot went to the r11 serving
+    grammar (``query_template_threshold_paged``, VERDICT r11 #1)."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
@@ -1155,9 +1159,7 @@ def text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q(
-    "lang_id_counts",
-    r"""
+_LANG_ID_ORACLE = r"""
     WITH w AS (
       SELECT doc_id,
              list_transform(regexp_split_to_array(trim(text), '\s+'),
@@ -1182,11 +1184,18 @@ def text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM h
     )
     SELECT lang_pred, count(*) AS n FROM p GROUP BY lang_pred
-    """,
-)
+    """
+
+
 def lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language-ID distribution over the corpus (ties break in
-    ascending language-code order, 'und' when no marker hits)."""
+    ascending language-code order, 'und' when no marker hits). Rotated out
+    of the registry in r12 (shape-redundant: the text-function scan +
+    groupBy-count plan stays oracle-exercised through
+    text_quality_profile and gopher_quality_counts, and lang_id_expr
+    itself stays under unit ground truth); stays wired for spot runs with
+    its full oracle via ``queries.library()``. The slot went to the r11
+    serving grammar (``query_ann_params_topk``, VERDICT r11 #1)."""
     docs = _t(spark, sf_dir, "documents")
     return (
         docs.select(lang_id_expr("text").alias("lang_pred"))
@@ -4002,6 +4011,183 @@ def query_batch_shared_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("dist", F.round("dist", 6))
 
 
+# ---------------------------------------------------------------------------
+# r12 registry rotation (VERDICT r11 next-round #1): the r11-new /query
+# grammar under the hard oracle — (a) a /query request served from the WARM
+# distinct-text template (api._QSHAPE_SQL) with score_threshold + offset +
+# with_payload selector in the body, counter-asserted like
+# text_routed_search so the oracle hash gates the templated SQL itself; and
+# (b) a params.exact=false /query request routed through the collection's
+# ann.v IVF sidecar (api._query_ann) with threshold + paging applied to the
+# sidecar's returned distances. Rotated out to library level:
+# tpch_q5_region_revenue, lang_id_counts (shape-redundant; see their
+# docstrings).
+# ---------------------------------------------------------------------------
+
+# --- /query served from the warm distinct-text template --------------------
+_QTT_K = 10
+_QTT_OFF = 2          # paging bites (skips the 2 nearest qualifying docs)
+_QTT_THR = 6.5        # cuts user 3's 42 lang=en docs to 13 (sf0.01 probe;
+#                       margin to the straddling dists ~3e-3 >> round-6 ulp)
+_QTT_WARM_TEXT = "warm the query template"
+
+
+def _query_template_thr_oracle_sql() -> str:
+    """DuckDB twin of the templated /query: tenant + residual lang filter
+    on the collection's data files, exact L2 vs the mock-embedded query
+    (deterministic, inlined), the threshold cut on the UNROUNDED distance
+    (the template's WHERE dist <= t), then (dist, id) paging — LIMIT k
+    OFFSET off, exactly the SQL the warm template renders — and the
+    with_payload=["text"] response projection (id, text, dist)."""
+    from vectordb_cloud_spark.functions.embedding import mock_vector
+
+    qv = mock_vector(_TXT_QUERY_TEXT, _EMB_DIM)
+    qlit = "[" + ", ".join(repr(float(v)) for v in qv) + "]::DOUBLE[]"
+    data_glob = os.path.join(_TXT_SVC_ROOT, _TXT_COLLECTION, "data.v*",
+                             "*", "*.parquet")
+    l2 = _SQL_L2.format(a="b.embedding", b="q.qe")
+    return f"""
+    WITH q AS (SELECT {qlit} AS qe),
+    scored AS (
+      SELECT b.id, b.text, {l2} AS dist
+      FROM (SELECT id, text, embedding
+            FROM read_parquet('{data_glob}', hive_partitioning=1)
+            WHERE user_id = {_TXT_USER} AND lang = '{_TXT_LANG}') b, q
+    ),
+    page AS (
+      SELECT id, text, dist FROM scored
+      WHERE dist <= {_QTT_THR}
+      ORDER BY dist ASC, id ASC
+      LIMIT {_QTT_K} OFFSET {_QTT_OFF}
+    )
+    SELECT id, text, round(dist, 6) AS dist FROM page
+    """
+
+
+@_q("query_template_threshold_paged", _query_template_thr_oracle_sql())
+def query_template_threshold_paged(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """POST /points/query served from the WARM distinct-text template
+    (VERDICT r11 #1a): the r11 ``_QSHAPE_SQL`` serving path — shape-keyed
+    candidate temp view + ONE spark.sql per request with the query vector
+    as a single from_json constant — carrying the r11 grammar in the body:
+    ``score_threshold`` (baked into the template's WHERE, cutting on the
+    unrounded distance), ``offset`` paging (baked as LIMIT/OFFSET), and a
+    ``with_payload`` field-list selector (baked into the projection). A
+    FIRST request with a different text warms the shape
+    (api.VectorService._register_shape); the measured request is then
+    served from the template, counter-asserted via the service's
+    ``_shape_hits``/``_plan_hits`` observability counters — so the oracle
+    hash gates the templated SQL end to end, /query's twin of the
+    ``text_routed_search`` assertion. The endpoint returns JSON hit
+    dicts; the row transports them into a local DataFrame for the
+    compare."""
+    svc = _text_service(spark, sf_dir)
+    body = {
+        "query": {"text": _TXT_QUERY_TEXT},
+        "filter": {"must": [{"key": "lang",
+                             "match": {"value": _TXT_LANG}}]},
+        "limit": _QTT_K, "offset": _QTT_OFF,
+        "score_threshold": _QTT_THR,
+        "with_payload": ["text"],
+    }
+    svc.query(_TXT_USER, dict(body, query={"text": _QTT_WARM_TEXT}))
+    fast_before = (svc._shape_hits, svc._plan_hits)
+    rows = svc.query(_TXT_USER, body)
+    assert (svc._shape_hits, svc._plan_hits) != fast_before, \
+        "measured request was rebuilt — template fast path not taken"
+    out = spark.createDataFrame(
+        [(int(r["id"]), str(r["text"]), float(r["dist"])) for r in rows],
+        "id long, text string, dist double",
+    )
+    return out.withColumn("dist", F.round("dist", 6))
+
+
+# --- params.exact=false /query through the ann.v sidecar -------------------
+_QAP_USER = 1         # richest tenant inside the probed cells (5 hits)
+_QAP_K = 3
+_QAP_OFF = 1          # paging bites (skips the nearest hit)
+_QAP_THR = 1.349      # cuts the fetched 4 hits to 3 (sf0.01 probe; margin
+#                       to the straddling dists ~8e-3 >> round-6 ulp)
+
+
+def _query_ann_params_oracle_sql() -> str:
+    """DuckDB twin of the ``params: {"exact": false}`` /query routing
+    (api._query_ann): route the query to its nprobe nearest centroids
+    (centers from the params.json the catalog wrote), scan ONLY the
+    probed inverted lists of the ann.v{N} sidecar with the tenant
+    predicate pushed INTO the pruned scan, exact (dist, id)
+    top-(k+offset) — then the endpoint's post-sidecar pipeline on the
+    returned distances: threshold cut, OFFSET, LIMIT k."""
+    cdist = _SQL_L2.format(a="cen.center", b="q.qe")
+    pdist = _SQL_L2.format(a="p.embedding", b="q.qe")
+    layout_glob = os.path.join(_ANNCOL_BASE, "annc", "ann.v*", "ivf",
+                               "*", "*.parquet")
+    fetch = _QAP_K + _QAP_OFF
+    return f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    cen AS (SELECT centroid_id, center
+            FROM read_parquet('{_ANNCOL_CENTERS}')),
+    probes AS (
+        SELECT cen.centroid_id FROM cen, q
+        ORDER BY {cdist}, cen.centroid_id
+        LIMIT {_ANNCOL_NPROBE}
+    ),
+    pts AS (SELECT id, user_id, embedding, CAST(centroid_id AS INT) AS cid
+            FROM read_parquet('{layout_glob}', hive_partitioning=1)),
+    hits AS (
+        SELECT p.id, p.user_id, {pdist} AS dist
+        FROM pts p, probes pr, q
+        WHERE p.cid = pr.centroid_id AND p.user_id = {_QAP_USER}
+        ORDER BY {pdist}, p.id
+        LIMIT {fetch}
+    ),
+    page AS (
+        SELECT id, user_id, dist FROM hits
+        WHERE dist <= {_QAP_THR}
+        ORDER BY dist ASC, id ASC
+        LIMIT {_QAP_K} OFFSET {_QAP_OFF}
+    )
+    SELECT id, user_id, round(dist, 6) AS dist FROM page
+    """
+
+
+@_q("query_ann_params_topk", _query_ann_params_oracle_sql())
+def query_ann_params_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POST /points/query with ``params: {"exact": false}`` (VERDICT r11
+    #1b): the r11 params routing — a plain dense body detours through the
+    collection's ann.v IVF sidecar (api._query_ann → catalog.search_ann:
+    centroid-routed, tenant-predicate-pruned scan of the probed inverted
+    lists) instead of the exact corpus scan, then the endpoint applies
+    ``score_threshold`` / ``offset`` / ``limit`` to the sidecar's
+    RETURNED distances (exact for IVF). Reuses the
+    ``collection_search_ann`` fixture (the ann.v lifecycle collection)
+    through a VectorService, so create() idempotency over an existing
+    ann-configured collection is exercised too; the oracle replays
+    routing + pruned scan from the sidecar files the catalog wrote, then
+    the endpoint's threshold/paging pipeline. (``params.hnsw_ef`` and the
+    quantization knobs stay pytest-pinned — a graph sidecar's beam search
+    has no SQL replay.) The endpoint returns JSON hit dicts; the row
+    transports them into a local DataFrame for the compare."""
+    from vectordb_cloud_spark.api import VectorService
+
+    _ann_collection(spark, sf_dir)  # build/refresh the ann.v fixture
+    svc = VectorService(spark, _ANNCOL_BASE, index_name="annc",
+                        dim=_EMB_DIM)
+    qv = _query_vec(spark, sf_dir, 0)
+    rows = svc.query(_QAP_USER, {
+        "query": qv, "limit": _QAP_K, "offset": _QAP_OFF,
+        "score_threshold": _QAP_THR,
+        "params": {"exact": False},
+    })
+    out = spark.createDataFrame(
+        [(int(r["id"]), int(r["user_id"]), float(r["dist"]))
+         for r in rows],
+        "id long, user_id long, dist double",
+    )
+    return out.withColumn("dist", F.round("dist", 6))
+
+
 # Rows rotated OUT of the 50-slot registry (r11: the slots went to the
 # r10-new serving surfaces) stay runnable WITH their oracles at library
 # level: tools/check_queries.py resolves explicitly-named queries it does
@@ -4013,11 +4199,15 @@ _LIBRARY: dict[str, QueryFn] = {
     "simhash_near_dup_pairs": simhash_near_dup_pairs_q,
     "geo_radius_search": geo_radius_search,
     "discover_topk": discover_topk,
+    "tpch_q5_region_revenue": tpch_q5_region_revenue,
+    "lang_id_counts": lang_id_counts,
 }
 _LIB_ORACLES: dict[str, str] = {
     "simhash_near_dup_pairs": _simhash_oracle_sql(),
     "geo_radius_search": _geo_radius_oracle_sql(),
     "discover_topk": _discover_oracle_sql(),
+    "tpch_q5_region_revenue": _TPCH_Q5_ORACLE,
+    "lang_id_counts": _LANG_ID_ORACLE,
 }
 
 
