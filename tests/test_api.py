@@ -646,6 +646,33 @@ def test_query_template_noncanonical_selectors_stay_cold(svc):
         svc.query(44, {"query": {"text": "w"}, "limit": 2, "offset": None})
 
 
+def test_query_score_threshold_recommend_discover_endpoint(svc):
+    """r12: score_threshold now threads through VectorService.query into
+    the recommend and discover branches (Qdrant accepts it there) — the
+    endpoint-level twin of test_query_api's operator ground truth."""
+    for i, t in enumerate(["apple orchard", "apple pie", "pear tart",
+                           "plum jam", "quince paste"]):
+        assert svc.insert(990 + i, 34, t, "s", "en") == 1
+    body = {"query": {"recommend": {"positive": [990]}}, "limit": 4}
+    full = svc.query(34, body)
+    assert len(full) == 4
+    thr = (full[1]["dist"] + full[2]["dist"]) / 2  # keep top-2
+    cut = svc.query(34, dict(body, score_threshold=thr))
+    assert [h["id"] for h in cut] == [h["id"] for h in full[:2]]
+    # discover: cut on context_score (higher-is-better)
+    dbody = {"query": {"discover": {
+        "target": [0.0] * svc.dim,
+        "context": [{"positive": [0.1] * svc.dim,
+                     "negative": [-0.1] * svc.dim}],
+    }}, "limit": 5}
+    dfull = svc.query(34, dbody)
+    assert dfull
+    td = dfull[min(1, len(dfull) - 1)]["context_score"]
+    dcut = svc.query(34, dict(dbody, score_threshold=td))
+    assert [h["id"] for h in dcut] == \
+        [h["id"] for h in dfull if h["context_score"] >= td]
+
+
 def test_query_score_threshold_through_template(svc):
     """Qdrant score_threshold on /query (r11): applied on the built path
     AND baked into the shape template's WHERE clause — distinct-text
