@@ -4174,6 +4174,11 @@ def query_ann_params_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ann_collection(spark, sf_dir)  # build/refresh the ann.v fixture
     svc = VectorService(spark, _ANNCOL_BASE, index_name="annc",
                         dim=_EMB_DIM)
+    # the sidecar route's precondition: with an ann_index config, data
+    # present, and a plain dense body, _query_ann SERVES (no silent-exact
+    # fallback whose full-corpus answer could coincide with the oracle's)
+    assert svc.catalog.meta("annc").ann_index, \
+        "ann fixture lost its ann_index config — exact fallback would serve"
     qv = _query_vec(spark, sf_dir, 0)
     rows = svc.query(_QAP_USER, {
         "query": qv, "limit": _QAP_K, "offset": _QAP_OFF,
