@@ -104,8 +104,10 @@ def test_query_api_errors(embeddings):
                      prefetch=[{"query": [0.0] * 64}])
     with pytest.raises(ValueError, match="'query'"):
         query_points(embeddings, {"fusion": "rrf"}, prefetch=[{"limit": 5}])
+    # r12: a bare int is a query-by-stored-point-id now (Qdrant parity),
+    # so the unsupported-shape probe uses a float instead
     with pytest.raises(ValueError, match="unsupported query"):
-        query_points(embeddings, query=42)
+        query_points(embeddings, query=4.2)
 
 
 def test_query_points_sparse_branch(spark):

@@ -695,6 +695,13 @@ class VectorService:
         def _embed_text(q):
             if isinstance(q, dict) and set(q) == {"text"}:
                 return mock_vector(q["text"], self.dim)
+            if (isinstance(q, dict) and "nearest" in q
+                    and isinstance(q["nearest"], dict)
+                    and set(q["nearest"]) == {"text"}):
+                # the explicit NearestQuery form embeds its text too (the
+                # mmr sibling, if any, rides through untouched)
+                return dict(q, nearest=mock_vector(q["nearest"]["text"],
+                                                   self.dim))
             return q
 
         def _translate(spec: dict) -> dict:
@@ -795,7 +802,7 @@ class VectorService:
     _SCORE_COLS = frozenset({
         "id", "dist", "score", "rrf_score", "dbsf_score", "maxsim",
         "new_score", "context_score", "sq_dist", "group_rank", "hit_rank",
-        "query_id",
+        "query_id", "mmr_rank",
     })
 
     def _select_response(self, cols: list[str], with_vectors: bool = False,

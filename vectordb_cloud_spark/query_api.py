@@ -233,6 +233,45 @@ def _restrict_to_candidates(
                            id_col=id_col)
 
 
+def _point_vector(points: DataFrame, pid, vector_col: str,
+                  id_col: str) -> list[float]:
+    """Resolve a query-by-ID (Qdrant: ``query: <point id>`` / ``query:
+    {"nearest": <point id>}``) to the stored point's vector — one bounded
+    equality probe (file-skippable on the id-sorted buckets), the same
+    contract as recommend's example fetch. Resolves against the
+    UNFILTERED collection, as Qdrant does (the filter scopes results, not
+    the example lookup). Raises when the id is absent."""
+    rows = (
+        points.filter(F.col(id_col) == F.lit(pid))
+        .select(F.col(vector_col).cast("array<double>"))
+        .limit(1)
+        .collect()
+    )
+    if not rows or rows[0][0] is None:
+        raise ValueError(f"query point id {pid!r} not found in collection")
+    return [float(x) for x in rows[0][0]]
+
+
+def _unwrap_nearest(query: Any) -> tuple[Any, dict | None]:
+    """Qdrant's explicit NearestQuery form: ``{"nearest": X}`` equals the
+    bare query ``X``; an ``mmr`` sibling requests diversity reranking.
+    Returns ``(inner_query, mmr_spec_or_None)``."""
+    if isinstance(query, dict) and "nearest" in query:
+        extra = set(query) - {"nearest", "mmr"}
+        if extra:
+            raise ValueError(
+                f"unknown keys beside 'nearest': {sorted(extra)}")
+        mmr = query.get("mmr")
+        if mmr is not None and not isinstance(mmr, dict):
+            raise ValueError(f"mmr must be an object, got {mmr!r}")
+        return query["nearest"], mmr
+    return query, None
+
+
+def _is_point_id(query: Any) -> bool:
+    return isinstance(query, (int, str)) and not isinstance(query, bool)
+
+
 def _run_prefetch(
     points: DataFrame,
     spec: dict[str, Any],
@@ -245,6 +284,18 @@ def _run_prefetch(
     multi-stage funnel). Returns ``(topk_df, higher_is_better)``."""
     if "query" not in spec:
         raise ValueError(f"prefetch needs a 'query' vector: {spec!r}")
+    q, mmr = _unwrap_nearest(spec["query"])
+    if mmr is not None:
+        raise ValueError("mmr is supported on the top-level query only")
+    if q is not spec["query"] or _is_point_id(q):
+        spec = dict(spec, query=q)
+        if _is_point_id(q):
+            # by-id leg: the example's own row never scores (Qdrant)
+            vcol = _vector_col(spec.get("using"))
+            spec["query"] = _point_vector(points, q, vcol, id_col)
+            excl = {"must_not": [{"has_id": [q]}]}
+            spec["filter"] = ({"must": [spec["filter"], excl]}
+                              if spec.get("filter") else excl)
     base = points
     inner = spec.get("prefetch")
     if inner:
@@ -295,6 +346,20 @@ def query_points(
     that served the branch (ids + score/dist columns for searches, full
     rows for scroll/sample).
 
+    ``query`` also accepts Qdrant's explicit forms (r12): a bare scalar
+    (int/str) or ``{"nearest": <point id>}`` searches BY STORED POINT —
+    the id's vector becomes the query and the point itself is excluded
+    from results, resolved against the unfiltered collection (one bounded
+    probe); ``{"nearest": <vector>}`` equals the bare vector; adding
+    ``"mmr": {"diversity": d, "candidates_limit": N}`` reranks the dense
+    leg for diversity (Maximal Marginal Relevance — greedy
+    relevance-vs-redundancy selection over a bounded candidate pool, see
+    ``operators.mmr``; composes with prefetch — the pool becomes the
+    legs' candidate union — and with filters/offset/score_threshold;
+    group_by and non-dense queries reject it loudly). MMR results carry
+    ``dist`` (the relevance score, as Qdrant returns it) plus
+    ``mmr_rank`` (selection order).
+
     ``score_threshold``: Qdrant's minimal-score cut — results with a
     WORSE score are excluded, where "worse" follows the branch's score
     direction (distance legs drop score > threshold, similarity legs —
@@ -331,6 +396,22 @@ def query_points(
     lookup_from)."""
     pred = compile_filter(query_filter, id_col=id_col)
     vcol = _vector_col(using)
+    # Qdrant NearestQuery / query-by-ID / MMR (r12): {"nearest": X}
+    # unwraps to the bare query X; a scalar X is a stored point id whose
+    # vector becomes the query (the point itself excluded, as in Qdrant);
+    # an "mmr" sibling requests diversity reranking of the dense leg
+    query, mmr_spec = _unwrap_nearest(query)
+    if _is_point_id(query):
+        qpid = query
+        query = _point_vector(points, qpid, vcol, id_col)
+        not_self = F.col(id_col) != F.lit(qpid)
+        pred = not_self if pred is None else (pred & not_self)
+    if mmr_spec is not None and not (
+        isinstance(query, (list, tuple)) and query
+        and not _is_multivector_query(query)
+    ):
+        raise ValueError("mmr requires a dense 'nearest' vector (or point "
+                         f"id); got {query!r}")
     if offset < 0:
         raise ValueError(f"offset must be >= 0, got {offset}")
     if score_threshold is not None:
@@ -367,9 +448,23 @@ def query_points(
             df = df.orderBy(*order)
         return df.offset(offset)
 
+    def _run_mmr(base: DataFrame) -> DataFrame:
+        from vectordb_cloud_spark.operators.mmr import mmr_search
+
+        out = mmr_search(
+            base, [float(x) for x in query], k=fetch,
+            diversity=float(mmr_spec.get("diversity", 0.5)),
+            candidates_limit=mmr_spec.get("candidates_limit"),
+            vector_col=vcol, id_col=id_col, filters=pred, metric=metric,
+            score_threshold=score_threshold,
+        )
+        return _page(out)
+
     if group_by is not None:
         from vectordb_cloud_spark.operators.knn import search_groups
 
+        if mmr_spec is not None:
+            raise ValueError("mmr is not supported with group_by")
         if not isinstance(query, (list, tuple)) or _is_multivector_query(query):
             raise ValueError("group_by requires a dense vector query")
         if offset:
@@ -467,6 +562,10 @@ def query_points(
             # sparse, or multivector (MaxSim), per query shape; candidates
             # hand off as an id IN probe (row-group pruning) when bounded
             base = _restrict_to_candidates(points, lists, id_col)
+            if mmr_spec is not None:
+                # Qdrant MMR over prefetched candidates: the pool is the
+                # legs' union, the rerank is the same greedy selection
+                return _run_mmr(base)
             out, hib, sc = _score_query(
                 base, query, using, pred, fetch, id_col, metric
             )
@@ -504,6 +603,8 @@ def query_points(
             page = page.offset(offset)
         return page.limit(limit)
     if isinstance(query, (list, tuple)) or _is_sparse_query(query):
+        if mmr_spec is not None:
+            return _run_mmr(points)
         # dense vector, multivector token matrix (MaxSim), or sparse
         # {"indices","values"} (Qdrant SparseVector; `using` names the
         # configured vector — columns follow the collection conventions)
