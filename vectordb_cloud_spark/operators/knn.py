@@ -319,9 +319,13 @@ def recommend(
     score_threshold: float | None = None,
 ) -> DataFrame:
     """Recommendation search from example points — the /recommend API with
-    both Qdrant strategies. ``average_vector`` (default): the query vector
-    is mean(positive vectors) − mean(negative vectors), then one ordinary
-    exact top-k. ``best_score``: per point, score = max similarity to any
+    both Qdrant strategies. ``positive_ids``/``negative_ids`` follow
+    Qdrant's RecommendInput: each element is a stored point ID or a raw
+    example VECTOR (list/array) — ids are fetched with one bounded probe
+    and excluded from the results; raw vectors join the example pool
+    directly and exclude nothing. ``average_vector`` (default): the query
+    vector is mean(positive vectors) − mean(negative vectors), then one
+    ordinary exact top-k. ``best_score``: per point, score = max similarity to any
     positive; points whose best NEGATIVE beats their best positive rank
     below every clean point, ordered by how negative-like they are —
     computed as |P|+|N| fused distance folds in ONE scan, no per-example
@@ -383,27 +387,44 @@ def recommend(
             # NaN compares false everywhere — it would silently empty the
             # result instead of failing validation (query_points' rule)
             raise ValueError("score_threshold must be finite")
-    all_ids = positive_ids + negative_ids
+    def _split(examples):
+        # Qdrant's RecommendInput takes point IDs or raw example VECTORS
+        # in the same list (r12); vectors skip the fetch and the exclusion
+        ids, vecs = [], []
+        for x in examples:
+            if isinstance(x, (list, tuple)) or hasattr(x, "__array__"):
+                vecs.append(np.asarray([float(v) for v in x],
+                                       dtype=np.float64))
+            else:
+                ids.append(x)
+        return ids, vecs
+
+    pos_ids, pos_vecs = _split(positive_ids)
+    neg_ids, neg_vecs = _split(negative_ids)
+    all_ids = pos_ids + neg_ids
     example_src = points if lookup_from is None else lookup_from
     rows = (
         example_src.filter(F.col(id_col).isin(all_ids))
         .select(F.col(id_col).alias("__id"),
                 F.col(vector_col).cast("array<double>").alias("__v"))
         .collect()
-    )
+    ) if all_ids else []
     found = {r["__id"]: np.asarray(r["__v"], dtype=np.float64) for r in rows}
     missing = [i for i in all_ids if i not in found]
     if missing:
         raise ValueError(f"example ids not found in collection: {missing}")
-    if lookup_from is None:
+    pos_pool = [found[i] for i in pos_ids] + pos_vecs
+    neg_pool = [found[i] for i in neg_ids] + neg_vecs
+    if lookup_from is None and all_ids:
         not_example = ~F.col(id_col).isin(all_ids)
         pred = not_example if filters is None else (filters & not_example)
     else:
-        pred = filters  # foreign id space: nothing to exclude
+        pred = filters  # foreign id space / vector-only examples: nothing
+        # to exclude
     if strategy == "average_vector":
-        q = np.mean([found[i] for i in positive_ids], axis=0)
-        if negative_ids:
-            q = q - np.mean([found[i] for i in negative_ids], axis=0)
+        q = np.mean(pos_pool, axis=0)
+        if neg_pool:
+            q = q - np.mean(neg_pool, axis=0)
         out = knn_search(points, [float(x) for x in q], k=k,
                          vector_col=vector_col, filters=pred,
                          tiebreak=tiebreak)
@@ -414,17 +435,17 @@ def recommend(
     # best_score: similarity = -L2 distance; all example folds fuse into
     # one projection over the scan
     best_pos = F.least(*[
-        l2_distance_to(F.col(vector_col), [float(x) for x in found[i]])
-        for i in positive_ids
-    ]) if len(positive_ids) > 1 else l2_distance_to(
-        F.col(vector_col), [float(x) for x in found[positive_ids[0]]])
+        l2_distance_to(F.col(vector_col), [float(x) for x in v])
+        for v in pos_pool
+    ]) if len(pos_pool) > 1 else l2_distance_to(
+        F.col(vector_col), [float(x) for x in pos_pool[0]])
     df = points.filter(pred) if pred is not None else points
-    if negative_ids:
+    if neg_pool:
         best_neg = F.least(*[
-            l2_distance_to(F.col(vector_col), [float(x) for x in found[i]])
-            for i in negative_ids
-        ]) if len(negative_ids) > 1 else l2_distance_to(
-            F.col(vector_col), [float(x) for x in found[negative_ids[0]]])
+            l2_distance_to(F.col(vector_col), [float(x) for x in v])
+            for v in neg_pool
+        ]) if len(neg_pool) > 1 else l2_distance_to(
+            F.col(vector_col), [float(x) for x in neg_pool[0]])
         # clean points (closer to a positive than any negative) rank by
         # their positive distance; contaminated points sort AFTER every
         # clean point, the most negative-like last. Ordering is a

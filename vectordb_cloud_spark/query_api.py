@@ -581,12 +581,21 @@ def query_points(
         df = points if pred is None else points.filter(pred)
         if order_by is not None:
             # Qdrant scroll order_by — bare string (ascending) or the
-            # object form {"key": ..., "direction": "asc"|"desc"}. The id
-            # tiebreak keeps the order total so pages never skip/duplicate
-            # ties.
+            # object form {"key": ..., "direction": "asc"|"desc",
+            # "start_from": v}. The id tiebreak keeps the order total so
+            # pages never skip/duplicate ties. ``start_from`` begins the
+            # walk at that key value INCLUSIVE (Qdrant's semantics) —
+            # compiled as a scan predicate, so the cursor-style
+            # continuation prunes instead of offsetting.
+            start_from = None
             if isinstance(order_by, dict):
                 key_name = order_by["key"]
                 direction = order_by.get("direction", "asc")
+                start_from = order_by.get("start_from")
+                extra = set(order_by) - {"key", "direction", "start_from"}
+                if extra:
+                    raise ValueError(
+                        f"unknown order_by keys: {sorted(extra)}")
             else:
                 key_name, direction = order_by, "asc"
             if direction not in ("asc", "desc"):
@@ -594,6 +603,11 @@ def query_points(
                     f"order_by direction must be 'asc' or 'desc', "
                     f"got {direction!r}"
                 )
+            if start_from is not None:
+                df = df.filter(
+                    F.col(key_name) <= F.lit(start_from)
+                    if direction == "desc"
+                    else F.col(key_name) >= F.lit(start_from))
             key = (F.col(key_name).desc() if direction == "desc"
                    else F.col(key_name).asc())
             page = df.orderBy(key, F.col(id_col).asc())
@@ -630,14 +644,51 @@ def query_points(
                 strategy=spec.get("strategy", "average_vector"),
                 lookup_from=lookup_from,
                 score_threshold=score_threshold))
-        if "discover" in query:
-            from vectordb_cloud_spark.operators.discover import discover
+        if "discover" in query or "context" in query:
+            # discover/context examples follow Qdrant's grammar: each
+            # positive/negative/target slot takes a raw vector OR a stored
+            # point id (resolved with one bounded probe against the
+            # unfiltered collection); id-form examples are excluded from
+            # the results, as in recommend
+            example_ids: list = []
 
-            spec = query["discover"]
-            pairs = [(p["positive"], p["negative"])
-                     for p in spec.get("context") or []]
-            return _page(discover(points, spec["target"], pairs, k=fetch,
-                                  vector_col=vcol, id_col=id_col,
-                                  filters=pred,
-                                  score_threshold=score_threshold))
+            def _resolve_example(x):
+                if _is_point_id(x):
+                    example_ids.append(x)
+                    return _point_vector(points, x, vcol, id_col)
+                return [float(v) for v in x]
+
+            def _pairs(specs):
+                specs = [specs] if isinstance(specs, dict) else list(specs)
+                return [(_resolve_example(p["positive"]),
+                         _resolve_example(p["negative"])) for p in specs]
+
+            def _excluded(p):
+                if not example_ids:
+                    return p
+                ex = ~F.col(id_col).isin(example_ids)
+                return ex if p is None else (p & ex)
+
+            if "discover" in query:
+                from vectordb_cloud_spark.operators.discover import discover
+
+                spec = query["discover"]
+                pairs = _pairs(spec.get("context") or [])
+                target = _resolve_example(spec["target"])
+                return _page(discover(points, target, pairs, k=fetch,
+                                      vector_col=vcol, id_col=id_col,
+                                      filters=_excluded(pred),
+                                      score_threshold=score_threshold))
+            # Qdrant ContextQuery: pairs only, no target — rank by the
+            # context score alone (higher is better, id tiebreak); the
+            # threshold cut is a prefix of that ranking, so post-top-k
+            # filtering is exact
+            from vectordb_cloud_spark.operators.discover import (
+                context_search,
+            )
+
+            pairs = _pairs(query["context"])
+            out = context_search(points, pairs, k=fetch, vector_col=vcol,
+                                 id_col=id_col, filters=_excluded(pred))
+            return _page(_cut(out, "context_score", True))
     raise ValueError(f"unsupported query: {query!r}")
