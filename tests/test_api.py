@@ -550,6 +550,29 @@ def test_query_template_params_exact_true_is_eligible(svc):
     assert svc._shape_hits == before
 
 
+def test_query_template_nearest_spelling_shares_shape(svc):
+    """r12: {"query": {"nearest": ...}} is the same plain dense body —
+    it shares the distinct-text template with the bare spelling; an mmr
+    sibling or a scalar (by-id) nearest stays on full construction."""
+    for pid, text in [(941, "omicron pi"), (942, "rho sigma")]:
+        assert svc.insert(pid, 81, text, "s0", "en") == 1
+    svc.query(81, {"query": {"text": "warm text"}, "limit": 2})
+    before = svc._shape_hits
+    got = svc.query(81, {"query": {"nearest": {"text": "other text"}},
+                         "limit": 2})
+    assert svc._shape_hits == before + 1  # template served
+    ref = VectorService(svc.spark, svc.catalog.root,
+                        index_name=svc.index_name, dim=svc.dim)
+    assert got == ref.query(81, {"query": {"nearest": {"text": "other text"}},
+                                 "limit": 2})
+    # mmr sibling and by-id nearest keep full construction
+    before = svc._shape_hits
+    svc.query(81, {"query": {"nearest": {"text": "x"}, "mmr": {}},
+                   "limit": 2})
+    svc.query(81, {"query": {"nearest": 941}, "limit": 2})
+    assert svc._shape_hits == before
+
+
 def test_query_template_ineligible_bodies_keep_full_construction(svc):
     """Prefetch/fusion/group_by/sparse bodies never store or probe the
     /query shape template — only the plain dense subset does."""

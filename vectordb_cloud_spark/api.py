@@ -357,6 +357,11 @@ class VectorService:
                 or "query" not in body):
             return None
         q = body["query"]
+        if isinstance(q, dict) and set(q) == {"nearest"}:
+            # the explicit NearestQuery spelling of the same plain dense
+            # body shares the template (an "mmr" sibling — or any other
+            # key — keeps full construction); scalar ids stay cold too
+            q = q["nearest"]
         if isinstance(q, dict) and set(q) == {"text"}:
             return mock_vector(q["text"], self.dim)
         if (isinstance(q, (list, tuple)) and q

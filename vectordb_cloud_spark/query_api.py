@@ -26,16 +26,25 @@ that already carry the plan-shape and oracle guarantees:
 - ``{"fusion": "dbsf"}`` → distribution-based score fusion (per-list
   μ±3σ normalization, Qdrant's documented DBSF), top-n-sized work only
 - ``{"sample": "random"}`` → ``sources.random_sample`` (seeded, exact)
-- ``{"recommend": ...}`` → ``operators.knn.recommend``
-- ``{"discover": ...}``  → ``operators.discover.discover``
+- ``{"recommend": ...}`` → ``operators.knn.recommend`` (positive/negative
+  take point IDs or raw vectors, Qdrant's RecommendInput)
+- ``{"discover": ...}``  → ``operators.discover.discover`` (target and
+  context examples likewise by ID or vector; id-form examples excluded)
+- ``{"context": ...}``   → ``operators.discover.context_search`` — the
+  context-only query (pair or list of pairs, same ID/vector grammar)
 - ``{"formula": ...}`` + one prefetch leg → ``formula.rescore_with_formula``
   (Qdrant score boosting: ``$score`` binds to the leg's native score
   column, payload fields resolve as variables)
+- scalar / ``{"nearest": X}`` → query-by-stored-point (the id's vector,
+  the point itself excluded) / the explicit NearestQuery unwrap; an
+  ``"mmr"`` sibling reranks the dense leg for diversity
+  (``operators.mmr``, greedy Carbonell-Goldstein over a bounded pool)
 - ``group_by=``/``group_size=``/``with_lookup=`` → grouped query via
   ``operators.knn.search_groups`` (dense vector queries)
 - ``query=None``         → id-ordered scroll page (``order_by=`` walks
   ``(key, id)`` — Qdrant scroll ordering; a bare string is ascending,
-  the object form ``{"key": ..., "direction": "desc"}`` flips it)
+  the object form ``{"key": ..., "direction": "desc", "start_from": v}``
+  flips it / begins the walk at ``v`` inclusive as a scan predicate)
 
 ``using`` selects a named vector (``vec_{name}`` column, see
 ``CollectionCatalog.vector_col_of``; sparse legs use the
