@@ -4193,6 +4193,98 @@ def query_ann_params_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("dist", F.round("dist", 6))
 
 
+# --- r12 library-level oracles for the NEW query grammar -------------------
+# Not in the 50-row registry (it is at cap and the r12 rotation already
+# landed); these give the r12-new by-id and context-only branches a full
+# DuckDB twin TODAY, spot-runnable via check_queries, and make them
+# drop-in candidates for the r13 rotation. (MMR stays pytest-pinned: its
+# greedy driver-side selection has a bit-for-bit numpy replay in
+# test_mmr.py but no reasonable SQL form.)
+
+_QBI_ID = 7
+_QBI_K = 10
+
+
+def _query_by_id_oracle_sql() -> str:
+    """DuckDB twin of query-by-stored-point: the query vector is point
+    7's stored embedding, the point itself is excluded, exact (dist, id)
+    top-k — the universal API's `query: 7` resolution + self-exclusion
+    replayed."""
+    l2 = _SQL_L2.format(a="e.embedding", b="q.qe")
+    return f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings
+               WHERE vec_id = {_QBI_ID})
+    SELECT e.vec_id, round({l2}, 6) AS dist
+    FROM embeddings e, q
+    WHERE e.vec_id <> {_QBI_ID}
+    ORDER BY {l2}, e.vec_id
+    LIMIT {_QBI_K}
+    """
+
+
+def query_by_id_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-by-stored-point through the universal API (r12 grammar):
+    ``query_points(points, 7)`` — one bounded probe resolves point 7's
+    vector, the point excludes itself, then the ordinary exact top-k.
+    Library-level oracle row (the registry is at its 50 cap)."""
+    from vectordb_cloud_spark.query_api import query_points
+
+    emb = _t(spark, sf_dir, "embeddings")
+    hits = query_points(emb, _QBI_ID, limit=_QBI_K, id_col="vec_id")
+    return hits.select("vec_id", F.round("dist", 6).alias("dist"))
+
+
+_CTX_PAIRS = [(1, 2), (3, 4)]  # (positive_id, negative_id) example pairs
+_CTX_K = 10
+
+
+def _context_only_oracle_sql() -> str:
+    """DuckDB twin of the context-only query: score = number of pairs
+    whose positive example is strictly nearer (Qdrant's context score),
+    id-form examples excluded, (score desc, id) top-k."""
+    l2 = _SQL_L2
+    names = sorted({i for pr in _CTX_PAIRS for i in pr})
+    ctes = ", ".join(
+        f"e{i} AS (SELECT embedding AS v FROM embeddings WHERE vec_id = {i})"
+        for i in names
+    )
+    ind = " + ".join(
+        f"(CASE WHEN {l2.format(a='e.embedding', b=f'e{p}.v')}"
+        f" < {l2.format(a='e.embedding', b=f'e{n}.v')} THEN 1 ELSE 0 END)"
+        for p, n in _CTX_PAIRS
+    )
+    srcs = ", ".join(f"e{i}" for i in names)
+    excl = ", ".join(str(i) for i in names)
+    return f"""
+    WITH {ctes}
+    SELECT vec_id, context_score FROM (
+      SELECT e.vec_id, {ind} AS context_score
+      FROM embeddings e, {srcs}
+      WHERE e.vec_id NOT IN ({excl})
+    )
+    ORDER BY context_score DESC, vec_id ASC
+    LIMIT {_CTX_K}
+    """
+
+
+def context_only_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-only search through the universal API (r12 grammar):
+    ``query: {"context": [...]}`` with ID-FORM example pairs — the ids
+    resolve to stored vectors (bounded probes), the examples exclude
+    themselves, and ranking is by the pair score alone with the id
+    tiebreak (operators/discover.py context_search). Library-level
+    oracle row (the registry is at its 50 cap)."""
+    from vectordb_cloud_spark.query_api import query_points
+
+    emb = _t(spark, sf_dir, "embeddings")
+    hits = query_points(
+        emb,
+        {"context": [{"positive": p, "negative": n} for p, n in _CTX_PAIRS]},
+        limit=_CTX_K, id_col="vec_id",
+    )
+    return hits.select("vec_id", "context_score")
+
+
 # Rows rotated OUT of the 50-slot registry (r11: the slots went to the
 # r10-new serving surfaces) stay runnable WITH their oracles at library
 # level: tools/check_queries.py resolves explicitly-named queries it does
@@ -4206,6 +4298,8 @@ _LIBRARY: dict[str, QueryFn] = {
     "discover_topk": discover_topk,
     "tpch_q5_region_revenue": tpch_q5_region_revenue,
     "lang_id_counts": lang_id_counts,
+    "query_by_id_topk": query_by_id_topk,
+    "context_only_topk": context_only_topk,
 }
 _LIB_ORACLES: dict[str, str] = {
     "simhash_near_dup_pairs": _simhash_oracle_sql(),
@@ -4213,6 +4307,8 @@ _LIB_ORACLES: dict[str, str] = {
     "discover_topk": _discover_oracle_sql(),
     "tpch_q5_region_revenue": _TPCH_Q5_ORACLE,
     "lang_id_counts": _LANG_ID_ORACLE,
+    "query_by_id_topk": _query_by_id_oracle_sql(),
+    "context_only_topk": _context_only_oracle_sql(),
 }
 
 
