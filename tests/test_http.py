@@ -254,9 +254,32 @@ def test_query_endpoint(server):
     # malformed body -> 422 envelope
     status, body_out = _get(server, "/query", user_id=8, body="{not json")
     assert status == 422 and body_out["status_code"] == 10422
-    # unsupported query -> 422, not a 500
+    # r12: a scalar query is query-by-stored-point — a MISSING id is a
+    # loud 422 (ValueError), not a 500 and not an empty 200
     status, body_out = _get(server, "/query", user_id=8,
                             body=json.dumps({"query": 42}))
+    assert status == 422
+    # ...and an existing id resolves + self-excludes through HTTP
+    status, hits = _get(server, "/query", user_id=8,
+                        body=json.dumps({"query": 70, "limit": 3}))
+    assert status == 200 and hits and 70 not in [h["id"] for h in hits]
+    # nearest + mmr: diversity rerank rides the same endpoint; mmr_rank
+    # is part of the response envelope
+    status, hits = _get(server, "/query", user_id=8, body=json.dumps({
+        "query": {"nearest": {"text": "apples"}, "mmr": {"diversity": 0.5}},
+        "limit": 2}))
+    assert status == 200 and [h["mmr_rank"] for h in hits] == [0, 1]
+    # context-only query with ID-form examples
+    status, hits = _get(server, "/query", user_id=8, body=json.dumps({
+        "query": {"context": {"positive": 70, "negative": 72}},
+        "limit": 5}))
+    assert status == 200 and hits
+    assert not {70, 72} & {h["id"] for h in hits}
+    assert all("context_score" in h for h in hits)
+    # bad mmr diversity -> 422, not a 500
+    status, body_out = _get(server, "/query", user_id=8, body=json.dumps({
+        "query": {"nearest": {"text": "x"}, "mmr": {"diversity": 7}},
+        "limit": 2}))
     assert status == 422
 
 

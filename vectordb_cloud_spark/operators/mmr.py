@@ -137,6 +137,11 @@ def mmr_search(
         raise ValueError(
             f"mmr candidates_limit ({candidates_limit}) must be >= limit "
             f"({k})")
+    if not 0.0 <= float(diversity) <= 1.0:
+        # fail before paying the candidate scan (mmr_select re-checks for
+        # direct callers)
+        raise ValueError(
+            f"mmr diversity must be in [0, 1], got {diversity!r}")
     if score_threshold is not None:
         score_threshold = float(score_threshold)
         if not math.isfinite(score_threshold):
