@@ -160,18 +160,13 @@ def main():
         lambda: noop_write(qmod.price_percentiles_by_flag_approx(spark, sf_dir)),
     )
 
-    # r11/r12 rotated-out rows stay timed at library level so BENCH series
-    # remain comparable round over round (oracles stay spot-runnable)
-    bench_one("simhash_near_dup_pairs",
-              lambda: noop_write(qmod.simhash_near_dup_pairs_q(spark, sf_dir)))
-    bench_one("geo_radius_search",
-              lambda: noop_write(qmod.geo_radius_search(spark, sf_dir)))
-    bench_one("discover_topk",
-              lambda: noop_write(qmod.discover_topk(spark, sf_dir)))
-    bench_one("tpch_q5_region_revenue",
-              lambda: noop_write(qmod.tpch_q5_region_revenue(spark, sf_dir)))
-    bench_one("lang_id_counts",
-              lambda: noop_write(qmod.lang_id_counts(spark, sf_dir)))
+    # rotated-out rows stay timed at library level so BENCH series remain
+    # comparable round over round (oracles stay spot-runnable) — dynamic
+    # over queries.library() so each rotation keeps its retirees timed
+    # without a hand-maintained list (r13: +tpch_q3_revenue_topk,
+    # +lsh_similarity_join_pairs, +bm25_topk)
+    for name, fn in qmod.library().items():
+        bench_one(name, lambda fn=fn: noop_write(fn(spark, sf_dir)))
 
     # PII scrub over the full corpus (library-level, registry is at its
     # 50-entry cap): redaction + audit counts as scan-stage column algebra

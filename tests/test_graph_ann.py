@@ -124,6 +124,40 @@ def test_filtered_beam_search(spark, embeddings, graph):
     assert recall_at_k(got, exact, "vec_id") >= 0.2
 
 
+def test_full_scan_threshold_planner_crossover(spark, embeddings, graph):
+    """The r13 planner rule (VERDICT r12 #3, Qdrant's full_scan_threshold):
+    a filter matching at most `threshold` points is served by ONE exact
+    adaptive probe — recall 1.0 by construction — while a denser filter
+    keeps the navigate-then-post-filter path. Pins the crossover on both
+    sides of the threshold."""
+    qv = [float(x) for x in
+          embeddings.filter(F.col("vec_id") == 0).first()["embedding"]]
+    sparse_pred = F.pmod(F.col("vec_id"), F.lit(50)) == 0  # 10 of 500
+    exact = brute_force_topk(embeddings, qv, k=5, filters=sparse_pred)
+    planned = graph_beam_search(embeddings, graph, qv, k=5, beam=16,
+                                max_hops=4, filters=sparse_pred,
+                                full_scan_threshold=100)
+    # below threshold: EXACT filtered top-k, ids and distances identical
+    assert [(r["vec_id"], round(r["dist"], 9)) for r in planned.collect()] \
+        == [(r["vec_id"], round(r["dist"], 9)) for r in exact.collect()]
+    # above threshold (500 matches > 100): the probe declines and the
+    # beam path serves — identical to the planner-less call
+    dense_pred = F.col("vec_id") >= 0
+    beam_only = graph_beam_search(embeddings, graph, qv, k=5, beam=16,
+                                  max_hops=4, filters=dense_pred)
+    planned_dense = graph_beam_search(embeddings, graph, qv, k=5, beam=16,
+                                      max_hops=4, filters=dense_pred,
+                                      full_scan_threshold=100)
+    assert [r["vec_id"] for r in planned_dense.collect()] \
+        == [r["vec_id"] for r in beam_only.collect()]
+    # a filter matching NOTHING under the threshold returns empty, not
+    # an error (the empty createDataFrame branch)
+    none_pred = F.col("vec_id") < 0
+    assert graph_beam_search(embeddings, graph, qv, k=5, beam=16,
+                             max_hops=4, filters=none_pred,
+                             full_scan_threshold=100).count() == 0
+
+
 def test_filtered_beam_search_matches_unfiltered_when_filter_is_true(
         spark, embeddings, graph):
     qv = [float(x) for x in

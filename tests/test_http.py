@@ -254,11 +254,14 @@ def test_query_endpoint(server):
     # malformed body -> 422 envelope
     status, body_out = _get(server, "/query", user_id=8, body="{not json")
     assert status == 422 and body_out["status_code"] == 10422
-    # r12: a scalar query is query-by-stored-point — a MISSING id is a
-    # loud 422 (ValueError), not a 500 and not an empty 200
+    # r13: a scalar query is query-by-stored-point — a MISSING id is a
+    # loud 404 with Qdrant's error envelope (Qdrant returns Not Found for
+    # a missing point referenced by a query id, not a validation 422)
     status, body_out = _get(server, "/query", user_id=8,
                             body=json.dumps({"query": 42}))
-    assert status == 422
+    assert status == 404
+    assert "not found" in body_out["status"]["error"]
+    assert body_out["result"] is None
     # ...and an existing id resolves + self-excludes through HTTP
     status, hits = _get(server, "/query", user_id=8,
                         body=json.dumps({"query": 70, "limit": 3}))

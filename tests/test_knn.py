@@ -150,12 +150,40 @@ def test_recommend_average_vector_strategy(spark, embeddings):
 
 
 def test_recommend_validates_examples(spark, embeddings):
+    from vectordb_cloud_spark.errors import PointNotFoundError
     from vectordb_cloud_spark.operators.knn import recommend
 
     with pytest.raises(ValueError, match="positive"):
         recommend(embeddings, positive_ids=[])
     with pytest.raises(ValueError, match="not found"):
         recommend(embeddings, positive_ids=[10_000_000]).collect()
+    # missing examples carry the 404-mappable type (still a ValueError)
+    with pytest.raises(PointNotFoundError):
+        recommend(embeddings, positive_ids=[10_000_000]).collect()
+
+
+def test_recommend_numpy_scalar_ids_are_ids(spark, embeddings):
+    """A numpy integer id (np.int64 from a collected/numpy pipeline)
+    exposes __array__ as a 0-d array — it must route to the ID branch,
+    not crash the vector comprehension (ADVICE r12)."""
+    import numpy as np
+
+    from vectordb_cloud_spark.operators.knn import recommend
+
+    got_py = recommend(embeddings, positive_ids=[0, 1], negative_ids=[2],
+                       k=5, tiebreak="vec_id").collect()
+    got_np = recommend(embeddings,
+                       positive_ids=[np.int64(0), np.int64(1)],
+                       negative_ids=[np.int64(2)],
+                       k=5, tiebreak="vec_id").collect()
+    assert [r["vec_id"] for r in got_np] == [r["vec_id"] for r in got_py]
+    # 1-d numpy arrays still count as raw example vectors
+    v = np.asarray(
+        embeddings.filter(F.col("vec_id") == 0).first()["embedding"],
+        dtype=np.float64)
+    got_vec = recommend(embeddings, positive_ids=[v], k=3,
+                        tiebreak="vec_id").collect()
+    assert len(got_vec) == 3
 
 
 def test_search_groups_dedups_flooding_group(spark, embeddings):

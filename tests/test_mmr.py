@@ -174,6 +174,37 @@ def test_mmr_rejections(embeddings, emb_rows):
                      id_col="vec_id")
 
 
+def test_mmr_pool_is_hard_bounded(embeddings, emb_rows):
+    """The bounded-collect contract is enforced, not advisory: explicit
+    pools above MAX_CANDIDATES_LIMIT are rejected loudly BEFORE any scan,
+    and the default pool clamps up to k instead of self-rejecting when
+    limit+offset exceeds the 1024 soft cap (ADVICE r12)."""
+    from vectordb_cloud_spark.operators.mmr import (MAX_CANDIDATES_LIMIT,
+                                                    mmr_search)
+
+    qv = _vec(emb_rows, 0)
+    with pytest.raises(ValueError, match="ceiling"):
+        query_points(
+            embeddings,
+            {"nearest": qv, "mmr": {"candidates_limit": 10_000_000}},
+            limit=5, id_col="vec_id")
+    # default pool with k > 1024: no self-inflicted ValueError — the
+    # default clamps to k (pool is the whole small fixture, so every row
+    # comes back)
+    n = embeddings.count()
+    got = query_points(embeddings, {"nearest": qv, "mmr": {}},
+                       limit=1500, id_col="vec_id").collect()
+    assert len(got) == min(1500, n)
+    # k itself above the ceiling is the same loud error
+    with pytest.raises(ValueError, match="ceiling"):
+        mmr_search(embeddings, qv, k=MAX_CANDIDATES_LIMIT + 1,
+                   id_col="vec_id")
+    # unsupported metric fails up front, before the scan + collect
+    with pytest.raises(ValueError, match="metric"):
+        mmr_search(embeddings, qv, k=3, metric="manhattan",
+                   id_col="vec_id")
+
+
 def test_mmr_and_by_id_through_the_service(spark, tmp_path):
     """VectorService.query passes the forms through: {"nearest": {"text"}}
     embeds, by-id resolves + self-excludes, mmr_rank rides the response."""

@@ -662,12 +662,13 @@ class VectorService:
             # distinct-text fast path (the /search shape template, on
             # /query's plain dense subset): a body differing only in its
             # query vector/text reuses this shape's candidate view + SQL.
-            # A body carrying the explicit Qdrant-client default
-            # params:{exact:true} (or empty params) is exact-path
-            # identical to one without params — strip it before the
-            # shape checks so it doesn't silently disqualify the
-            # template, keying the shape on the NORMALIZED body
-            # (ADVICE r11; exact=false and real knobs keep full routing)
+            # A body carrying params:{exact:true} (or empty params) is
+            # exact-path identical to one without params — THIS engine's
+            # no-params default is an exact scan, so strip it before the
+            # shape checks, keying the shape on the NORMALIZED body.
+            # NOTE: Qdrant's own SearchParams default is exact=FALSE
+            # (ANN); {"exact": false} must NOT join this benign set — it
+            # requests ANN routing and keeps the full path (ADVICE r11/r12)
             tbody = body
             qp0 = body.get("params")
             if "params" in body and qp0 in (None, {}, {"exact": True}):

@@ -1765,7 +1765,14 @@ class CollectionCatalog:
                       "beam": int(spec.get("beam", 32)),
                       "max_hops": int(spec.get("max_hops", 4)),
                       "coarse_mod": coarse_mod,
-                      "n_entry": int(spec.get("n_entry", 16))}
+                      "n_entry": int(spec.get("n_entry", 16)),
+                      # Qdrant's planner knob: filters matching at most
+                      # this many points are served by the exact adaptive
+                      # probe instead of post-filtered navigation
+                      # (graph_beam_search docstring; RECALL.md r13
+                      # filtered series)
+                      "full_scan_threshold": int(
+                          spec.get("full_scan_threshold", 10_000))}
         params["vector_col"] = vector_col
         with open(os.path.join(stage, "params.json"), "w") as f:
             json.dump(params, f)
@@ -1786,7 +1793,12 @@ class CollectionCatalog:
         """Top-k through the collection's attached ANN index (nprobe/beam
         from the config). Filters compose Qdrant-style: IVF pushes them
         into the pruned scan; graph navigates unfiltered and filters
-        results (the filtered-HNSW convention of graph_beam_search).
+        results UNLESS the filter is selective — at most
+        ``full_scan_threshold`` matching points (config knob, default
+        10k, Qdrant's planner rule of the same name) — in which case one
+        adaptive probe serves the exact filtered top-k instead, because
+        post-filtered navigation collapses below ~1% selectivity
+        (graph_beam_search docstring; RECALL.md r13 filtered series).
         ``beam`` overrides the graph config's beam width for this query —
         Qdrant's search-time ``params.hnsw_ef`` (ignored by IVF layouts,
         as Qdrant ignores hnsw_ef for non-HNSW indexes)."""
@@ -1853,7 +1865,13 @@ class CollectionCatalog:
             self.read(name), graph, query_vector, k=k,
             beam=int(beam) if beam else params["beam"],
             max_hops=params["max_hops"], id_col=id_col, vec_col=vector_col,
-            filters=predicate, entry_ids=entry_ids)
+            filters=predicate, entry_ids=entry_ids,
+            # selective filters fall back to the exact adaptive probe —
+            # post-filtered navigation collapses below ~1% selectivity
+            # (RECALL.md r13 filtered series); 10k default for legacy
+            # sidecars built before the knob existed
+            full_scan_threshold=int(
+                params.get("full_scan_threshold", 10_000)))
 
     def compact(self, name: str, max_files_per_bucket: int = 4) -> int:
         """Compact buckets that accumulated small files (every bucket-scoped

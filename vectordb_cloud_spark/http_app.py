@@ -37,6 +37,7 @@ from typing import Any, Callable
 from urllib.parse import parse_qs
 
 from vectordb_cloud_spark.api import VectorService
+from vectordb_cloud_spark.errors import PointNotFoundError
 
 _MISSING = object()
 
@@ -44,6 +45,13 @@ _MISSING = object()
 class ValidationError(Exception):
     """Raised when query-param coercion fails — mapped to the reference's
     422/10422 envelope (/root/reference/app.py:28-33)."""
+
+
+class NotFoundError(Exception):
+    """Raised when a request references a stored point id that doesn't
+    exist — mapped to 404 with Qdrant's error envelope (Qdrant returns
+    404 Not Found for a missing point referenced by a query/recommend id,
+    not a validation 422; ADVICE r12)."""
 
 
 def _coerce(params: dict[str, str], spec: list[tuple[str, type, Any]]) -> dict[str, Any]:
@@ -171,6 +179,8 @@ def _routes(service: VectorService) -> dict[str, Callable[[dict[str, str]], Any]
             raise ValidationError("body must be a JSON object")
         try:
             return service.query(p["user_id"], body)
+        except PointNotFoundError as exc:
+            raise NotFoundError(str(exc)) from exc
         except (ValueError, KeyError, TypeError) as exc:
             # malformed-but-valid-JSON specs (missing 'target', null limit,
             # wrong types) are client errors: 422 envelope, never a 500
@@ -192,6 +202,8 @@ def _routes(service: VectorService) -> dict[str, Callable[[dict[str, str]], Any]
             raise ValidationError("bodies must be a JSON array of objects")
         try:
             return service.query_batch(p["user_id"], bodies)
+        except PointNotFoundError as exc:
+            raise NotFoundError(str(exc)) from exc
         except (ValueError, KeyError, TypeError) as exc:
             raise ValidationError(f"bad query document: {exc}") from exc
 
@@ -251,6 +263,10 @@ def make_wsgi_app(service: VectorService):
         try:
             result = handler(params)
             status = "200 OK"
+        except NotFoundError as exc:
+            # Qdrant's missing-point envelope: 404 + {"status": {"error": ..}}
+            result = {"status": {"error": str(exc)}, "result": None}
+            status = "404 Not Found"
         except ValidationError as exc:
             result = _validation_body(str(exc))
             status = "422 Unprocessable Entity"
@@ -299,6 +315,10 @@ def create_app(service: VectorService):
             params = {k: v for k, v in request.query_params.items()}
             try:
                 return handler(params)
+            except NotFoundError as e:
+                return JSONResponse(
+                    {"status": {"error": str(e)}, "result": None},
+                    status_code=404)
             except ValidationError as e:
                 return JSONResponse(_validation_body(str(e)), status_code=422)
 

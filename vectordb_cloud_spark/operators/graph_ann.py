@@ -984,6 +984,7 @@ def graph_beam_search(
     vec_col: str = "embedding",
     filters=None,
     entry_ids: list[int] | None = None,
+    full_scan_threshold: int | None = None,
 ) -> DataFrame:
     """Greedy beam search over the kNN graph — HNSW's search loop with the
     frontier as the only driver-side state.
@@ -1004,11 +1005,25 @@ def graph_beam_search(
     (the reference's metadata-filtered search): navigation stays
     UNFILTERED — restricting hops to matching nodes can disconnect the
     graph, the standard filtered-HNSW pitfall — while results are drawn
-    only from visited nodes that match. Selective predicates therefore
-    want a wider ``beam``/``max_hops`` (more visited nodes → more
-    matching candidates); at very high selectivity prefer brute force
-    over the filtered subset, exactly as HNSW engines fall back to
-    payload-index scans.
+    only from visited nodes that match. Under a SELECTIVE predicate the
+    visited set contains few matching nodes and post-filter recall
+    collapses (measured: 0.988 at 10% selectivity but 0.025 at 1% and
+    0.000 at 0.1% on the 1M clumped corpus — RECALL.md r13 series).
+
+    ``full_scan_threshold`` (Qdrant's planner knob of the same name —
+    its filterable-HNSW planner switches to a payload-driven full scan
+    when the filter's estimated cardinality is below threshold) closes
+    that hole with ONE adaptive probe: scan ``filter(pred)`` computing
+    exact distances with ``LIMIT threshold+1``. If at most ``threshold``
+    rows come back, that IS the complete matching set — the exact
+    driver-side top-k of those rows is returned (recall 1.0 by
+    construction, bounded collect of ≤ threshold+1 (id, dist) pairs).
+    If threshold+1 rows come back the filter is dense, the probe stops
+    early (CollectLimit scans partitions incrementally — a dense filter
+    hits the limit within the first few partitions), and navigation
+    proceeds as usual where post-filtering is safe. The selective case
+    pays exactly the scan the exact fallback needs anyway — there is no
+    two-pass count-then-search.
 
     Per hop this is two bounded single-stage actions: (1) an ``src IN
     (beam)`` probe of the adjacency table collecting ≤ beam×degree dst
@@ -1023,6 +1038,21 @@ def graph_beam_search(
     both probes stay file-pruned, and the corpus is never shuffled.
     """
     dist_to_q = lambda col: l2_distance_to(col, query_vector)  # noqa: E731
+    spark = points.sparkSession
+    if filters is not None and full_scan_threshold:
+        cap = int(full_scan_threshold)
+        probe = (
+            points.filter(filters)
+            .select(F.col(id_col).alias("id"),
+                    dist_to_q(F.col(vec_col)).alias("dist"))
+            .limit(cap + 1)
+            .collect()
+        )
+        if len(probe) <= cap:
+            best = sorted(((int(r["id"]), float(r["dist"])) for r in probe),
+                          key=lambda t: (t[1], t[0]))[:k]
+            return spark.createDataFrame(
+                best, f"{id_col} long, dist double")
     match_flag = (
         F.lit(True) if filters is None else filters.cast("boolean")
     ).alias("match")
@@ -1064,7 +1094,6 @@ def graph_beam_search(
     _absorb(seeds.collect())
     beam_ids = sorted(visited, key=lambda i: (visited[i], i))[:beam]
 
-    spark = points.sparkSession
     if not beam_ids:
         # empty collection / no matching seeds: graceful empty result (an
         # `IN ()` probe would not parse)

@@ -392,7 +392,10 @@ def recommend(
         # in the same list (r12); vectors skip the fetch and the exclusion
         ids, vecs = [], []
         for x in examples:
-            if isinstance(x, (list, tuple)) or hasattr(x, "__array__"):
+            # numpy SCALARS (np.int64 ids from collected pipelines) expose
+            # __array__ as a 0-d array — only 1-d+ objects are vectors
+            if isinstance(x, (list, tuple)) or (
+                    hasattr(x, "__array__") and np.ndim(x) > 0):
                 vecs.append(np.asarray([float(v) for v in x],
                                        dtype=np.float64))
             else:
@@ -412,7 +415,11 @@ def recommend(
     found = {r["__id"]: np.asarray(r["__v"], dtype=np.float64) for r in rows}
     missing = [i for i in all_ids if i not in found]
     if missing:
-        raise ValueError(f"example ids not found in collection: {missing}")
+        # 404 at the HTTP layer, ValueError to library callers
+        from vectordb_cloud_spark.errors import PointNotFoundError
+
+        raise PointNotFoundError(
+            f"example ids not found in collection: {missing}")
     pos_pool = [found[i] for i in pos_ids] + pos_vecs
     neg_pool = [found[i] for i in neg_ids] + neg_vecs
     if lookup_from is None and all_ids:

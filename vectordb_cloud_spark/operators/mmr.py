@@ -30,6 +30,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+#: Hard ceiling on the MMR candidate pool. The greedy selection is a
+#: driver-side O(pool²) similarity matrix over one bounded collect; this
+#: cap makes the "bounded" contract enforced rather than advisory
+#: (16384² float64 ≈ 2 GiB is the most a driver should ever pay here).
+MAX_CANDIDATES_LIMIT = 16384
+
 
 def _similarity_matrix(X, metric: str):
     """Pairwise similarity on the metric's own scale (higher = more
@@ -117,9 +123,12 @@ def mmr_search(
     score for MMR-selected points) plus ``mmr_rank`` (0-based selection
     order); rows come back ordered by ``mmr_rank``.
 
-    ``candidates_limit`` defaults to ``max(4*k, 64)`` (capped at 1024) —
-    Qdrant's knob of the same name; a larger pool buys more diversity
-    headroom for one longer scan + a bigger driver collect.
+    ``candidates_limit`` defaults to ``max(4*k, 64)`` (softly capped at
+    1024, but never below ``k``) — Qdrant's knob of the same name; a
+    larger pool buys more diversity headroom for one longer scan + a
+    bigger driver collect. Explicit pools above
+    :data:`MAX_CANDIDATES_LIMIT` are rejected loudly — the greedy rerank
+    is O(pool²) on the driver, so "bounded collect" is a hard contract.
 
     ``score_threshold`` cuts the CANDIDATE pool on the relevance score
     before selection (direction-aware like every other branch), so a
@@ -130,13 +139,27 @@ def mmr_search(
 
     from vectordb_cloud_spark.operators.knn import knn_search
 
+    if metric not in ("l2", "cosine", "dot"):
+        # fail before paying the candidate scan + driver collect
+        # (_similarity_matrix would only reject it after both)
+        raise ValueError(f"unsupported metric for mmr: {metric!r}")
+    k = int(k)
     if candidates_limit is None:
-        candidates_limit = min(1024, max(4 * int(k), 64))
+        # default pool: 4x the fetch, floored at 64, softly capped at 1024
+        # — but never below k itself (k here is the caller's limit+offset,
+        # which may legitimately exceed 1024)
+        candidates_limit = max(k, min(1024, max(4 * k, 64)))
     candidates_limit = int(candidates_limit)
+    if candidates_limit > MAX_CANDIDATES_LIMIT:
+        raise ValueError(
+            f"mmr candidates_limit ({candidates_limit}) exceeds the "
+            f"bounded-collect ceiling ({MAX_CANDIDATES_LIMIT}): the greedy "
+            f"selection is a driver-side O(pool²) rerank, so the pool is "
+            f"hard-capped")
     if candidates_limit < k:
         raise ValueError(
-            f"mmr candidates_limit ({candidates_limit}) must be >= limit "
-            f"({k})")
+            f"mmr candidates_limit ({candidates_limit}) must be >= the "
+            f"fetch size limit+offset ({k})")
     if not 0.0 <= float(diversity) <= 1.0:
         # fail before paying the candidate scan (mmr_select re-checks for
         # direct callers)

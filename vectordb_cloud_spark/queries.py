@@ -394,9 +394,7 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q(
-    "tpch_q3_revenue_topk",
-    """
+_TPCH_Q3_ORACLE = """
     SELECT o.o_orderkey,
            round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10)))::DOUBLE, 2) AS revenue,
            o.o_orderdate, o.o_orderpriority
@@ -407,12 +405,19 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
     ORDER BY revenue DESC, o.o_orderkey
     LIMIT 10
-    """,
-)
+    """
+
+
 def tpch_q3_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter -> broadcast customer into
     orders, shuffle join to lineitem on orderkey, top-k by revenue
-    (TakeOrderedAndProject, no global sort)."""
+    (TakeOrderedAndProject, no global sort). Rotated out of the registry
+    in r13 (shape-redundant: broadcast-dim + fact-fact shuffle +
+    decimal-agg + TakeOrdered stays oracle-exercised through
+    tpch_q1_pricing_summary, customer_order_stats and
+    grouping_sets_order_stats); stays wired for spot runs with its full
+    oracle via ``queries.library()``. The slot went to the r12 query
+    grammar (``query_by_id_topk``, VERDICT r12 #1)."""
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
@@ -1344,7 +1349,6 @@ def _lsh_joinpairs_oracle_sql() -> str:
     """
 
 
-@_q("lsh_similarity_join_pairs", _lsh_joinpairs_oracle_sql())
 def lsh_similarity_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs L2 similarity join via compound LSH bucket collision (the
     halved banded self-join form of MLlib approxSimilarityJoin with AND-
@@ -1353,7 +1357,12 @@ def lsh_similarity_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     injected near-dups (_aug_embeddings; dist < 0.5 on the raw fixture is
     the empty set). Oracle-checked end to end: DuckDB replays injection +
     compound bucketing over the materialized hyperplanes + the strict <
-    exact-L2 verify (_lsh_joinpairs_oracle_sql)."""
+    exact-L2 verify (_lsh_joinpairs_oracle_sql). Rotated out of the
+    registry in r13 (shape-redundant: the LSH bucket-blocked self-join
+    plan stays oracle-exercised through ``embedding_near_dup_lsh``, and
+    this was the suite's most expensive row); stays wired for spot runs
+    with its full oracle via ``queries.library()``. The slot went to the
+    r12 query grammar (``context_only_topk``, VERDICT r12 #1)."""
     from vectordb_cloud_spark.operators.ann import lsh_self_join_pairs
 
     emb = _aug_embeddings(spark, sf_dir)
@@ -2072,9 +2081,7 @@ def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q(
-    "bm25_topk",
-    """
+_BM25_ORACLE = """
     WITH toks AS (
       SELECT doc_id, lower(t) AS term
       FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
@@ -2105,8 +2112,9 @@ def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY p.doc_id
     ORDER BY score DESC, p.doc_id ASC
     LIMIT 10
-    """,
-)
+    """
+
+
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical retrieval gate: BM25 top-k over the documents corpus via the
     PERSISTED inverted index (built once per corpus by ``_bm25_index`` —
@@ -2116,7 +2124,12 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     same postings/df/dl/corpus tables in SQL — BM25 is pure relational math,
     so this is a full hash-matched check, not rows-only. All constants are
     double-cast in the oracle so DuckDB doesn't fall into DECIMAL arithmetic
-    where Spark computes IEEE doubles."""
+    where Spark computes IEEE doubles. Rotated out of the registry in r13
+    (shape-redundant: ``hybrid_rrf_topk``'s oracle replays the identical
+    BM25 CTE chain as its lexical leg, and ``query_rrf_fusion_topk`` keeps
+    the fusion surface); stays wired for spot runs with its full oracle
+    via ``queries.library()``. The slot went to the MMR rerank row
+    (``query_mmr_rerank_topk``, VERDICT r12 #2)."""
     from vectordb_cloud_spark.operators.lexical import bm25_search
 
     postings, docstats, doclens, corpus = _bm25_index(spark, sf_dir)
@@ -4193,13 +4206,14 @@ def query_ann_params_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("dist", F.round("dist", 6))
 
 
-# --- r12 library-level oracles for the NEW query grammar -------------------
-# Not in the 50-row registry (it is at cap and the r12 rotation already
-# landed); these give the r12-new by-id and context-only branches a full
-# DuckDB twin TODAY, spot-runnable via check_queries, and make them
-# drop-in candidates for the r13 rotation. (MMR stays pytest-pinned: its
-# greedy driver-side selection has a bit-for-bit numpy replay in
-# test_mmr.py but no reasonable SQL form.)
+# --- r12-new query-grammar rows (rotated INTO the registry in r13) --------
+# Built as library-level oracles in r12 while the registry sat at its 50
+# cap; the r13 rotation promoted both (VERDICT r12 #1), retiring the
+# shape-redundant tpch_q3_revenue_topk and lsh_similarity_join_pairs to
+# queries.library(). MMR gained its own registry row in r13 too
+# (query_mmr_rerank_topk below): the greedy driver-side selection is
+# bit-for-bit replayable, so the oracle replays it as an unrolled
+# per-step SQL program, the same precedent as ann_graph_topk's beam.
 
 _QBI_ID = 7
 _QBI_K = 10
@@ -4222,11 +4236,13 @@ def _query_by_id_oracle_sql() -> str:
     """
 
 
+@_q("query_by_id_topk", _query_by_id_oracle_sql())
 def query_by_id_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query-by-stored-point through the universal API (r12 grammar):
     ``query_points(points, 7)`` — one bounded probe resolves point 7's
     vector, the point excludes itself, then the ordinary exact top-k.
-    Library-level oracle row (the registry is at its 50 cap)."""
+    Rotated INTO the 50-row registry in r13 (VERDICT r12 #1; the slot
+    came from the shape-redundant ``tpch_q3_revenue_topk``)."""
     from vectordb_cloud_spark.query_api import query_points
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -4267,13 +4283,15 @@ def _context_only_oracle_sql() -> str:
     """
 
 
+@_q("context_only_topk", _context_only_oracle_sql())
 def context_only_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-only search through the universal API (r12 grammar):
     ``query: {"context": [...]}`` with ID-FORM example pairs — the ids
     resolve to stored vectors (bounded probes), the examples exclude
     themselves, and ranking is by the pair score alone with the id
-    tiebreak (operators/discover.py context_search). Library-level
-    oracle row (the registry is at its 50 cap)."""
+    tiebreak (operators/discover.py context_search). Rotated INTO the
+    50-row registry in r13 (VERDICT r12 #1; the slot came from the
+    shape-redundant ``lsh_similarity_join_pairs``)."""
     from vectordb_cloud_spark.query_api import query_points
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -4283,6 +4301,91 @@ def context_only_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         limit=_CTX_K, id_col="vec_id",
     )
     return hits.select("vec_id", "context_score")
+
+
+# MMR registry row (r13, VERDICT r12 #2): the greedy Carbonell-Goldstein
+# selection was engineered to be bit-for-bit replayable by the obvious
+# program (operators/mmr.py computes exact chunked L2, never the
+# catastrophic-cancellation matmul identity), so the oracle replays the
+# selection as an UNROLLED per-step SQL program over the same exact
+# top-pool candidates — the ann_graph_topk precedent for iterative
+# algorithms. Config kept small (k=6, pool=24) so the unrolled CTE chain
+# stays readable; selection ties break on pool rank (dist, id) in both
+# engines.
+_MMR_K = 6
+_MMR_POOL = 24
+_MMR_DIV = 0.5
+
+
+def _mmr_oracle_sql() -> str:
+    """DuckDB twin of the greedy MMR rerank: pool = exact top-24 by
+    (l2, id) for point 0's stored embedding used as a RAW vector (so the
+    point itself is in the pool — distinct from query_by_id_topk's
+    self-excluding resolution); step i picks argmax of
+    ``(1-d)*(-dist) - d*max_{s in S}(-l2(c, s))`` (equivalently
+    ``d*min_s l2(c,s) - (1-d)*dist``) over the unselected pool, pool-rank
+    tiebreak. Every distance is the same element-order L2 fold both
+    engines compute; near-ties are float-noise-free at 6-decimal output
+    and the selection gaps are orders of magnitude above summation-order
+    noise (the same determinism argument as the graph beam replay)."""
+    d = _MMR_DIV
+    l2q = _SQL_L2.format(a="e.embedding", b="q.qe")
+    steps = []
+    for i in range(2, _MMR_K + 1):
+        prev = [f"s{j}" for j in range(1, i)]
+        srcs = ", ".join(prev)
+        excl = ", ".join(f"{s}.id" for s in prev)
+        sims = ", ".join(
+            _SQL_L2.format(a="p.v", b=f"{s}.v") for s in prev)
+        mindist = f"least({sims})" if len(prev) > 1 else sims
+        steps.append(f""",
+    s{i} AS (SELECT p.id, p.v, p.dist, p.rk
+             FROM ranked p, {srcs}
+             WHERE p.id NOT IN ({excl})
+             ORDER BY {d} * {mindist} - {1.0 - d} * p.dist DESC, p.rk
+             LIMIT 1)""")
+    unions = "\n      UNION ALL ".join(
+        f"SELECT id, dist, {i - 1} AS mmr_rank FROM s{i}"
+        for i in range(1, _MMR_K + 1))
+    return f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    pool AS (
+      SELECT e.vec_id AS id, e.embedding AS v, {l2q} AS dist
+      FROM embeddings e, q
+      ORDER BY dist, id LIMIT {_MMR_POOL}
+    ),
+    ranked AS (SELECT id, v, dist,
+                      row_number() OVER (ORDER BY dist, id) AS rk
+               FROM pool),
+    s1 AS (SELECT id, v, dist, rk FROM ranked ORDER BY rk LIMIT 1){"".join(steps)}
+    SELECT id AS vec_id, round(dist, 6) AS dist, mmr_rank
+    FROM ({unions})
+    """
+
+
+@_q("query_mmr_rerank_topk", _mmr_oracle_sql())
+def query_mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity rerank through the universal API (r12 operator, r13
+    oracle row — VERDICT r12 #2): ``query: {"nearest": v, "mmr":
+    {"diversity": 0.5, "candidates_limit": 24}}`` — one exact distributed
+    top-24 scan (TakeOrderedAndProject), greedy driver-side selection
+    over the bounded pool (operators/mmr.py mmr_select), broadcast 6-row
+    join-back for the payload. The oracle replays pool + every greedy
+    step (argmax of ``(1-d)*rel - d*max sim``) as unrolled SQL — the
+    approximate diversity ranking itself is hash-matched, not just its
+    row count."""
+    from vectordb_cloud_spark.query_api import query_points
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    hits = query_points(
+        emb,
+        {"nearest": qv,
+         "mmr": {"diversity": _MMR_DIV, "candidates_limit": _MMR_POOL}},
+        limit=_MMR_K, id_col="vec_id",
+    )
+    return hits.select("vec_id", F.round("dist", 6).alias("dist"),
+                       "mmr_rank")
 
 
 # Rows rotated OUT of the 50-slot registry (r11: the slots went to the
@@ -4298,8 +4401,11 @@ _LIBRARY: dict[str, QueryFn] = {
     "discover_topk": discover_topk,
     "tpch_q5_region_revenue": tpch_q5_region_revenue,
     "lang_id_counts": lang_id_counts,
-    "query_by_id_topk": query_by_id_topk,
-    "context_only_topk": context_only_topk,
+    # r13 rotation: slots went to query_by_id_topk / context_only_topk /
+    # query_mmr_rerank_topk (VERDICT r12 #1-2)
+    "tpch_q3_revenue_topk": tpch_q3_revenue_topk,
+    "lsh_similarity_join_pairs": lsh_similarity_join_pairs,
+    "bm25_topk": bm25_topk,
 }
 _LIB_ORACLES: dict[str, str] = {
     "simhash_near_dup_pairs": _simhash_oracle_sql(),
@@ -4307,8 +4413,9 @@ _LIB_ORACLES: dict[str, str] = {
     "discover_topk": _discover_oracle_sql(),
     "tpch_q5_region_revenue": _TPCH_Q5_ORACLE,
     "lang_id_counts": _LANG_ID_ORACLE,
-    "query_by_id_topk": _query_by_id_oracle_sql(),
-    "context_only_topk": _context_only_oracle_sql(),
+    "tpch_q3_revenue_topk": _TPCH_Q3_ORACLE,
+    "lsh_similarity_join_pairs": _lsh_joinpairs_oracle_sql(),
+    "bm25_topk": _BM25_ORACLE,
 }
 
 

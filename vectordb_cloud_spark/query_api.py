@@ -66,6 +66,10 @@ from pyspark.sql import functions as F
 from vectordb_cloud_spark.filters import compile_filter
 
 
+from vectordb_cloud_spark.errors import PointNotFoundError  # noqa: F401
+# re-exported: query-by-id callers historically import it from here
+
+
 def _vector_col(using: str | None) -> str:
     return f"vec_{using}" if using else "embedding"
 
@@ -257,7 +261,8 @@ def _point_vector(points: DataFrame, pid, vector_col: str,
         .collect()
     )
     if not rows or rows[0][0] is None:
-        raise ValueError(f"query point id {pid!r} not found in collection")
+        raise PointNotFoundError(
+            f"query point id {pid!r} not found in collection")
     return [float(x) for x in rows[0][0]]
 
 

@@ -44,6 +44,18 @@ PQ_RERANK_OVERSAMPLE = 4  # with M=16/K=256 codebooks: 0.988 at sf0.1
 MILLION_RECALL_FLOORS = {"ann_ivf_topk_1m": 0.9, "ann_graph_coarse_1m": 0.9,
                          "collection_graph_1m": 0.9}
 
+# Floors for the --filtered series (filtered_graph_recall_report): the
+# `planned` rows ride the full_scan_threshold fallback — 1%/0.1% of 1M
+# fall under the 10k threshold, so the exact adaptive probe makes them
+# 1.0 BY CONSTRUCTION (a miss means the planner rule broke, not that a
+# dial drifted). The 10% row navigates; its floor comes from the r13
+# measurement. The postfilter twins carry NO floor: they are the
+# documented negative series (post-filter recall collapses with
+# selectivity — the reason the planner rule exists).
+FILTERED_RECALL_FLOORS = {"planned_1_in_10": 0.9,
+                          "planned_1_in_100": 0.999,
+                          "planned_1_in_1000": 0.999}
+
 
 def ann_recall_report(
     spark: SparkSession,
@@ -272,6 +284,87 @@ def million_recall_report(spark: SparkSession, sf_dir: str,
             exact, "vec_id")
     corpus.unpersist()
     assigned.unpersist()
+    graph.unpersist()
+    return {name: round(s / len(queries), 3) for name, s in sums.items()}
+
+
+def filtered_graph_recall_report(
+    spark: SparkSession,
+    sf_dir: str,
+    n_rows: int = 1_000_000,
+    k: int = 10,
+    n_queries: int = 8,
+    mods: tuple = (10, 100, 1000),
+    full_scan_threshold: int = 10_000,
+) -> dict[str, float]:
+    """Recall@k of FILTERED graph search vs filter selectivity (VERDICT
+    r12 #3): Qdrant's filterable HNSW navigates WITH the predicate; this
+    engine's graph path navigates unfiltered and post-filters visited
+    nodes, which must collapse once the matching set is sparse in the
+    visited neighborhood. Measured on the 1M clumped corpus with
+    ``vec_id % m == 0`` predicates (selectivity 1/m for m in ``mods`` —
+    10% / 1% / 0.1% at the defaults), per-query coarse-entry seeds and
+    registry dials, ground truth = exact brute force over the SAME
+    filtered subset.
+
+    Two rows per selectivity: ``postfilter_1_in_<m>`` is the raw
+    navigate-then-filter behavior (full_scan_threshold disabled — the
+    honest negative series), ``planned_1_in_<m>`` is the shipped planner
+    path (``full_scan_threshold=10_000``: 0.1%/1% of 1M = 1_000/10_000
+    matching points fall under the threshold and serve from the exact
+    adaptive probe; 10% navigates). Floors for the planned series are
+    asserted in tests/test_recall_report.py."""
+    from pyspark.sql import functions as F
+
+    from vectordb_cloud_spark import queries as qmod
+    from vectordb_cloud_spark.operators.ann import (
+        brute_force_topk,
+        recall_at_k,
+    )
+    from vectordb_cloud_spark.operators.graph_ann import (
+        graph_beam_search,
+        graph_coarse_entry_ids,
+        graph_entry_points,
+        knn_graph_build_sharded,
+    )
+
+    corpus = million_row_corpus(spark, sf_dir, n_rows).cache()
+    corpus.count()
+    emb0 = qmod._t(spark, sf_dir, "embeddings")
+    qrows = (emb0.select("vec_id", "embedding").orderBy("vec_id")
+             .limit(n_queries).collect())
+    queries = [[float(x) for x in r["embedding"]] for r in qrows]
+
+    graph = knn_graph_build_sharded(
+        corpus, degree=GRAPH_DEGREE, refine_rounds=1).cache()
+    graph.count()
+    entry_ids = graph_entry_points(corpus, n_entry=GRAPH_ENTRIES)
+
+    sums: dict[str, float] = {}
+    for m in mods:
+        pred = F.pmod(F.col("vec_id"), F.lit(int(m))) == 0
+        subset = corpus.filter(pred).cache()
+        subset.count()
+        post_key, plan_key = f"postfilter_1_in_{m}", f"planned_1_in_{m}"
+        sums[post_key] = sums[plan_key] = 0.0
+        for qv in queries:
+            exact = brute_force_topk(subset, qv, k=k)
+            coarse = graph_coarse_entry_ids(corpus, qv,
+                                            n_entry=GRAPH_ENTRIES)
+            seeds = coarse or entry_ids
+            sums[post_key] += recall_at_k(
+                graph_beam_search(corpus, graph, qv, k=k, beam=GRAPH_BEAM,
+                                  max_hops=GRAPH_MAX_HOPS, filters=pred,
+                                  entry_ids=seeds),
+                exact, "vec_id")
+            sums[plan_key] += recall_at_k(
+                graph_beam_search(corpus, graph, qv, k=k, beam=GRAPH_BEAM,
+                                  max_hops=GRAPH_MAX_HOPS, filters=pred,
+                                  entry_ids=seeds,
+                                  full_scan_threshold=full_scan_threshold),
+                exact, "vec_id")
+        subset.unpersist()
+    corpus.unpersist()
     graph.unpersist()
     return {name: round(s / len(queries), 3) for name, s in sums.items()}
 
