@@ -418,6 +418,38 @@ def main():
 
         bench_one("service_query_http", _hit_query)
 
+        # r13 (VERDICT r12 #5): a MIXED /query_batch — dense + by-id +
+        # recommend average_vector — served by ONE shared corpus scan and
+        # ONE example-resolution probe, vs the same bodies dispatched
+        # per-request. Bodies are made DISTINCT per run (rotating text +
+        # limit) so neither variant rides the exact-repeat plan memo; the
+        # pair quantifies the shared-scan win on the non-dense branches
+        # (results are parity-tested in test_api.py).
+        ids7 = [int(r["id"]) for r in
+                svc.catalog.read_for_user("BenchVDB", 7)
+                .select("id").orderBy("id").limit(3).collect()]
+        while len(ids7) < 3:
+            ids7.append(ids7[-1])
+        mseq = [0]
+
+        def _mixed_bodies():
+            mseq[0] += 1
+            s = mseq[0]
+            return [
+                {"query": {"text": f"shared scan alpha {s}"}, "limit": 5},
+                {"query": {"text": f"shared scan beta {s}"}, "limit": 5},
+                {"query": ids7[0], "limit": 5 + (s % 7)},
+                {"query": {"nearest": ids7[1]}, "limit": 5 + ((s + 1) % 7)},
+                {"query": {"recommend": {"positive": ids7[:2],
+                                         "negative": [ids7[2]]}},
+                 "limit": 5 + ((s + 2) % 7)},
+            ]
+
+        bench_one("query_batch_mixed_shared",
+                  lambda: svc.query_batch(7, _mixed_bodies()))
+        bench_one("query_batch_mixed_per_request",
+                  lambda: [svc.query(7, b) for b in _mixed_bodies()])
+
         # exact-repeat form (the r10 basis): plan-memo hit, zero
         # construction — kept as its own entry for comparability
         url_rep = base + urllib.parse.urlencode(

@@ -189,17 +189,47 @@ def test_query_batch_matches_per_request(svc):
          "limit": 2},
         {"query": {"text": "trains"}, "limit": 3},
         {"limit": 2},  # scroll — not a dense body, dispatches per-request
+        # r13 batchable forms (VERDICT r12 #5): by-id (bare and
+        # nearest-wrapped) and recommend average_vector join the shared
+        # scan; their example ids resolve in ONE bounded probe
+        {"query": 41, "limit": 3},
+        {"query": {"nearest": 42}, "limit": 2},
+        {"query": {"recommend": {"positive": [41, 42],
+                                 "negative": [43]}}, "limit": 3},
+        {"query": {"recommend": {"positive": [41],
+                                 "strategy": "best_score"}},
+         "limit": 2},  # best_score is NOT plain dense -> per-request
     ]
     got = svc.query_batch(21, bodies)
     want = [svc.query(21, b) for b in bodies]
-    assert len(got) == len(want) == 4
+    assert len(got) == len(want) == 8
     for g, w in zip(got, want):
         assert [r["id"] for r in g] == [r["id"] for r in w]
+        assert [round(r["dist"], 9) for r in g if "dist" in r] == \
+            [round(r["dist"], 9) for r in w if "dist" in r]
     # dense rows carry dist + payload, no vectors, no query_id leak
     assert all("dist" in r and "embedding" not in r and "query_id" not in r
-               for r in got[0])
+               for r in got[0] + got[4] + got[6])
+    # self/example exclusion held on the shared-scan path
+    assert 41 not in [r["id"] for r in got[4]]
+    assert 42 not in [r["id"] for r in got[5]]
+    assert not {41, 42, 43} & {r["id"] for r in got[6]}
     # tenant isolation holds on the shared-scan path
-    assert all(r["id"] != 45 for r in got[0] + got[2])
+    assert all(r["id"] != 45 for r in got[0] + got[2] + got[4] + got[6])
+
+
+def test_query_batch_missing_id_is_not_found(svc):
+    """A batch referencing a missing point id fails with the
+    404-mappable PointNotFoundError, same as per-request (r13)."""
+    import pytest
+
+    from vectordb_cloud_spark.errors import PointNotFoundError
+
+    assert svc.insert(71, 23, "solo doc", "s", "en") == 1
+    assert svc.insert(72, 23, "other doc", "s", "en") == 1
+    with pytest.raises(PointNotFoundError):
+        svc.query_batch(23, [{"query": 71, "limit": 2},
+                             {"query": 9_999_999, "limit": 2}])
 
 
 def test_query_response_shaping_and_offset(svc):

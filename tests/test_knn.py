@@ -294,6 +294,43 @@ def test_distance_matrix_pairs_filters_and_guards(spark, embeddings):
         distance_matrix_pairs(embeddings, metric="hamming")
 
 
+def test_distance_matrix_offsets_is_the_pairs_twin(spark, embeddings):
+    """Qdrant /points/search/matrix/offsets (r13): same computation as
+    /matrix/pairs, CSR-style envelope — reconstructing triples from the
+    offsets document must give exactly the pairs rows, row-major with
+    nearest-first within a row."""
+    from vectordb_cloud_spark.operators.knn import (distance_matrix_offsets,
+                                                    distance_matrix_pairs)
+
+    pairs = distance_matrix_pairs(embeddings, sample_size=8, k=3,
+                                  seed=7).collect()
+    off = distance_matrix_offsets(embeddings, sample_size=8, k=3, seed=7)
+    assert set(off) == {"offsets_row", "offsets_col", "scores", "ids"}
+    n = len(off["scores"])
+    assert len(off["offsets_row"]) == len(off["offsets_col"]) == n
+    assert off["ids"] == sorted(off["ids"])
+    got = {(off["ids"][r], off["ids"][c], round(s, 9))
+           for r, c, s in zip(off["offsets_row"], off["offsets_col"],
+                              off["scores"])}
+    want = {(p["id_a"], p["id_b"], round(p["dist"], 9)) for p in pairs}
+    assert got == want
+    # row-major, nearest-first within each row
+    last = None
+    for i in range(n):
+        key = (off["offsets_row"][i], off["scores"][i],
+               off["offsets_col"][i])
+        if last is not None:
+            assert key >= last
+        last = key
+    # cosine flips the within-row direction (similarity descending)
+    offc = distance_matrix_offsets(embeddings, sample_size=6, k=2, seed=7,
+                                   metric="cosine")
+    rows = {}
+    for i, r in enumerate(offc["offsets_row"]):
+        rows.setdefault(r, []).append(offc["scores"][i])
+    assert all(lst == sorted(lst, reverse=True) for lst in rows.values())
+
+
 def test_knn_dot_and_manhattan_metrics(spark):
     """The remaining Qdrant Distance variants: DOT (similarity, descending)
     and MANHATTAN (L1, ascending) — numpy ground truth."""

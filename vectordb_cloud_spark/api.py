@@ -933,21 +933,38 @@ class VectorService:
         return [r.asDict(recursive=True) for r in shaped.collect()]
 
     def query_batch(self, user_id: int, bodies: list[dict]) -> list[list[dict]]:
-        """Qdrant POST /points/query/batch, tenant-scoped. Plain dense
-        requests (a vector or ``{"text": ...}`` query, only ``limit``
-        beside it) are served by ONE shared corpus scan —
+        """Qdrant POST /points/query/batch, tenant-scoped. Requests whose
+        primary ranking is a plain dense L2 top-k share ONE corpus scan —
         ``operators.knn.knn_batch`` broadcasts the query batch and
         window-ranks per query, so N requests cost one pass over the
         tenant's buckets instead of N (the Spark-first batching the
-        per-request endpoint can't give you). Anything else (prefetch,
-        filters, fusion, group_by, ...) dispatches through
-        :meth:`query` per request. Results align with the input order."""
+        per-request endpoint can't give you). The batchable set (r13,
+        VERDICT r12 #5 — was plain dense only):
+
+        - a vector or ``{"text": ...}`` query (optionally wrapped in
+          Qdrant's explicit ``{"nearest": X}``), only ``limit`` beside it;
+        - query-by-stored-point-ID (bare scalar or nearest-wrapped): ALL
+          referenced ids across the batch resolve in ONE bounded probe,
+          and each request's self-exclusion is applied after the shared
+          window (the scan over-fetches by the batch's widest exclusion
+          set, so the final top-k equals the per-request answer);
+        - ``{"recommend": {...}}`` with the default ``average_vector``
+          strategy and id/vector examples: example ids join the same
+          shared probe, the derived mean(pos)−mean(neg) vector joins the
+          shared scan, id-form examples are excluded like the
+          per-request path.
+
+        Anything else (prefetch, filters, fusion, group_by, best_score,
+        lookup_from, mmr, ...) dispatches through :meth:`query` per
+        request. Results align with the input order; a missing referenced
+        point raises ``PointNotFoundError`` exactly as per-request (the
+        HTTP layer maps it to 404)."""
+        import numpy as np
+
+        from vectordb_cloud_spark.errors import PointNotFoundError
         from vectordb_cloud_spark.operators.knn import knn_batch
 
-        def _plain_dense(b: dict):
-            if set(b) - {"query", "limit"}:
-                return None
-            q = b.get("query")
+        def _dense_vec(q):
             if isinstance(q, dict) and set(q) == {"text"}:
                 return mock_vector(q["text"], self.dim)
             if (isinstance(q, (list, tuple)) and q
@@ -955,35 +972,131 @@ class VectorService:
                 return [float(x) for x in q]
             return None
 
+        def _is_id(x):
+            return isinstance(x, int) and not isinstance(x, bool)
+
+        def _split_examples(xs):
+            # ids vs raw vectors, the recommend grammar; any other element
+            # type opts the body out of the fast path (per-request raises)
+            ids, vecs = [], []
+            for x in xs:
+                if isinstance(x, (list, tuple)) and x:
+                    vecs.append([float(v) for v in x])
+                elif _is_id(x):
+                    ids.append(x)
+                else:
+                    return None
+            return ids, vecs
+
+        def _classify(b: dict):
+            """(kind, payload, excl_ids, k) for batchable bodies, else
+            None. kind: 'dense' (payload = vector), 'by_id' (payload =
+            point id), 'rec' (payload = (pos_ids, pos_vecs, neg_ids,
+            neg_vecs))."""
+            if set(b) - {"query", "limit"}:
+                return None
+            try:
+                k = int(b.get("limit", 10))
+            except (TypeError, ValueError):
+                return None  # per-request path raises the client error
+            q = b.get("query")
+            if isinstance(q, dict) and set(q) == {"nearest"}:
+                q = q["nearest"]
+            v = _dense_vec(q)
+            if v is not None:
+                return ("dense", v, [], k)
+            if _is_id(q):
+                return ("by_id", q, [q], k)
+            if isinstance(q, dict) and set(q) == {"recommend"}:
+                spec = q["recommend"]
+                if not isinstance(spec, dict) or (
+                        set(spec) - {"positive", "negative", "strategy"}):
+                    return None
+                if spec.get("strategy",
+                            "average_vector") != "average_vector":
+                    return None  # best_score is not a plain dense top-k
+                pos = _split_examples(list(spec.get("positive") or []))
+                neg = _split_examples(list(spec.get("negative") or []))
+                if pos is None or neg is None or not (pos[0] or pos[1]):
+                    return None
+                return ("rec", (pos[0], pos[1], neg[0], neg[1]),
+                        pos[0] + neg[0], k)
+            return None
+
         results: list[list[dict] | None] = [None] * len(bodies)
-        batch = [(i, _plain_dense(b), int(b.get("limit", 10)))
-                 for i, b in enumerate(bodies)]
-        batch = [(i, qv, k) for i, qv, k in batch if qv is not None]
-        if len(batch) >= 2:
+        entries = [(i, c) for i, c in
+                   ((i, _classify(b)) for i, b in enumerate(bodies))
+                   if c is not None]
+        if len(entries) >= 2:
             points = self.catalog.read_for_user(self.index_name, user_id)
+            # ONE bounded probe resolves every point id the batch
+            # references (by-id targets + recommend examples) — the
+            # per-request path pays one probe per request
+            need = sorted({pid for _, c in entries for pid in c[2]})
+            found: dict[int, list] = {}
+            if need:
+                rows = (
+                    points.filter(F.col("id").isin(need))
+                    .select("id", F.col("embedding").cast("array<double>")
+                            .alias("__v"))
+                    .collect()
+                )
+                found = {r["id"]: r["__v"] for r in rows}
+                missing = [i for i in need if i not in found]
+                if missing:
+                    raise PointNotFoundError(
+                        f"example ids not found in collection: {missing}")
+            batch = []  # (idx, qvec, k, excl_ids)
+            for i, (kind, payload, excl, k) in entries:
+                if kind == "dense":
+                    qv = payload
+                elif kind == "by_id":
+                    qv = [float(x) for x in found[payload]]
+                else:  # rec — the recommend average_vector derivation
+                    pos_ids, pos_vecs, neg_ids, neg_vecs = payload
+                    pos_pool = [np.asarray(found[p], dtype=np.float64)
+                                for p in pos_ids] + [
+                        np.asarray(v, dtype=np.float64) for v in pos_vecs]
+                    neg_pool = [np.asarray(found[p], dtype=np.float64)
+                                for p in neg_ids] + [
+                        np.asarray(v, dtype=np.float64) for v in neg_vecs]
+                    qnp = np.mean(pos_pool, axis=0)
+                    if neg_pool:
+                        qnp = qnp - np.mean(neg_pool, axis=0)
+                    qv = [float(x) for x in qnp]
+                batch.append((i, qv, k, excl))
+            # array<double>, not <float>: the recommend-derived mean
+            # vector is float64 in the per-request path — a float32
+            # round-trip here would perturb near-tie distances vs
+            # per-request parity (l2_distance casts everything to double
+            # anyway; plain float32-exact vectors are unaffected)
             queries = self.spark.createDataFrame(
-                [(i, qv) for i, qv, _ in batch],
-                "query_id int, embedding array<float>",
+                [(i, qv) for i, qv, _, _ in batch],
+                "query_id int, embedding array<double>",
             )
-            max_k = max(k for _, _, k in batch)
-            hits = knn_batch(points, queries, k=max_k,
+            # the shared window over-fetches by the widest exclusion set:
+            # dropping a request's excluded ids from its top
+            # (k + |excl|) leaves at least its true top-k
+            scan_k = max(k + len(excl) for _, _, k, excl in batch)
+            hits = knn_batch(points, queries, k=scan_k,
                              points_vec="embedding", metric="l2",
                              tiebreak="id")
             keep = self._response_columns(hits.columns)
             if "query_id" not in keep:
                 keep.append("query_id")
             rows = hits.select(*keep).collect()
-            per_query: dict[int, list] = {i: [] for i, _, _ in batch}
+            per_query: dict[int, list] = {i: [] for i, _, _, _ in batch}
             for r in rows:
                 per_query[r["query_id"]].append(r)
-            limits = {i: k for i, _, k in batch}
+            limits = {i: k for i, _, k, _ in batch}
+            excls = {i: set(excl) for i, _, _, excl in batch}
             for i, lst in per_query.items():
                 lst.sort(key=lambda r: (r["dist"], r["id"]))
                 results[i] = [
                     {k: v for k, v in r.asDict(recursive=True).items()
                      if k != "query_id"}
-                    for r in lst[: limits[i]]
-                ]
+                    for r in lst if r["id"] not in excls[i]
+                ][: limits[i]]
         for i, body in enumerate(bodies):
             if results[i] is None:
                 results[i] = self.query(user_id, body)

@@ -621,3 +621,47 @@ def distance_matrix_pairs(
         .filter(F.col("__rk") <= k)
         .select("id_a", "id_b", "dist")
     )
+
+
+def distance_matrix_offsets(
+    points: DataFrame,
+    sample_size: int = 10,
+    k: int = 3,
+    seed: int = 42,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    metric: str = "l2",
+    filters: Column | None = None,
+) -> dict:
+    """Qdrant's ``POST /points/search/matrix/offsets`` — the SAME sampled
+    pairwise computation as :func:`distance_matrix_pairs` (r13, the
+    response-shape twin: Qdrant exposes both envelopes over one engine
+    call), returned as the sparse-CSR-style offsets document::
+
+        {"offsets_row": [...], "offsets_col": [...],
+         "scores": [...], "ids": [...]}
+
+    ``ids`` is the ascending-sorted sample; ``offsets_row[i]`` /
+    ``offsets_col[i]`` index into ``ids`` for ``scores[i]``. Entries are
+    row-major (ascending row id), within a row in the pairs order
+    (nearest first — dist ascending for l2, similarity descending for
+    cosine, ``id_b`` tiebreak). Driver-side materialization is bounded
+    by contract: ``sample_size × k`` triples, the same tiny-by-design
+    envelope Qdrant returns."""
+    rows = distance_matrix_pairs(
+        points, sample_size=sample_size, k=k, seed=seed,
+        vector_col=vector_col, id_col=id_col, metric=metric,
+        filters=filters,
+    ).collect()
+    ids = sorted({r["id_a"] for r in rows} | {r["id_b"] for r in rows})
+    pos = {i: n for n, i in enumerate(ids)}
+    hib = metric == "cosine"
+    triples = sorted(
+        ((pos[r["id_a"]], r["dist"], pos[r["id_b"]]) for r in rows),
+        key=lambda t: (t[0], -t[1] if hib else t[1], t[2]))
+    return {
+        "offsets_row": [a for a, _, _ in triples],
+        "offsets_col": [b for _, _, b in triples],
+        "scores": [float(d) for _, d, _ in triples],
+        "ids": [int(i) for i in ids],
+    }
