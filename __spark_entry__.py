@@ -5,9 +5,11 @@
 north-star extensions) as (spark, sf_dir) -> DataFrame callables.
 ``oracle_sql()`` — matching DuckDB SQL for the correctness gate: ALL
 50/50 registry entries are oracle-backed (since r9), including the
-ANN/LSH/PQ/quantized/text-index searches and the multimodal md5-chain
-decode, which the oracle REPLAYS over the materialized index/collection
-structures the Spark side actually wrote.
+ANN/LSH/PQ/quantized/text-index searches, the multimodal md5-chain
+decode, and (r13) the greedy MMR diversity selection — each REPLAYED
+over the materialized index/collection structures (or, for the
+iterative algorithms, as the unrolled per-step SQL program) that the
+Spark side actually wrote/ran.
 
 Implementation lives in ``vectordb_cloud_spark/queries.py``.
 """

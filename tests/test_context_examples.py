@@ -75,6 +75,49 @@ def test_context_and_discover_accept_point_ids(embeddings, emb_rows):
     assert got == want[:len(got)] and not {0, 1} & set(got)
 
 
+def test_discover_context_lookup_from_other_frame(spark):
+    """Qdrant lookup_from for discover/context (r13): id-form examples
+    resolve against the SECOND frame; the searched collection is not
+    id-excluded (foreign id space). Parity against the same query with
+    the foreign vectors passed raw."""
+    books = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [10.0, 10.0]), (3, [5.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    movies = spark.createDataFrame(
+        [(1, [0.1, 0.0]), (2, [9.0, 9.0]), (3, [5.0, 5.0]),
+         (4, [0.5, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    by_id = query_points(
+        movies, {"context": {"positive": 1, "negative": 2}},
+        limit=4, id_col="vec_id", lookup_from=books).collect()
+    by_vec = query_points(
+        movies, {"context": {"positive": [0.0, 0.0],
+                             "negative": [10.0, 10.0]}},
+        limit=4, id_col="vec_id").collect()
+    # same ranking, and movie ids 1/2 are NOT excluded (foreign ids)
+    assert [r["vec_id"] for r in by_id] == [r["vec_id"] for r in by_vec]
+    assert len(by_id) == 4
+    d_id = query_points(
+        movies, {"discover": {"target": 3,
+                              "context": [{"positive": 1, "negative": 2}]}},
+        limit=4, id_col="vec_id", lookup_from=books).collect()
+    d_vec = query_points(
+        movies, {"discover": {"target": [5.0, 0.0],
+                              "context": [{"positive": [0.0, 0.0],
+                                           "negative": [10.0, 10.0]}]}},
+        limit=4, id_col="vec_id").collect()
+    assert [r["vec_id"] for r in d_id] == [r["vec_id"] for r in d_vec]
+    assert len(d_id) == 4
+    # a missing foreign id is the same loud not-found as recommend's
+    import pytest
+
+    with pytest.raises(ValueError, match="not found"):
+        query_points(movies, {"context": {"positive": 99, "negative": 2}},
+                     limit=4, id_col="vec_id", lookup_from=books)
+
+
 def test_recommend_accepts_raw_vectors(embeddings, emb_rows):
     """Raw example vectors join the pool directly (no exclusion): a
     vector-form positive equals the id-form query EXCEPT the example row

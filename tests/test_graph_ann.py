@@ -151,11 +151,31 @@ def test_full_scan_threshold_planner_crossover(spark, embeddings, graph):
     assert [r["vec_id"] for r in planned_dense.collect()] \
         == [r["vec_id"] for r in beam_only.collect()]
     # a filter matching NOTHING under the threshold returns empty, not
-    # an error (the empty createDataFrame branch)
+    # an error
     none_pred = F.col("vec_id") < 0
     assert graph_beam_search(embeddings, graph, qv, k=5, beam=16,
                              max_hops=4, filters=none_pred,
                              full_scan_threshold=100).count() == 0
+    # middle band (matches > threshold, needed beam <= cap): navigation
+    # runs with the beam WIDENED to 2kN/m — only matching ids return,
+    # and recall against the filtered exact baseline holds where the
+    # registry-beam post-filter collapses (RECALL.md r13 series)
+    half_pred = F.pmod(F.col("vec_id"), F.lit(2)) == 0  # 250 of 500
+    exact_half = brute_force_topk(embeddings, qv, k=5, filters=half_pred)
+    widened = graph_beam_search(embeddings, graph, qv, k=5, beam=16,
+                                max_hops=4, filters=half_pred,
+                                full_scan_threshold=100)
+    rows = widened.collect()
+    assert len(rows) == 5 and all(r["vec_id"] % 2 == 0 for r in rows)
+    assert recall_at_k(widened, exact_half, "vec_id") >= 0.6
+    # needed beam above the cap: exact filtered top-k serves (identical
+    # to brute force, not merely overlapping)
+    capped = graph_beam_search(embeddings, graph, qv, k=5, beam=16,
+                               max_hops=4, filters=half_pred,
+                               full_scan_threshold=100,
+                               filtered_beam_cap=8)
+    assert [(r["vec_id"], round(r["dist"], 9)) for r in capped.collect()] \
+        == [(r["vec_id"], round(r["dist"], 9)) for r in exact_half.collect()]
 
 
 def test_filtered_beam_search_matches_unfiltered_when_filter_is_true(

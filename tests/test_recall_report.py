@@ -93,3 +93,29 @@ def test_million_row_artifact_rows_meet_floors():
         assert m, f"RECALL.md lacks the 1M-row {fam} row"
         assert float(m.group(1)) >= floor, (
             f"{fam} artifact recall {m.group(1)} below floor {floor}")
+
+
+def test_filtered_graph_artifact_rows_meet_floors():
+    """The filtered-graph selectivity series (VERDICT r12 #3; tools/
+    recall_check.py --filtered, ~15 min at 1M rows) — parse RECALL.md
+    like the 1M test: the `planned` columns must be at/above
+    recall.FILTERED_RECALL_FLOORS (1%/0.1% are exact by the planner's
+    construction; 10% rides the widened beam)."""
+    import re
+    from pathlib import Path
+
+    from vectordb_cloud_spark.recall import FILTERED_RECALL_FLOORS
+
+    text = Path(__file__).resolve().parent.parent.joinpath(
+        "RECALL.md").read_text()
+    assert "## Filtered graph search" in text, (
+        "RECALL.md lacks the filtered-graph selectivity series")
+    for fam, floor in FILTERED_RECALL_FLOORS.items():
+        sel = fam.removeprefix("planned_1_in_")
+        m = re.search(
+            rf"\|\s*~?1/{sel}\s*\([^)]*\)\s*\|\s*[0-9.]+\s*\|"
+            rf"\s*([0-9.]+)\s*\|",
+            text)
+        assert m, f"RECALL.md lacks the filtered 1/{sel} row"
+        assert float(m.group(1)) >= floor, (
+            f"{fam} artifact recall {m.group(1)} below floor {floor}")

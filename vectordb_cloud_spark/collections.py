@@ -1712,11 +1712,23 @@ class CollectionCatalog:
                 params = {"kind": "ivf_sq", "centers": centers,
                           "nprobe": int(spec.get("nprobe", 2)),
                           "mins": mins, "maxs": maxs,
-                          "oversample": int(spec.get("oversample", 4))}
+                          "oversample": int(spec.get("oversample", 4)),
+                          "full_scan_threshold": int(
+                              spec.get("full_scan_threshold", 10_000))}
             else:
                 ivf_persist(assigned, os.path.join(stage, "ivf"))
                 params = {"kind": "ivf", "centers": centers,
-                          "nprobe": int(spec.get("nprobe", 2))}
+                          "nprobe": int(spec.get("nprobe", 2)),
+                          # Qdrant's uniform planner rule: a filter
+                          # matching at most this many points serves the
+                          # exact filtered top-k (the matching set may be
+                          # far from the query — outside any probed
+                          # region); denser filters push into the pruned
+                          # scan, whose probed region covers the filtered
+                          # top-k's k·N/m overall rank at any such
+                          # selectivity (RECALL.md r13 filtered series)
+                          "full_scan_threshold": int(
+                              spec.get("full_scan_threshold", 10_000))}
         else:
             spec = meta.ann_index["graph"]
             # default to the SHARDED builder: center-literal count is
@@ -1766,13 +1778,16 @@ class CollectionCatalog:
                       "max_hops": int(spec.get("max_hops", 4)),
                       "coarse_mod": coarse_mod,
                       "n_entry": int(spec.get("n_entry", 16)),
-                      # Qdrant's planner knob: filters matching at most
-                      # this many points are served by the exact adaptive
-                      # probe instead of post-filtered navigation
+                      # Qdrant's planner knobs: filters matching at most
+                      # full_scan_threshold points serve exact; denser
+                      # filters widen the beam to ~2kN/m up to
+                      # filtered_beam_cap, beyond which exact serves
                       # (graph_beam_search docstring; RECALL.md r13
-                      # filtered series)
+                      # filtered series). cap 0/None = operator default
+                      # max(8*beam, 512).
                       "full_scan_threshold": int(
-                          spec.get("full_scan_threshold", 10_000))}
+                          spec.get("full_scan_threshold", 10_000)),
+                      "filtered_beam_cap": spec.get("filtered_beam_cap")}
         params["vector_col"] = vector_col
         with open(os.path.join(stage, "params.json"), "w") as f:
             json.dump(params, f)
@@ -1792,13 +1807,16 @@ class CollectionCatalog:
                    id_col: str = "id", beam: int | None = None) -> DataFrame:
         """Top-k through the collection's attached ANN index (nprobe/beam
         from the config). Filters compose Qdrant-style: IVF pushes them
-        into the pruned scan; graph navigates unfiltered and filters
-        results UNLESS the filter is selective — at most
-        ``full_scan_threshold`` matching points (config knob, default
-        10k, Qdrant's planner rule of the same name) — in which case one
-        adaptive probe serves the exact filtered top-k instead, because
-        post-filtered navigation collapses below ~1% selectivity
-        (graph_beam_search docstring; RECALL.md r13 filtered series).
+        into the pruned scan; the graph family plans filtered queries
+        THREE ways by matching-count ``m`` (one narrow planning count):
+        exact filtered top-k when ``m <= full_scan_threshold`` (config
+        knob, default 10k, Qdrant's rule of the same name), unfiltered
+        navigation with the beam widened to ``~2kN/m`` in the middle
+        band (post-filtered navigation alone measured 0.812/0.363/0.025
+        at 10%/1%/0.1% uncorrelated selectivity; widening restores the
+        10% band to 0.975), and exact again past ``filtered_beam_cap``
+        (graph_beam_search docstring; RECALL.md r13 filtered series,
+        incl. the correlated adversarial case both ANN families lose).
         ``beam`` overrides the graph config's beam width for this query —
         Qdrant's search-time ``params.hnsw_ef`` (ignored by IVF layouts,
         as Qdrant ignores hnsw_ef for non-HNSW indexes)."""
@@ -1810,6 +1828,24 @@ class CollectionCatalog:
         adir = self.build_ann_index(name, vector_col=vector_col, id_col=id_col)
         with open(os.path.join(adir, "params.json")) as f:
             params = json.load(f)
+        if predicate is not None and params["kind"] in ("ivf", "ivf_sq"):
+            # the uniform full_scan_threshold rule for the IVF kinds (the
+            # graph kind plans inside graph_beam_search, which also owns
+            # the middle-band beam widening): a filter matching at most
+            # threshold points serves exact — its matching set may sit
+            # entirely OUTSIDE the probed lists, the one selectivity band
+            # where pushdown-into-probed-scan loses recall. One narrow
+            # planning count (predicate columns only, never vectors).
+            fst = int(params.get("full_scan_threshold", 10_000))
+            if fst:
+                from vectordb_cloud_spark.operators.knn import knn_search
+
+                base = self.read(name)
+                if base.filter(predicate).count() <= fst:
+                    return knn_search(
+                        base.filter(predicate), query_vector, k=k,
+                        vector_col=vector_col, tiebreak=id_col,
+                    ).select(id_col, "dist")
         if params["kind"] == "ivf":
             centers = [(int(i), list(c)) for i, c in params["centers"]]
             return ivf_search_persisted(
@@ -1866,12 +1902,15 @@ class CollectionCatalog:
             beam=int(beam) if beam else params["beam"],
             max_hops=params["max_hops"], id_col=id_col, vec_col=vector_col,
             filters=predicate, entry_ids=entry_ids,
-            # selective filters fall back to the exact adaptive probe —
-            # post-filtered navigation collapses below ~1% selectivity
-            # (RECALL.md r13 filtered series); 10k default for legacy
-            # sidecars built before the knob existed
+            # the filtered three-way plan: exact below the threshold,
+            # beam widened to ~2kN/m in the middle band, exact again
+            # past the cap — raw post-filter measured 0.812/0.363/0.025
+            # at 10%/1%/0.1% uncorrelated selectivity, widened 0.975 at
+            # 10% (RECALL.md r13 filtered series); 10k default for
+            # legacy sidecars built before the knob existed
             full_scan_threshold=int(
-                params.get("full_scan_threshold", 10_000)))
+                params.get("full_scan_threshold", 10_000)),
+            filtered_beam_cap=params.get("filtered_beam_cap"))
 
     def compact(self, name: str, max_files_per_bucket: int = 4) -> int:
         """Compact buckets that accumulated small files (every bucket-scoped

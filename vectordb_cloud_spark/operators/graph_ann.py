@@ -985,6 +985,7 @@ def graph_beam_search(
     filters=None,
     entry_ids: list[int] | None = None,
     full_scan_threshold: int | None = None,
+    filtered_beam_cap: int | None = None,
 ) -> DataFrame:
     """Greedy beam search over the kNN graph — HNSW's search loop with the
     frontier as the only driver-side state.
@@ -1005,25 +1006,36 @@ def graph_beam_search(
     (the reference's metadata-filtered search): navigation stays
     UNFILTERED — restricting hops to matching nodes can disconnect the
     graph, the standard filtered-HNSW pitfall — while results are drawn
-    only from visited nodes that match. Under a SELECTIVE predicate the
-    visited set contains few matching nodes and post-filter recall
-    collapses (measured: 0.988 at 10% selectivity but 0.025 at 1% and
-    0.000 at 0.1% on the 1M clumped corpus — RECALL.md r13 series).
+    only from visited nodes that match. POST-FILTERING ALONE COLLAPSES
+    as selectivity rises: the beam converges on the overall nearest
+    nodes, while the true filtered top-k sit around overall rank
+    ``k·N/m`` (``m`` matching of ``N``) — measured recall 0.812 at 10%
+    selectivity, 0.363 at 1%, 0.025 at 0.1% on the 1M clumped corpus
+    with UNCORRELATED filters, and 0.125 at any width when the filter
+    selects whole clusters (RECALL.md r13 series, incl. the correlated
+    adversarial case — geometry-correlated filters belong to the exact
+    path over a payload-clustered layout).
 
     ``full_scan_threshold`` (Qdrant's planner knob of the same name —
-    its filterable-HNSW planner switches to a payload-driven full scan
-    when the filter's estimated cardinality is below threshold) closes
-    that hole with ONE adaptive probe: scan ``filter(pred)`` computing
-    exact distances with ``LIMIT threshold+1``. If at most ``threshold``
-    rows come back, that IS the complete matching set — the exact
-    driver-side top-k of those rows is returned (recall 1.0 by
-    construction, bounded collect of ≤ threshold+1 (id, dist) pairs).
-    If threshold+1 rows come back the filter is dense, the probe stops
-    early (CollectLimit scans partitions incrementally — a dense filter
-    hits the limit within the first few partitions), and navigation
-    proceeds as usual where post-filtering is safe. The selective case
-    pays exactly the scan the exact fallback needs anyway — there is no
-    two-pass count-then-search.
+    its filterable-HNSW planner switches between a payload-driven full
+    scan and predicate-aware navigation by estimated filter cardinality)
+    therefore enables a THREE-WAY plan, decided by one cheap narrow
+    count of the matching rows (predicate columns only — pushdown +
+    row-group pruning; the vector column is never read by the count):
+
+    - ``m <= full_scan_threshold``: the matching set is small — serve
+      the exact filtered top-k (one ``TakeOrderedAndProject`` scan of
+      the matching rows; recall 1.0 by construction).
+    - moderate selectivity: navigate with the beam WIDENED to
+      ``2·k·N/m`` (the expected overall rank of the k-th filtered
+      neighbor, 2x oversampled), capped at ``filtered_beam_cap``
+      (default ``max(8·beam, 512)``) — per-hop cost stays
+      beam×degree probes.
+    - ``2·k·N/m`` above the cap: the filtered top-k live too deep in
+      the unfiltered ranking for navigation to reach reliably — serve
+      the exact filtered top-k instead (correct, one filtered scan; at
+      this band prefer the IVF/IVF-SQ families, which push predicates
+      into their pruned scans natively).
 
     Per hop this is two bounded single-stage actions: (1) an ``src IN
     (beam)`` probe of the adjacency table collecting ≤ beam×degree dst
@@ -1040,19 +1052,24 @@ def graph_beam_search(
     dist_to_q = lambda col: l2_distance_to(col, query_vector)  # noqa: E731
     spark = points.sparkSession
     if filters is not None and full_scan_threshold:
-        cap = int(full_scan_threshold)
-        probe = (
-            points.filter(filters)
-            .select(F.col(id_col).alias("id"),
-                    dist_to_q(F.col(vec_col)).alias("dist"))
-            .limit(cap + 1)
-            .collect()
-        )
-        if len(probe) <= cap:
-            best = sorted(((int(r["id"]), float(r["dist"])) for r in probe),
-                          key=lambda t: (t[1], t[0]))[:k]
-            return spark.createDataFrame(
-                best, f"{id_col} long, dist double")
+        from vectordb_cloud_spark.operators.knn import knn_search
+
+        fst = int(full_scan_threshold)
+        # narrow planning count: predicate columns only, never the vectors
+        m = points.filter(filters).count()
+        if m <= fst:
+            matched = points.filter(filters)
+            return knn_search(matched, query_vector, k=k, vector_col=vec_col,
+                              tiebreak=id_col).select(id_col, "dist")
+        n_total = points.count()
+        needed = -(-2 * int(k) * n_total // max(1, m))  # ceil(2kN/m)
+        cap = (int(filtered_beam_cap) if filtered_beam_cap
+               else max(8 * int(beam), 512))
+        if needed > cap:
+            matched = points.filter(filters)
+            return knn_search(matched, query_vector, k=k, vector_col=vec_col,
+                              tiebreak=id_col).select(id_col, "dist")
+        beam = max(int(beam), needed)
     match_flag = (
         F.lit(True) if filters is None else filters.cast("boolean")
     ).alias("match")

@@ -663,5 +663,7 @@ def distance_matrix_offsets(
         "offsets_row": [a for a, _, _ in triples],
         "offsets_col": [b for _, _, b in triples],
         "scores": [float(d) for _, d, _ in triples],
-        "ids": [int(i) for i in ids],
+        # ids keep their native type (int for the collections here, but
+        # the operator is generic over id_col like distance_matrix_pairs)
+        "ids": [int(i) if isinstance(i, int) else i for i in ids],
     }

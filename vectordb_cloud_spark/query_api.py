@@ -405,9 +405,10 @@ def query_points(
     ``offset``: Qdrant result paging — skip the first ``offset`` ranked
     rows, return the next ``limit`` (each branch fetches
     ``limit + offset`` candidates, so deep paging costs what Qdrant
-    documents it costs). ``lookup_from``: for recommend queries, resolve
-    example ids against this second frame (Qdrant recommend
-    lookup_from)."""
+    documents it costs). ``lookup_from``: for recommend, discover, and
+    context queries, resolve id-form examples against this second frame
+    (Qdrant's lookup_from — the foreign id space excludes nothing from
+    the results, r13)."""
     pred = compile_filter(query_filter, id_col=id_col)
     vcol = _vector_col(using)
     # Qdrant NearestQuery / query-by-ID / MMR (r12): {"nearest": X}
@@ -662,14 +663,18 @@ def query_points(
             # discover/context examples follow Qdrant's grammar: each
             # positive/negative/target slot takes a raw vector OR a stored
             # point id (resolved with one bounded probe against the
-            # unfiltered collection); id-form examples are excluded from
-            # the results, as in recommend
+            # unfiltered collection — or against ``lookup_from`` when
+            # given, Qdrant's foreign-collection example source, r13);
+            # id-form examples are excluded from the results ONLY when
+            # they come from this collection (a foreign id space has
+            # nothing to exclude), exactly as in recommend
             example_ids: list = []
+            example_src = points if lookup_from is None else lookup_from
 
             def _resolve_example(x):
                 if _is_point_id(x):
                     example_ids.append(x)
-                    return _point_vector(points, x, vcol, id_col)
+                    return _point_vector(example_src, x, vcol, id_col)
                 return [float(v) for v in x]
 
             def _pairs(specs):
@@ -678,7 +683,7 @@ def query_points(
                          _resolve_example(p["negative"])) for p in specs]
 
             def _excluded(p):
-                if not example_ids:
+                if not example_ids or lookup_from is not None:
                     return p
                 ex = ~F.col(id_col).isin(example_ids)
                 return ex if p is None else (p & ex)

@@ -44,14 +44,18 @@ PQ_RERANK_OVERSAMPLE = 4  # with M=16/K=256 codebooks: 0.988 at sf0.1
 MILLION_RECALL_FLOORS = {"ann_ivf_topk_1m": 0.9, "ann_graph_coarse_1m": 0.9,
                          "collection_graph_1m": 0.9}
 
-# Floors for the --filtered series (filtered_graph_recall_report): the
-# `planned` rows ride the full_scan_threshold fallback — 1%/0.1% of 1M
-# fall under the 10k threshold, so the exact adaptive probe makes them
-# 1.0 BY CONSTRUCTION (a miss means the planner rule broke, not that a
-# dial drifted). The 10% row navigates; its floor comes from the r13
-# measurement. The postfilter twins carry NO floor: they are the
-# documented negative series (post-filter recall collapses with
-# selectivity — the reason the planner rule exists).
+# Floors for the --filtered series (filtered_graph_recall_report),
+# UNCORRELATED predicates: the `planned` rows ride the three-way
+# filtered planner — ~1%/~0.1% of 1M fall at/under (or, hash-noise
+# above threshold, past the beam cap — either way) the exact route, so
+# those are 1.0 BY CONSTRUCTION (a miss means the planner rule broke,
+# not that a dial drifted). The 10% row navigates with the beam widened
+# to 2kN/m = 200; its floor comes from the r13 measurement. The
+# postfilter twins carry NO floor (the documented negative), and the
+# correlated_* rows carry NO floor: they are the documented adversarial
+# case — whole-cluster filters defeat distance-driven navigation AND
+# query-local IVF probing alike; the recorded guidance routes them to
+# the exact path over a payload-clustered layout.
 FILTERED_RECALL_FLOORS = {"planned_1_in_10": 0.9,
                           "planned_1_in_100": 0.999,
                           "planned_1_in_1000": 0.999}
@@ -307,18 +311,42 @@ def filtered_graph_recall_report(
     registry dials, ground truth = exact brute force over the SAME
     filtered subset.
 
-    Two rows per selectivity: ``postfilter_1_in_<m>`` is the raw
-    navigate-then-filter behavior (full_scan_threshold disabled — the
-    honest negative series), ``planned_1_in_<m>`` is the shipped planner
-    path (``full_scan_threshold=10_000``: 0.1%/1% of 1M = 1_000/10_000
-    matching points fall under the threshold and serve from the exact
-    adaptive probe; 10% navigates). Floors for the planned series are
-    asserted in tests/test_recall_report.py."""
+    The main series uses an UNCORRELATED predicate —
+    ``xxhash64(vec_id) % m == 0`` — so matching points thin every
+    cluster uniformly and the filtered top-k sit around overall rank
+    ``k·N/m`` near the query. Three rows per selectivity:
+    ``postfilter_1_in_<m>`` is raw navigate-then-filter
+    (full_scan_threshold disabled — the honest negative),
+    ``planned_1_in_<m>`` is the shipped three-way planner
+    (``full_scan_threshold=10_000``: 0.1%/1% of 1M fall at/under the
+    threshold and serve exact; 10% navigates with the beam widened to
+    ``2kN/m`` = 200), and ``ivf_pushdown_1_in_<m>`` is the IVF family
+    at the registry dials with the predicate pushed into the probed
+    scan (IVF probes a REGION — ~25% of the corpus nearest the query —
+    so the filtered top-k stay inside it at these selectivities).
+
+    The ``correlated_*_1_in_10`` rows are the documented ADVERSARIAL
+    case (the r13 discovery): ``vec_id % 10 == 0`` on this corpus
+    selects WHOLE clusters (replica ids preserve ``orig mod 10``), so
+    for 7 of 8 queries no point in the query's own cluster matches and
+    the true filtered neighbors live in a far cluster that
+    distance-driven navigation never approaches — no beam width fixes
+    it (measured 0.125 = the 1-in-8 query whose own cluster matches).
+    IVF degrades more gracefully (measured 0.875: its probed region is
+    ~25% of the corpus, wide enough to partially cover far matching
+    clusters) but is not exact either. Geometry-correlated filters
+    (tenant/category partitions) belong to the exact path over a
+    payload-clustered layout (``create_payload_index`` re-clusters
+    files so the exact filtered scan prunes to the matching files) —
+    the planner guidance RECALL.md records. Floors for the planned
+    series are asserted in tests/test_recall_report.py."""
     from pyspark.sql import functions as F
 
     from vectordb_cloud_spark import queries as qmod
     from vectordb_cloud_spark.operators.ann import (
         brute_force_topk,
+        ivf_build,
+        ivf_search,
         recall_at_k,
     )
     from vectordb_cloud_spark.operators.graph_ann import (
@@ -339,14 +367,31 @@ def filtered_graph_recall_report(
         corpus, degree=GRAPH_DEGREE, refine_rounds=1).cache()
     graph.count()
     entry_ids = graph_entry_points(corpus, n_entry=GRAPH_ENTRIES)
+    centers, assigned = ivf_build(corpus, k_centroids=IVF_K_CENTROIDS,
+                                  sample_fraction=0.2)
+    assigned = assigned.cache()
+    assigned.count()
+
+    cases = [(f"_1_in_{m}",
+              F.pmod(F.xxhash64(F.col("vec_id")), F.lit(int(m))) == 0)
+             for m in mods]
+    # the adversarial correlated case: replica ids preserve orig mod 10,
+    # so this predicate selects WHOLE clusters (see docstring)
+    cases.append(("correlated_1_in_10",
+                  F.pmod(F.col("vec_id"), F.lit(10)) == 0))
 
     sums: dict[str, float] = {}
-    for m in mods:
-        pred = F.pmod(F.col("vec_id"), F.lit(int(m))) == 0
+    for suffix, pred in cases:
         subset = corpus.filter(pred).cache()
         subset.count()
-        post_key, plan_key = f"postfilter_1_in_{m}", f"planned_1_in_{m}"
-        sums[post_key] = sums[plan_key] = 0.0
+        if suffix.startswith("correlated"):
+            post_key = "correlated_postfilter_1_in_10"
+            plan_key = "correlated_planned_1_in_10"
+            ivf_key = "correlated_ivf_1_in_10"
+        else:
+            post_key, plan_key = f"postfilter{suffix}", f"planned{suffix}"
+            ivf_key = f"ivf_pushdown{suffix}"
+        sums[post_key] = sums[plan_key] = sums[ivf_key] = 0.0
         for qv in queries:
             exact = brute_force_topk(subset, qv, k=k)
             coarse = graph_coarse_entry_ids(corpus, qv,
@@ -363,9 +408,14 @@ def filtered_graph_recall_report(
                                   entry_ids=seeds,
                                   full_scan_threshold=full_scan_threshold),
                 exact, "vec_id")
+            sums[ivf_key] += recall_at_k(
+                ivf_search(assigned, centers, qv, k=k, nprobe=IVF_NPROBE,
+                           filters=pred, tiebreak="vec_id"),
+                exact, "vec_id")
         subset.unpersist()
     corpus.unpersist()
     graph.unpersist()
+    assigned.unpersist()
     return {name: round(s / len(queries), 3) for name, s in sums.items()}
 
 
