@@ -494,7 +494,22 @@ def main():
                                      "two pruned SQL-IN collects (no "
                                      "broadcast/distinct jobs) — identical "
                                      "results, ~2.5x faster"),
-        "registry": ("r12 rotation: in query_template_threshold_paged "
+        "query_batch_mixed_shared": (
+            "r13: shared vs per-request is ~parity LOCALLY (both ~0.5s "
+            "at sf0.1) because Spark plan construction dominates and the "
+            "dense legs of the per-request variant legitimately ride the "
+            "warm shape template; the shared path's win is structural — "
+            "ONE corpus scan + ONE example-resolution probe instead of "
+            "five scans + three probes — which is the scan-bound 100 TB "
+            "regime, not the local plan-bound one. Bodies rotate per run "
+            "so neither variant rides the exact-repeat memo."),
+        "registry": ("r13 rotation: in query_by_id_topk, "
+                     "context_only_topk, query_mmr_rerank_topk (the "
+                     "greedy MMR selection replayed as unrolled SQL); "
+                     "out tpch_q3_revenue_topk, lsh_similarity_join_"
+                     "pairs, bm25_topk (shape-redundant, timed at "
+                     "library level below, oracles spot-runnable). "
+                     "r12 rotation: in query_template_threshold_paged "
                      "(the warm /query template with score_threshold + "
                      "offset + with_payload, counter-asserted) and "
                      "query_ann_params_topk (params.exact=false through "

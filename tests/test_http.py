@@ -302,6 +302,35 @@ def test_query_batch_endpoint(server):
     assert status == 422 and body["status_code"] == 10422
 
 
+def test_search_matrix_endpoints(server):
+    """Qdrant /points/search/matrix/{pairs,offsets} flattened to this
+    app's GET convention (r13): pair records and the CSR envelope carry
+    the SAME sampled computation, tenant-scoped."""
+    for i, text in enumerate(["aa", "bb", "cc", "dd", "ee", "ff"]):
+        _get(server, "/insert", id=120 + i, user_id=14, text=text,
+             site="s", lang="en")
+    status, pairs = _get(server, "/search_matrix_pairs", user_id=14,
+                         sample=4, limit=2)
+    assert status == 200 and len(pairs["pairs"]) == 8  # 4 rows x k=2
+    assert all(p["a"] != p["b"] for p in pairs["pairs"])
+    status, off = _get(server, "/search_matrix_offsets", user_id=14,
+                       sample=4, limit=2)
+    assert status == 200
+    got = {(off["ids"][r], off["ids"][c], round(s, 9))
+           for r, c, s in zip(off["offsets_row"], off["offsets_col"],
+                              off["scores"])}
+    want = {(p["a"], p["b"], round(p["score"], 9)) for p in pairs["pairs"]}
+    assert got == want
+    # tenant isolation: a different tenant has no sampled points
+    status, empty = _get(server, "/search_matrix_pairs", user_id=15,
+                         sample=4, limit=2)
+    assert status == 200 and empty["pairs"] == []
+    # bad param -> 422 envelope
+    status, body = _get(server, "/search_matrix_pairs", user_id=14,
+                        sample="many")
+    assert status == 422 and body["status_code"] == 10422
+
+
 def test_query_endpoint_malformed_specs_are_422(server):
     _get(server, "/insert", id=99, user_id=11, text="x y z", site="s",
          lang="en")

@@ -595,6 +595,40 @@ class VectorService:
         return {"hits": [{"value": r["value"], "count": r["n"]}
                          for r in rows]}
 
+    def search_matrix_pairs(self, user_id: int, sample: int = 10,
+                            limit: int = 3,
+                            query_filter: dict | None = None) -> dict:
+        """Qdrant POST /collections/{c}/points/search/matrix/pairs,
+        tenant-scoped: sample `sample` points under the filter, return
+        each sample's `limit` nearest other samples as pair records
+        (the API behind payload-similarity exploration UIs). The
+        quadratic stays sample-local — sample² pairs, never corpus²."""
+        from vectordb_cloud_spark.operators.knn import distance_matrix_pairs
+
+        points = self.catalog.read_for_user(self.index_name, user_id)
+        pred = compile_filter(query_filter, id_col="id")
+        rows = distance_matrix_pairs(
+            points, sample_size=sample, k=limit, vector_col="embedding",
+            id_col="id", filters=pred,
+        ).collect()
+        return {"pairs": [{"a": r["id_a"], "b": r["id_b"],
+                           "score": float(r["dist"])} for r in rows]}
+
+    def search_matrix_offsets(self, user_id: int, sample: int = 10,
+                              limit: int = 3,
+                              query_filter: dict | None = None) -> dict:
+        """Qdrant POST /collections/{c}/points/search/matrix/offsets —
+        the same sampled computation in the CSR-style envelope (r13)."""
+        from vectordb_cloud_spark.operators.knn import (
+            distance_matrix_offsets,
+        )
+
+        points = self.catalog.read_for_user(self.index_name, user_id)
+        pred = compile_filter(query_filter, id_col="id")
+        return distance_matrix_offsets(
+            points, sample_size=sample, k=limit, vector_col="embedding",
+            id_col="id", filters=pred)
+
     def query(self, user_id: int, body: dict) -> list[dict]:
         """Qdrant POST /points/query, tenant-scoped: the universal query
         API (vector / sparse / multivector / fusion / recommend / discover

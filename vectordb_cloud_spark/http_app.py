@@ -163,6 +163,25 @@ def _routes(service: VectorService) -> dict[str, Callable[[dict[str, str]], Any]
         return service.facet(p["user_id"], p["key"], p["limit"],
                              query_filter=_parse_filter(p["filter"]))
 
+    def search_matrix_pairs(params):
+        # Qdrant POST /points/search/matrix/pairs, flattened to this
+        # app's GET convention (optional filter DSL rides URL-encoded)
+        p = _coerce(params, [("user_id", int, _MISSING),
+                             ("sample", int, 10), ("limit", int, 3),
+                             ("filter", str, None)])
+        return service.search_matrix_pairs(
+            p["user_id"], p["sample"], p["limit"],
+            query_filter=_parse_filter(p["filter"]))
+
+    def search_matrix_offsets(params):
+        # Qdrant POST /points/search/matrix/offsets — the CSR envelope
+        p = _coerce(params, [("user_id", int, _MISSING),
+                             ("sample", int, 10), ("limit", int, 3),
+                             ("filter", str, None)])
+        return service.search_matrix_offsets(
+            p["user_id"], p["sample"], p["limit"],
+            query_filter=_parse_filter(p["filter"]))
+
     def query(params):
         # Qdrant POST /points/query, flattened to GET params: `body` is
         # the full request document as JSON (query/prefetch/filter/limit/
@@ -220,6 +239,8 @@ def _routes(service: VectorService) -> dict[str, Callable[[dict[str, str]], Any]
         "/create_index": create_index,
         "/delete_index": delete_index,
         "/facet": facet,
+        "/search_matrix_pairs": search_matrix_pairs,
+        "/search_matrix_offsets": search_matrix_offsets,
         "/query": query,
         "/query_batch": query_batch,
     }
