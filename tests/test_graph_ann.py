@@ -141,13 +141,16 @@ def test_full_scan_threshold_planner_crossover(spark, embeddings, graph):
     assert [(r["vec_id"], round(r["dist"], 9)) for r in planned.collect()] \
         == [(r["vec_id"], round(r["dist"], 9)) for r in exact.collect()]
     # above threshold (500 matches > 100): the probe declines and the
-    # beam path serves — identical to the planner-less call
+    # beam path serves — identical to the planner-less call (audit off
+    # to pin the pure navigation parity; the audit may legitimately
+    # upgrade an imperfect beam result to exact)
     dense_pred = F.col("vec_id") >= 0
     beam_only = graph_beam_search(embeddings, graph, qv, k=5, beam=16,
                                   max_hops=4, filters=dense_pred)
     planned_dense = graph_beam_search(embeddings, graph, qv, k=5, beam=16,
                                       max_hops=4, filters=dense_pred,
-                                      full_scan_threshold=100)
+                                      full_scan_threshold=100,
+                                      audit_sample_mod=None)
     assert [r["vec_id"] for r in planned_dense.collect()] \
         == [r["vec_id"] for r in beam_only.collect()]
     # a filter matching NOTHING under the threshold returns empty, not
@@ -176,6 +179,43 @@ def test_full_scan_threshold_planner_crossover(spark, embeddings, graph):
                                filtered_beam_cap=8)
     assert [(r["vec_id"], round(r["dist"], 9)) for r in capped.collect()] \
         == [(r["vec_id"], round(r["dist"], 9)) for r in exact_half.collect()]
+
+
+def test_filtered_audit_catches_correlated_filter(spark):
+    """The r13 sample audit: a filter selecting a region far from the
+    query defeats distance-driven navigation (the graph has no cross
+    links from the query's region to the matching one), but the
+    matching-sample probe detects the miss and the exact filtered
+    top-k serves instead. With the audit disabled the miss ships."""
+    import numpy as np
+
+    rows = []
+    rng = np.random.RandomState(7)
+    for i in range(200):  # cluster A near the origin — never matches
+        rows.append((i, (rng.rand(8) * 0.5).tolist()))
+    for i in range(200, 400):  # cluster B far away — all matches
+        rows.append((i, (rng.rand(8) * 0.5 + 50.0).tolist()))
+    pts = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    graph = knn_graph_build(pts, degree=6, refine_rounds=0)
+    qv = [0.25] * 8  # inside cluster A
+    pred = F.col("vec_id") >= 200  # 200 matches > threshold 50
+    seeds = [0, 1, 2, 3]  # force navigation to start inside A
+    exact = brute_force_topk(pts.filter(pred), qv, k=5)
+    audited = graph_beam_search(pts, graph, qv, k=5, beam=16, max_hops=3,
+                                filters=pred, entry_ids=seeds,
+                                full_scan_threshold=50,
+                                audit_sample_mod=5)
+    assert [(r["vec_id"], round(r["dist"], 9)) for r in audited.collect()] \
+        == [(r["vec_id"], round(r["dist"], 9)) for r in exact.collect()]
+    # audit off: navigation never reaches cluster B (A's kNN edges stay
+    # inside A), so the unaudited result misses some/all of the true
+    # filtered top-k — the documented correlated failure
+    raw = graph_beam_search(pts, graph, qv, k=5, beam=16, max_hops=3,
+                            filters=pred, entry_ids=seeds,
+                            full_scan_threshold=50, audit_sample_mod=None)
+    got = [r["vec_id"] for r in raw.collect()]
+    want = [r["vec_id"] for r in exact.collect()]
+    assert got != want
 
 
 def test_filtered_beam_search_matches_unfiltered_when_filter_is_true(

@@ -111,11 +111,19 @@ def test_filtered_graph_artifact_rows_meet_floors():
     assert "## Filtered graph search" in text, (
         "RECALL.md lacks the filtered-graph selectivity series")
     for fam, floor in FILTERED_RECALL_FLOORS.items():
-        sel = fam.removeprefix("planned_1_in_")
-        m = re.search(
-            rf"\|\s*~?1/{sel}\s*\([^)]*\)\s*\|\s*[0-9.]+\s*\|"
-            rf"\s*([0-9.]+)\s*\|",
-            text)
-        assert m, f"RECALL.md lacks the filtered 1/{sel} row"
+        if fam.startswith("correlated_"):
+            # the correlated table row: | predicate | postfilter |
+            # planned(audit) | ivf |
+            m = re.search(
+                r"\|\s*`vec_id % 10 == 0`[^|]*\|\s*[0-9.]+\s*\|"
+                r"\s*([0-9.]+)\s*\|", text)
+            assert m, "RECALL.md lacks the correlated adversarial row"
+        else:
+            sel = fam.removeprefix("planned_1_in_")
+            m = re.search(
+                rf"\|\s*~?1/{sel}\s*\([^)]*\)\s*\|\s*[0-9.]+\s*\|"
+                rf"\s*([0-9.]+)\s*\|",
+                text)
+            assert m, f"RECALL.md lacks the filtered 1/{sel} row"
         assert float(m.group(1)) >= floor, (
             f"{fam} artifact recall {m.group(1)} below floor {floor}")

@@ -1787,7 +1787,10 @@ class CollectionCatalog:
                       # max(8*beam, 512).
                       "full_scan_threshold": int(
                           spec.get("full_scan_threshold", 10_000)),
-                      "filtered_beam_cap": spec.get("filtered_beam_cap")}
+                      "filtered_beam_cap": spec.get("filtered_beam_cap"),
+                      # r13 sample audit: None/0 disables; see
+                      # graph_beam_search docstring
+                      "audit_sample_mod": spec.get("audit_sample_mod", 31)}
         params["vector_col"] = vector_col
         with open(os.path.join(stage, "params.json"), "w") as f:
             json.dump(params, f)
@@ -1910,7 +1913,8 @@ class CollectionCatalog:
             # legacy sidecars built before the knob existed
             full_scan_threshold=int(
                 params.get("full_scan_threshold", 10_000)),
-            filtered_beam_cap=params.get("filtered_beam_cap"))
+            filtered_beam_cap=params.get("filtered_beam_cap"),
+            audit_sample_mod=params.get("audit_sample_mod", 31))
 
     def compact(self, name: str, max_files_per_bucket: int = 4) -> int:
         """Compact buckets that accumulated small files (every bucket-scoped

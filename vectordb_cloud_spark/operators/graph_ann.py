@@ -986,6 +986,7 @@ def graph_beam_search(
     entry_ids: list[int] | None = None,
     full_scan_threshold: int | None = None,
     filtered_beam_cap: int | None = None,
+    audit_sample_mod: int | None = 31,
 ) -> DataFrame:
     """Greedy beam search over the kNN graph — HNSW's search loop with the
     frontier as the only driver-side state.
@@ -1036,6 +1037,17 @@ def graph_beam_search(
       the exact filtered top-k instead (correct, one filtered scan; at
       this band prefer the IVF/IVF-SQ families, which push predicates
       into their pruned scans natively).
+
+    ``audit_sample_mod`` (default 31, active only on the widened-beam
+    route) adds the r13 SAMPLE AUDIT: after navigation, one pruned scan
+    of a deterministic ~1/mod slice of the matching rows checks for any
+    point beating the result's worst distance (or for any matching
+    point at all when fewer than k came back). A hit means the filter
+    correlates with geometry and navigation missed the matching region
+    (the RECALL.md correlated case — 0.125 at any beam width without
+    the audit), so the exact filtered top-k serves instead. Set
+    ``audit_sample_mod=None`` to trade the per-query 1/mod scan away
+    when filters are known uncorrelated.
 
     Per hop this is two bounded single-stage actions: (1) an ``src IN
     (beam)`` probe of the adjacency table collecting ≤ beam×degree dst
@@ -1144,6 +1156,55 @@ def graph_beam_search(
             break
 
     best = sorted(matches.items(), key=lambda kv: (kv[1], kv[0]))[:k]
+    if filters is not None and full_scan_threshold and audit_sample_mod:
+        # SAMPLE AUDIT (r13): post-filtered navigation can silently miss
+        # whole regions when the filter correlates with geometry (the
+        # RECALL.md correlated case: 0.125 at any beam width). Probe a
+        # deterministic ~1/mod slice of the MATCHING rows for any point
+        # that beats the result's worst distance — one pruned scan of
+        # ~m/mod vectors, no driver collect. A hit means navigation
+        # missed a region the result should cover, so the exact filtered
+        # top-k serves instead (correct by construction). Uncorrelated
+        # filters rarely trigger (a violation needs a missed true-top-k
+        # member AND the sample catching it); correlated filters trigger
+        # almost surely, converting the 0.125 failure into exact service
+        # at one extra 1/mod scan + the exact scan it needed anyway.
+        from vectordb_cloud_spark.operators.knn import knn_search
+
+        samp_pred = filters & (
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(audit_sample_mod)))
+            == 0)
+        suspect = len(best) < k
+        if not suspect:
+            worst = best[-1][1]
+            result_ids = [i for i, _ in best]
+            viol = (
+                points.filter(samp_pred)
+                .filter(~F.col(id_col).isin(result_ids))
+                .select(dist_to_q(F.col(vec_col)).alias("d"))
+                .filter(F.col("d") < F.lit(float(worst)))
+                .limit(1)
+                .count()
+            )
+            suspect = viol > 0
+        else:
+            # fewer than k matches found by navigation: if the matching
+            # sample has anything outside the result, the deficit is
+            # navigational, not a tiny matching set (that case went
+            # exact at the threshold)
+            result_ids = [i for i, _ in best]
+            extra = (
+                points.filter(samp_pred)
+                .filter(~F.col(id_col).isin(result_ids)
+                        if result_ids else F.lit(True))
+                .limit(1)
+                .count()
+            )
+            suspect = extra > 0
+        if suspect:
+            return knn_search(points.filter(filters), query_vector, k=k,
+                              vector_col=vec_col,
+                              tiebreak=id_col).select(id_col, "dist")
     return spark.createDataFrame(
         [(int(i), float(d)) for i, d in best], f"{id_col} long, dist double"
     )

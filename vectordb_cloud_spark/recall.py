@@ -51,14 +51,17 @@ MILLION_RECALL_FLOORS = {"ann_ivf_topk_1m": 0.9, "ann_graph_coarse_1m": 0.9,
 # those are 1.0 BY CONSTRUCTION (a miss means the planner rule broke,
 # not that a dial drifted). The 10% row navigates with the beam widened
 # to 2kN/m = 200; its floor comes from the r13 measurement. The
-# postfilter twins carry NO floor (the documented negative), and the
-# correlated_* rows carry NO floor: they are the documented adversarial
-# case — whole-cluster filters defeat distance-driven navigation AND
-# query-local IVF probing alike; the recorded guidance routes them to
-# the exact path over a payload-clustered layout.
+# postfilter twins carry NO floor (the documented negative — audit
+# inactive without full_scan_threshold). The correlated_planned row IS
+# floored: the r13 sample audit detects the navigational miss (one
+# pruned 1/31 scan of the matching rows) and upgrades to the exact
+# filtered top-k, so whole-cluster filters serve correctly through the
+# planner; correlated_postfilter/correlated_ivf stay unfloored as the
+# documented raw behaviors.
 FILTERED_RECALL_FLOORS = {"planned_1_in_10": 0.9,
                           "planned_1_in_100": 0.999,
-                          "planned_1_in_1000": 0.999}
+                          "planned_1_in_1000": 0.999,
+                          "correlated_planned_1_in_10": 0.9}
 
 
 def ann_recall_report(
@@ -332,14 +335,17 @@ def filtered_graph_recall_report(
     the true filtered neighbors live in a far cluster that
     distance-driven navigation never approaches — no beam width fixes
     it (measured 0.125 = the 1-in-8 query whose own cluster matches).
-    IVF degrades more gracefully (measured 0.875: its probed region is
-    ~25% of the corpus, wide enough to partially cover far matching
-    clusters) but is not exact either. Geometry-correlated filters
-    (tenant/category partitions) belong to the exact path over a
-    payload-clustered layout (``create_payload_index`` re-clusters
-    files so the exact filtered scan prunes to the matching files) —
-    the planner guidance RECALL.md records. Floors for the planned
-    series are asserted in tests/test_recall_report.py."""
+    IVF degrades more gracefully (measured 0.875-1.000 across builds:
+    its probed region is ~25% of the corpus, often wide enough to cover
+    far matching clusters on this fixture — nothing guarantees it).
+    The graph planner's SAMPLE AUDIT (graph_beam_search
+    ``audit_sample_mod``) closes the correlated case at runtime —
+    measured correlated_planned 1.000 vs raw 0.125 — and
+    payload-clustered layouts (``create_payload_index`` re-clusters
+    files so the exact filtered scan prunes to the matching files)
+    remain the right storage answer for standing correlated filters.
+    Floors for the planned series are asserted in
+    tests/test_recall_report.py."""
     from pyspark.sql import functions as F
 
     from vectordb_cloud_spark import queries as qmod
