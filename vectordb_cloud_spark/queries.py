@@ -4388,6 +4388,73 @@ def query_mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "mmr_rank")
 
 
+# --- distance matrix (library oracle, r13) ---------------------------------
+# Qdrant /points/search/matrix/pairs gets a DuckDB twin at library level:
+# the seeded sample is Spark-specific (xxhash64(id, seed) ordering — no
+# DuckDB twin function), so the SAMPLE rows are materialized to parquet
+# (the classify/hybrid artifact precedent: the oracle replays everything
+# except the non-SQL-expressible selection) and the oracle replays the
+# operator's actual math — pairwise exact L2 over sample², per-row
+# (dist, id_b) top-k window — hash-matched end to end.
+_DMX_PARQUET = os.path.join(_ORACLE_ART_BASE, "matrix_sample.parquet")
+_DMX_CURRENT: str | None = None
+_DMX_N, _DMX_K, _DMX_SEED = 10, 3, 42
+
+
+def _dmx_oracle_sql() -> str:
+    l2 = _SQL_L2.format(a="a.embedding", b="b.embedding")
+    return f"""
+    WITH s AS (SELECT vec_id, embedding
+               FROM read_parquet('{_DMX_PARQUET}')),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, {l2} AS dist
+      FROM s a, s b WHERE a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT id_a, id_b, dist,
+             row_number() OVER (PARTITION BY id_a
+                                ORDER BY dist, id_b) AS rk
+      FROM pairs
+    )
+    SELECT id_a, id_b, round(dist, 6) AS dist
+    FROM ranked WHERE rk <= {_DMX_K}
+    """
+
+
+def distance_matrix_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant /points/search/matrix/pairs over the embeddings fixture
+    (r13 library oracle): seeded 10-point sample, each sample's 3 nearest
+    other samples. The sample rows are materialized for the oracle; the
+    pairwise scoring and per-row top-k — the operator's distributed math
+    (broadcast self-join, sample²-bounded, window rank) — are replayed in
+    SQL and hash-matched."""
+    global _DMX_CURRENT
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from vectordb_cloud_spark.operators.knn import distance_matrix_pairs
+    from vectordb_cloud_spark.sources.readers import random_sample
+
+    emb = _t(spark, sf_dir, "embeddings")
+    key = os.path.abspath(sf_dir)
+    if _DMX_CURRENT != key or not os.path.exists(_DMX_PARQUET):
+        rows = random_sample(
+            emb.select("vec_id", "embedding"), _DMX_N, seed=_DMX_SEED,
+            id_col="vec_id",
+        ).collect()
+        os.makedirs(_ORACLE_ART_BASE, exist_ok=True)
+        papq.write_table(pa.table({
+            "vec_id": pa.array([r["vec_id"] for r in rows], pa.int64()),
+            "embedding": pa.array(
+                [[float(x) for x in r["embedding"]] for r in rows],
+                pa.list_(pa.float64())),
+        }), _DMX_PARQUET)
+        _DMX_CURRENT = key
+    out = distance_matrix_pairs(emb, sample_size=_DMX_N, k=_DMX_K,
+                                seed=_DMX_SEED, id_col="vec_id")
+    return out.select("id_a", "id_b", F.round("dist", 6).alias("dist"))
+
+
 # Rows rotated OUT of the 50-slot registry (r11: the slots went to the
 # r10-new serving surfaces) stay runnable WITH their oracles at library
 # level: tools/check_queries.py resolves explicitly-named queries it does
@@ -4406,6 +4473,9 @@ _LIBRARY: dict[str, QueryFn] = {
     "tpch_q3_revenue_topk": tpch_q3_revenue_topk,
     "lsh_similarity_join_pairs": lsh_similarity_join_pairs,
     "bm25_topk": bm25_topk,
+    # r13 new library oracle (never a registry row — the registry is at
+    # cap): the distance-matrix API's math under the DuckDB hash gate
+    "distance_matrix_pairs": distance_matrix_pairs_q,
 }
 _LIB_ORACLES: dict[str, str] = {
     "simhash_near_dup_pairs": _simhash_oracle_sql(),
@@ -4416,6 +4486,7 @@ _LIB_ORACLES: dict[str, str] = {
     "tpch_q3_revenue_topk": _TPCH_Q3_ORACLE,
     "lsh_similarity_join_pairs": _lsh_joinpairs_oracle_sql(),
     "bm25_topk": _BM25_ORACLE,
+    "distance_matrix_pairs": _dmx_oracle_sql(),
 }
 
 
