@@ -451,10 +451,12 @@ def tpch_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: star join — all dims broadcast; the only shuffle joins
     are fact-fact (orders↔lineitem). Rotated out of the registry in r12
     (shape-redundant: the broadcast-dims + fact-fact-shuffle + decimal-agg
-    plan stays oracle-exercised through tpch_q3_revenue_topk and
-    tpch_q1_pricing_summary); stays wired for spot runs with its full
-    oracle via ``queries.library()``. The slot went to the r11 serving
-    grammar (``query_template_threshold_paged``, VERDICT r11 #1)."""
+    plan stays oracle-exercised through tpch_q1_pricing_summary,
+    customer_order_stats and grouping_sets_order_stats — r13 note:
+    tpch_q3_revenue_topk has since joined it at library level); stays
+    wired for spot runs with its full oracle via ``queries.library()``.
+    The slot went to the r11 serving grammar
+    (``query_template_threshold_paged``, VERDICT r11 #1)."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
@@ -3709,9 +3711,17 @@ def _ann_collection(spark: SparkSession, sf_dir: str):
         return cat
     shutil.rmtree(_ANNCOL_BASE, ignore_errors=True)
     cat = CollectionCatalog(spark, _ANNCOL_BASE)
+    # full_scan_threshold: 0 pins the SIDECAR route for the oracle rows:
+    # with the r13 planner default (10k), this fixture's selective tenant
+    # filters would legitimately serve EXACT (the small-matching-set
+    # rule) and the rows would stop hash-gating the IVF routing + pruned
+    # scan they exist to prove. The planner itself is gated in
+    # test_collection_ann_index/test_graph_ann + the RECALL.md filtered
+    # series; these rows gate the index math.
     cat.create("annc", dim=_EMB_DIM, n_buckets=4,
                ann_index={"ivf": {"k_centroids": 16,
-                                  "nprobe": _ANNCOL_NPROBE}})
+                                  "nprobe": _ANNCOL_NPROBE,
+                                  "full_scan_threshold": 0}})
     emb = _t(spark, sf_dir, "embeddings")
     cat.upsert("annc", emb.select(
         F.col("vec_id").alias("id"), "embedding",
