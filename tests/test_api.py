@@ -218,6 +218,22 @@ def test_query_batch_matches_per_request(svc):
     assert all(r["id"] != 45 for r in got[0] + got[2] + got[4] + got[6])
 
 
+def test_query_batch_negative_limit_matches_per_request(svc):
+    """A degenerate negative limit must NOT enter the shared-scan path:
+    the shared window's final [:k] slice would return all-but-|k| of the
+    over-fetched rows while per-request raises a clean client error
+    (ADVICE r13). Both paths now raise ValueError (422 over HTTP)."""
+    import pytest
+
+    for i, text in enumerate(["one doc", "two doc", "three doc"]):
+        assert svc.insert(81 + i, 24, text, "s", "en") == 1
+    with pytest.raises(ValueError, match="limit must be non-negative"):
+        svc.query(24, {"query": {"text": "doc"}, "limit": -1})
+    with pytest.raises(ValueError, match="limit must be non-negative"):
+        svc.query_batch(24, [{"query": {"text": "doc"}, "limit": -1},
+                             {"query": {"text": "doc"}, "limit": 2}])
+
+
 def test_query_batch_missing_id_is_not_found(svc):
     """A batch referencing a missing point id fails with the
     404-mappable PointNotFoundError, same as per-request (r13)."""

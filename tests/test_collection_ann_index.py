@@ -136,7 +136,11 @@ def test_graph_selective_filter_full_scan_fallback(catalog, spark):
 
     adir = catalog.build_ann_index("g2")
     with open(os.path.join(adir, "params.json")) as f:
-        assert _json.load(f)["full_scan_threshold"] == 4
+        params = _json.load(f)
+    assert params["full_scan_threshold"] == 4
+    # ADVICE r13: the build-time corpus count rides the sidecar so the
+    # filtered planner never re-scans for the snapshot-invariant N
+    assert params["n_total"] == 500
 
 
 def test_ann_sidecar_lazy_rebuild_and_pruning(catalog, spark):

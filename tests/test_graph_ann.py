@@ -181,6 +181,35 @@ def test_full_scan_threshold_planner_crossover(spark, embeddings, graph):
         == [(r["vec_id"], round(r["dist"], 9)) for r in exact_half.collect()]
 
 
+def test_planner_uses_supplied_n_total(spark, embeddings, graph):
+    """ADVICE r13: callers with a persisted sidecar pass the build-time
+    corpus count; the planner must USE it (not silently re-count). A
+    correct n_total reproduces the counted plan; an inflated one pushes
+    needed=2kN/m past the cap, flipping the middle band to exact."""
+    qv = [float(x) for x in
+          embeddings.filter(F.col("vec_id") == 0).first()["embedding"]]
+    half_pred = F.pmod(F.col("vec_id"), F.lit(2)) == 0  # 250 of 500
+    counted = graph_beam_search(embeddings, graph, qv, k=5, beam=16,
+                                max_hops=4, filters=half_pred,
+                                full_scan_threshold=100,
+                                audit_sample_mod=None)
+    supplied = graph_beam_search(embeddings, graph, qv, k=5, beam=16,
+                                 max_hops=4, filters=half_pred,
+                                 full_scan_threshold=100,
+                                 audit_sample_mod=None, n_total=500)
+    assert [(r["vec_id"], round(r["dist"], 9)) for r in supplied.collect()] \
+        == [(r["vec_id"], round(r["dist"], 9)) for r in counted.collect()]
+    # inflated N: needed = 2*5*10^9/250 >> default cap -> exact path,
+    # identical to brute force — proves n_total feeds the decision
+    exact = brute_force_topk(embeddings, qv, k=5, filters=half_pred)
+    inflated = graph_beam_search(embeddings, graph, qv, k=5, beam=16,
+                                 max_hops=4, filters=half_pred,
+                                 full_scan_threshold=100,
+                                 audit_sample_mod=None, n_total=10**9)
+    assert [(r["vec_id"], round(r["dist"], 9)) for r in inflated.collect()] \
+        == [(r["vec_id"], round(r["dist"], 9)) for r in exact.collect()]
+
+
 def test_filtered_audit_catches_correlated_filter(spark):
     """The r13 sample audit: a filter selecting a region far from the
     query defeats distance-driven navigation (the graph has no cross

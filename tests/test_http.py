@@ -329,6 +329,14 @@ def test_search_matrix_endpoints(server):
     status, body = _get(server, "/search_matrix_pairs", user_id=14,
                         sample="many")
     assert status == 422 and body["status_code"] == 10422
+    # degenerate sample (service-layer ValueError) -> 422, not a 500
+    # (ADVICE r13: both matrix routes wrap service ValueErrors)
+    status, body = _get(server, "/search_matrix_pairs", user_id=14,
+                        sample=1, limit=2)
+    assert status == 422 and body["status_code"] == 10422
+    status, body = _get(server, "/search_matrix_offsets", user_id=14,
+                        sample=0, limit=2)
+    assert status == 422 and body["status_code"] == 10422
 
 
 def test_query_endpoint_malformed_specs_are_422(server):

@@ -764,6 +764,12 @@ class VectorService:
             return out
 
         body = _translate(dict(body))
+        if int(body.get("limit", 10)) < 0:
+            # client error, not a raw Spark INVALID_LIMIT AnalysisException
+            # (and the HTTP layer maps ValueError to the 422 envelope);
+            # query_batch's shared-scan path dispatches k<0 here too, so
+            # batch and per-request agree on degenerate input (ADVICE r13)
+            raise ValueError("limit must be non-negative")
         points = self.catalog.read_for_user(self.index_name, user_id)
         lookup = None
         if body.get("with_lookup"):
@@ -1033,6 +1039,11 @@ class VectorService:
                 k = int(b.get("limit", 10))
             except (TypeError, ValueError):
                 return None  # per-request path raises the client error
+            if k < 0:
+                # degenerate limit: the shared window's final [:k] slice
+                # would mean all-but-|k| rows while per-request returns
+                # empty — dispatch per-request so both paths agree
+                return None
             q = b.get("query")
             if isinstance(q, dict) and set(q) == {"nearest"}:
                 q = q["nearest"]

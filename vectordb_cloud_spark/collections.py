@@ -1683,6 +1683,12 @@ class CollectionCatalog:
                     return adir
             # sidecar was built for a different vector column: rebuild
         df = self.read(name).filter(F.col(vector_col).isNotNull())
+        # snapshot-invariant total row count, persisted with the sidecar:
+        # the filtered planner's 2kN/m beam-widening heuristic needs N,
+        # and re-counting the corpus on EVERY filtered query is a full
+        # blocking scan for a number that can't change until the next
+        # write (which rebuilds this sidecar anyway) — ADVICE r13
+        n_total = df.count()
         stage = adir + ".staging"
         shutil.rmtree(stage, ignore_errors=True)
         os.makedirs(stage)
@@ -1791,6 +1797,7 @@ class CollectionCatalog:
                       # r13 sample audit: None/0 disables; see
                       # graph_beam_search docstring
                       "audit_sample_mod": spec.get("audit_sample_mod", 31)}
+        params["n_total"] = n_total
         params["vector_col"] = vector_col
         with open(os.path.join(stage, "params.json"), "w") as f:
             json.dump(params, f)
@@ -1914,7 +1921,11 @@ class CollectionCatalog:
             full_scan_threshold=int(
                 params.get("full_scan_threshold", 10_000)),
             filtered_beam_cap=params.get("filtered_beam_cap"),
-            audit_sample_mod=params.get("audit_sample_mod", 31))
+            audit_sample_mod=params.get("audit_sample_mod", 31),
+            # build-time corpus count: saves the planner one full
+            # blocking scan per filtered query (ADVICE r13); absent in
+            # legacy sidecars, where the operator re-counts
+            n_total=params.get("n_total"))
 
     def compact(self, name: str, max_files_per_bucket: int = 4) -> int:
         """Compact buckets that accumulated small files (every bucket-scoped

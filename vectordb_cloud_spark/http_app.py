@@ -169,18 +169,24 @@ def _routes(service: VectorService) -> dict[str, Callable[[dict[str, str]], Any]
         p = _coerce(params, [("user_id", int, _MISSING),
                              ("sample", int, 10), ("limit", int, 3),
                              ("filter", str, None)])
-        return service.search_matrix_pairs(
-            p["user_id"], p["sample"], p["limit"],
-            query_filter=_parse_filter(p["filter"]))
+        try:
+            return service.search_matrix_pairs(
+                p["user_id"], p["sample"], p["limit"],
+                query_filter=_parse_filter(p["filter"]))
+        except ValueError as exc:
+            raise ValidationError(str(exc)) from exc
 
     def search_matrix_offsets(params):
         # Qdrant POST /points/search/matrix/offsets — the CSR envelope
         p = _coerce(params, [("user_id", int, _MISSING),
                              ("sample", int, 10), ("limit", int, 3),
                              ("filter", str, None)])
-        return service.search_matrix_offsets(
-            p["user_id"], p["sample"], p["limit"],
-            query_filter=_parse_filter(p["filter"]))
+        try:
+            return service.search_matrix_offsets(
+                p["user_id"], p["sample"], p["limit"],
+                query_filter=_parse_filter(p["filter"]))
+        except ValueError as exc:
+            raise ValidationError(str(exc)) from exc
 
     def query(params):
         # Qdrant POST /points/query, flattened to GET params: `body` is

@@ -987,6 +987,7 @@ def graph_beam_search(
     full_scan_threshold: int | None = None,
     filtered_beam_cap: int | None = None,
     audit_sample_mod: int | None = 31,
+    n_total: int | None = None,
 ) -> DataFrame:
     """Greedy beam search over the kNN graph — HNSW's search loop with the
     frontier as the only driver-side state.
@@ -1038,6 +1039,12 @@ def graph_beam_search(
       this band prefer the IVF/IVF-SQ families, which push predicates
       into their pruned scans natively).
 
+    ``n_total`` lets callers with a persisted index pass the corpus row
+    count measured at build time (snapshot-invariant — any write
+    rebuilds the sidecar), so the planner pays only the per-predicate
+    matching count on the query path instead of two full counts
+    (ADVICE r13). ``None`` falls back to counting.
+
     ``audit_sample_mod`` (default 31, active only on the widened-beam
     route) adds the r13 SAMPLE AUDIT: after navigation, one pruned scan
     of a deterministic ~1/mod slice of the matching rows checks for any
@@ -1073,8 +1080,11 @@ def graph_beam_search(
             matched = points.filter(filters)
             return knn_search(matched, query_vector, k=k, vector_col=vec_col,
                               tiebreak=id_col).select(id_col, "dist")
-        n_total = points.count()
-        needed = -(-2 * int(k) * n_total // max(1, m))  # ceil(2kN/m)
+        if n_total is None:
+            # snapshot-invariant: callers with a persisted sidecar pass
+            # the build-time count instead of re-scanning per query
+            n_total = points.count()
+        needed = -(-2 * int(k) * int(n_total) // max(1, m))  # ceil(2kN/m)
         cap = (int(filtered_beam_cap) if filtered_beam_cap
                else max(8 * int(beam), 512))
         if needed > cap:
