@@ -582,7 +582,12 @@ def main():
             "five scans + three probes — which is the scan-bound 100 TB "
             "regime, not the local plan-bound one. Bodies rotate per run "
             "so neither variant rides the exact-repeat memo."),
-        "registry": ("r13 rotation: in query_by_id_topk, "
+        "registry": ("r14 rotation: in distance_matrix_pairs (the r13 "
+                     "library oracle promoted — newest-code-least-proof "
+                     "rule); out grouping_sets_order_stats "
+                     "(shape-redundant, timed at library level below, "
+                     "oracle spot-runnable). "
+                     "r13 rotation: in query_by_id_topk, "
                      "context_only_topk, query_mmr_rerank_topk (the "
                      "greedy MMR selection replayed as unrolled SQL); "
                      "out tpch_q3_revenue_topk, lsh_similarity_join_"

@@ -476,9 +476,7 @@ def tpch_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q(
-    "grouping_sets_order_stats",
-    """
+_GROUPING_SETS_ORACLE = """
     SELECT coalesce(o_orderstatus, '(all)') AS orderstatus,
            coalesce(o_orderpriority, '(all)') AS orderpriority,
            count(*) AS n,
@@ -486,13 +484,19 @@ def tpch_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus),
                             (o_orderpriority), ())
-    """,
-)
+    """
+
+
 def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping sets surface (SURVEY.md §2.4): the full CUBE lattice written
     as explicit GROUPING SETS through the SQL API — one consolidated query
     covering rollup/cube/grouping-sets (each set aggregated in a single pass;
-    the DataFrame twins ``rollup()``/``cube()`` stay unit-tested)."""
+    the DataFrame twins ``rollup()``/``cube()`` stay unit-tested). Rotated
+    to library level in r14 (VERDICT r13 #4: the slot went to
+    ``distance_matrix_pairs``; the multi-set decimal-agg shape stays
+    oracle-exercised through tpch_q1_pricing_summary and
+    customer_order_stats) — stays wired for spot runs with its full oracle
+    via ``queries.library()``."""
     o = _t(spark, sf_dir, "orders")
     o.createOrReplaceTempView("__orders_gs")
     return spark.sql(
@@ -4431,13 +4435,16 @@ def _dmx_oracle_sql() -> str:
     """
 
 
+@_q("distance_matrix_pairs", _dmx_oracle_sql())
 def distance_matrix_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Qdrant /points/search/matrix/pairs over the embeddings fixture
-    (r13 library oracle): seeded 10-point sample, each sample's 3 nearest
-    other samples. The sample rows are materialized for the oracle; the
-    pairwise scoring and per-row top-k — the operator's distributed math
-    (broadcast self-join, sample²-bounded, window rank) — are replayed in
-    SQL and hash-matched."""
+    """Qdrant /points/search/matrix/pairs over the embeddings fixture:
+    seeded 10-point sample, each sample's 3 nearest other samples. The
+    sample rows are materialized for the oracle; the pairwise scoring and
+    per-row top-k — the operator's distributed math (broadcast self-join,
+    sample²-bounded, window rank) — are replayed in SQL and hash-matched.
+    Registry row since r14 (VERDICT r13 #4: newest-code-least-proof
+    rotation — built r13 as a library oracle, promoted the next round;
+    the slot came from grouping_sets_order_stats)."""
     global _DMX_CURRENT
     import pyarrow as pa
     import pyarrow.parquet as papq
@@ -4483,9 +4490,10 @@ _LIBRARY: dict[str, QueryFn] = {
     "tpch_q3_revenue_topk": tpch_q3_revenue_topk,
     "lsh_similarity_join_pairs": lsh_similarity_join_pairs,
     "bm25_topk": bm25_topk,
-    # r13 new library oracle (never a registry row — the registry is at
-    # cap): the distance-matrix API's math under the DuckDB hash gate
-    "distance_matrix_pairs": distance_matrix_pairs_q,
+    # r14 rotation: distance_matrix_pairs (r13 library oracle) promoted
+    # to the registry; grouping_sets_order_stats retired here
+    # (shape-redundant — VERDICT r13 #4)
+    "grouping_sets_order_stats": grouping_sets_order_stats,
 }
 _LIB_ORACLES: dict[str, str] = {
     "simhash_near_dup_pairs": _simhash_oracle_sql(),
@@ -4496,7 +4504,7 @@ _LIB_ORACLES: dict[str, str] = {
     "tpch_q3_revenue_topk": _TPCH_Q3_ORACLE,
     "lsh_similarity_join_pairs": _lsh_joinpairs_oracle_sql(),
     "bm25_topk": _BM25_ORACLE,
-    "distance_matrix_pairs": _dmx_oracle_sql(),
+    "grouping_sets_order_stats": _GROUPING_SETS_ORACLE,
 }
 
 
