@@ -234,6 +234,30 @@ def test_query_batch_negative_limit_matches_per_request(svc):
                              {"query": {"text": "doc"}, "limit": 2}])
 
 
+def test_query_batch_routing_rule(svc, monkeypatch):
+    """The measured routing rule (r14, SCALE.md query_batch_mixed
+    series): >= 2 batchable entries engage the shared scan; a lone
+    batchable body dispatches per-request (one scan either way, and the
+    per-request path rides the warm shape template)."""
+    from vectordb_cloud_spark.operators import knn as knn_mod
+
+    for i, text in enumerate(["rare alpha", "rare beta", "rare gamma"]):
+        assert svc.insert(61 + i, 26, text, "s", "en") == 1
+    calls = []
+    orig = knn_mod.knn_batch
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(knn_mod, "knn_batch", spy)
+    one = svc.query_batch(26, [{"query": {"text": "alpha"}, "limit": 2}])
+    assert len(one) == 1 and not calls  # single body: per-request path
+    two = svc.query_batch(26, [{"query": {"text": "alpha"}, "limit": 2},
+                               {"query": {"text": "beta"}, "limit": 2}])
+    assert len(two) == 2 and calls == [1]  # >=2: ONE shared scan
+
+
 def test_query_batch_missing_id_is_not_found(svc):
     """A batch referencing a missing point id fails with the
     404-mappable PointNotFoundError, same as per-request (r13)."""

@@ -103,6 +103,28 @@ def test_graph_append_incremental(spark, embeddings):
             assert (s, d) in new_edges
 
 
+def test_graph_append_banded_fast_path_matches_reroute(spark, embeddings):
+    """r14: appending through the PERSISTED (id, block) routing table
+    (builders' return_banded) must produce the identical adjacency to
+    the legacy corpus re-route — the banded table IS the routing, just
+    materialized."""
+    from vectordb_cloud_spark.operators.graph_ann import knn_graph_append
+
+    base = embeddings.filter(F.col("vec_id") < 400)
+    new = embeddings.filter(F.col("vec_id") >= 400)
+    g0, blocking, banded = knn_graph_build(
+        base, degree=8, with_blocking=True, return_banded=True)
+    g0, banded = g0.cache(), banded.cache()
+    slow = knn_graph_append(embeddings, new, g0, blocking, degree=8)
+    fast = knn_graph_append(embeddings, new, g0, blocking, degree=8,
+                            banded=banded)
+    want = {(r["src"], r["dst"], round(r["dist"], 9))
+            for r in slow.collect()}
+    got = {(r["src"], r["dst"], round(r["dist"], 9))
+           for r in fast.collect()}
+    assert got == want and got
+
+
 def test_filtered_beam_search(spark, embeddings, graph):
     """Metadata predicate composes with graph search (reference's filtered
     search on the graph family): only matching ids come back, and against

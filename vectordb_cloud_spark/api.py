@@ -998,7 +998,18 @@ class VectorService:
         lookup_from, mmr, ...) dispatches through :meth:`query` per
         request. Results align with the input order; a missing referenced
         point raises ``PointNotFoundError`` exactly as per-request (the
-        HTTP layer maps it to 404)."""
+        HTTP layer maps it to 404).
+
+        ROUTING RULE (r14, measured — VERDICT r13 #2): the shared scan
+        engages at >= 2 batchable entries; a single batchable body
+        dispatches per-request (one scan either way, and the per-request
+        path rides the warm shape template). The SCALE.md
+        query_batch_mixed series measured shared vs per-request on
+        single-tenant collections at 100k/1M/4M rows: shared wins at
+        every size (2.02/3.80/12.97 s vs 2.26/4.09/13.50 s) — there is
+        no crossover where per-request wins a >=2 batch, so no upper
+        routing bound exists; the sf0.1 bench pair's apparent parity is
+        the plan-bound tiny-tenant regime, not the scan-bound one."""
         import numpy as np
 
         from vectordb_cloud_spark.errors import PointNotFoundError

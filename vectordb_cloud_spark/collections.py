@@ -1656,18 +1656,218 @@ class CollectionCatalog:
     # Same versioned-sidecar lifecycle as quantization: build_ann_index()
     # materializes the index for the CURRENT snapshot (atomic publish,
     # stale sidecars pruned), search_ann() lazily rebuilds when a write
-    # moved the version. A per-snapshot rebuild is the honest batch-engine
-    # default; a streaming deployment keeps the IVF layout fresh
-    # incrementally instead (streaming.start_indexed_ingest_stream +
-    # operators.ann.ivf_append — the maintained path).
+    # moved the version. Since r14 the GRAPH family maintains itself
+    # incrementally across write epochs (_incremental_graph_params:
+    # file-level bucket diff -> knn_graph_append through the persisted
+    # blocking -> coarse-sample stratum refresh), falling back to the
+    # full rebuild on deletes or past the staleness budget; a streaming
+    # deployment keeps the IVF layout fresh via
+    # streaming.start_indexed_ingest_stream + operators.ann.ivf_append.
     def _ann_dir(self, name: str, version: int) -> str:
         return os.path.join(self._dir(name), f"ann.v{version}")
+
+    @staticmethod
+    def _bucket_file_sets(data_dir: str) -> dict[str, set] | None:
+        """Per-bucket parquet filename sets, or None for an unpartitioned
+        layout. Bucket-scoped MVCC makes this the cheap delta detector:
+        untouched buckets are HARDLINKED into new snapshots with their
+        names intact, while a rewrite always emits fresh part-file names —
+        so two versions' bucket dirs differ exactly where rows could."""
+        out: dict[str, set] = {}
+        for b in os.listdir(data_dir):
+            if b.startswith("__bucket="):
+                out[b] = {f for f in os.listdir(os.path.join(data_dir, b))
+                          if f.endswith(".parquet")}
+        return out or None
+
+    def _incremental_graph_params(self, name: str, meta, spec: dict,
+                                  df: DataFrame, vector_col: str,
+                                  id_col: str, stage: str) -> dict | None:
+        """Maintain the graph ann.v sidecar INCREMENTALLY across a write
+        instead of a full rebuild (VERDICT r13 #3 — IVF has ivf_append;
+        at 100 TB a full graph rebuild per write-epoch is the most
+        expensive thing the engine can do; Qdrant's HNSW likewise
+        maintains itself in place).
+
+        Plan, all bounded by the write's footprint — never the corpus:
+
+        1. find the newest previous graph sidecar whose snapshot is still
+           on disk and which persisted its build BLOCKING (blocking.json);
+        2. diff the two snapshots at the FILE level — bucket-scoped MVCC
+           hardlinks untouched buckets, so only buckets whose parquet
+           name sets differ can hold new/changed/deleted rows;
+        3. inside those buckets only, classify ids by a JVM-side vector
+           hash: new (no old row), changed (hash moved), deleted;
+        4. deletes or a cumulative append fraction past
+           ``incremental_budget`` (default 0.2 of the last FULL build's
+           row count — centroids drift as data grows, the same operating
+           cycle as IVF) fall back to the full rebuild;
+        5. otherwise: drop changed ids' adjacency (both endpoints), route
+           new+changed rows through the PERSISTED blocking
+           (``knn_graph_append`` — O(batch x block) pair work), refresh
+           the coarse_sample stratum incrementally, carry entry_ids and
+           params forward with ``n_total``/``appended_rows`` advanced.
+
+        Returns the new params dict with stage/ populated, or None when
+        the full build must run. ``{"graph": {"incremental": false}}``
+        opts a collection out."""
+        from vectordb_cloud_spark.operators.graph_ann import (
+            blocking_from_json, knn_graph_append)
+
+        if not spec.get("incremental", True):
+            return None
+        prev = None  # newest prior graph sidecar with blocking + snapshot
+        for d in os.listdir(self._dir(name)):
+            if not d.startswith("ann.v"):
+                continue
+            try:
+                v = int(d.split("ann.v", 1)[1])
+            except ValueError:
+                continue
+            if v >= meta.version:
+                continue
+            adir = os.path.join(self._dir(name), d)
+            pfile = os.path.join(adir, "params.json")
+            bfile = os.path.join(adir, "blocking.json")
+            if not (os.path.isfile(pfile) and os.path.isfile(bfile)):
+                continue
+            with open(pfile) as f:
+                p = json.load(f)
+            if (p.get("kind") != "graph"
+                    or p.get("vector_col", "embedding") != vector_col):
+                continue
+            if not os.path.isdir(self._data_dir_v(name, v)):
+                continue  # snapshot vacuumed: nothing to diff against
+            if prev is None or v > prev[0]:
+                prev = (v, adir, p)
+        if prev is None:
+            return None
+        old_v, old_adir, old_params = prev
+        old_data = self._data_dir_v(name, old_v)
+        cur_data = self._current_data_dir(name)
+        old_files = self._bucket_file_sets(old_data)
+        new_files = self._bucket_file_sets(cur_data)
+        if old_files is None or new_files is None:
+            return None  # unpartitioned layout: no cheap delta detector
+        changed_dirs = {
+            b for b in set(old_files) | set(new_files)
+            if old_files.get(b) != new_files.get(b)
+        }
+
+        def _reuse() -> dict:
+            self._link_files(os.path.join(old_adir, "graph"),
+                             os.path.join(stage, "graph"))
+            for sub in ("coarse_sample", "banded"):
+                if os.path.isdir(os.path.join(old_adir, sub)):
+                    self._link_files(os.path.join(old_adir, sub),
+                                     os.path.join(stage, sub))
+            shutil.copy2(os.path.join(old_adir, "blocking.json"),
+                         os.path.join(stage, "blocking.json"))
+            return dict(old_params)
+
+        if not changed_dirs:
+            # version moved without data movement (e.g. index DDL):
+            # the old sidecar is still exact — hardlink it forward
+            return _reuse()
+        buckets = [int(b.split("=", 1)[1]) for b in changed_dirs]
+        live = F.col(vector_col).isNotNull()  # graph membership filter
+        old_cb = (
+            self.spark.read.parquet(old_data)
+            .filter(F.col("__bucket").isin(buckets) & live)
+            .select(F.col(id_col),
+                    F.xxhash64(F.col(vector_col)).alias("__ho"))
+        )
+        new_cb = (
+            df.filter(F.col("__bucket").isin(buckets))
+            .select(F.col(id_col),
+                    F.xxhash64(F.col(vector_col)).alias("__hn"))
+        )
+        joined = new_cb.join(old_cb, id_col, "left_outer")
+        stats = joined.agg(
+            F.count(F.lit(1)).alias("n_new_rows"),
+            F.sum(F.when(F.col("__ho").isNull(), 1).otherwise(0))
+            .alias("n_new"),
+            F.sum(F.when(F.col("__ho").isNotNull()
+                         & (F.col("__hn") != F.col("__ho")), 1)
+                  .otherwise(0)).alias("n_changed"),
+        ).first()
+        n_new = int(stats["n_new"] or 0)
+        n_changed = int(stats["n_changed"] or 0)
+        n_old_cb = old_cb.count()
+        if n_old_cb - (int(stats["n_new_rows"]) - n_new) > 0:
+            return None  # deletes present: adjacency repair is a rebuild
+        base_n = int(old_params.get("full_build_n",
+                                    old_params.get("n_total", 0)) or 0)
+        appended = int(old_params.get("appended_rows", 0))
+        budget = float(spec.get("incremental_budget", 0.2))
+        if base_n <= 0 or (appended + n_new + n_changed) > budget * base_n:
+            return None  # drifted past the staleness budget: rebuild
+        if n_new + n_changed == 0:
+            return _reuse()  # payload-only rewrite: vectors unmoved
+        delta_ids = joined.filter(
+            F.col("__ho").isNull() | (F.col("__hn") != F.col("__ho"))
+        ).select(id_col)
+        ch_ids = joined.filter(
+            F.col("__ho").isNotNull() & (F.col("__hn") != F.col("__ho"))
+        ).select(id_col)
+        graph = self.spark.read.parquet(os.path.join(old_adir, "graph"))
+        # changed nodes: drop BOTH endpoints' stale edges (their stored
+        # distances moved); the append below re-links them like new points
+        graph = graph.join(ch_ids.withColumnRenamed(id_col, "src"),
+                           "src", "left_anti")
+        graph = graph.join(ch_ids.withColumnRenamed(id_col, "dst"),
+                           "dst", "left_anti")
+        delta_rows = df.join(delta_ids, id_col, "left_semi")
+        with open(os.path.join(old_adir, "blocking.json")) as f:
+            blocking = blocking_from_json(json.load(f))
+        # persisted (id, block) routing table: the append prunes members
+        # from this skinny table instead of re-routing the corpus (the
+        # dominant append cost without it — knn_graph_append docstring);
+        # cleansed of re-routed ids, refreshed with the delta's rows
+        from vectordb_cloud_spark.operators.graph_ann import _banded
+
+        bdir_old = os.path.join(old_adir, "banded")
+        banded_old = None
+        if os.path.isdir(bdir_old):
+            banded_old = self.spark.read.parquet(bdir_old).join(
+                ch_ids.withColumnRenamed(id_col, "id"), "id", "left_anti")
+        appended_graph = knn_graph_append(
+            df, delta_rows, graph, blocking,
+            degree=int(spec.get("degree", 8)),
+            id_col=id_col, vec_col=vector_col, banded=banded_old)
+        appended_graph.select("src", "dst", F.col("dist").cast("double")) \
+            .write.mode("overwrite").parquet(os.path.join(stage, "graph"))
+        if banded_old is not None:
+            banded_delta = _banded(
+                delta_rows.select(
+                    F.col(id_col).alias("id"),
+                    F.col(vector_col).cast("array<double>").alias("vec")),
+                blocking).select("id", "block")
+            banded_old.unionByName(banded_delta).coalesce(16) \
+                .write.mode("overwrite") \
+                .parquet(os.path.join(stage, "banded"))
+        coarse_mod = int(old_params.get("coarse_mod", 31))
+        cdir = os.path.join(old_adir, "coarse_sample")
+        if os.path.isdir(cdir):
+            sample = self.spark.read.parquet(cdir) \
+                .join(ch_ids, id_col, "left_anti")
+            stratum = delta_rows.filter(
+                F.pmod(F.col(id_col), F.lit(coarse_mod)) == 0
+            ).select(id_col, vector_col)
+            sample.unionByName(stratum).coalesce(16) \
+                .write.mode("overwrite") \
+                .parquet(os.path.join(stage, "coarse_sample"))
+        shutil.copy2(os.path.join(old_adir, "blocking.json"),
+                     os.path.join(stage, "blocking.json"))
+        params = dict(old_params)
+        params["n_total"] = int(old_params.get("n_total", base_n)) + n_new
+        params["appended_rows"] = appended + n_new + n_changed
+        params.setdefault("full_build_n", base_n)
+        return params
 
     def build_ann_index(self, name: str, vector_col: str = "embedding",
                         id_col: str = "id") -> str:
         from vectordb_cloud_spark.operators.ann import ivf_build, ivf_persist
-        from vectordb_cloud_spark.operators.graph_ann import (
-            graph_entry_points, knn_graph_build, knn_graph_build_sharded)
 
         name = self.resolve(name)
         meta = self.meta(name)
@@ -1749,54 +1949,17 @@ class CollectionCatalog:
                 raise ValueError(
                     f"unknown graph builder {builder!r}: "
                     "expected 'sharded' or 'blocked'")
-            if builder == "blocked":
-                graph = knn_graph_build(
-                    df, degree=int(spec.get("degree", 8)), id_col=id_col,
-                    vec_col=vector_col,
-                    refine_rounds=int(spec.get("refine_rounds", 1)))
-            else:
-                graph = knn_graph_build_sharded(
-                    df, degree=int(spec.get("degree", 8)), id_col=id_col,
-                    vec_col=vector_col,
-                    refine_rounds=int(spec.get("refine_rounds", 2)))
-            graph.select("src", "dst", F.col("dist").cast("double")).write \
-                .mode("overwrite").parquet(os.path.join(stage, "graph"))
-            entries = graph_entry_points(df, id_col=id_col, vec_col=vector_col)
-            # coarse-entry SAMPLE table (r11, the 1M-row RECALL finding):
-            # a flat kNN graph loses navigability on clumped corpora —
-            # clusters become islands and beam search from GLOBAL medoid
-            # seeds cannot reach the query's cluster (recall 0.000 at 1M
-            # vs 1.000 at 6k). Persist the deterministic ~1/coarse_mod
-            # mod-sample (ids + vectors) beside the graph; search seeds
-            # each query from its nearest sample members — HNSW's upper
-            # layer as one bounded scan of a SMALL materialized table
-            # (the IVF centroid-table storage trick; mod-sampling stays
-            # consistent under upserts). Medoid entry_ids remain the
-            # fallback for an empty stratum / legacy sidecars.
-            coarse_mod = int(spec.get("coarse_mod", 31))
-            df.filter(F.pmod(F.col(id_col), F.lit(coarse_mod)) == 0) \
-                .select(id_col, vector_col) \
-                .coalesce(16) \
-                .write.mode("overwrite") \
-                .parquet(os.path.join(stage, "coarse_sample"))
-            params = {"kind": "graph", "entry_ids": entries,
-                      "beam": int(spec.get("beam", 32)),
-                      "max_hops": int(spec.get("max_hops", 4)),
-                      "coarse_mod": coarse_mod,
-                      "n_entry": int(spec.get("n_entry", 16)),
-                      # Qdrant's planner knobs: filters matching at most
-                      # full_scan_threshold points serve exact; denser
-                      # filters widen the beam to ~2kN/m up to
-                      # filtered_beam_cap, beyond which exact serves
-                      # (graph_beam_search docstring; RECALL.md r13
-                      # filtered series). cap 0/None = operator default
-                      # max(8*beam, 512).
-                      "full_scan_threshold": int(
-                          spec.get("full_scan_threshold", 10_000)),
-                      "filtered_beam_cap": spec.get("filtered_beam_cap"),
-                      # r13 sample audit: None/0 disables; see
-                      # graph_beam_search docstring
-                      "audit_sample_mod": spec.get("audit_sample_mod", 31)}
+            # r14 (VERDICT r13 #3): a write-moved version tries the
+            # INCREMENTAL maintenance path first — append the write's
+            # delta through the persisted blocking instead of a full
+            # rebuild; falls back here on deletes, missing prior state,
+            # or a cumulative append fraction past incremental_budget
+            params = self._incremental_graph_params(
+                name, meta, spec, df, vector_col, id_col, stage)
+            if params is None:
+                params = self._full_graph_build(spec, df, vector_col,
+                                                id_col, stage, builder,
+                                                n_total)
         params["n_total"] = n_total
         params["vector_col"] = vector_col
         with open(os.path.join(stage, "params.json"), "w") as f:
@@ -1811,6 +1974,83 @@ class CollectionCatalog:
                 self._ann_sample_memo.pop(
                     os.path.join(stale, "coarse_sample"), None)
         return adir
+
+    def _full_graph_build(self, spec: dict, df: DataFrame, vector_col: str,
+                          id_col: str, stage: str, builder: str,
+                          n_total: int) -> dict:
+        """Full graph sidecar build (the from-scratch path): adjacency +
+        blocking + coarse entry sample materialized into ``stage``,
+        returns the params dict. The blocking is persisted
+        (blocking.json) so future write epochs can APPEND through the
+        same routing (``_incremental_graph_params``) instead of paying
+        this build again."""
+        from vectordb_cloud_spark.operators.graph_ann import (
+            blocking_to_json, graph_entry_points, knn_graph_build,
+            knn_graph_build_sharded)
+
+        if builder == "blocked":
+            graph, blocking, banded = knn_graph_build(
+                df, degree=int(spec.get("degree", 8)), id_col=id_col,
+                vec_col=vector_col,
+                refine_rounds=int(spec.get("refine_rounds", 1)),
+                with_blocking=True, return_banded=True)
+        else:
+            graph, blocking, banded = knn_graph_build_sharded(
+                df, degree=int(spec.get("degree", 8)), id_col=id_col,
+                vec_col=vector_col,
+                refine_rounds=int(spec.get("refine_rounds", 2)),
+                with_blocking=True, return_banded=True)
+        graph.select("src", "dst", F.col("dist").cast("double")).write \
+            .mode("overwrite").parquet(os.path.join(stage, "graph"))
+        # persist the blocking + the skinny (id, block) routing table so
+        # future writes can APPEND through the same routing instead of
+        # rebuilding — with the banded table the append never re-routes
+        # the corpus (knn_graph_append's banded fast path)
+        with open(os.path.join(stage, "blocking.json"), "w") as f:
+            json.dump(blocking_to_json(blocking), f)
+        banded.coalesce(16).write.mode("overwrite") \
+            .parquet(os.path.join(stage, "banded"))
+        entries = graph_entry_points(df, id_col=id_col, vec_col=vector_col)
+        # coarse-entry SAMPLE table (r11, the 1M-row RECALL finding):
+        # a flat kNN graph loses navigability on clumped corpora —
+        # clusters become islands and beam search from GLOBAL medoid
+        # seeds cannot reach the query's cluster (recall 0.000 at 1M
+        # vs 1.000 at 6k). Persist the deterministic ~1/coarse_mod
+        # mod-sample (ids + vectors) beside the graph; search seeds
+        # each query from its nearest sample members — HNSW's upper
+        # layer as one bounded scan of a SMALL materialized table
+        # (the IVF centroid-table storage trick; mod-sampling stays
+        # consistent under upserts). Medoid entry_ids remain the
+        # fallback for an empty stratum / legacy sidecars.
+        coarse_mod = int(spec.get("coarse_mod", 31))
+        df.filter(F.pmod(F.col(id_col), F.lit(coarse_mod)) == 0) \
+            .select(id_col, vector_col) \
+            .coalesce(16) \
+            .write.mode("overwrite") \
+            .parquet(os.path.join(stage, "coarse_sample"))
+        return {"kind": "graph", "entry_ids": entries,
+                "beam": int(spec.get("beam", 32)),
+                "max_hops": int(spec.get("max_hops", 4)),
+                "coarse_mod": coarse_mod,
+                "n_entry": int(spec.get("n_entry", 16)),
+                # incremental-maintenance bookkeeping (r14): row count at
+                # this FULL build + rows appended since; the staleness
+                # budget compares their ratio before allowing an append
+                "full_build_n": int(n_total),
+                "appended_rows": 0,
+                # Qdrant's planner knobs: filters matching at most
+                # full_scan_threshold points serve exact; denser
+                # filters widen the beam to ~2kN/m up to
+                # filtered_beam_cap, beyond which exact serves
+                # (graph_beam_search docstring; RECALL.md r13
+                # filtered series). cap 0/None = operator default
+                # max(8*beam, 512).
+                "full_scan_threshold": int(
+                    spec.get("full_scan_threshold", 10_000)),
+                "filtered_beam_cap": spec.get("filtered_beam_cap"),
+                # r13 sample audit: None/0 disables; see
+                # graph_beam_search docstring
+                "audit_sample_mod": spec.get("audit_sample_mod", 31)}
 
     def search_ann(self, name: str, query_vector: list[float], k: int = 10,
                    predicate=None, vector_col: str = "embedding",
