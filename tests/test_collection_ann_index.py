@@ -355,3 +355,47 @@ def test_graph_sidecar_incremental_update_and_delete(catalog, spark):
     catalog.search_ann("gb", qv, k=5)
     _, pb = _graph_params(catalog, "gb")
     assert pb["appended_rows"] == 0
+
+
+def test_ivf_filtered_sample_audit_catches_correlated_filter(catalog, spark):
+    """r14 (VERDICT r13 #5): the sample audit, IVF edition. A filter
+    selecting a whole far-away cluster (geometry-correlated) has its
+    matching set OUTSIDE the probed centroid at nprobe=1, so the raw
+    pushed-down search comes back starved; the audit's 1/mod matching
+    scan detects the miss and upgrades the query to the exact filtered
+    top-k. audit_sample_mod=None restores the raw behavior (proving the
+    audit is the thing that fixed it)."""
+    from vectordb_cloud_spark.operators.knn import knn_search
+
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    center = F.when(F.col("id") < 500, F.lit(0.5)).otherwise(F.lit(-0.8))
+    rows = spark.range(600).select(
+        "id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda i: center
+            + (F.pmod(F.xxhash64(F.col("id"), i), F.lit(200)) - 100.0)
+            / 1000.0,
+        ).cast("array<float>").alias("embedding"),
+        F.concat(F.lit("doc "), F.col("id")).alias("text"),
+        (F.col("id") % 4).alias("user_id"),
+    )
+    catalog.create("iva", dim=8, ann_index={"ivf": {
+        "k_centroids": 4, "nprobe": 1, "full_scan_threshold": 4}})
+    catalog.upsert("iva", rows)
+    qv = [0.5] * 8
+    pred = F.col("id") >= 500  # 100 matches > fst=4, ALL in the far cluster
+    got = [(r["id"], round(r["dist"], 9)) for r in
+           catalog.search_ann("iva", qv, k=5, predicate=pred).collect()]
+    want = [(r["id"], round(r["dist"], 9)) for r in
+            knn_search(catalog.read("iva").filter(pred), qv, k=5,
+                       tiebreak="id").select("id", "dist").collect()]
+    assert got == want  # audit upgraded the starved probe to exact
+    # audit disabled: the raw pushed-down probe misses the matching
+    # cluster entirely (the failure mode the audit exists for)
+    catalog.create("ivn", dim=8, ann_index={"ivf": {
+        "k_centroids": 4, "nprobe": 1, "full_scan_threshold": 4,
+        "audit_sample_mod": None}})
+    catalog.upsert("ivn", rows)
+    raw = catalog.search_ann("ivn", qv, k=5, predicate=pred).collect()
+    assert len(raw) < 5

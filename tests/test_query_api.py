@@ -500,3 +500,58 @@ def test_score_threshold_per_leg_group_by_and_nan(embeddings, emb_rows):
     with pytest.raises(ValueError, match="finite"):
         query_points(embeddings, query=q, limit=5,
                      score_threshold=float("nan"))
+
+
+def test_random_sample_prefetch_leg(embeddings, emb_rows):
+    """r14 grammar dreg: Qdrant allows `{"sample": "random"}` as a
+    PREFETCH leg — seeded-deterministic candidates rescored by the outer
+    query. The result must equal the outer query restricted to exactly
+    the sample's candidate set."""
+    from vectordb_cloud_spark.operators.knn import knn_search
+    from vectordb_cloud_spark.sources.readers import random_sample
+
+    q = _vec(emb_rows, 0)
+    got = query_points(
+        embeddings, query=q, limit=5,
+        prefetch=[{"query": {"sample": "random"}, "limit": 20}],
+    )
+    cand = [r["vec_id"] for r in
+            random_sample(embeddings, 20, id_col="vec_id")
+            .select("vec_id").collect()]
+    want = knn_search(embeddings.filter(F.col("vec_id").isin(cand)),
+                      q, k=5, tiebreak="vec_id")
+    assert [r["vec_id"] for r in got.collect()] == \
+        [r["vec_id"] for r in want.collect()]
+    # and as a fusion leg: rank order = the sample's own seeded order
+    fused = query_points(
+        embeddings, query={"fusion": "rrf"}, limit=3,
+        prefetch=[{"query": {"sample": "random"}, "limit": 5},
+                  {"query": q, "limit": 5}],
+    )
+    assert fused.count() == 3
+
+
+def test_query_by_id_lookup_from_other_frame(spark, embeddings, emb_rows):
+    """r14 grammar dreg: lookup_from applies to query-by-ID (and its mmr
+    sibling) — the id resolves in the FOREIGN frame and, being a foreign
+    id space, excludes nothing from this collection's results."""
+    from vectordb_cloud_spark.operators.knn import knn_search
+
+    foreign = spark.createDataFrame(
+        [(999, _vec(emb_rows, 7))],
+        "vec_id long, embedding array<float>",
+    )
+    got = query_points(embeddings, query={"nearest": 999}, limit=3,
+                       lookup_from=foreign)
+    want = knn_search(embeddings, _vec(emb_rows, 7), k=3,
+                      tiebreak="vec_id")
+    assert [r["vec_id"] for r in got.collect()] == \
+        [r["vec_id"] for r in want.collect()]
+    assert got.first()["vec_id"] == 7  # NOT excluded: foreign id space
+    # same resolution under the mmr sibling
+    mmr = query_points(
+        embeddings,
+        query={"nearest": 999, "mmr": {"diversity": 0.4,
+                                       "candidates_limit": 12}},
+        limit=4, lookup_from=foreign)
+    assert mmr.count() == 4

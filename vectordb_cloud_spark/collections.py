@@ -1920,7 +1920,11 @@ class CollectionCatalog:
                           "mins": mins, "maxs": maxs,
                           "oversample": int(spec.get("oversample", 4)),
                           "full_scan_threshold": int(
-                              spec.get("full_scan_threshold", 10_000))}
+                              spec.get("full_scan_threshold", 10_000)),
+                          # r14: filtered-search sample audit (the graph
+                          # family's knob, IVF edition) — None/0 disables
+                          "audit_sample_mod": spec.get(
+                              "audit_sample_mod", 31)}
             else:
                 ivf_persist(assigned, os.path.join(stage, "ivf"))
                 params = {"kind": "ivf", "centers": centers,
@@ -1934,7 +1938,11 @@ class CollectionCatalog:
                           # top-k's k·N/m overall rank at any such
                           # selectivity (RECALL.md r13 filtered series)
                           "full_scan_threshold": int(
-                              spec.get("full_scan_threshold", 10_000))}
+                              spec.get("full_scan_threshold", 10_000)),
+                          # r14: filtered-search sample audit (the graph
+                          # family's knob, IVF edition) — None/0 disables
+                          "audit_sample_mod": spec.get(
+                              "audit_sample_mod", 31)}
         else:
             spec = meta.ann_index["graph"]
             # default to the SHARDED builder: center-literal count is
@@ -2052,6 +2060,30 @@ class CollectionCatalog:
                 # graph_beam_search docstring
                 "audit_sample_mod": spec.get("audit_sample_mod", 31)}
 
+    def _filtered_sample_audit(self, name: str, result_df: DataFrame,
+                               predicate, query_vector: list[float], k: int,
+                               vector_col: str, id_col: str,
+                               mod: int) -> DataFrame:
+        """r14 (VERDICT r13 #5): the graph family's post-navigation sample
+        audit, extended to the IVF kinds. The pushed-down filtered IVF
+        search is exact WITHIN the probed partitions, but a
+        geometry-correlated filter's matching set can sit outside every
+        probed centroid (RECALL.md's own caveat: IVF's probed region
+        covered the correlated clusters on the r13 fixture 'but nothing
+        guarantees it'). One pruned scan of a deterministic ~1/mod slice
+        of the matching rows checks for any point beating the result's
+        worst distance (or for ANY matching point when fewer than k came
+        back); a hit upgrades the query to the exact filtered top-k.
+        Result ids/dists arrive driver-side (<= k rows by contract), the
+        same envelope the graph audit uses. Delegates to
+        ``operators.knn.filtered_sample_audit`` (shared with the recall
+        harness's measured series)."""
+        from vectordb_cloud_spark.operators.knn import filtered_sample_audit
+
+        return filtered_sample_audit(
+            self.read(name), result_df, predicate, query_vector, k,
+            vector_col=vector_col, id_col=id_col, mod=mod)
+
     def search_ann(self, name: str, query_vector: list[float], k: int = 10,
                    predicate=None, vector_col: str = "embedding",
                    id_col: str = "id", beam: int | None = None) -> DataFrame:
@@ -2096,13 +2128,27 @@ class CollectionCatalog:
                         base.filter(predicate), query_vector, k=k,
                         vector_col=vector_col, tiebreak=id_col,
                     ).select(id_col, "dist")
+        # the audit belongs to the PLANNER (like the graph family's: active
+        # only when full_scan_threshold engages) — a collection that pins
+        # full_scan_threshold 0 to serve the raw index math (the oracle
+        # fixtures) opts out of the audit with it
+        audit_mod = (params.get("audit_sample_mod", 31)
+                     if int(params.get("full_scan_threshold", 10_000) or 0)
+                     else None)
         if params["kind"] == "ivf":
             centers = [(int(i), list(c)) for i, c in params["centers"]]
-            return ivf_search_persisted(
+            res = ivf_search_persisted(
                 self.spark, os.path.join(adir, "ivf"), centers, query_vector,
                 k=k, nprobe=params["nprobe"], vector_col=vector_col,
                 filters=predicate, tiebreak=id_col
             ).select(id_col, "dist")  # uniform (id, dist) contract
+            if predicate is not None and audit_mod:
+                # r14: the correlated-filter sample audit, IVF edition —
+                # the matching set may sit outside every probed centroid
+                res = self._filtered_sample_audit(
+                    name, res, predicate, query_vector, k,
+                    vector_col, id_col, audit_mod)
+            return res
         if params["kind"] == "ivf_sq":
             # the sidecar keeps payload columns, so the predicate prunes
             # the CANDIDATE scan (inside the probed partitions) before the
@@ -2123,8 +2169,13 @@ class CollectionCatalog:
             base = self.read(name)
             if predicate is not None:
                 base = base.filter(predicate)
-            return exact_rescore_topk(base, cand, query_vector, k,
-                                      id_col=id_col, vector_col=vector_col)
+            res = exact_rescore_topk(base, cand, query_vector, k,
+                                     id_col=id_col, vector_col=vector_col)
+            if predicate is not None and audit_mod:
+                res = self._filtered_sample_audit(
+                    name, res, predicate, query_vector, k,
+                    vector_col, id_col, audit_mod)
+            return res
         graph = self.spark.read.parquet(os.path.join(adir, "graph"))
         entry_ids = params["entry_ids"]
         cdir = os.path.join(adir, "coarse_sample")

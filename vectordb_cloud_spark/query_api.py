@@ -218,6 +218,19 @@ def _score_query(
             tiebreak=id_col,
         )
         return out, metric in ("cosine", "dot"), "dist"
+    if isinstance(query, dict) and query.get("sample") == "random":
+        # Qdrant allows a random-sample PREFETCH leg (r14 grammar dreg):
+        # seeded-deterministic candidates for the outer query to rescore.
+        # The leg's "score" is its own sample order (the seeded shuffle
+        # hash, ascending), so rank-based fusion sees the sample's order —
+        # Qdrant's arbitrary-order semantics, made replayable.
+        from vectordb_cloud_spark.sources.readers import random_sample
+
+        df = base if pred is None else base.filter(pred)
+        out = random_sample(df, k, id_col=id_col).withColumn(
+            "score",
+            F.xxhash64(F.col(id_col), F.lit(42)).cast("double"))
+        return out, False, "score"
     raise ValueError(f"unsupported leg query: {query!r}")
 
 
@@ -417,10 +430,16 @@ def query_points(
     # an "mmr" sibling requests diversity reranking of the dense leg
     query, mmr_spec = _unwrap_nearest(query)
     if _is_point_id(query):
+        # r14 grammar dreg: Qdrant's lookup_from applies to the query-by-ID
+        # form too (and composes with an mmr sibling) — the id resolves in
+        # the FOREIGN collection, and the foreign id space excludes nothing
+        # from this collection's results (the recommend lookup_from rule)
         qpid = query
-        query = _point_vector(points, qpid, vcol, id_col)
-        not_self = F.col(id_col) != F.lit(qpid)
-        pred = not_self if pred is None else (pred & not_self)
+        src = points if lookup_from is None else lookup_from
+        query = _point_vector(src, qpid, vcol, id_col)
+        if lookup_from is None:
+            not_self = F.col(id_col) != F.lit(qpid)
+            pred = not_self if pred is None else (pred & not_self)
     if mmr_spec is not None and not (
         isinstance(query, (list, tuple)) and query
         and not _is_multivector_query(query)
