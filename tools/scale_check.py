@@ -809,7 +809,7 @@ def main():
 
             from vectordb_cloud_spark.collections import CollectionCatalog
 
-            for n in (100_000,):
+            for n in (100_000, 1_000_000):
                 gdir = os.path.join(tmp, f"gappend_{n}")
                 cat = CollectionCatalog(spark, gdir)
                 cat.create("gv", dim=64,

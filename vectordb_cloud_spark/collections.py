@@ -1711,9 +1711,6 @@ class CollectionCatalog:
         Returns the new params dict with stage/ populated, or None when
         the full build must run. ``{"graph": {"incremental": false}}``
         opts a collection out."""
-        from vectordb_cloud_spark.operators.graph_ann import (
-            blocking_from_json, knn_graph_append)
-
         if not spec.get("incremental", True):
             return None
         prev = None  # newest prior graph sidecar with blocking + snapshot
@@ -1782,7 +1779,25 @@ class CollectionCatalog:
             .select(F.col(id_col),
                     F.xxhash64(F.col(vector_col)).alias("__hn"))
         )
-        joined = new_cb.join(old_cb, id_col, "left_outer")
+        # skinny (id, old-hash, new-hash) rows for the changed buckets,
+        # cached: the classification feeds the stats agg, delta/changed
+        # id frames, and their graph/banded/coarse consumers — without
+        # the cache each one re-scans the changed buckets' vectors
+        joined = new_cb.join(old_cb, id_col, "left_outer").cache()
+        try:
+            return self._classify_and_append(
+                joined, old_cb, old_params, old_adir, spec, df,
+                vector_col, id_col, stage, _reuse)
+        finally:
+            joined.unpersist()
+
+    def _classify_and_append(self, joined, old_cb, old_params: dict,
+                             old_adir: str, spec: dict, df: DataFrame,
+                             vector_col: str, id_col: str, stage: str,
+                             _reuse) -> dict | None:
+        from vectordb_cloud_spark.operators.graph_ann import (
+            blocking_from_json, knn_graph_append)
+
         stats = joined.agg(
             F.count(F.lit(1)).alias("n_new_rows"),
             F.sum(F.when(F.col("__ho").isNull(), 1).otherwise(0))
