@@ -399,3 +399,69 @@ def test_ivf_filtered_sample_audit_catches_correlated_filter(catalog, spark):
     catalog.upsert("ivn", rows)
     raw = catalog.search_ann("ivn", qv, k=5, predicate=pred).collect()
     assert len(raw) < 5
+
+
+def test_early_stop_oracle_replay(spark, sf_dir, tmp_path):
+    """The collection_ann_incremental_topk oracle replays
+    graph_beam_search's driver loop INCLUDING its early-stop branches
+    (queries._gann_oracle_sql gates each hop on the prior hop's
+    frontier-nonempty AND improved flags). The registry fixture's dials
+    happen to run all hops, so this test pins the gates at dials where
+    the loop measurably STOPS: the gated SQL must match search_ann
+    exactly, and the UNGATED fixed-hop unroll must differ — proving the
+    gates are load-bearing, not decorative. The sidecar under test went
+    through an incremental write epoch (same shape as the registry
+    fixture)."""
+    import json as _json
+
+    import duckdb
+
+    from vectordb_cloud_spark import queries as qmod
+
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    cat = CollectionCatalog(spark, str(tmp_path / "gstop"))
+    cat.create("g", dim=64, n_buckets=4,
+               ann_index={"graph": {"degree": 4, "beam": 4,
+                                    "max_hops": 8, "n_entry": 2}})
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pts = emb.select(F.col("vec_id").alias("id"), "embedding",
+                     (F.col("vec_id") % 50).alias("user_id"))
+    cat.upsert("g", pts.filter(F.col("id") % 10 != 0))
+    cat.build_ann_index("g")
+    cat.upsert("g", pts.filter(F.col("id") % 10 == 0))
+    adir = cat.build_ann_index("g")
+    with open(os.path.join(adir, "params.json")) as f:
+        params = _json.load(f)
+    assert params["appended_rows"] > 0  # the incremental epoch engaged
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')")
+    vecs = {int(r["vec_id"]): [float(x) for x in r["embedding"]]
+            for r in emb.filter(F.col("vec_id") < 15).collect()}
+    # which query trips the early stop in a result-visible way depends on
+    # the built graph (environment-sensitive), so probe ids until one
+    # shows the gate is load-bearing — asserting the gated replay matches
+    # search_ann on EVERY probed id along the way
+    gate_mattered = False
+    for qid in sorted(vecs):
+        got = [(int(r["id"]), float(r["dist"]))
+               for r in cat.search_ann("g", vecs[qid], k=10).collect()]
+        kw = dict(adj_glob=os.path.join(adir, "graph", "*.parquet"),
+                  cs_glob=os.path.join(adir, "coarse_sample", "*.parquet"),
+                  beam=4, max_hops=8, n_entry=2,
+                  query_where=f"vec_id = {qid}")
+        gated = [(int(i), float(d)) for i, d in
+                 con.execute(qmod._gann_oracle_sql(**kw)).fetchall()]
+        assert [i for i, _ in gated] == [i for i, _ in got], f"qid={qid}"
+        assert all(abs(dg - round(ds, 6)) < 1e-9
+                   for (_, ds), (_, dg) in zip(got, gated)), f"qid={qid}"
+        ungated = [(int(i), float(d)) for i, d in
+                   con.execute(qmod._gann_oracle_sql(gated=False, **kw))
+                   .fetchall()]
+        if ungated != gated:
+            gate_mattered = True  # the fixed-hop unroll diverged: the
+            break                 # stop branches changed this answer
+    # if NO probed query distinguishes gated from ungated, the dials no
+    # longer exercise the early stop and the test has gone vacuous
+    assert gate_mattered

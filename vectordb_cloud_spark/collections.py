@@ -1713,30 +1713,9 @@ class CollectionCatalog:
         opts a collection out."""
         if not spec.get("incremental", True):
             return None
-        prev = None  # newest prior graph sidecar with blocking + snapshot
-        for d in os.listdir(self._dir(name)):
-            if not d.startswith("ann.v"):
-                continue
-            try:
-                v = int(d.split("ann.v", 1)[1])
-            except ValueError:
-                continue
-            if v >= meta.version:
-                continue
-            adir = os.path.join(self._dir(name), d)
-            pfile = os.path.join(adir, "params.json")
-            bfile = os.path.join(adir, "blocking.json")
-            if not (os.path.isfile(pfile) and os.path.isfile(bfile)):
-                continue
-            with open(pfile) as f:
-                p = json.load(f)
-            if (p.get("kind") != "graph"
-                    or p.get("vector_col", "embedding") != vector_col):
-                continue
-            if not os.path.isdir(self._data_dir_v(name, v)):
-                continue  # snapshot vacuumed: nothing to diff against
-            if prev is None or v > prev[0]:
-                prev = (v, adir, p)
+        # newest prior graph sidecar with blocking + data snapshot
+        prev = self._prev_ann_sidecar(name, meta, ("graph",), vector_col,
+                                      require_files=("blocking.json",))
         if prev is None:
             return None
         old_v, old_adir, old_params = prev
@@ -1780,16 +1759,20 @@ class CollectionCatalog:
                     F.xxhash64(F.col(vector_col)).alias("__hn"))
         )
         # skinny (id, old-hash, new-hash) rows for the changed buckets,
-        # cached: the classification feeds the stats agg, delta/changed
-        # id frames, and their graph/banded/coarse consumers — without
-        # the cache each one re-scans the changed buckets' vectors
-        joined = new_cb.join(old_cb, id_col, "left_outer").cache()
-        try:
-            return self._classify_and_append(
-                joined, old_cb, old_params, old_adir, spec, df,
-                vector_col, id_col, stage, _reuse)
-        finally:
-            joined.unpersist()
+        # materialized once (localCheckpoint): the classification feeds
+        # the stats agg, delta/changed id frames, and their graph/banded/
+        # coarse consumers — without it each one re-scans the changed
+        # buckets' vectors. localCheckpoint, NOT cache(): an
+        # InMemoryRelation here keeps its output partitioning, and the
+        # downstream sort-merge joins against 3-way unions intermittently
+        # zip a 200-partition cached side against a 600-partition union
+        # ("Can't zip RDDs with unequal numbers of partitions", observed
+        # ~1-in-4 under default shuffle partitions); the checkpointed RDD
+        # scan severs that propagation.
+        joined = new_cb.join(old_cb, id_col, "left_outer").localCheckpoint()
+        return self._classify_and_append(
+            joined, old_cb, old_params, old_adir, spec, df,
+            vector_col, id_col, stage, _reuse)
 
     def _classify_and_append(self, joined, old_cb, old_params: dict,
                              old_adir: str, spec: dict, df: DataFrame,
@@ -1879,6 +1862,57 @@ class CollectionCatalog:
         params["appended_rows"] = appended + n_new + n_changed
         params.setdefault("full_build_n", base_n)
         return params
+
+    def _prev_ann_sidecar(self, name: str, meta, kinds: tuple,
+                          vector_col: str,
+                          require_files: tuple = ()) -> tuple | None:
+        """Newest prior ann.v sidecar of one of ``kinds`` whose MVCC data
+        snapshot is still on disk (the delta detector needs both versions
+        to diff) — shared by the graph and IVF incremental paths.
+        Returns (version, adir, params) or None."""
+        prev = None
+        for d in os.listdir(self._dir(name)):
+            if not d.startswith("ann.v"):
+                continue
+            try:
+                v = int(d.split("ann.v", 1)[1])
+            except ValueError:
+                continue
+            if v >= meta.version:
+                continue
+            adir = os.path.join(self._dir(name), d)
+            pfile = os.path.join(adir, "params.json")
+            if not os.path.isfile(pfile):
+                continue
+            if any(not os.path.exists(os.path.join(adir, f))
+                   for f in require_files):
+                continue
+            with open(pfile) as f:
+                p = json.load(f)
+            if (p.get("kind") not in kinds
+                    or p.get("vector_col", "embedding") != vector_col):
+                continue
+            if not os.path.isdir(self._data_dir_v(name, v)):
+                continue
+            if prev is None or v > prev[0]:
+                prev = (v, adir, p)
+        return prev
+
+    @staticmethod
+    def _link_tree(src_dir: str, dst_dir: str) -> None:
+        """``_link_files`` for a partitioned layout: hardlink every file
+        under ``src_dir`` into ``dst_dir`` preserving the subdirectory
+        structure (``centroid_id=N/part-*.parquet``)."""
+        for root, _dirs, files in os.walk(src_dir):
+            rel = os.path.relpath(root, src_dir)
+            out = (dst_dir if rel == "." else os.path.join(dst_dir, rel))
+            os.makedirs(out, exist_ok=True)
+            for f in files:
+                s, d = os.path.join(root, f), os.path.join(out, f)
+                try:
+                    os.link(s, d)
+                except OSError:
+                    shutil.copy2(s, d)
 
     def build_ann_index(self, name: str, vector_col: str = "embedding",
                         id_col: str = "id") -> str:

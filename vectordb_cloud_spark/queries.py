@@ -2391,9 +2391,7 @@ def asof_last_purchase_before_click(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-@_q(
-    "range_join_value_tiers",
-    """
+_RANGE_JOIN_ORACLE = """
     WITH tiers(tier, lo, hi) AS (
       VALUES ('low', 0.0, 50.0), ('mid', 50.0, 150.0), ('high', 150.0, 500.0)
     )
@@ -2401,11 +2399,16 @@ def asof_last_purchase_before_click(spark: SparkSession, sf_dir: str) -> DataFra
            round(sum(CAST(e.value AS DECIMAL(28,10)))::DOUBLE, 4) AS total_value
     FROM events e JOIN tiers t ON e.value >= t.lo AND e.value < t.hi
     GROUP BY t.tier
-    """,
-)
+    """
+
+
 def range_join_value_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join via bucketization: point value -> bucket equi-join ->
-    exact BETWEEN, instead of an O(n·m) theta join."""
+    exact BETWEEN, instead of an O(n·m) theta join. Retired to library
+    in-round r14 (the slot went to collection_ann_incremental_topk —
+    newest-code-least-proof; the bucketized-join shape survives in the
+    sessionize/asof rows); stays wired for spot runs with its full
+    oracle."""
     from vectordb_cloud_spark.operators.temporal import range_join
 
     ev = _t(spark, sf_dir, "events")
@@ -4472,6 +4475,164 @@ def distance_matrix_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("dist", 6).alias("dist"))
 
 
+# --- r14 in-round rotation: the incremental graph sidecar under the -------
+# hard oracle (the standing newest-code-least-proof rule, applied to the
+# round's own centerpiece instead of waiting for the next verdict). The
+# fixture drives the collection through a SECOND write epoch so the
+# ann.v sidecar is maintained by _incremental_graph_params /
+# knn_graph_append (collections.py) rather than a full rebuild, then the
+# oracle replays the coarse-seeded beam search — early-stop branches
+# included — from the adjacency + coarse_sample files the INCREMENTAL
+# path wrote. The slot came from range_join_value_tiers (shape-redundant:
+# bucketized range joins survive in sessionize/asof rows; retired below).
+_GANN_BASE = os.path.join(_ORACLE_ART_BASE, "gann_col")
+_GANN_BEAM = 16
+_GANN_HOPS = 3
+_GANN_ENTRY = 8
+_GANN_CURRENT: str | None = None
+
+
+def _gann_collection(spark: SparkSession, sf_dir: str):
+    """Collection fixture for INCREMENTALLY-maintained graph ANN (r14,
+    VERDICT r13 #3): create with ``ann_index={"graph": ...}`` → upsert the
+    ~90% of embeddings with ``vec_id % 10 != 0`` → FULL sidecar build
+    (adjacency + blocking.json + banded + coarse_sample persisted) →
+    upsert the held-out ~10% (a second write epoch at 0.111 of the full
+    build's rows, inside the 0.2 ``incremental_budget``) → the next
+    ``build_ann_index`` maintains the sidecar through
+    ``knn_graph_append`` instead of rebuilding. RAISES if the second
+    build fell back to a full rebuild (``appended_rows`` unset): a
+    silent fallback would leave the row green while it stopped proving
+    the incremental path."""
+    global _GANN_CURRENT
+    import json as _json
+    import shutil
+
+    from vectordb_cloud_spark.collections import CollectionCatalog
+
+    key = os.path.abspath(sf_dir)
+    cat = CollectionCatalog(spark, _GANN_BASE)
+    if _GANN_CURRENT == key:
+        return cat
+    shutil.rmtree(_GANN_BASE, ignore_errors=True)
+    cat = CollectionCatalog(spark, _GANN_BASE)
+    cat.create("ganni", dim=_EMB_DIM, n_buckets=4,
+               ann_index={"graph": {"degree": 8, "beam": _GANN_BEAM,
+                                    "max_hops": _GANN_HOPS,
+                                    "n_entry": _GANN_ENTRY}})
+    emb = _t(spark, sf_dir, "embeddings")
+    pts = emb.select(F.col("vec_id").alias("id"), "embedding",
+                     (F.col("vec_id") % 50).alias("user_id"))
+    cat.upsert("ganni", pts.filter(F.col("id") % 10 != 0))
+    cat.build_ann_index("ganni")            # full build
+    cat.upsert("ganni", pts.filter(F.col("id") % 10 == 0))
+    adir = cat.build_ann_index("ganni")     # write epoch: incremental
+    with open(os.path.join(adir, "params.json")) as f:
+        params = _json.load(f)
+    if int(params.get("appended_rows", 0)) <= 0:
+        raise RuntimeError(
+            "collection_ann_incremental_topk fixture: the second build did "
+            "not take the incremental path (appended_rows="
+            f"{params.get('appended_rows')!r}) — the oracle would still "
+            "hash-match a rebuilt sidecar, silently un-proving "
+            "knn_graph_append; investigate collections._incremental_graph_"
+            "params before trusting this row")
+    _GANN_CURRENT = key
+    return cat
+
+
+def _gann_oracle_sql(adj_glob: str | None = None,
+                     cs_glob: str | None = None,
+                     beam: int = _GANN_BEAM,
+                     max_hops: int = _GANN_HOPS,
+                     n_entry: int = _GANN_ENTRY,
+                     k: int = 10,
+                     query_where: str = "vec_id = 0",
+                     gated: bool = True) -> str:
+    """DuckDB twin of ``CollectionCatalog.search_ann`` on a graph-indexed
+    collection whose sidecar went through an INCREMENTAL write epoch:
+    seed from the top-``n_entry`` of the persisted ``coarse_sample``
+    (the serve path's per-query coarse seeding), then replay
+    ``graph_beam_search``'s driver loop hop by hop as unrolled CTEs —
+    including its EARLY-STOP branches, which the fixed-hop
+    ``ann_graph_topk`` oracle never needed: hop ``h`` runs iff every
+    prior hop found a frontier AND some frontier node beat the worst
+    beam member (the loop's ``improved`` flag), expressed as a chained
+    ``g{{h}}.go`` scalar gate on the frontier CTE. (The registry
+    fixture's dials run all hops; the stop branches themselves are
+    pinned by ``test_graph_ann.py::test_early_stop_oracle_replay``,
+    which generates this same SQL at dials where the loop DOES stop.)
+    Adjacency and sample are read from the ann.v files the APPEND path
+    wrote; vectors come from the embeddings view (the collection holds
+    exactly those rows), every distance the same fold-in-element-order
+    L2 both engines compute bit-equal."""
+    l2 = _SQL_L2.format(a="e.embedding", b="q.qe")
+    l2cs = _SQL_L2.format(a="cs.embedding", b="q.qe")
+    if adj_glob is None:
+        adj_glob = os.path.join(_GANN_BASE, "ganni", "ann.v*", "graph",
+                                "*.parquet")
+    if cs_glob is None:
+        cs_glob = os.path.join(_GANN_BASE, "ganni", "ann.v*",
+                               "coarse_sample", "*.parquet")
+    hops = []
+    prev = "v0"
+    for h in range(1, max_hops + 1):
+        gate = (f"\n               AND (SELECT go FROM g{h - 1})"
+                if gated and h > 1 else "")
+        hops.append(f""",
+    b{h} AS MATERIALIZED (SELECT node, dist FROM {prev}
+             ORDER BY dist, node LIMIT {beam}),
+    f{h} AS (SELECT DISTINCT a.dst AS node
+             FROM adj a JOIN b{h} b ON a.src = b.node
+             WHERE a.dst NOT IN (SELECT node FROM {prev}){gate}),
+    s{h} AS MATERIALIZED (SELECT e.vec_id AS node, {l2} AS dist
+             FROM embeddings e JOIN f{h} f ON e.vec_id = f.node, q),
+    g{h} AS (SELECT count(*) > 0
+                    AND min(dist) < (SELECT max(dist) FROM b{h}) AS go
+             FROM s{h}),
+    v{h} AS MATERIALIZED (SELECT * FROM {prev}
+             UNION ALL SELECT * FROM s{h})""")
+        prev = f"v{h}"
+    return f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE {query_where}),
+    -- MATERIALIZED (adj + per-hop b/s/v): DuckDB inlines plain CTEs at
+    -- every reference, and each hop references the previous visited set
+    -- several times — inlined, the unroll's plan grows 2^hops (observed:
+    -- an 8-hop replay hangs and trips EMFILE re-opening the parquet per
+    -- inlined scan); materialization keeps it linear in max_hops
+    adj AS MATERIALIZED (SELECT src, dst FROM read_parquet('{adj_glob}')),
+    cs AS (SELECT id, embedding FROM read_parquet('{cs_glob}')),
+    v0 AS MATERIALIZED (SELECT cs.id AS node, {l2cs} AS dist FROM cs, q
+           ORDER BY dist, node LIMIT {n_entry}){"".join(hops)}
+    SELECT node AS id, round(dist, 6) AS dist
+    FROM {prev} ORDER BY dist, node LIMIT {k}
+    """
+
+
+@_q("collection_ann_incremental_topk", _gann_oracle_sql())
+def collection_ann_incremental_topk(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Graph ``search_ann`` through a sidecar maintained INCREMENTALLY
+    across a write epoch (r14, VERDICT r13 #3): the fixture's second
+    upsert advances the MVCC snapshot, and ``build_ann_index`` routes the
+    delta through the persisted blocking + ``(id, block)`` banded table
+    (``knn_graph_append``) instead of re-scoring the corpus — the fixture
+    raises if that path did not engage. The query vector (vec_id 0) is
+    itself an APPENDED row, so the hash-matched top-k proves the new
+    epoch's vectors are navigable: coarse-sample seeding, the widened
+    adjacency, and the beam loop's early-stop trace are all replayed by
+    ``_gann_oracle_sql`` from the files the incremental path wrote.
+    SCALE.md graph_sidecar series: 1k append 4.9x under a full build at
+    100k rows, 7.6x under at 1M. Reference: Qdrant's HNSW maintains
+    itself in place on upsert (the server behind reference app.py:20-33's
+    insert route); this is that maintenance re-expressed as bounded
+    bucket-delta batch work."""
+    cat = _gann_collection(spark, sf_dir)
+    qv = _query_vec(spark, sf_dir, 0)
+    hits = cat.search_ann("ganni", qv, k=10)
+    return hits.select("id", F.round("dist", 6).alias("dist"))
+
+
 # Rows rotated OUT of the 50-slot registry (r11: the slots went to the
 # r10-new serving surfaces) stay runnable WITH their oracles at library
 # level: tools/check_queries.py resolves explicitly-named queries it does
@@ -4494,6 +4655,10 @@ _LIBRARY: dict[str, QueryFn] = {
     # to the registry; grouping_sets_order_stats retired here
     # (shape-redundant — VERDICT r13 #4)
     "grouping_sets_order_stats": grouping_sets_order_stats,
+    # r14 in-round rotation: collection_ann_incremental_topk promoted
+    # (the round's own newest code under the hard oracle);
+    # range_join_value_tiers retired here (shape-redundant)
+    "range_join_value_tiers": range_join_value_tiers,
 }
 _LIB_ORACLES: dict[str, str] = {
     "simhash_near_dup_pairs": _simhash_oracle_sql(),
@@ -4505,6 +4670,7 @@ _LIB_ORACLES: dict[str, str] = {
     "lsh_similarity_join_pairs": _lsh_joinpairs_oracle_sql(),
     "bm25_topk": _BM25_ORACLE,
     "grouping_sets_order_stats": _GROUPING_SETS_ORACLE,
+    "range_join_value_tiers": _RANGE_JOIN_ORACLE,
 }
 
 
