@@ -465,3 +465,123 @@ def test_early_stop_oracle_replay(spark, sf_dir, tmp_path):
     # if NO probed query distinguishes gated from ungated, the dials no
     # longer exercise the early stop and the test has gone vacuous
     assert gate_mattered
+
+
+def test_ivf_sidecar_incremental_append(catalog, spark):
+    """r14: the IVF twin of the graph incremental path — a pure-append
+    write epoch keeps the trained centroids and routes only the delta
+    (ivf_append into a hardlinked layout copy), no KMeans refit, no
+    rewrite of existing inverted-list files. At nprobe == k_centroids
+    the pruned search degenerates to brute force, so post-append search
+    must equal exact over the grown corpus — the appended rows are in
+    the layout and nothing was lost."""
+    _seed(catalog, spark, "ia", {"ivf": {"k_centroids": 4, "nprobe": 4}},
+          n=400)
+    qv = [0.1] * 8
+    catalog.search_ann("ia", qv, k=5)  # builds the v1 sidecar
+    adir1, p1 = _graph_params(catalog, "ia")
+    assert p1["kind"] == "ivf" and p1.get("appended_rows", 0) == 0
+    old_layout = {
+        d: set(os.listdir(os.path.join(adir1, "ivf", d)))
+        for d in os.listdir(os.path.join(adir1, "ivf"))
+        if d.startswith("centroid_id=")
+    }
+    base = catalog.read("ia").drop("__bucket")
+    clones = base.filter(F.col("id") < 20).select(
+        (F.col("id") + 400).alias("id"), "embedding", "text", "user_id")
+    catalog.upsert("ia", clones)
+    tgt = [float(x) for x in
+           base.filter(F.col("id") == 5).first()["embedding"]]
+    got = [r["id"] for r in catalog.search_ann("ia", tgt, k=5).collect()]
+    adir2, p2 = _graph_params(catalog, "ia")
+    assert p2["appended_rows"] == 20  # incremental, not a rebuild
+    assert p2["centers"] == p1["centers"]  # kept, not refit
+    assert 405 in got and 5 in got  # the appended clone is served
+    # full probe == exact over the grown corpus: nothing lost, nothing
+    # stale
+    got_q = [r["id"] for r in catalog.search_ann("ia", qv, k=10).collect()]
+    assert got_q == _exact(catalog, "ia", qv, 10)
+    # every OLD inverted-list file survives byte-identical (hardlinked),
+    # the delta only ADDED files
+    for d, files in old_layout.items():
+        assert files <= set(os.listdir(os.path.join(adir2, "ivf", d)))
+
+
+def test_ivf_sidecar_incremental_fallbacks(catalog, spark):
+    """In-place updates, deletes, and drift past incremental_budget all
+    fall back to the full rebuild (immutable inverted-list files would
+    hold stale rows; centroids drift as data grows)."""
+    _seed(catalog, spark, "iu", {"ivf": {"k_centroids": 4, "nprobe": 4}},
+          n=400)
+    qv = [0.1] * 8
+    catalog.search_ann("iu", qv, k=5)
+    base = catalog.read("iu").drop("__bucket")
+    # in-place vector update -> rebuild (appended_rows stays 0)
+    tgt = [float(x) for x in
+           base.filter(F.col("id") == 200).first()["embedding"]]
+    moved = base.filter(F.col("id") == 7).select(
+        "id", F.array(*[F.lit(x) for x in tgt]).cast("array<float>")
+        .alias("embedding"), "text", "user_id")
+    catalog.upsert("iu", moved)
+    got = {r["id"]: r["dist"] for r in
+           catalog.search_ann("iu", tgt, k=5).collect()}
+    _, p2 = _graph_params(catalog, "iu")
+    assert p2.get("appended_rows", 0) == 0  # rebuild, and correct:
+    assert got.get(7, 1.0) < 1e-6  # the moved vector is served fresh
+    # delete -> rebuild
+    catalog.delete_where("iu", F.col("id") == 399)
+    catalog.search_ann("iu", qv, k=5)
+    _, p3 = _graph_params(catalog, "iu")
+    assert p3.get("appended_rows", 0) == 0
+    # budget zero -> always rebuild
+    catalog.create("ib", dim=8, ann_index={"ivf": {
+        "k_centroids": 4, "nprobe": 4, "incremental_budget": 0}})
+    rows = catalog.read("iu").drop("__bucket")
+    catalog.upsert("ib", rows)
+    catalog.search_ann("ib", qv, k=5)
+    clones = rows.filter(F.col("id") < 5).select(
+        (F.col("id") + 1000).alias("id"), "embedding", "text", "user_id")
+    catalog.upsert("ib", clones)
+    catalog.search_ann("ib", qv, k=5)
+    _, pb = _graph_params(catalog, "ib")
+    assert pb.get("appended_rows", 0) == 0
+
+
+def test_ivf_sq_sidecar_incremental_append(catalog, spark):
+    """The composed IVF×SQ layout appends too: the delta is encoded with
+    the sidecar's FROZEN mins/maxs and routed through the kept
+    centroids; the exact rescore serves appended points correctly even
+    though their codes saturate at the old affine range's edges."""
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    catalog.create("isq", dim=8,
+                   ann_index={"ivf": {"k_centroids": 4, "nprobe": 4}},
+                   quantization={"scalar": {"type": "int8"}})
+    rows = (
+        spark.range(400)
+        .select(
+            F.col("id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(7)),
+                lambda i: (F.pmod(F.xxhash64(F.col("id"), i), F.lit(1000))
+                           - 500.0) / 500.0,
+            ).cast("array<float>").alias("embedding"),
+            F.concat(F.lit("doc "), F.col("id")).alias("text"),
+            (F.col("id") % 4).alias("user_id"),
+        )
+    )
+    catalog.upsert("isq", rows)
+    qv = [0.1] * 8
+    catalog.search_ann("isq", qv, k=5)
+    adir1, p1 = _graph_params(catalog, "isq")
+    assert p1["kind"] == "ivf_sq"
+    base = catalog.read("isq").drop("__bucket")
+    clones = base.filter(F.col("id") < 20).select(
+        (F.col("id") + 400).alias("id"), "embedding", "text", "user_id")
+    catalog.upsert("isq", clones)
+    tgt = [float(x) for x in
+           base.filter(F.col("id") == 5).first()["embedding"]]
+    got = [r["id"] for r in catalog.search_ann("isq", tgt, k=5).collect()]
+    adir2, p2 = _graph_params(catalog, "isq")
+    assert p2["appended_rows"] == 20
+    assert p2["mins"] == p1["mins"] and p2["maxs"] == p1["maxs"]  # frozen
+    assert 405 in got and 5 in got

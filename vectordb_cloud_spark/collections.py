@@ -1914,6 +1914,131 @@ class CollectionCatalog:
                 except OSError:
                     shutil.copy2(s, d)
 
+    def _incremental_ivf_params(self, name: str, meta, spec: dict,
+                                df: DataFrame, vector_col: str,
+                                id_col: str, stage: str) -> dict | None:
+        """r14 IVF twin of ``_incremental_graph_params``: a pure-append
+        write epoch keeps the trained centroids and routes ONLY the
+        delta through them (``operators.ann.ivf_append``'s route+append
+        into a hardlinked copy of the old layout) — no KMeans refit, no
+        rewrite of any existing inverted-list file. The engine's own
+        family guidance says "pick IVF for write-heavy tables" (SCALE.md
+        build-rate comparison); before this, the collection lifecycle
+        undercut that advice by paying the full KMeans + layout rewrite
+        on every write epoch. Composed ``ivf_sq`` layouts append too:
+        the delta is encoded with the sidecar's FROZEN mins/maxs (new
+        values clamp, the standard SQ saturation; drift is bounded by
+        the same budget that bounds centroid drift).
+
+        Falls back to the full rebuild (returns None) on: deletes or
+        in-place updates (immutable partition files would hold stale
+        rows), a centroid-count config change, or cumulative appends
+        past ``incremental_budget`` (default 0.2 of the last full
+        build's rows — centroids drift as data grows, the FAISS
+        add-then-retrain cycle). ``{"ivf": {"incremental": false}}``
+        opts a collection out. Query-time knobs (nprobe,
+        full_scan_threshold, audit_sample_mod, oversample) refresh from
+        the CURRENT spec so a config tweak doesn't force a rebuild."""
+        from vectordb_cloud_spark.operators.ann import ivf_append, ivf_assign
+
+        if not spec.get("incremental", True):
+            return None
+        want_kind = ("ivf_sq" if meta.quantization
+                     and "scalar" in meta.quantization else "ivf")
+        prev = self._prev_ann_sidecar(name, meta, (want_kind,), vector_col,
+                                      require_files=(want_kind,))
+        if prev is None:
+            return None
+        old_v, old_adir, old_params = prev
+        if len(old_params.get("centers", [])) != int(
+                spec.get("k_centroids", 16)):
+            return None  # config change: retrain
+        old_files = self._bucket_file_sets(self._data_dir_v(name, old_v))
+        new_files = self._bucket_file_sets(self._current_data_dir(name))
+        if old_files is None or new_files is None:
+            return None
+        changed_dirs = {
+            b for b in set(old_files) | set(new_files)
+            if old_files.get(b) != new_files.get(b)
+        }
+
+        def _params_fwd() -> dict:
+            p = dict(old_params)
+            # query-time knobs follow the current spec
+            p["nprobe"] = int(spec.get("nprobe", 2))
+            p["full_scan_threshold"] = int(
+                spec.get("full_scan_threshold", 10_000))
+            p["audit_sample_mod"] = spec.get("audit_sample_mod", 31)
+            if want_kind == "ivf_sq":
+                p["oversample"] = int(spec.get("oversample", 4))
+            return p
+
+        if not changed_dirs:
+            self._link_tree(os.path.join(old_adir, want_kind),
+                            os.path.join(stage, want_kind))
+            return _params_fwd()
+        buckets = [int(b.split("=", 1)[1]) for b in changed_dirs]
+        live = F.col(vector_col).isNotNull()
+        old_cb = (
+            self.spark.read.parquet(self._data_dir_v(name, old_v))
+            .filter(F.col("__bucket").isin(buckets) & live)
+            .select(F.col(id_col),
+                    F.xxhash64(F.col(vector_col)).alias("__ho"))
+        )
+        new_cb = (
+            df.filter(F.col("__bucket").isin(buckets))
+            .select(F.col(id_col),
+                    F.xxhash64(F.col(vector_col)).alias("__hn"))
+        )
+        joined = new_cb.join(old_cb, id_col, "left_outer").localCheckpoint()
+        stats = joined.agg(
+            F.count(F.lit(1)).alias("n_new_rows"),
+            F.sum(F.when(F.col("__ho").isNull(), 1).otherwise(0))
+            .alias("n_new"),
+            F.sum(F.when(F.col("__ho").isNotNull()
+                         & (F.col("__hn") != F.col("__ho")), 1)
+                  .otherwise(0)).alias("n_changed"),
+        ).first()
+        n_new = int(stats["n_new"] or 0)
+        n_changed = int(stats["n_changed"] or 0)
+        if old_cb.count() - (int(stats["n_new_rows"]) - n_new) > 0:
+            return None  # deletes: stale rows in immutable files
+        if n_changed > 0:
+            return None  # in-place updates: ditto
+        base_n = int(old_params.get("full_build_n",
+                                    old_params.get("n_total", 0)) or 0)
+        appended = int(old_params.get("appended_rows", 0))
+        budget = float(spec.get("incremental_budget", 0.2))
+        if base_n <= 0 or (appended + n_new) > budget * base_n:
+            return None  # centroid drift past budget: retrain
+        self._link_tree(os.path.join(old_adir, want_kind),
+                        os.path.join(stage, want_kind))
+        params = _params_fwd()
+        if n_new == 0:
+            return params  # payload-only rewrite: vectors unmoved
+        delta_ids = joined.filter(F.col("__ho").isNull()).select(id_col)
+        delta_rows = df.join(delta_ids, id_col, "left_semi")
+        centers = [(int(i), list(c)) for i, c in old_params["centers"]]
+        if want_kind == "ivf":
+            ivf_append(delta_rows, centers, os.path.join(stage, "ivf"),
+                       vector_col=vector_col)
+        else:
+            from vectordb_cloud_spark.operators.sq import sq_encode
+
+            assigned = ivf_assign(delta_rows, centers, vector_col)
+            if assigned.filter(F.col("centroid_id").isNull()) \
+                    .limit(1).count():
+                raise ValueError(
+                    "incremental ivf_sq append: batch contains NULL or "
+                    f"dimension-mismatched vectors in {vector_col!r}")
+            sq_encode(assigned, old_params["mins"], old_params["maxs"],
+                      vector_col=vector_col).drop(vector_col) \
+                .write.mode("append").partitionBy("centroid_id") \
+                .parquet(os.path.join(stage, "ivf_sq"))
+        params["appended_rows"] = appended + n_new
+        params.setdefault("full_build_n", base_n)
+        return params
+
     def build_ann_index(self, name: str, vector_col: str = "embedding",
                         id_col: str = "id") -> str:
         from vectordb_cloud_spark.operators.ann import ivf_build, ivf_persist
@@ -1943,55 +2068,69 @@ class CollectionCatalog:
         os.makedirs(stage)
         if "ivf" in meta.ann_index:
             spec = meta.ann_index["ivf"]
-            centers, assigned = ivf_build(
-                df, k_centroids=int(spec.get("k_centroids", 16)),
-                vector_col=vector_col)
-            if meta.quantization and "scalar" in meta.quantization:
-                # BOTH configs -> the composed IVF×SQ layout: centroid
-                # partitioning prunes FILES, int8 codes shrink the BYTES of
-                # every opened file ~4x; originals stay in the base table
-                # for the rescore (Qdrant's quantized-index storage split).
-                # Unlike the bare operators.sq.ivf_sq_persist, the sidecar
-                # KEEPS the payload columns (the byte win is dropping the
-                # fp vector) so search predicates — the mandatory tenant
-                # filter above all — push into the CANDIDATE scan instead
-                # of only filtering the rescore, which would starve small
-                # tenants out of the global top-k*oversample
-                from vectordb_cloud_spark.operators.sq import sq_encode, sq_train
+            # r14: a write-moved version tries the INCREMENTAL path first —
+            # pure-append epochs keep the trained centroids and route only
+            # the delta (ivf_append into a hardlinked layout copy); falls
+            # back here on deletes/updates, config change, missing prior
+            # state, or drift past incremental_budget
+            params = self._incremental_ivf_params(
+                name, meta, spec, df, vector_col, id_col, stage)
+            if params is None:
+                centers, assigned = ivf_build(
+                    df, k_centroids=int(spec.get("k_centroids", 16)),
+                    vector_col=vector_col)
+                if meta.quantization and "scalar" in meta.quantization:
+                    # BOTH configs -> the composed IVF×SQ layout: centroid
+                    # partitioning prunes FILES, int8 codes shrink the
+                    # BYTES of every opened file ~4x; originals stay in the
+                    # base table for the rescore (Qdrant's quantized-index
+                    # storage split). Unlike the bare
+                    # operators.sq.ivf_sq_persist, the sidecar KEEPS the
+                    # payload columns (the byte win is dropping the fp
+                    # vector) so search predicates — the mandatory tenant
+                    # filter above all — push into the CANDIDATE scan
+                    # instead of only filtering the rescore, which would
+                    # starve small tenants out of the global
+                    # top-k*oversample
+                    from vectordb_cloud_spark.operators.sq import (
+                        sq_encode, sq_train)
 
-                mins, maxs = sq_train(df, vector_col)
-                sq_encode(assigned, mins, maxs, vector_col=vector_col) \
-                    .drop(vector_col) \
-                    .write.mode("overwrite").partitionBy("centroid_id") \
-                    .parquet(os.path.join(stage, "ivf_sq"))
-                params = {"kind": "ivf_sq", "centers": centers,
-                          "nprobe": int(spec.get("nprobe", 2)),
-                          "mins": mins, "maxs": maxs,
-                          "oversample": int(spec.get("oversample", 4)),
-                          "full_scan_threshold": int(
-                              spec.get("full_scan_threshold", 10_000)),
-                          # r14: filtered-search sample audit (the graph
-                          # family's knob, IVF edition) — None/0 disables
-                          "audit_sample_mod": spec.get(
-                              "audit_sample_mod", 31)}
-            else:
-                ivf_persist(assigned, os.path.join(stage, "ivf"))
-                params = {"kind": "ivf", "centers": centers,
-                          "nprobe": int(spec.get("nprobe", 2)),
-                          # Qdrant's uniform planner rule: a filter
-                          # matching at most this many points serves the
-                          # exact filtered top-k (the matching set may be
-                          # far from the query — outside any probed
-                          # region); denser filters push into the pruned
-                          # scan, whose probed region covers the filtered
-                          # top-k's k·N/m overall rank at any such
-                          # selectivity (RECALL.md r13 filtered series)
-                          "full_scan_threshold": int(
-                              spec.get("full_scan_threshold", 10_000)),
-                          # r14: filtered-search sample audit (the graph
-                          # family's knob, IVF edition) — None/0 disables
-                          "audit_sample_mod": spec.get(
-                              "audit_sample_mod", 31)}
+                    mins, maxs = sq_train(df, vector_col)
+                    sq_encode(assigned, mins, maxs, vector_col=vector_col) \
+                        .drop(vector_col) \
+                        .write.mode("overwrite").partitionBy("centroid_id") \
+                        .parquet(os.path.join(stage, "ivf_sq"))
+                    params = {"kind": "ivf_sq", "centers": centers,
+                              "nprobe": int(spec.get("nprobe", 2)),
+                              "mins": mins, "maxs": maxs,
+                              "oversample": int(spec.get("oversample", 4)),
+                              "full_scan_threshold": int(
+                                  spec.get("full_scan_threshold", 10_000)),
+                              # filtered-search sample audit (the graph
+                              # family's knob, IVF edition) — None/0
+                              # disables
+                              "audit_sample_mod": spec.get(
+                                  "audit_sample_mod", 31)}
+                else:
+                    ivf_persist(assigned, os.path.join(stage, "ivf"))
+                    params = {"kind": "ivf", "centers": centers,
+                              "nprobe": int(spec.get("nprobe", 2)),
+                              # Qdrant's uniform planner rule: a filter
+                              # matching at most this many points serves
+                              # the exact filtered top-k (the matching set
+                              # may be far from the query — outside any
+                              # probed region); denser filters push into
+                              # the pruned scan, whose probed region covers
+                              # the filtered top-k's k·N/m overall rank at
+                              # any such selectivity (RECALL.md r13
+                              # filtered series)
+                              "full_scan_threshold": int(
+                                  spec.get("full_scan_threshold", 10_000)),
+                              # filtered-search sample audit (the graph
+                              # family's knob, IVF edition) — None/0
+                              # disables
+                              "audit_sample_mod": spec.get(
+                                  "audit_sample_mod", 31)}
         else:
             spec = meta.ann_index["graph"]
             # default to the SHARDED builder: center-literal count is

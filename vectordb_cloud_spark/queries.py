@@ -3730,11 +3730,27 @@ def _ann_collection(spark: SparkSession, sf_dir: str):
                                   "nprobe": _ANNCOL_NPROBE,
                                   "full_scan_threshold": 0}})
     emb = _t(spark, sf_dir, "embeddings")
-    cat.upsert("annc", emb.select(
+    pts = emb.select(
         F.col("vec_id").alias("id"), "embedding",
         (F.col("vec_id") % 50).alias("user_id"),
-    ))
+    )
+    # r14: two write epochs, so the served sidecar is maintained by the
+    # INCREMENTAL path (centroids kept, delta routed via ivf_append into
+    # a hardlinked layout copy) — the oracle's routing + pruned-scan
+    # replay then hash-gates the appended layout, the IVF twin of
+    # collection_ann_incremental_topk. RAISES if the append fell back to
+    # a rebuild (which would silently un-prove the incremental path).
+    cat.upsert("annc", pts.filter(F.col("id") % 10 != 0))
+    cat.build_ann_index("annc")
+    cat.upsert("annc", pts.filter(F.col("id") % 10 == 0))
     adir = cat.build_ann_index("annc")
+    with open(os.path.join(adir, "params.json")) as f:
+        if int(_json.load(f).get("appended_rows", 0)) <= 0:
+            raise RuntimeError(
+                "collection_search_ann fixture: the second build did not "
+                "take the incremental IVF path — investigate "
+                "collections._incremental_ivf_params before trusting "
+                "this oracle row")
     with open(os.path.join(adir, "params.json")) as f:
         centers = _json.load(f)["centers"]
     papq.write_table(
@@ -3788,7 +3804,13 @@ def collection_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     staging+rename, stale prune) → centroid-routed search whose
     ``centroid_id IN`` probe lands in PartitionFilters (collections.py
     build_ann_index/search_ann). The IVF twin of ``quantized_search_int8``;
-    the oracle replays routing + pruned scan from the sidecar files."""
+    the oracle replays routing + pruned scan from the sidecar files.
+    r14: the fixture now takes a SECOND write epoch, so the replayed
+    sidecar was maintained by ``_incremental_ivf_params`` (centroids
+    kept, delta routed through ``ivf_append``, old files hardlinked) —
+    the IVF incremental path is hash-gated like the graph one
+    (``collection_ann_incremental_topk``); the fixture raises if the
+    append fell back to a rebuild."""
     cat = _ann_collection(spark, sf_dir)
     qv = _query_vec(spark, sf_dir, 0)
     hits = cat.search_ann("annc", qv, k=10)
@@ -4134,11 +4156,15 @@ def query_template_threshold_paged(spark: SparkSession,
 
 
 # --- params.exact=false /query through the ann.v sidecar -------------------
-_QAP_USER = 1         # richest tenant inside the probed cells (5 hits)
+_QAP_USER = 1         # richest tenant inside the probed cells (4 hits at
+#                       sf0.01 through the r14 incremental-epoch fixture)
 _QAP_K = 3
 _QAP_OFF = 1          # paging bites (skips the nearest hit)
-_QAP_THR = 1.349      # cuts the fetched 4 hits to 3 (sf0.01 probe; margin
-#                       to the straddling dists ~8e-3 >> round-6 ulp)
+_QAP_THR = 1.427      # cuts the 3 fetched post-offset hits to 2 (sf0.01
+#                       probe [1.276, 1.371, 1.483]; r14 retune — the
+#                       fixture's centers now train on the FIRST epoch's
+#                       90%, shifting probed cells; margin to the
+#                       straddling dists >= 0.056 >> round-6 ulp)
 
 
 def _query_ann_params_oracle_sql() -> str:
