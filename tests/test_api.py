@@ -849,3 +849,78 @@ def test_query_params_quantization_and_hnsw_ef(spark, tmp_path):
         assert svg.insert(i, 4, f"graph point {i}", "s", "en") == 1
     wide = svg.query(4, dict(body, params={"exact": False, "hnsw_ef": 48}))
     assert len(wide) == 5 and "dist" in wide[0]
+
+
+def test_query_batch_ann_shared_parity(spark, tmp_path):
+    """r14: >=2 plain dense bodies carrying params {"exact": false} —
+    Qdrant's ANN default — share the plain-IVF sidecar: one planning
+    count, one pruned scan of the union of probed inverted lists, one
+    batched sample audit. Results must equal per-request query() exactly
+    (ids, distances, envelope) in BOTH planner bands."""
+    # probed band: tenant m=30 > full_scan_threshold=4, audit on
+    svc = VectorService(spark, str(tmp_path / "annb"), index_name="AnnB",
+                        dim=16, ann_index={"ivf": {
+                            "k_centroids": 4, "nprobe": 2,
+                            "full_scan_threshold": 4}})
+    for i in range(30):
+        assert svc.insert(i, 5, f"doc number {i} about topic {i % 7}",
+                          "s", "en") == 1
+    bodies = [
+        {"query": {"text": "topic 3"}, "limit": 4,
+         "params": {"exact": False}},
+        {"query": {"text": "doc number 11"}, "limit": 2,
+         "params": {"exact": False}},
+        {"query": {"nearest": {"text": "topic 5"}}, "limit": 3,
+         "params": {"exact": False}},
+        {"query": {"text": "topic 5"}, "limit": 3},  # exact body: shared
+        # hnsw_ef changes the serve plan -> per-request dispatch
+        {"query": {"text": "topic 1"}, "limit": 2,
+         "params": {"exact": False, "hnsw_ef": 64}},
+    ]
+    got = svc.query_batch(5, bodies)
+    want = [svc.query(5, b) for b in bodies]
+    for g, w in zip(got, want):
+        assert [r["id"] for r in g] == [r["id"] for r in w]
+        assert [round(r["dist"], 12) for r in g] == \
+            [round(r["dist"], 12) for r in w]
+        assert all(set(rg) == set(rw) for rg, rw in zip(g, w))  # envelope
+    assert all("query_id" not in r and "embedding" not in r
+               for rows in got for r in rows)
+    # exact band: default full_scan_threshold (10k) >> m — the ann bodies
+    # fold into the shared exact scan and still match per-request
+    svc2 = VectorService(spark, str(tmp_path / "annb2"), index_name="AnnB2",
+                         dim=16, ann_index={"ivf": {
+                             "k_centroids": 4, "nprobe": 2}})
+    for i in range(20):
+        assert svc2.insert(i, 6, f"piece {i} of corpus {i % 5}",
+                           "s", "en") == 1
+    bodies2 = [
+        {"query": {"text": "corpus 2"}, "limit": 3,
+         "params": {"exact": False}},
+        {"query": {"text": "piece 7"}, "limit": 2,
+         "params": {"exact": False}},
+    ]
+    got2 = svc2.query_batch(6, bodies2)
+    want2 = [svc2.query(6, b) for b in bodies2]
+    for g, w in zip(got2, want2):
+        assert [r["id"] for r in g] == [r["id"] for r in w]
+        assert [round(r["dist"], 12) for r in g] == \
+            [round(r["dist"], 12) for r in w]
+    # non-IVF sidecar (graph): the shared path declines, per-request
+    # serves — parity still holds
+    svc3 = VectorService(spark, str(tmp_path / "annb3"), index_name="AnnB3",
+                         dim=16, ann_index={"graph": {
+                             "degree": 4, "beam": 8, "max_hops": 2,
+                             "full_scan_threshold": 0}})
+    for i in range(15):
+        assert svc3.insert(i, 7, f"graph doc {i}", "s", "en") == 1
+    bodies3 = [
+        {"query": {"text": "graph doc 3"}, "limit": 3,
+         "params": {"exact": False}},
+        {"query": {"text": "graph doc 9"}, "limit": 3,
+         "params": {"exact": False}},
+    ]
+    got3 = svc3.query_batch(7, bodies3)
+    want3 = [svc3.query(7, b) for b in bodies3]
+    for g, w in zip(got3, want3):
+        assert [r["id"] for r in g] == [r["id"] for r in w]

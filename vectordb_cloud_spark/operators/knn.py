@@ -598,6 +598,11 @@ def filtered_sample_audit(
 
     rows = sorted(((r[0], float(r[1])) for r in result_df.collect()),
                   key=lambda t: (t[1], t[0]))
+    if k <= 0:
+        # a zero-limit result is trivially complete — and rows[-1] below
+        # would raise on the empty frame (r14 guard)
+        return points.sparkSession.createDataFrame(
+            [(int(i), d) for i, d in rows], f"{id_col} long, dist double")
     samp = filters & (
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(mod))) == 0)
     cand = points.filter(samp)
