@@ -314,8 +314,9 @@ def test_graph_sidecar_incremental_append(catalog, spark):
 
 def test_graph_sidecar_incremental_update_and_delete(catalog, spark):
     """Changed vectors ride the append path (old edges dropped, node
-    re-linked); deletes fall back to the full rebuild; a tiny
-    incremental_budget forces the rebuild too."""
+    re-linked); small deletes ride it too (r14: edges/routing/sample
+    rows pruned, no rebuild — HNSW's tombstone decay, bounded by the
+    churn budget); a tiny incremental_budget forces the rebuild."""
     _seed(catalog, spark, "gu", {"graph": {"degree": 8, "beam": 16,
                                            "max_hops": 3}}, n=400)
     qv = [0.1] * 8
@@ -337,11 +338,20 @@ def test_graph_sidecar_incremental_update_and_delete(catalog, spark):
     assert p2["appended_rows"] == 1  # one changed id, append path
     assert got.get(200, 1.0) < 1e-6
     assert got.get(7, 1.0) < 1e-6  # the moved node re-linked + navigable
-    # delete -> full rebuild (adjacency repair is a rebuild)
+    # small delete -> INCREMENTAL (r14): edges pruned, params carried,
+    # the deleted id can never surface (base-table probes skip it)
     catalog.delete_where("gu", F.col("id") == 399)
-    catalog.search_ann("gu", qv, k=5)
+    got399 = [r["id"] for r in catalog.search_ann(
+        "gu", [0.1] * 8, k=10).collect()]
     _, p3 = _graph_params(catalog, "gu")
-    assert p3["appended_rows"] == 0 and p3["full_build_n"] == 399
+    assert p3["deleted_rows"] == 1 and p3["appended_rows"] == 1
+    assert p3["full_build_n"] == 400  # no rebuild happened
+    assert p3["n_total"] == 399  # caller recounts the live snapshot
+    assert 399 not in got399
+    adir3, _ = _graph_params(catalog, "gu")
+    adj = spark.read.parquet(os.path.join(adir3, "graph"))
+    assert adj.filter((F.col("src") == 399) | (F.col("dst") == 399)) \
+        .count() == 0  # edges pruned on both endpoints
     # budget opt-out: a collection configured with a zero budget always
     # rebuilds (appended_rows stays 0)
     catalog.create("gb", dim=8, ann_index={"graph": {
@@ -528,11 +538,30 @@ def test_ivf_sidecar_incremental_fallbacks(catalog, spark):
     _, p2 = _graph_params(catalog, "iu")
     assert p2.get("appended_rows", 0) == 0  # rebuild, and correct:
     assert got.get(7, 1.0) < 1e-6  # the moved vector is served fresh
-    # delete -> rebuild
+    # small delete -> TOMBSTONE (r14): layout files untouched, the id
+    # anti-joined out at query time; full probe stays == exact over the
+    # shrunk corpus
+    tgt399 = [float(x) for x in
+              catalog.read("iu").filter(F.col("id") == 399)
+              .first()["embedding"]]
     catalog.delete_where("iu", F.col("id") == 399)
-    catalog.search_ann("iu", qv, k=5)
-    _, p3 = _graph_params(catalog, "iu")
-    assert p3.get("appended_rows", 0) == 0
+    got = [r["id"] for r in catalog.search_ann("iu", tgt399, k=5).collect()]
+    adir3, p3 = _graph_params(catalog, "iu")
+    assert p3["deleted_rows"] == 1
+    assert p3.get("appended_rows", 0) == 0  # no appends this epoch
+    assert 399 not in got
+    assert got == _exact(catalog, "iu", tgt399, 5)
+    assert os.path.isdir(os.path.join(adir3, "tombstones"))
+    # re-insert brings the id back to life (tombstone subtracted)
+    back = catalog.read("iu").drop("__bucket").filter(F.col("id") == 100) \
+        .select(F.lit(399).alias("id"),
+                F.array(*[F.lit(x) for x in tgt399]).cast("array<float>")
+                .alias("embedding"), "text", "user_id")
+    catalog.upsert("iu", back)
+    got2 = [r["id"] for r in catalog.search_ann("iu", tgt399, k=3).collect()]
+    _, p4 = _graph_params(catalog, "iu")
+    assert p4["appended_rows"] == 1 and p4["deleted_rows"] == 1
+    assert got2[0] == 399  # exact-match re-insert serves again
     # budget zero -> always rebuild
     catalog.create("ib", dim=8, ann_index={"ivf": {
         "k_centroids": 4, "nprobe": 4, "incremental_budget": 0}})

@@ -1018,6 +1018,13 @@ class VectorService:
         )
         codes = self.spark.read.parquet(_os.path.join(adir, "ivf")) \
             .filter(pred)
+        tdir = _os.path.join(adir, "tombstones")
+        if _os.path.isdir(tdir):
+            # incremental-delete tombstones: parity with search_ann's
+            # anti-join — stale layout rows can't displace live ones
+            codes = codes.join(
+                F.broadcast(self.spark.read.parquet(tdir)), "id",
+                "left_anti")
         ks = {i: k for i, (_v, k) in entries}
         hits = ivf_knn_join(
             queries, codes, centers, k=max(ks.values()),

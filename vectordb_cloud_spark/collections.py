@@ -1698,15 +1698,24 @@ class CollectionCatalog:
            name sets differ can hold new/changed/deleted rows;
         3. inside those buckets only, classify ids by a JVM-side vector
            hash: new (no old row), changed (hash moved), deleted;
-        4. deletes or a cumulative append fraction past
-           ``incremental_budget`` (default 0.2 of the last FULL build's
-           row count — centroids drift as data grows, the same operating
-           cycle as IVF) fall back to the full rebuild;
-        5. otherwise: drop changed ids' adjacency (both endpoints), route
-           new+changed rows through the PERSISTED blocking
-           (``knn_graph_append`` — O(batch x block) pair work), refresh
-           the coarse_sample stratum incrementally, carry entry_ids and
-           params forward with ``n_total``/``appended_rows`` advanced.
+        4. cumulative CHURN (appends + updates + deletes, this epoch and
+           all prior incremental ones) past ``incremental_budget``
+           (default 0.2 of the last FULL build's row count) falls back
+           to the full rebuild — deleted nodes' edges are pruned without
+           repairing their neighbors' lost degree (HNSW's tombstone
+           decay), so the budget bounds connectivity drift, not just
+           centroid drift;
+        5. otherwise: drop changed AND deleted ids' adjacency (both
+           endpoints), prune them from the banded routing table, the
+           coarse_sample, and the medoid entry list (every medoid
+           deleted → rebuild re-seeds), route new+changed rows through
+           the PERSISTED blocking (``knn_graph_append`` — O(batch x
+           block) pair work), refresh the coarse_sample stratum
+           incrementally, and carry params forward with ``n_total``/
+           ``appended_rows``/``deleted_rows`` advanced. Deleted ids can
+           never surface in results regardless: beam candidates score
+           via a base-table probe, and the MVCC snapshot no longer
+           holds them.
 
         Returns the new params dict with stage/ populated, or None when
         the full build must run. ``{"graph": {"incremental": false}}``
@@ -1792,15 +1801,22 @@ class CollectionCatalog:
         n_new = int(stats["n_new"] or 0)
         n_changed = int(stats["n_changed"] or 0)
         n_old_cb = old_cb.count()
-        if n_old_cb - (int(stats["n_new_rows"]) - n_new) > 0:
-            return None  # deletes present: adjacency repair is a rebuild
+        n_deleted = n_old_cb - (int(stats["n_new_rows"]) - n_new)
         base_n = int(old_params.get("full_build_n",
                                     old_params.get("n_total", 0)) or 0)
         appended = int(old_params.get("appended_rows", 0))
+        dropped = int(old_params.get("deleted_rows", 0))
         budget = float(spec.get("incremental_budget", 0.2))
-        if base_n <= 0 or (appended + n_new + n_changed) > budget * base_n:
+        # deletes, appends, and updates all count against ONE budget: a
+        # deleted node's edges are PRUNED without repairing its neighbors'
+        # lost degree (HNSW's own tombstone decay), so cumulative churn —
+        # not just appends — bounds how far the graph drifts from a fresh
+        # build before the rebuild refreshes it (r14: delete epochs used
+        # to force an immediate full rebuild)
+        churn = appended + dropped + n_new + n_changed + n_deleted
+        if base_n <= 0 or churn > budget * base_n:
             return None  # drifted past the staleness budget: rebuild
-        if n_new + n_changed == 0:
+        if n_new + n_changed + n_deleted == 0:
             return _reuse()  # payload-only rewrite: vectors unmoved
         delta_ids = joined.filter(
             F.col("__ho").isNull() | (F.col("__hn") != F.col("__ho"))
@@ -1808,9 +1824,27 @@ class CollectionCatalog:
         ch_ids = joined.filter(
             F.col("__ho").isNotNull() & (F.col("__hn") != F.col("__ho"))
         ).select(id_col)
+        if n_deleted > 0:
+            # ids present in the old snapshot's changed buckets but gone
+            # from the new one; their edges/routing/sample rows are pruned
+            # below and their entry slots vacated
+            del_ids = old_cb.select(id_col).join(
+                joined.select(id_col), id_col, "left_anti")
+            ch_ids = ch_ids.unionByName(del_ids)
+            entry_ids = [int(i) for i in old_params.get("entry_ids", [])]
+            if entry_ids:
+                gone = {r[0] for r in del_ids.filter(
+                    F.col(id_col).isin(entry_ids)).collect()}
+                kept_entries = [i for i in entry_ids if i not in gone]
+                if not kept_entries:
+                    return None  # every medoid deleted: rebuild re-seeds
+            else:
+                kept_entries = entry_ids
         graph = self.spark.read.parquet(os.path.join(old_adir, "graph"))
         # changed nodes: drop BOTH endpoints' stale edges (their stored
-        # distances moved); the append below re-links them like new points
+        # distances moved); the append below re-links them like new
+        # points. Deleted ids ride the same pruning (ch_ids includes
+        # them) — they just never re-enter via the delta.
         graph = graph.join(ch_ids.withColumnRenamed(id_col, "src"),
                            "src", "left_anti")
         graph = graph.join(ch_ids.withColumnRenamed(id_col, "dst"),
@@ -1858,8 +1892,12 @@ class CollectionCatalog:
         shutil.copy2(os.path.join(old_adir, "blocking.json"),
                      os.path.join(stage, "blocking.json"))
         params = dict(old_params)
-        params["n_total"] = int(old_params.get("n_total", base_n)) + n_new
+        params["n_total"] = (int(old_params.get("n_total", base_n))
+                             + n_new - n_deleted)
         params["appended_rows"] = appended + n_new + n_changed
+        params["deleted_rows"] = dropped + n_deleted
+        if n_deleted > 0:
+            params["entry_ids"] = kept_entries
         params.setdefault("full_build_n", base_n)
         return params
 
@@ -1930,11 +1968,18 @@ class CollectionCatalog:
         values clamp, the standard SQ saturation; drift is bounded by
         the same budget that bounds centroid drift).
 
-        Falls back to the full rebuild (returns None) on: deletes or
-        in-place updates (immutable partition files would hold stale
-        rows), a centroid-count config change, or cumulative appends
-        past ``incremental_budget`` (default 0.2 of the last full
-        build's rows — centroids drift as data grows, the FAISS
+        Deletes ride the epoch too (r14): the immutable layout files
+        keep the stale rows, so deleted ids become TOMBSTONES — a
+        skinny id table in the sidecar that ``search_ann`` (and the
+        batched ``_query_ann_batch``) anti-joins out before the top-k;
+        a tombstoned id re-inserted later is subtracted back out, and
+        the rebuild clears the table.
+
+        Falls back to the full rebuild (returns None) on: in-place
+        updates (stale rows would need per-file rewrites), a
+        centroid-count config change, or cumulative churn (appends +
+        deletes) past ``incremental_budget`` (default 0.2 of the last
+        full build's rows — centroids drift as data grows, the FAISS
         add-then-retrain cycle). ``{"ivf": {"incremental": false}}``
         opts a collection out. Query-time knobs (nprobe,
         full_scan_threshold, audit_sample_mod, oversample) refresh from
@@ -1976,6 +2021,9 @@ class CollectionCatalog:
         if not changed_dirs:
             self._link_tree(os.path.join(old_adir, want_kind),
                             os.path.join(stage, want_kind))
+            if os.path.isdir(os.path.join(old_adir, "tombstones")):
+                self._link_tree(os.path.join(old_adir, "tombstones"),
+                                os.path.join(stage, "tombstones"))
             return _params_fwd()
         buckets = [int(b.split("=", 1)[1]) for b in changed_dirs]
         live = F.col(vector_col).isNotNull()
@@ -2001,22 +2049,47 @@ class CollectionCatalog:
         ).first()
         n_new = int(stats["n_new"] or 0)
         n_changed = int(stats["n_changed"] or 0)
-        if old_cb.count() - (int(stats["n_new_rows"]) - n_new) > 0:
-            return None  # deletes: stale rows in immutable files
+        n_deleted = old_cb.count() - (int(stats["n_new_rows"]) - n_new)
         if n_changed > 0:
-            return None  # in-place updates: ditto
+            return None  # in-place updates: stale rows in immutable files
         base_n = int(old_params.get("full_build_n",
                                     old_params.get("n_total", 0)) or 0)
         appended = int(old_params.get("appended_rows", 0))
+        dropped = int(old_params.get("deleted_rows", 0))
         budget = float(spec.get("incremental_budget", 0.2))
-        if base_n <= 0 or (appended + n_new) > budget * base_n:
-            return None  # centroid drift past budget: retrain
+        if base_n <= 0 or (appended + dropped + n_new + n_deleted
+                           ) > budget * base_n:
+            return None  # churn past budget: retrain + clear tombstones
         self._link_tree(os.path.join(old_adir, want_kind),
                         os.path.join(stage, want_kind))
+        # deletes become TOMBSTONES (Qdrant's deleted flags, batch
+        # edition): the layout's immutable files keep the stale rows, a
+        # skinny id table rides the sidecar, and search_ann anti-joins it
+        # before the top-k so a deleted row can never displace a live
+        # one. Rewritten (not linked) each epoch: a re-inserted id must
+        # come back to life, so the delta's ids are subtracted below.
+        # The rebuild (budget above) clears them entirely.
+        tdir_old = os.path.join(old_adir, "tombstones")
+        tomb = (self.spark.read.parquet(tdir_old)
+                if os.path.isdir(tdir_old) else None)
+        if n_deleted > 0:
+            del_ids = old_cb.select(id_col).join(
+                joined.select(id_col), id_col, "left_anti")
+            tomb = (del_ids if tomb is None
+                    else tomb.unionByName(del_ids))
         params = _params_fwd()
+        params["deleted_rows"] = dropped + n_deleted
         if n_new == 0:
-            return params  # payload-only rewrite: vectors unmoved
+            if tomb is not None:
+                tomb.coalesce(1).write.mode("overwrite") \
+                    .parquet(os.path.join(stage, "tombstones"))
+            return params  # no vectors added: routing untouched
         delta_ids = joined.filter(F.col("__ho").isNull()).select(id_col)
+        if tomb is not None:
+            # a tombstoned id re-inserted this epoch is live again
+            tomb.join(delta_ids, id_col, "left_anti").coalesce(1) \
+                .write.mode("overwrite") \
+                .parquet(os.path.join(stage, "tombstones"))
         delta_rows = df.join(delta_ids, id_col, "left_semi")
         centers = [(int(i), list(c)) for i, c in old_params["centers"]]
         if want_kind == "ivf":
@@ -2290,7 +2363,6 @@ class CollectionCatalog:
         ``beam`` overrides the graph config's beam width for this query —
         Qdrant's search-time ``params.hnsw_ef`` (ignored by IVF layouts,
         as Qdrant ignores hnsw_ef for non-HNSW indexes)."""
-        from vectordb_cloud_spark.operators.ann import ivf_search_persisted
         from vectordb_cloud_spark.operators.graph_ann import graph_beam_search
         from vectordb_cloud_spark.operators.knn import exact_rescore_topk
 
@@ -2323,10 +2395,23 @@ class CollectionCatalog:
         audit_mod = (params.get("audit_sample_mod", 31)
                      if int(params.get("full_scan_threshold", 10_000) or 0)
                      else None)
+        # incremental-delete tombstones (r14): stale rows kept by the
+        # immutable layout files are anti-joined out BEFORE the top-k so
+        # a deleted row can never displace a live one; absent dir = no
+        # deletes since the last full build, zero query-path cost
+        tdir = os.path.join(adir, "tombstones")
+        tomb = (self.spark.read.parquet(tdir)
+                if os.path.isdir(tdir) else None)
         if params["kind"] == "ivf":
+            from vectordb_cloud_spark.operators.ann import ivf_search
+
             centers = [(int(i), list(c)) for i, c in params["centers"]]
-            res = ivf_search_persisted(
-                self.spark, os.path.join(adir, "ivf"), centers, query_vector,
+            assigned = self.spark.read.parquet(os.path.join(adir, "ivf"))
+            if tomb is not None:
+                assigned = assigned.join(F.broadcast(tomb), id_col,
+                                         "left_anti")
+            res = ivf_search(
+                assigned, centers, query_vector,
                 k=k, nprobe=params["nprobe"], vector_col=vector_col,
                 filters=predicate, tiebreak=id_col
             ).select(id_col, "dist")  # uniform (id, dist) contract
@@ -2349,6 +2434,8 @@ class CollectionCatalog:
             probe = route_probe_ids(centers, query_vector, params["nprobe"])
             codes = self.spark.read.parquet(os.path.join(adir, "ivf_sq")) \
                 .filter(F.col("centroid_id").isin(probe))
+            if tomb is not None:
+                codes = codes.join(F.broadcast(tomb), id_col, "left_anti")
             if predicate is not None:
                 codes = codes.filter(predicate)
             cand = sq_search(codes, params["mins"], params["maxs"],
