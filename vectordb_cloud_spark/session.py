@@ -35,6 +35,20 @@ def get_spark(app_name: str = "vectordb-cloud-spark", shuffle_partitions: int | 
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # r14 (guide §2.2): coalesce post-shuffle partitions to TARGET SIZE
+        # (advisoryPartitionSizeInBytes), not to the local core count. With
+        # the default parallelismFirst=true, AQE keeps ~2×cores tiny
+        # partitions however small the shuffle is — measured 1.5-2.3×
+        # slower across every multi-exchange query at sf0.1 (pure task-
+        # scheduling overhead: 22-exchange plans ran 64 near-empty tasks
+        # per stage). Size-based coalescing is scale-adaptive by
+        # construction: a 100 TB shuffle still gets thousands of
+        # partitions from the same setting, which is why Spark's own
+        # tuning guide recommends turning parallelismFirst off.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+                os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"))
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "64m"))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
