@@ -719,6 +719,138 @@ def knn_graph_append(
     return untouched.unionByName(merged)
 
 
+def _graph_knn_join_driver(
+    base: DataFrame,
+    graph: DataFrame,
+    q: DataFrame,
+    qrows: list,
+    k: int,
+    beam: int,
+    max_hops: int,
+    entry_points: int,
+    entry_ids: list[int] | None,
+    id_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Driver-state body of ``graph_knn_join`` for workload-bounded query
+    tables: beams/visited sets are Python dicts, each hop issues ONE job
+    (beam pairs ⋈ adjacency ⋈ vectors ⋈ broadcast queries, collected).
+    Every distance is computed by the SAME JVM ``l2_distance`` expression
+    over the same rows as the distributed loop, and selection replays its
+    exact ordering (``dist`` asc, ``node`` asc), so results — including
+    which hop the global early-stop fires on — are identical."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from vectordb_cloud_spark.filters import int_in_expr
+
+    spark = base.sparkSession
+    qid_t = q.schema["qid"].dataType
+    node_t = base.schema["node"].dataType
+    pair_schema = StructType([
+        StructField("qid", qid_t), StructField("node", node_t)])
+    qids = [r["qid"] for r in qrows]
+    visited: dict = {qid: {} for qid in qids}
+    # IN literals stay bounded; past this the probe goes through a
+    # broadcast of the (still workload-bounded) local pair relation
+    max_isin = 8192
+    single = len(qids) == 1
+    q_vec = [float(x) for x in qrows[0]["__qv"]] if single else None
+    # multi-query scoring joins the queries back in as a LOCAL relation: a
+    # broadcast whose child is a LocalTableScan is built driver-side
+    q_local = None if single else spark.createDataFrame(qrows, schema=q.schema)
+
+    def score_pairs(pairs: list) -> list:
+        """One job scoring (qid, node) pairs with the same JVM double
+        arithmetic as the distributed loop (distance_to_expr renders the
+        identical fold — see _DIST_SQL). Single-query workloads take a
+        pure IN-probe scan (no join, no broadcast); batches prefilter the
+        scan with the same IN and attach qid via local-relation joins."""
+        ids = sorted({n for _, n in pairs})
+        pred = int_in_expr("node", ids) if len(ids) <= max_isin else None
+        if single and pred is not None:
+            qid0 = qids[0]
+            return [
+                (qid0, r["node"], r["dist"])
+                for r in base.filter(pred)
+                .select("node", l2_distance_to("__nv", q_vec).alias("dist"))
+                .collect()
+            ]
+        pdf = spark.createDataFrame(pairs, pair_schema)
+        scan = base.filter(pred) if pred is not None else base
+        ql = (q_local if q_local is not None
+              else spark.createDataFrame(qrows, schema=q.schema))
+        return [
+            (r["qid"], r["node"], r["dist"])
+            for r in scan.join(F.broadcast(pdf), "node")
+            .join(F.broadcast(ql), "qid")
+            .withColumn("dist", l2_distance(F.col("__qv"), F.col("__nv")))
+            .select("qid", "node", "dist")
+            .collect()
+        ]
+
+    if entry_ids is not None:
+        seeds = [int(i) for i in entry_ids]
+    else:
+        seeds = [r["node"] for r in
+                 base.select("node").orderBy(F.col("node").asc())
+                 .limit(entry_points).collect()]
+    seed_pairs = sorted({(qid, n) for qid in qids for n in seeds})
+    if seed_pairs:
+        for qid, node, dist in score_pairs(seed_pairs):
+            visited[qid][node] = dist
+
+    adj = graph.select("src", "dst")
+    for _ in range(max_hops):
+        beams: dict = {}
+        for qid in qids:
+            beams[qid] = sorted(visited[qid].items(),
+                                key=lambda kv: (kv[1], kv[0]))[:beam]
+        beam_ids = sorted({n for top in beams.values() for n, _ in top})
+        if not beam_ids:
+            break
+        # hop job 1: successors of every beam node (pruned adjacency probe)
+        apred = (int_in_expr("src", beam_ids)
+                 if len(beam_ids) <= max_isin else None)
+        if apred is not None:
+            ascan = adj.filter(apred)
+        else:
+            bdf = spark.createDataFrame(
+                [(n,) for n in beam_ids],
+                StructType([StructField("src", node_t)]))
+            ascan = adj.join(F.broadcast(bdf), "src")
+        succ: dict = {}
+        for r in ascan.select("src", "dst").collect():
+            succ.setdefault(r["src"], []).append(r["dst"])
+        # per-query frontier = successors of ITS beam minus ITS visited
+        # set (the distributed loop's dedup + anti-join, replayed exactly)
+        new_pairs = sorted({
+            (qid, dst)
+            for qid, top in beams.items()
+            for n, _ in top
+            for dst in succ.get(n, ())
+            if dst not in visited[qid]
+        })
+        if not new_pairs:
+            break
+        # hop job 2: exact scores for the new frontier
+        scored = score_pairs(new_pairs)
+        if not scored:
+            # every frontier node was dangling (absent from base) — the
+            # distributed loop's post-join isEmpty break, replayed
+            break
+        for qid, node, dist in scored:
+            visited[qid][node] = dist
+
+    out_schema = StructType([
+        StructField(query_id_col, qid_t), StructField(id_col, node_t),
+        StructField("dist", DoubleType())])
+    rows = []
+    for qid in qids:
+        top = sorted(visited[qid].items(), key=lambda kv: (kv[1], kv[0]))[:k]
+        rows += [(qid, n, d) for n, d in top]
+    return spark.createDataFrame(rows, out_schema)
+
+
 def graph_knn_join(
     points: DataFrame,
     graph: DataFrame,
@@ -732,6 +864,7 @@ def graph_knn_join(
     query_id_col: str = "query_id",
     query_vec_col: str = "embedding",
     entry_ids: list[int] | None = None,
+    max_driver_queries: int = 4096,
 ) -> DataFrame:
     """Batch beam search: every query's beam advances together, one
     distributed round per hop — the graph family's ``ivf_knn_join``.
@@ -764,6 +897,24 @@ def graph_knn_join(
         F.col(id_col).alias("node"),
         F.col(vec_col).cast("array<double>").alias("__nv"),
     )
+    # r14 (guide §1.2/§5): the per-hop beam/frontier bookkeeping is bounded
+    # by the WORKLOAD (≤ queries × beam(+degree) rows — the same bound that
+    # already makes ``q`` broadcastable), so for modest query tables it
+    # lives on the driver and each hop is ONE Spark job (successor scoring)
+    # instead of a localCheckpoint + isEmpty pair whose AQE sub-stages
+    # fired ~9 jobs/hop. Distances stay JVM-side (same l2_distance
+    # expression over the same base rows), so the trace — beam membership,
+    # tie order, early-stop hop — is bit-identical to the distributed loop,
+    # which remains the path for query tables past ``max_driver_queries``
+    # (and is what ``graph_knn_join_sliced`` feeds slice by slice).
+    if max_driver_queries:
+        qrows = q.limit(max_driver_queries + 1).collect()
+        if len(qrows) <= max_driver_queries:
+            return _graph_knn_join_driver(
+                base, graph, q, qrows, k=k, beam=beam, max_hops=max_hops,
+                entry_points=entry_points, entry_ids=entry_ids,
+                id_col=id_col, query_id_col=query_id_col,
+            )
     # medoid seeds (graph_entry_points) when available — shared by every
     # query in the batch; fallback: smallest ids (deterministic but
     # arbitrary, weaker recall far from the id-space corner)
