@@ -673,21 +673,25 @@ def span_dedup_corpus(
             ).alias("whash"),
         )
     )
-    dup = (
-        occ.groupBy("whash")
-        .agg(
-            F.count("*").alias("__n"),
-            F.min(
-                F.struct(F.col(id_col).alias("d"), F.col("start").alias("s"))
-            ).alias("__canon"),
-        )
-        .filter(F.col("__n") >= 2)
-        .select("whash", "__canon")
-    )
+    # r14 (guide §2.4): occurrence count + canonical occurrence as WINDOW
+    # functions over whash instead of aggregate-then-join-back — the join
+    # formulation re-ran the tokenize→window-hash map pass for BOTH the
+    # aggregate side and the probe side (no exchange reuse: different
+    # subtrees), i.e. the corpus's O(tokens × window) hashing twice per
+    # action. One exchange on whash now carries both roles; identical
+    # flagged set (count >= 2, non-canonical occurrences).
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("whash")
+    canon = F.min(
+        F.struct(F.col(id_col).alias("d"), F.col("start").alias("s"))
+    ).over(w)
     flagged = (
-        occ.join(dup, "whash")
+        occ.withColumn("__n", F.count("*").over(w))
+        .withColumn("__canon", canon)
         .filter(
-            ~(
+            (F.col("__n") >= 2)
+            & ~(
                 (F.col(id_col) == F.col("__canon.d"))
                 & (F.col("start") == F.col("__canon.s"))
             )

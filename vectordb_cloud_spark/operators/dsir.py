@@ -118,11 +118,18 @@ def dsir_scores(docs: DataFrame, ratios: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text",
                 n_buckets: int = DEFAULT_BUCKETS,
                 normalize: bool = True,
-                hash_fn: str = "xxhash64") -> DataFrame:
+                hash_fn: str = "xxhash64",
+                feats: DataFrame | None = None) -> DataFrame:
     """Per-doc importance score Σ_features log_ratio (optionally divided by
     the feature count, making it a per-token average so long documents
-    don't dominate purely by length). Returns docs + ``dsir_score``."""
-    feats = hashed_ngram_features(docs, id_col, text_col, n_buckets, hash_fn)
+    don't dominate purely by length). Returns docs + ``dsir_score``.
+
+    ``feats``: pre-computed ``hashed_ngram_features(docs, ...)`` rows to
+    reuse (``dsir_select`` passes its checkpointed raw-model features so
+    the corpus is tokenized+hashed once, not twice)."""
+    if feats is None:
+        feats = hashed_ngram_features(docs, id_col, text_col, n_buckets,
+                                      hash_fn)
     agg = [F.sum("log_ratio").alias("__s"), F.count("*").alias("__n")]
     scored = (
         feats.join(F.broadcast(ratios), "bucket")
@@ -174,13 +181,23 @@ def dsir_select(raw_docs: DataFrame, target_docs: DataFrame, n: int,
                 hash_fn: str = "xxhash64") -> DataFrame:
     """The end-to-end DSIR recipe: fit both hashed-ngram models, score the
     raw corpus, Gumbel-top-k sample ``n`` target-resembling documents."""
+    # r14 (guide §8: decide on a lightweight proxy, move heavy bytes once):
+    # the raw corpus's (id, bucket) feature rows feed BOTH the raw unigram
+    # model and the per-doc scoring pass — un-materialized, the
+    # tokenize→bigram→hash explode ran twice per action (the model collect
+    # plus the scoring action). One eager checkpoint of the skinny proxy
+    # rows (two longs per token occurrence) halves the heavy map work;
+    # recomputed fresh on every call, so repeated runs stay honest.
+    raw_feats = hashed_ngram_features(
+        raw_docs, id_col, text_col, n_buckets, hash_fn
+    ).localCheckpoint()
     ratios = dsir_log_ratios(
         hashed_ngram_features(target_docs, id_col, text_col, n_buckets,
                               hash_fn),
-        hashed_ngram_features(raw_docs, id_col, text_col, n_buckets, hash_fn),
+        raw_feats,
         n_buckets, alpha,
     )
     scored = dsir_scores(raw_docs, ratios, id_col, text_col, n_buckets,
-                         hash_fn=hash_fn)
+                         hash_fn=hash_fn, feats=raw_feats)
     return importance_sample(scored, n, seed, id_col,
                              temperature=temperature, hash_fn=hash_fn)

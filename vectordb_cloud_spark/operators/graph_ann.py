@@ -340,6 +340,13 @@ def _graph_from_banded(
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    # r14 (guide §2.5): the candidate rows are BYTES-tiny (two longs) but
+    # feed the build's dominant compute — Σ block² exact distance folds.
+    # Size-based AQE coalescing (correct everywhere else) would collapse
+    # them to one task and run the scoring single-threaded; an explicit
+    # hash repartition pins scoring parallelism to the cluster size.
+    cand = cand.repartition(
+        vecs0.sparkSession.sparkContext.defaultParallelism, "id_a")
     side = vecs0
     pairs = (
         cand.join(side.select(F.col("id").alias("id_a"), F.col("vec").alias("va")), "id_a")
@@ -359,12 +366,14 @@ def _graph_from_banded(
         F.col("id").alias("__vid"), F.col("vec").alias("__vec")
     )
     for i in range(refine_rounds):
-        if i > 0:
-            # truncate lineage between rounds: each round stacks two joins
-            # and a window on the last, and multi-round builds (the sharded
-            # path's default) otherwise compound the plan. Single-round
-            # builds stay fully lazy.
-            graph = graph.localCheckpoint()
+        # truncate lineage before EVERY round (r14 — previously only
+        # rounds > 0): the NN-descent step references the incoming graph
+        # THREE times (both self-join sides + the candidate union), so an
+        # un-checkpointed first round re-ran the whole
+        # banded→pair-join→score→top seed pipeline ~3× inside one plan —
+        # measured 20.5s → 8.5s for the sf0.1 fixture build. The
+        # checkpoint materializes exactly the rows the plan needs anyway.
+        graph = graph.localCheckpoint()
         # NN-descent step: neighbors of my neighbors are candidate neighbors
         hop2 = (
             graph.alias("g1")
@@ -377,6 +386,9 @@ def _graph_from_banded(
             .unionByName(hop2)
             .dropDuplicates(["src", "dst"])
         )
+        # same tiny-bytes/heavy-compute fan-out as the first scoring pass
+        cand = cand.repartition(
+            vecs0.sparkSession.sparkContext.defaultParallelism, "src")
         scored = (
             cand.join(vecs.withColumnRenamed("__vid", "src").withColumnRenamed("__vec", "__sv"), "src")
             .join(vecs.withColumnRenamed("__vid", "dst").withColumnRenamed("__vec", "__dv"), "dst")

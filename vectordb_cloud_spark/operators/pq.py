@@ -74,8 +74,16 @@ def pq_train(
             "center": [c.tolist() for c in centers],
         })
 
+    # explicit fan-out (r14, guide §2.5): the exploded sample is BYTES-tiny
+    # but each group's Lloyd fit is the build's whole compute — size-based
+    # AQE coalescing would run all M fits sequentially in one task. The
+    # hash repartition on the group key is reused by groupBy, so this adds
+    # no extra exchange.
+    n_part = max(m_subvectors,
+                 points.sparkSession.sparkContext.defaultParallelism)
     fitted = (
-        exploded.groupBy("m")
+        exploded.repartition(n_part, "m")
+        .groupBy("m")
         .applyInPandas(_fit, "m int, code int, center array<double>")
         .collect()
     )

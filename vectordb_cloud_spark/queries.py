@@ -2865,13 +2865,17 @@ def passage_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk (self-retrieval: doc 0 must come back at score 1)."""
     from vectordb_cloud_spark.operators.chunking import passage_topk
 
-    idx = _passage_index(spark, sf_dir).cache()
+    # r14: localCheckpoint, not cache+unpersist — the unpersist ran before
+    # the returned plan ever executed, so every run paid the full
+    # chunk+TF-IDF index computation TWICE (once for the query-vector
+    # .first(), once for the scoring action: 13 jobs / 14 exchanges
+    # measured). The eager checkpoint computes the index exactly once per
+    # call; both the probe and the scoring read the materialized rows.
+    idx = _passage_index(spark, sf_dir).localCheckpoint()
     qv = [float(x) for x in idx.filter(
         (F.col("doc_id") == 0) & (F.col("chunk_idx") == 0)
     ).first()["embedding"]]
-    out = passage_topk(idx, qv, k=8, per_doc="max")
-    idx.unpersist()
-    return out
+    return passage_topk(idx, qv, k=8, per_doc="max")
 
 
 # ---------------------------------------------------------------------------
