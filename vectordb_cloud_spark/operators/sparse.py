@@ -172,7 +172,12 @@ def sparse_persist_inverted(postings: DataFrame, path: str,
     ``sparse_read_inverted`` can rebuild the probe without out-of-band
     state."""
     if bucket_dims is None:
-        postings.repartition("dim").write.mode("overwrite").partitionBy(
+        # explicit writer count (r14): a keyless repartition("dim") lets
+        # size-based AQE coalescing collapse the bytes-tiny postings to
+        # one task, which then creates every dim directory sequentially —
+        # the write is file-count-bound, so pin one writer per core
+        n = postings.sparkSession.sparkContext.defaultParallelism
+        postings.repartition(n, "dim").write.mode("overwrite").partitionBy(
             "dim"
         ).parquet(path)
         return
