@@ -139,8 +139,14 @@ def scrub_corpus(docs, text_col: str = "text", out_col: str | None = None,
                  kinds: tuple[str, ...] | None = None, token: str = "[PII]"):
     """DataFrame transform: redact PII in ``text_col`` (in place by default)
     and attach a ``__pii`` audit struct. Scan-stage only — composes with
-    quality/lang filtering without an extra pass."""
+    quality/lang filtering without an extra pass. The input is fanned out
+    first (r14): the regex battery is the whole cost and a single-file
+    corpus otherwise runs it on one task; a no-op on multi-file tables."""
+    from vectordb_cloud_spark.operators.dedup import _parallelize
+
     out_col = out_col or text_col
-    return docs.withColumn("__pii", pii_counts(text_col)).withColumn(
+    return _parallelize(docs).withColumn(
+        "__pii", pii_counts(text_col)
+    ).withColumn(
         out_col, redact_pii(text_col, kinds=kinds, token=token)
     )

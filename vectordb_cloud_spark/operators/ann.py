@@ -72,8 +72,15 @@ def lsh_planes(model) -> list[list[float]]:
     """Extract a fitted BucketedRandomProjectionLSH model's random unit
     vectors (data-independent, seeded) as plain Python lists — the planes
     are what the hash IS; with them in hand, bucketing is pure column
-    algebra and the MLlib transform machinery is unnecessary."""
-    return [[float(x) for x in v.toArray()] for v in model._call_java("randUnitVectors")]
+    algebra and the MLlib transform machinery is unnecessary. Cached on
+    the model object (r14): the _call_java extraction costs a py4j round
+    trip per plane element and models are long-lived fixtures."""
+    cached = getattr(model, "_vdb_planes", None)
+    if cached is None:
+        cached = [[float(x) for x in v.toArray()]
+                  for v in model._call_java("randUnitVectors")]
+        model._vdb_planes = cached
+    return cached
 
 
 def lsh_bucket_columns(vec, planes: list[list[float]], bucket_length: float,
@@ -94,6 +101,44 @@ def lsh_bucket_columns(vec, planes: list[list[float]], bucket_length: float,
     g = projections_per_table
     if len(planes) % g:
         raise ValueError(f"{len(planes)} planes not divisible by group {g}")
+    # one parsed-SQL expression per plane (r14): the Column-builder form
+    # marshalled every plane element through py4j (dim lits + array + two
+    # lambdas per plane ≈ 1.4s of pure driver time at 18 planes × dim 64,
+    # measured). Same expression tree after parsing — zip_with/aggregate
+    # fold in element order, floats rendered by repr (exact round-trip),
+    # so bucket boundaries stay bit-identical to MLlib and the oracle.
+    if isinstance(vec, str):
+        c = f"`{vec}`"
+    else:
+        # Column input (legacy callers/tests): render through its name
+        c = str(vec._jc.toString())  # noqa: SLF001 - name of a plain column ref
+        if not c.replace("_", "").isalnum():
+            # not a bare column reference — keep the Column-builder path
+            return _lsh_bucket_columns_builder(
+                vec, planes, bucket_length, projections_per_table)
+        c = f"`{c}`"
+    floors = []
+    for u in planes:
+        arr = "array(" + ",".join(f"{float(x)!r}D" for x in u) + ")"
+        dot = (f"aggregate(zip_with({c}, {arr}, (a, b) -> a * b), "
+               "0.0D, (acc, x) -> acc + x)")
+        floors.append(
+            f"CAST(FLOOR({dot} / {float(bucket_length)!r}D) AS BIGINT)")
+    if g == 1:
+        return [F.expr(e) for e in floors]
+    return [
+        F.expr("concat_ws(':', " + ", ".join(
+            f"CAST({e} AS STRING)" for e in floors[t * g:(t + 1) * g]) + ")")
+        for t in range(len(planes) // g)
+    ]
+
+
+def _lsh_bucket_columns_builder(vec, planes: list[list[float]],
+                                bucket_length: float,
+                                projections_per_table: int = 1):
+    """Column-builder fallback for non-column ``vec`` expressions —
+    identical arithmetic to the parsed-SQL fast path above."""
+    g = projections_per_table
     floors = []
     for u in planes:
         dot = F.aggregate(
