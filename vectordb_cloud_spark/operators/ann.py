@@ -189,11 +189,14 @@ def lsh_self_join_pairs(model, points: DataFrame, threshold: float,
         F.col(id_col).alias("id"),
         F.col(vector_col).cast("array<double>").alias("vec"),
     )
-    buckets = lsh_bucket_columns(F.col("vec"), planes, bucket_length,
+    buckets = lsh_bucket_columns("vec", planes, bucket_length,
                                  projections_per_table)
+    # materialized once per call (r14) so the self-join's two sides don't
+    # compute + codegen-compile the plane expressions twice — skinny
+    # (id, table, bucket) rows, recomputed fresh on every call
     banded = pts.select(
         "id", F.posexplode(F.array(*buckets)).alias("table", "bucket")
-    )
+    ).localCheckpoint()
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(r, (F.col("l.table") == F.col("r.table"))

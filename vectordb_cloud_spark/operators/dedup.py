@@ -151,13 +151,14 @@ def minhash_lsh_pairs(
                 lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
             ),
         )
-        sig_col = F.array(*[
-            F.array_min(F.transform(
-                F.col("__m"),
-                lambda m: (m * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P),
-            ))
-            for a, b in ab
-        ])
+        # one parsed SQL expression for the whole signature (r14): the
+        # Column-builder form marshalled a transform+lambda chain per
+        # permutation through py4j (~1.1s of driver-side plan construction
+        # at 32 hashes). Identical tree after parsing: a < 2^27 and m is a
+        # 32-bit value, so m*a + b < 2^63 — no overflow either way.
+        sig_col = F.expr("array(" + ",".join(
+            f"array_min(transform(__m, m -> (m * {a}L + {b}L) % {MINHASH_P}L))"
+            for a, b in ab) + ")")
         bucket_of = lambda joined: joined  # noqa: E731  (string key, no re-hash)
     else:
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
@@ -236,14 +237,18 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     hashes = _parallelize(docs).select(
         F.col(id_col), F.explode(ngram_shingles(text_col, shingle_n)).alias("__s")
     ).select(F.col(id_col), h.alias("__h"))
-    masks = [F.shiftleft(F.lit(1).cast("long"), i) for i in range(n_bits)]
+    # bit-vote sums and the sign-pack as parsed SQL (r14): the Column
+    # builders cost ~6 py4j round trips per bit × 64 bits of pure driver
+    # time; the parsed expressions produce the identical aggregate tree
     votes = hashes.groupBy(id_col).agg(*[
-        F.sum(F.when(F.col("__h").bitwiseAND(m) != 0, 1).otherwise(-1)).alias(f"__v{i}")
-        for i, m in enumerate(masks)
+        F.expr(f"sum(CASE WHEN (__h & shiftleft(1L, {i})) != 0 "
+               "THEN 1 ELSE -1 END)").alias(f"__v{i}")
+        for i in range(n_bits)
     ])
-    packed = F.lit(0).cast("long")
-    for i, m in enumerate(masks):
-        packed = packed.bitwiseOR(F.when(F.col(f"__v{i}") > 0, m).otherwise(F.lit(0).cast("long")))
+    packed = F.expr(" | ".join(
+        f"(CASE WHEN __v{i} > 0 THEN shiftleft(1L, {i}) ELSE 0L END)"
+        for i in range(n_bits)
+    ))
     return votes.select(F.col(id_col), packed.alias("simhash"))
 
 
@@ -449,10 +454,14 @@ def embedding_near_dup_lsh(
         F.col("vec"), lsh_planes(model), float(model.getBucketLength()),
         projections_per_table,
     )
-    # skinny (id, table, bucket) rows — the join never shuffles vectors
+    # skinny (id, table, bucket) rows — the join never shuffles vectors.
+    # Materialized once per call (r14): the self-join's two sides and
+    # their codegen'd 18-plane bucket expressions otherwise compute (and
+    # compile) twice; the checkpoint stores two longs + a string per
+    # (row, table) and recomputes fresh on every call.
     banded = pts.select(
         "id", F.posexplode(F.array(*buckets)).alias("table", "bucket")
-    )
+    ).localCheckpoint()
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(r, (F.col("l.table") == F.col("r.table"))

@@ -753,10 +753,9 @@ def _lsh_model(spark: SparkSession, sf_dir: str, bucket_length: float, num_table
     # planes — tracking the written dim per path skips redundant rewrites
     # while still rewriting exactly when staleness is possible.
     model = _LSH_MODEL_CACHE[key]
-    planes = [
-        [float(x) for x in v.toArray()]
-        for v in model._call_java("randUnitVectors")
-    ]
+    from vectordb_cloud_spark.operators.ann import lsh_planes
+
+    planes = lsh_planes(model)  # cached on the model (r14 — py4j extraction)
     path = _lsh_planes_path(bucket_length, num_tables)
     dim = len(planes[0]) if planes else 0
     if _LSH_PLANES_WRITTEN.get(path) != dim or not os.path.exists(path):
@@ -2492,11 +2491,23 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("window_start"), "event_type", "n")
     )
     name = "__stream_hourly_out"
-    q = (
-        agg.writeStream.outputMode("complete").format("memory")
-        .queryName(name).trigger(availableNow=True).start()
-    )
-    q.awaitTermination(300)
+    # streaming aggregations pin ONE state-store instance per shuffle
+    # partition per micro-batch and AQE never coalesces them — at 32-64
+    # partitions most instances hold a handful of keys and the run is
+    # state-store setup, not aggregation (r14: 2.0s -> 1.4s at 8). The
+    # count is env-tunable for real deployments where key cardinality,
+    # not instance overhead, should size it.
+    n_stream = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8")
+    old_n = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n_stream)
+    try:
+        q = (
+            agg.writeStream.outputMode("complete").format("memory")
+            .queryName(name).trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_n)
     return spark.table(name)
 
 
