@@ -21,6 +21,7 @@ from vectordb_cloud_spark.filters import compile_filter
 from vectordb_cloud_spark.functions.embedding import DEFAULT_DIM, mock_embed, mock_vector
 from vectordb_cloud_spark.operators.classify import classify_title
 from vectordb_cloud_spark.operators.knn import knn_search, search_response
+from vectordb_cloud_spark.session import local_df
 
 
 class VectorService:
@@ -1012,7 +1013,8 @@ class VectorService:
         if fst and base.filter(pred).count() <= fst:
             return "exact"
         centers = [(int(i), list(c)) for i, c in params["centers"]]
-        queries = self.spark.createDataFrame(
+        queries = local_df(
+            self.spark,
             [(i, [float(x) for x in v]) for i, (v, _k) in entries],
             "query_id int, embedding array<double>",
         )
@@ -1044,7 +1046,8 @@ class VectorService:
             # against the broadcast (tiny) query batch — a sample row
             # outside a query's results beating its worst distance (or
             # ANY such row when fewer than k came back) flags that query
-            qb = self.spark.createDataFrame(
+            qb = local_df(
+                self.spark,
                 [(i, [float(x) for x in v],
                   per_q[i][-1][1] if len(per_q[i]) >= ks[i] and per_q[i]
                   else None,
@@ -1069,7 +1072,8 @@ class VectorService:
         keep_q = [i for i in ks if i not in flagged]
         if not keep_q:
             return {}
-        all_hits = self.spark.createDataFrame(
+        all_hits = local_df(
+            self.spark,
             [(i, pid, d) for i in keep_q for pid, d in per_q[i]],
             "query_id int, id long, dist double",
         )
@@ -1278,7 +1282,8 @@ class VectorService:
             # round-trip here would perturb near-tie distances vs
             # per-request parity (l2_distance casts everything to double
             # anyway; plain float32-exact vectors are unaffected)
-            queries = self.spark.createDataFrame(
+            queries = local_df(
+                self.spark,
                 [(i, qv) for i, qv, _, _ in batch],
                 "query_id int, embedding array<double>",
             )

@@ -359,7 +359,10 @@ def ivf_assign(new_points: DataFrame, centers: list,
         df = new_points
     else:
         spark = new_points.sparkSession
-        cdf = spark.createDataFrame(
+        from vectordb_cloud_spark.session import local_df
+
+        cdf = local_df(
+            spark,
             [([[float(x) for x in c] for c in ordered],)],
             "__centers array<array<double>>",
         )
@@ -525,7 +528,10 @@ def ivf_knn_join(
     from pyspark.sql import Window
 
     spark = queries.sparkSession
-    centers_df = spark.createDataFrame(
+    from vectordb_cloud_spark.session import local_df
+
+    centers_df = local_df(
+        spark,
         [(i, c) for i, c in centers], "centroid_id int, __center array<double>"
     )
     q = queries.select(F.col(query_id), F.col(query_vec).alias("__qvec"))

@@ -82,7 +82,9 @@ def classify_title(spark, user_id: int, cats: str, title: str, dim: int = 64) ->
     L2-nearest category string.
     """
     cat_list = cats.split("\\n")
-    cats_df = spark.createDataFrame([(c,) for c in cat_list], ["cat"]).withColumn(
+    from vectordb_cloud_spark.session import local_df
+
+    cats_df = local_df(spark, [(c,) for c in cat_list], "cat string").withColumn(
         "embedding", mock_embed("cat", dim)
     )
     title_vec = mock_vector(title, dim)

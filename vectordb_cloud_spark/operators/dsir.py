@@ -104,7 +104,9 @@ def dsir_log_ratios(target_feats: DataFrame, raw_feats: DataFrame,
     rows = joined.collect()
     T = float(sum(row["tn"] for row in rows))
     R = float(sum(row["rn"] for row in rows))
-    counts = spark.createDataFrame(rows, "bucket int, tn long, rn long")
+    from vectordb_cloud_spark.session import local_df
+
+    counts = local_df(spark, rows, "bucket int, tn long, rn long")
     return counts.select(
         "bucket",
         (

@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from vectordb_cloud_spark.functions.vector import l2_distance, l2_distance_to
+from vectordb_cloud_spark.session import local_df
 
 
 def _top_per_src(pairs: DataFrame, degree: int) -> DataFrame:
@@ -769,7 +770,7 @@ def _graph_knn_join_driver(
     q_vec = [float(x) for x in qrows[0]["__qv"]] if single else None
     # multi-query scoring joins the queries back in as a LOCAL relation: a
     # broadcast whose child is a LocalTableScan is built driver-side
-    q_local = None if single else spark.createDataFrame(qrows, schema=q.schema)
+    q_local = None if single else local_df(spark, qrows, q.schema)
 
     def score_pairs(pairs: list) -> list:
         """One job scoring (qid, node) pairs with the same JVM double
@@ -787,10 +788,10 @@ def _graph_knn_join_driver(
                 .select("node", l2_distance_to("__nv", q_vec).alias("dist"))
                 .collect()
             ]
-        pdf = spark.createDataFrame(pairs, pair_schema)
+        pdf = local_df(spark, pairs, pair_schema)
         scan = base.filter(pred) if pred is not None else base
         ql = (q_local if q_local is not None
-              else spark.createDataFrame(qrows, schema=q.schema))
+              else local_df(spark, qrows, q.schema))
         return [
             (r["qid"], r["node"], r["dist"])
             for r in scan.join(F.broadcast(pdf), "node")
@@ -826,8 +827,8 @@ def _graph_knn_join_driver(
         if apred is not None:
             ascan = adj.filter(apred)
         else:
-            bdf = spark.createDataFrame(
-                [(n,) for n in beam_ids],
+            bdf = local_df(
+                spark, [(n,) for n in beam_ids],
                 StructType([StructField("src", node_t)]))
             ascan = adj.join(F.broadcast(bdf), "src")
         succ: dict = {}
@@ -860,7 +861,7 @@ def _graph_knn_join_driver(
     for qid in qids:
         top = sorted(visited[qid].items(), key=lambda kv: (kv[1], kv[0]))[:k]
         rows += [(qid, n, d) for n, d in top]
-    return spark.createDataFrame(rows, out_schema)
+    return local_df(spark, rows, out_schema)
 
 
 def graph_knn_join(
@@ -1446,6 +1447,7 @@ def graph_beam_search(
             return knn_search(points.filter(filters), query_vector, k=k,
                               vector_col=vec_col,
                               tiebreak=id_col).select(id_col, "dist")
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(int(i), float(d)) for i, d in best], f"{id_col} long, dist double"
     )

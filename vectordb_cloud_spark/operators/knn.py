@@ -601,8 +601,11 @@ def filtered_sample_audit(
     if k <= 0:
         # a zero-limit result is trivially complete — and rows[-1] below
         # would raise on the empty frame (r14 guard)
-        return points.sparkSession.createDataFrame(
-            [(int(i), d) for i, d in rows], f"{id_col} long, dist double")
+        from vectordb_cloud_spark.session import local_df
+
+        return local_df(points.sparkSession,
+                        [(int(i), d) for i, d in rows],
+                        f"{id_col} long, dist double")
     samp = filters & (
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(mod))) == 0)
     cand = points.filter(samp)
@@ -625,8 +628,11 @@ def filtered_sample_audit(
         return knn_search(points.filter(filters), query_vector, k=k,
                           vector_col=vector_col,
                           tiebreak=id_col).select(id_col, "dist")
-    return points.sparkSession.createDataFrame(
-        [(int(i), d) for i, d in rows], f"{id_col} long, dist double")
+    from vectordb_cloud_spark.session import local_df
+
+    return local_df(points.sparkSession,
+                    [(int(i), d) for i, d in rows],
+                    f"{id_col} long, dist double")
 
 
 def distance_matrix_pairs(

@@ -221,4 +221,6 @@ def rrf_fuse(
     finally:
         for df in ours:
             df.unpersist()
-    return spark.createDataFrame(rows, schema)
+    from vectordb_cloud_spark.session import local_df
+
+    return local_df(spark, rows, schema)

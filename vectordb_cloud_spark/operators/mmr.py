@@ -212,7 +212,8 @@ def mmr_search(
         StructField(id_col, cand.schema[id_col].dataType),
         StructField("mmr_rank", IntegerType()),
     ])
-    order = spark.createDataFrame(
-        [(c, i) for i, c in enumerate(chosen)], schema)
+    from vectordb_cloud_spark.session import local_df
+
+    order = local_df(spark, [(c, i) for i, c in enumerate(chosen)], schema)
     return (cand.join(F.broadcast(order), id_col)
             .orderBy(F.col("mmr_rank").asc()))

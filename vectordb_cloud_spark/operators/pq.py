@@ -164,7 +164,9 @@ def pq_search(
     # r7 registry parameters); as a broadcast column the plan holds one
     # reference and the per-row work is the same M lookups + adds.
     spark = encoded.sparkSession
-    lut_df = spark.createDataFrame([(table,)], "__lut array<array<double>>")
+    from vectordb_cloud_spark.session import local_df
+
+    lut_df = local_df(spark, [(table,)], "__lut array<array<double>>")
     df = encoded if filters is None else encoded.filter(filters)
     df = df.crossJoin(F.broadcast(lut_df))
     # adc = sum over subspaces of lut[m][code[m]]  (element_at is 1-based;

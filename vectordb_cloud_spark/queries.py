@@ -1949,8 +1949,10 @@ def classify_titles_mock_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectordb_cloud_spark.operators.classify import nearest_centroid
 
     _classify_oracle_materialize(spark, sf_dir)
-    cats = spark.createDataFrame(
-        _classify_cat_rows(), "cat string, centroid array<float>"
+    from vectordb_cloud_spark.session import local_df
+
+    cats = local_df(
+        spark, _classify_cat_rows(), "cat string, centroid array<float>"
     )
     # repartition(1), NOT coalesce(1): a coalesced partition evaluates the
     # pandas_udf once per parent partition (32 sequential Arrow round-trips,
@@ -2445,7 +2447,10 @@ def range_join_value_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectordb_cloud_spark.operators.temporal import range_join
 
     ev = _t(spark, sf_dir, "events")
-    tiers = spark.createDataFrame(
+    from vectordb_cloud_spark.session import local_df
+
+    tiers = local_df(
+        spark,
         [("low", 0.0, 50.0), ("mid", 50.0, 150.0), ("high", 150.0, 500.0)],
         "tier string, lo double, hi double",
     )
@@ -4057,7 +4062,10 @@ def query_text_rewrite_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "limit": _QTR_K,
     }
     rows = svc.query(_TXT_USER, body)
-    out = spark.createDataFrame(
+    from vectordb_cloud_spark.session import local_df
+
+    out = local_df(
+        spark,
         [(int(r["id"]), str(r["text"]), float(r["dist"])) for r in rows],
         "id long, string string, dist double",
     )
@@ -4111,8 +4119,10 @@ def query_batch_shared_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = svc.query_batch(_TXT_USER, bodies)
     rows = [(i, int(r["id"]), str(r["text"]), float(r["dist"]))
             for i, hits in enumerate(res) for r in hits]
-    out = spark.createDataFrame(
-        rows, "query_idx int, id long, string string, dist double")
+    from vectordb_cloud_spark.session import local_df
+
+    out = local_df(
+        spark, rows, "query_idx int, id long, string string, dist double")
     return out.withColumn("dist", F.round("dist", 6))
 
 
@@ -4201,7 +4211,10 @@ def query_template_threshold_paged(spark: SparkSession,
     rows = svc.query(_TXT_USER, body)
     assert (svc._shape_hits, svc._plan_hits) != fast_before, \
         "measured request was rebuilt — template fast path not taken"
-    out = spark.createDataFrame(
+    from vectordb_cloud_spark.session import local_df
+
+    out = local_df(
+        spark,
         [(int(r["id"]), str(r["text"]), float(r["dist"])) for r in rows],
         "id long, text string, dist double",
     )
@@ -4294,7 +4307,10 @@ def query_ann_params_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score_threshold": _QAP_THR,
         "params": {"exact": False},
     })
-    out = spark.createDataFrame(
+    from vectordb_cloud_spark.session import local_df
+
+    out = local_df(
+        spark,
         [(int(r["id"]), int(r["user_id"]), float(r["dist"]))
          for r in rows],
         "id long, user_id long, dist double",
