@@ -222,7 +222,13 @@ def hashed_tfidf_embed(docs, id_col: str = "doc_id", text_col: str = "text",
     Returns (id_col, embedding: array<float>) — plug-compatible with every
     kNN/ANN/near-dup operator in the package.
     """
+    from vectordb_cloud_spark.operators.dedup import _parallelize
+
     n_docs = docs.count()  # one scalar; the IDF needs the corpus size
+    # fan the tokenize/hash map out (r14): a single-file corpus scans as
+    # one task and the whole embed ran single-threaded; no-op on
+    # multi-file tables at scale
+    docs = _parallelize(docs)
     terms = (
         docs.select(
             F.col(id_col),
@@ -255,7 +261,12 @@ def hashed_tfidf_embed(docs, id_col: str = "doc_id", text_col: str = "text",
         ).otherwise(F.lit(-1.0))
         for j in range(dim)
     ]
-    sums = weighted.groupBy(id_col).agg(*[
+    # pin the dim-sum aggregate's parallelism (r14): the weighted rows are
+    # bytes-tiny but the dim partial sums are the embed's dominant compute,
+    # and size-based AQE coalescing would run them in one task; groupBy
+    # reuses this hash partitioning, so no extra exchange
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    sums = weighted.repartition(n_part, id_col).groupBy(id_col).agg(*[
         F.sum(F.col("w") * sign[j]).alias(f"__e{j}") for j in range(dim)
     ])
     vec = F.array(*[F.col(f"__e{j}") for j in range(dim)])
