@@ -2859,28 +2859,65 @@ def gopher_quality_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the search over it: cosine per chunk, max-pooled per doc with the best
 # chunk pinned, top-k. The approximate-pipeline OUTPUT is hash-matched.
 _PASSAGE_ORACLE_PARQUET = os.path.join(_ORACLE_ART_BASE, "passage_chunks.parquet")
-_PASSAGE_ORACLE_CURRENT: str | None = None
+_PASSAGE_ORACLE_CURRENT: tuple | None = None
 _PASSAGE_DOCS = 300  # doc_id < 300: bounded fixture slice
+_PASSAGE_INDEX_CACHE: dict[tuple, tuple] = {}  # corpus token -> (path, qv)
+_PASSAGE_READS: tuple | None = None  # ((token, session id), read relation)
 
 
-def _passage_index(spark: SparkSession, sf_dir: str):
-    """Build (or reuse) the chunk-TF-IDF index for the fixture slice and
-    materialize it for the oracle. Returns the index DataFrame."""
-    global _PASSAGE_ORACLE_CURRENT
-    from vectordb_cloud_spark.operators.chunking import chunk_tfidf_index
+def _passage_index_built(spark: SparkSession, sf_dir: str):
+    """Build-once-per-corpus PERSISTED chunk-TF-IDF passage index — the
+    bm25/IVF/PQ treatment (r15, VERDICT r14 #1): chunking + embedding are
+    index-construction cost (benched as ``passage_index_build``), and the
+    query becomes a probe + scoring scan over the persisted chunks instead
+    of rebuilding the whole index per call (13 jobs / ~2s of construction
+    measured). Hash-distributed by doc_id and doc-sorted within files so
+    the query-vector probe prunes on row-group stats. Returns
+    (index read relation, query vector)."""
+    global _PASSAGE_ORACLE_CURRENT, _PASSAGE_READS
+    token = (
+        os.path.abspath(sf_dir),
+        os.path.getmtime(os.path.join(sf_dir, "documents.parquet")),
+    )
+    if token not in _PASSAGE_INDEX_CACHE:
+        import tempfile
 
-    key = os.path.abspath(sf_dir)
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < _PASSAGE_DOCS)
-    idx = chunk_tfidf_index(docs, dim=64, chunk_tokens=64, overlap=16)
-    if _PASSAGE_ORACLE_CURRENT != key or not os.path.exists(_PASSAGE_ORACLE_PARQUET):
-        os.makedirs(_ORACLE_ART_BASE, exist_ok=True)
+        from vectordb_cloud_spark.operators.chunking import chunk_tfidf_index
+
+        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < _PASSAGE_DOCS)
+        idx = chunk_tfidf_index(docs, dim=64, chunk_tokens=64, overlap=16)
+        path = os.path.join(tempfile.mkdtemp(prefix="passage_idx_"), "chunks")
         (
-            idx.select("doc_id", "chunk_idx", "embedding")
-            .toPandas()
-            .to_parquet(_PASSAGE_ORACLE_PARQUET)
+            idx.repartition("doc_id")
+            .sortWithinPartitions("doc_id", "chunk_idx")
+            .write.parquet(path)
         )
-        _PASSAGE_ORACLE_CURRENT = key
-    return idx
+        _PASSAGE_INDEX_CACHE[token] = (path, None)
+    path, qv = _PASSAGE_INDEX_CACHE[token]
+    memo_key = (token, id(spark))
+    if _PASSAGE_READS is None or _PASSAGE_READS[0] != memo_key:
+        _PASSAGE_READS = (memo_key, spark.read.parquet(path))
+    idx = _PASSAGE_READS[1]
+    if qv is None:
+        # fixture-constant query vector (doc 0's first chunk) resolved once
+        # at build time from the persisted index: a pushed-down point read
+        row = (
+            idx.filter((F.col("doc_id") == 0) & (F.col("chunk_idx") == 0))
+            .select("embedding")
+            .first()
+        )
+        qv = [float(x) for x in row[0]]
+        _PASSAGE_INDEX_CACHE[token] = (path, qv)
+    if _PASSAGE_ORACLE_CURRENT != token or not os.path.exists(_PASSAGE_ORACLE_PARQUET):
+        import pandas as pd
+
+        os.makedirs(_ORACLE_ART_BASE, exist_ok=True)
+        # same bytes the Spark query scans (parquet roundtrip is exact)
+        pd.read_parquet(path, columns=["doc_id", "chunk_idx", "embedding"]).to_parquet(
+            _PASSAGE_ORACLE_PARQUET
+        )
+        _PASSAGE_ORACLE_CURRENT = token
+    return idx, qv
 
 
 def _passage_oracle_sql() -> str:
@@ -2919,16 +2956,12 @@ def passage_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk (self-retrieval: doc 0 must come back at score 1)."""
     from vectordb_cloud_spark.operators.chunking import passage_topk
 
-    # r14: localCheckpoint, not cache+unpersist — the unpersist ran before
-    # the returned plan ever executed, so every run paid the full
-    # chunk+TF-IDF index computation TWICE (once for the query-vector
-    # .first(), once for the scoring action: 13 jobs / 14 exchanges
-    # measured). The eager checkpoint computes the index exactly once per
-    # call; both the probe and the scoring read the materialized rows.
-    idx = _passage_index(spark, sf_dir).localCheckpoint()
-    qv = [float(x) for x in idx.filter(
-        (F.col("doc_id") == 0) & (F.col("chunk_idx") == 0)
-    ).first()["embedding"]]
+    # r15 (VERDICT r14 #1): the chunk index is a PERSISTED build artifact
+    # (the bm25/IVF/PQ precedent) — construction is benched as
+    # passage_index_build; the query is one scoring scan of the persisted
+    # chunks (r14's localCheckpoint still rebuilt the index per call:
+    # 13 jobs / ~2s of per-query construction).
+    idx, qv = _passage_index_built(spark, sf_dir)
     return passage_topk(idx, qv, k=8, per_doc="max")
 
 
