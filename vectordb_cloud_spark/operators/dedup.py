@@ -654,7 +654,8 @@ def span_dedup_corpus(
     if stride < 1:
         raise ValueError("stride must be >= 1")
 
-    t = docs.withColumn("__toks", words(F.col(text_col)))
+    tox = words(F.col(text_col))
+    t = docs.withColumn("__toks", tox)
     eligible = _parallelize(t.filter(F.size("__toks") >= window))
     all_starts = F.sequence(F.lit(0), F.size("__toks") - window)
     if stride > 1:
@@ -682,33 +683,26 @@ def span_dedup_corpus(
             ).alias("whash"),
         )
     )
-    # r14 (guide §2.4): occurrence count + canonical occurrence as WINDOW
-    # functions over whash instead of aggregate-then-join-back — the join
-    # formulation re-ran the tokenize→window-hash map pass for BOTH the
-    # aggregate side and the probe side (no exchange reuse: different
-    # subtrees), i.e. the corpus's O(tokens × window) hashing twice per
-    # action. One exchange on whash now carries both roles; identical
-    # flagged set (count >= 2, non-canonical occurrences).
+    # r14 (guide §2.4): flag non-canonical occurrences with WINDOW functions
+    # over whash instead of aggregate-then-join-back — the join formulation
+    # re-ran the tokenize→window-hash map pass for BOTH the aggregate side
+    # and the probe side. r15: ONE running row_number over (doc, start)
+    # instead of two full-partition aggregates (count + min-struct): rn > 1
+    # is exactly "count >= 2 and not the min-(doc,start) occurrence" — the
+    # oracle's own formulation — on the same single whash exchange, without
+    # buffering each hash group twice for unbounded-frame aggregates.
     from pyspark.sql import Window
 
-    w = Window.partitionBy("whash")
-    canon = F.min(
-        F.struct(F.col(id_col).alias("d"), F.col("start").alias("s"))
-    ).over(w)
+    wrn = Window.partitionBy("whash").orderBy(id_col, "start")
     flagged = (
-        occ.withColumn("__n", F.count("*").over(w))
-        .withColumn("__canon", canon)
-        .filter(
-            (F.col("__n") >= 2)
-            & ~(
-                (F.col(id_col) == F.col("__canon.d"))
-                & (F.col("start") == F.col("__canon.s"))
-            )
-        )
+        occ.withColumn("__rn", F.row_number().over(wrn))
+        .filter(F.col("__rn") > 1)
         .select(id_col, "start")
     )
+    # collect_list, not collect_set: each (doc, start) emits exactly one
+    # window hash, so flagged rows are already distinct pairs
     spans = flagged.groupBy(id_col).agg(
-        F.sort_array(F.collect_set("start")).alias("__starts")
+        F.sort_array(F.collect_list("start")).alias("__starts")
     )
 
     empty_ivs = F.array().cast("array<struct<lo:int,hi:int>>")
@@ -728,19 +722,24 @@ def span_dedup_corpus(
             F.concat(acc, F.array(F.struct(s.alias("lo"), (s + window).alias("hi"))))
         ),
     )
+    # r15: the rebuild side joins the RAW docs and re-tokenizes inside the
+    # otherwise-branch only — If codegen is branch-lazy per row, so the
+    # (usually few) flagged docs pay a second tokenize and every other doc
+    # pays none; the old form computed __toks for the whole corpus a second
+    # time on the join's left side and carried the token arrays through it.
     kept_toks = F.filter(
-        F.col("__toks"),
+        tox,
         lambda tok, i: ~F.exists(
             F.col("__ivs"), lambda iv: (i >= iv["lo"]) & (i < iv["hi"])
         ),
     )
     return (
-        t.join(spans, id_col, "left")
+        docs.join(spans, id_col, "left")
         .withColumn("__ivs", merged)
         .withColumn(
             text_col,
             F.when(F.col("__starts").isNull(), F.col(text_col))
             .otherwise(F.array_join(kept_toks, " ")),
         )
-        .drop("__toks", "__starts", "__ivs")
+        .drop("__starts", "__ivs")
     )
