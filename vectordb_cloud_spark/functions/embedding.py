@@ -316,7 +316,19 @@ def hashed_tfidf_sparse(docs, id_col: str = "doc_id", text_col: str = "text",
          * (F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1.0)) + 1.0)
          ).alias("w"),
     )
-    by_dim = weighted.groupBy(id_col, "dim").agg(F.sum("w").alias("w"))
+    # r15 (guide §2.4): ONE exchange for the whole assembly — hash
+    # partitioning on id_col alone satisfies both the (id, dim) collision
+    # sum and the per-id array build (a subset of the clustering keys
+    # co-locates every group), so the explicit repartition is reused by
+    # both aggregates with no second shuffle; it also pins the fan-out the
+    # dense variant pins (size-based AQE coalescing would run the
+    # bytes-tiny weighted rows in one task).
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    by_dim = (
+        weighted.repartition(n_part, id_col)
+        .groupBy(id_col, "dim")
+        .agg(F.sum("w").alias("w"))
+    )
     assembled = (
         by_dim.groupBy(id_col)
         .agg(F.array_sort(F.collect_list(F.struct("dim", "w"))).alias("__p"))

@@ -1723,7 +1723,10 @@ def _sparse_index(spark: SparkSession, sf_dir: str):
     )
 
     docs = _t(spark, sf_dir, "documents")
-    sv = hashed_tfidf_sparse(docs, vocab_size=_SPARSE_VOCAB)
+    # r15 (guide §2.4): materialize the sparse vectors ONCE per build — the
+    # postings write and the query-row probe both re-ran the whole
+    # tokenize/DF/assembly pipeline (two extra full computes per build)
+    sv = hashed_tfidf_sparse(docs, vocab_size=_SPARSE_VOCAB).localCheckpoint()
     sparse_persist_inverted(sparse_invert(sv), _SPARSE_POSTINGS)
     qrow = sv.filter(F.col("doc_id") == 1).first()
     qdims = [int(i) for i in qrow["indices"]]
