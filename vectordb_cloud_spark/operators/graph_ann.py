@@ -139,7 +139,8 @@ def _route_blocks_join(
     spark = vecs.sparkSession
     if blocking[0] == "flat":
         centers = blocking[1]
-        cdf = spark.createDataFrame(
+        cdf = local_df(
+            spark,
             [([[float(x) for x in c] for c in centers],)],
             "__coarse array<array<double>>",
         )
@@ -152,11 +153,13 @@ def _route_blocks_join(
         )
         return out, len(centers) + 1
     _, coarse, subs, k2 = blocking
-    cdf = spark.createDataFrame(
+    cdf = local_df(
+        spark,
         [([[float(x) for x in c] for c in coarse],)],
         "__coarse array<array<double>>",
     )
-    sdf = spark.createDataFrame(
+    sdf = local_df(
+        spark,
         [(ci, [[float(x) for x in c] for c in subs[ci]])
          for ci in range(len(coarse))],
         "__cid int, __subs array<array<double>>",
@@ -334,6 +337,11 @@ def _graph_from_banded(
     """Shared build core: same-block candidate pairs -> exact scores ->
     symmetrized per-src top-``degree`` -> NN-descent refine rounds.
     ``vecs0`` carries (id, vec); ``banded`` carries (id, block)."""
+    # materialize the skinny (id, block) routing once (r15 — the LSH banded
+    # treatment): the self-join's two sides otherwise each recompute the
+    # k-means routing (broadcast centers + per-row distance argmin), the
+    # most expensive map of the seed pass (measured 3.5s -> 2.1s at sf0.1)
+    banded = banded.localCheckpoint()
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(r, (F.col("l.block") == F.col("r.block"))
@@ -1089,11 +1097,12 @@ def knn_graph_persist(graph: DataFrame, path: str,
         import os
 
         spark = graph.sparkSession
-        spark.createDataFrame(
-            [(int(i),) for i in entry_ids], "id long"
-        ).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(path, "_entry_points")
-        )
+        # local_df, not createDataFrame(list): the latter plans as a
+        # Python-RDD scan whose write spins up a Python worker pass for
+        # 8 rows (measured seconds of the build — r15)
+        local_df(spark, [(int(i),) for i in entry_ids], "id long").coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(path, "_entry_points"))
 
 
 def knn_graph_persist_bucketed(
@@ -1133,11 +1142,9 @@ def knn_graph_persist_bucketed(
         import os
 
         spark = graph.sparkSession
-        spark.createDataFrame(
-            [(int(i),) for i in entry_ids], "id long"
-        ).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(path, "_entry_points")
-        )
+        local_df(spark, [(int(i),) for i in entry_ids], "id long").coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(path, "_entry_points"))
 
 
 def graph_coarse_entry_ids(

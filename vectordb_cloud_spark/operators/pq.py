@@ -245,8 +245,10 @@ def ivfpq_build(
 
     centers, assigned = ivf_build(points, k_centroids=k_centroids, vector_col=vector_col)
     spark = points.sparkSession
-    centers_df = spark.createDataFrame(
-        [(i, c) for i, c in centers], "centroid_id int, __center array<double>"
+    from vectordb_cloud_spark.session import local_df
+
+    centers_df = local_df(
+        spark, [(i, c) for i, c in centers], "centroid_id int, __center array<double>"
     )
     with_resid = assigned.join(F.broadcast(centers_df), "centroid_id").withColumn(
         "__residual",

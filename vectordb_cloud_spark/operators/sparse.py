@@ -191,10 +191,12 @@ def sparse_persist_inverted(postings: DataFrame, path: str,
         .partitionBy("bucket")
         .parquet(path)
     )
+    from vectordb_cloud_spark.session import local_df
+
     spark = postings.sparkSession
-    spark.createDataFrame(
-        [(int(bucket_dims),)], "bucket_dims int"
-    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "_meta"))
+    local_df(spark, [(int(bucket_dims),)], "bucket_dims int").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(path, "_meta"))
 
 
 def sparse_read_inverted(spark, path: str):
