@@ -30,15 +30,13 @@ from vectordb_cloud_spark.functions.vector import cosine_similarity
 
 
 def _parallelize(df: DataFrame) -> DataFrame:
-    """Fan a narrow input out to the cluster before compute-heavy per-row
-    stages. A single parquet file under maxPartitionBytes scans as ONE
-    partition — shingling/hashing would run single-threaded no matter how
-    many cores exist. The small shuffle of raw rows buys full parallelism;
-    on a real multi-file table this is a no-op."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() * 2 <= target:
-        return df.repartition(target)
-    return df
+    """Fan a narrow input out before compute-heavy per-row stages — the
+    shared helper now lives in session.py (``parallelize_narrow``,
+    centralized per ADVICE r14); this alias keeps the long-standing
+    operator-local name importable."""
+    from vectordb_cloud_spark.session import parallelize_narrow
+
+    return parallelize_narrow(df)
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -2339,9 +2339,23 @@ def _bm25_index(spark: SparkSession, sf_dir: str):
             .sortWithinPartitions("term")
             .write.parquet(paths["postings"])
         )
-        docstats.write.parquet(paths["docstats"])
-        doclens.write.parquet(paths["doclens"])
-        row = corpus.first()
+        # r15 (guide §2.4): derive the secondary tables from materialized
+        # data instead of re-running the tokenize+explode pipeline per
+        # write — docstats is a groupBy over the postings just written
+        # (identical (term, df) rows: same content, one scan instead of a
+        # recompute), and the corpus scalars aggregate the checkpointed
+        # doclens rather than re-tokenizing the corpus a fourth time.
+        (
+            spark.read.parquet(paths["postings"])
+            .groupBy("term")
+            .agg(F.countDistinct("doc_id").alias("df"))
+            .write.parquet(paths["docstats"])
+        )
+        dl = doclens.localCheckpoint()
+        dl.write.parquet(paths["doclens"])
+        row = dl.agg(
+            F.count("*").alias("n_docs"), F.avg("dl").alias("avg_len")
+        ).first()
         _BM25_INDEX_CACHE[key] = (paths, (int(row["n_docs"]), float(row["avg_len"])))
     paths, (n_docs, avg_len) = _BM25_INDEX_CACHE[key]
     # corpus stats ride as the pre-resolved tuple (r14): bm25_search's

@@ -74,6 +74,25 @@ def get_spark(app_name: str = "vectordb-cloud-spark", shuffle_partitions: int | 
     return builder.getOrCreate()
 
 
+def parallelize_narrow(df):
+    """Fan a narrow input out to the cluster before compute-heavy per-row
+    stages. A single parquet file under maxPartitionBytes scans as ONE
+    partition — hashing/regex/distance batteries would run single-threaded
+    no matter how many cores exist. The small shuffle of raw rows buys full
+    parallelism; on a real multi-file table this is a no-op.
+
+    This is the repartition-pin counterpart to the session's
+    ``parallelismFirst=false`` size-based AQE coalescing (ADVICE r14):
+    tiny-bytes/heavy-compute stages must pin their own fan-out — use this
+    helper (or an explicit hash repartition the downstream groupBy can
+    reuse) in any new operator whose dominant compute follows a narrow or
+    coalesced input."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 <= target:
+        return df.repartition(target)
+    return df
+
+
 def local_df(spark: SparkSession, rows, schema):
     """JVM-held local relation from driver-side rows.
 
