@@ -110,10 +110,16 @@ def lsh_bucket_columns(vec, planes: list[list[float]], bucket_length: float,
     if isinstance(vec, str):
         c = f"`{vec}`"
     else:
-        # Column input (legacy callers/tests): render through its name
+        # Column input (legacy callers/tests): render through its name.
+        # Only a strict identifier qualifies for the parsed-SQL fast path
+        # (ADVICE r14: an isalnum check let non-reference Columns whose
+        # rendering happens to be alphanumeric — e.g. lit(5) -> '5' — be
+        # re-rendered as a backticked identifier, losing the expression);
+        # anything else keeps the Column-builder path.
+        import re
+
         c = str(vec._jc.toString())  # noqa: SLF001 - name of a plain column ref
-        if not c.replace("_", "").isalnum():
-            # not a bare column reference — keep the Column-builder path
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", c):
             return _lsh_bucket_columns_builder(
                 vec, planes, bucket_length, projections_per_table)
         c = f"`{c}`"
@@ -185,10 +191,13 @@ def lsh_self_join_pairs(model, points: DataFrame, threshold: float,
 
     planes = lsh_planes(model)
     bucket_length = float(model.getBucketLength())
+    # materialize (id, vec) once per call (r15 — the embedding_near_dup_lsh
+    # treatment): the frame feeds the banded source and BOTH verify-join
+    # sides, each of which otherwise re-ran the input lineage
     pts = points.select(
         F.col(id_col).alias("id"),
         F.col(vector_col).cast("array<double>").alias("vec"),
-    )
+    ).localCheckpoint()
     buckets = lsh_bucket_columns("vec", planes, bucket_length,
                                  projections_per_table)
     # materialized once per call (r14) so the self-join's two sides don't

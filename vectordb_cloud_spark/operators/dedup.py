@@ -434,11 +434,17 @@ def embedding_near_dup_lsh(
         lsh_planes,
     )
 
+    # materialize (id, vec, norm) once per call (r15): the frame is
+    # referenced three times — the banded bucket source and BOTH verify-join
+    # sides — and each reference otherwise re-ran the scan + double-cast +
+    # norm (measured 2.2s -> 1.6s at sf0.1). Fresh per call, no cross-run
+    # reuse; at cluster scale this is the "persist the projected vectors
+    # once" serving layout the joins would read anyway.
     pts = _parallelize(vectors).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
         l2_norm(F.col(vec_col)).alias("norm"),
-    )
+    ).localCheckpoint()
     if model is None:
         model, _ = lsh_fit(
             vectors, vector_col=vec_col, bucket_length=bucket_length,
