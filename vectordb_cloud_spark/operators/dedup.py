@@ -288,7 +288,11 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3,
         F.col(id_col).alias("id"),
         F.col("simhash"),
         F.posexplode(F.array(*band_vals)).alias("band", "bval"),
-    )
+    # materialized once per call (r15 — the LSH banded treatment): the
+    # self-join's two sides otherwise each recompute the whole
+    # shingle-hash + 64-bit-vote pipeline; the checkpoint stores three
+    # longs + two ints per (doc, band) and recomputes fresh every call
+    ).localCheckpoint()
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(r, (F.col("l.band") == F.col("r.band")) & (F.col("l.bval") == F.col("r.bval"))
