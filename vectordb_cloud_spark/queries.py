@@ -85,7 +85,25 @@ import atexit  # noqa: E402  (placed with the cleanup hook it registers)
 atexit.register(_cleanup_oracle_artifacts)
 
 
-_T_MEMO: dict[tuple, DataFrame] = {}  # (sf_dir, name) -> read relation
+def _corpus_key(sf_dir: str) -> tuple:
+    """Staleness-aware memo key for a fixture corpus (r15, VERDICT r14 #8):
+    the absolute path plus each parquet file's (name, mtime, size). Every
+    per-corpus cache below keys on this, so regenerating a fixture in place
+    invalidates collected scalars/oracle artifacts instead of silently
+    serving stale values. One os.scandir per call — microseconds."""
+    path = os.path.abspath(sf_dir)
+    try:
+        with os.scandir(path) as it:
+            stamps = tuple(sorted(
+                (e.name, e.stat().st_mtime_ns, e.stat().st_size)
+                for e in it if e.name.endswith(".parquet")
+            ))
+    except OSError:
+        stamps = ()
+    return (path, stamps)
+
+
+_T_MEMO: dict[tuple, DataFrame] = {}  # (corpus key, name) -> read relation
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -95,7 +113,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # job on every call cost ~0.1s × every table touch across the whole
     # registry (a serving tier keeps tables registered; this is that,
     # fixture-scoped). Plans are immutable, so reuse is safe.
-    memo_key = (os.path.abspath(sf_dir), name)
+    memo_key = (_corpus_key(sf_dir), name)
     cached = _T_MEMO.get(memo_key)
     if cached is not None and cached.sparkSession is spark:
         return cached
@@ -141,7 +159,7 @@ def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]
     # fixture-constant query vectors are memoized like the LSH model /
     # BM25 scalars: the probe is input resolution, not query work, and
     # re-collecting it per run cost one job each time
-    memo_key = (os.path.abspath(sf_dir), vec_id)
+    memo_key = (_corpus_key(sf_dir), vec_id)
     if memo_key not in _QVEC_MEMO:
         row = (
             _t(spark, sf_dir, "embeddings")
@@ -738,7 +756,7 @@ def _lsh_planes_path(bucket_length: float, num_tables: int) -> str:
 
 
 def _lsh_model(spark: SparkSession, sf_dir: str, bucket_length: float, num_tables: int):
-    key = (os.path.abspath(sf_dir), bucket_length, num_tables)
+    key = (_corpus_key(sf_dir), bucket_length, num_tables)
     if key not in _LSH_MODEL_CACHE:
         from vectordb_cloud_spark.operators.ann import lsh_fit
 
@@ -1285,7 +1303,7 @@ def _ivf_assigned(spark: SparkSession):
 
 def _ivf_index(spark: SparkSession, sf_dir: str, k_centroids: int = 192):
     global _IVF_INDEX_CURRENT, _IVF_ASSIGNED_DF
-    key = (os.path.abspath(sf_dir), k_centroids)
+    key = (_corpus_key(sf_dir), k_centroids)
     if _IVF_INDEX_CURRENT is not None and _IVF_INDEX_CURRENT[0] == key:
         return _IVF_INDEX_CURRENT[1], _IVF_LAYOUT
     import pyarrow as pa
@@ -1421,7 +1439,7 @@ _PQ_INDEX_CURRENT: tuple | None = None  # ((sf_dir, m, k), codebooks)
 
 def _pq_index(spark: SparkSession, sf_dir: str, m_subvectors: int = _PQ_M, k_codes: int = 256):
     global _PQ_INDEX_CURRENT
-    key = (os.path.abspath(sf_dir), m_subvectors, k_codes)
+    key = (_corpus_key(sf_dir), m_subvectors, k_codes)
     if _PQ_INDEX_CURRENT is not None and _PQ_INDEX_CURRENT[0] == key:
         return _PQ_INDEX_CURRENT[1], _PQ_CODES
     import pyarrow as pa
@@ -1541,7 +1559,7 @@ _SQ_INDEX_CURRENT: tuple | None = None  # (sf_dir, (mins, maxs))
 
 def _sq_index(spark: SparkSession, sf_dir: str):
     global _SQ_INDEX_CURRENT
-    key = os.path.abspath(sf_dir)
+    key = _corpus_key(sf_dir)
     if _SQ_INDEX_CURRENT is not None and _SQ_INDEX_CURRENT[0] == key:
         return _SQ_INDEX_CURRENT[1], _SQ_CODES
     import pyarrow as pa
@@ -1617,7 +1635,7 @@ _BQ_INDEX_CURRENT: tuple | None = None  # (sf_dir, thresholds)
 
 def _bq_index(spark: SparkSession, sf_dir: str):
     global _BQ_INDEX_CURRENT
-    key = os.path.abspath(sf_dir)
+    key = _corpus_key(sf_dir)
     if _BQ_INDEX_CURRENT is not None and _BQ_INDEX_CURRENT[0] == key:
         return _BQ_INDEX_CURRENT[1], _BQ_CODES
     import pyarrow as pa
@@ -1710,7 +1728,7 @@ _SPARSE_INDEX_CURRENT: tuple | None = None  # (sf_dir, (qdims, qvals))
 
 def _sparse_index(spark: SparkSession, sf_dir: str):
     global _SPARSE_INDEX_CURRENT
-    key = os.path.abspath(sf_dir)
+    key = _corpus_key(sf_dir)
     if _SPARSE_INDEX_CURRENT is not None and _SPARSE_INDEX_CURRENT[0] == key:
         return _SPARSE_INDEX_CURRENT[1], _SPARSE_POSTINGS
     import pyarrow as pa
@@ -1790,7 +1808,7 @@ _GRAPH_INDEX_CURRENT: tuple | None = None  # (sf_dir, entry_ids)
 
 def _graph_index(spark: SparkSession, sf_dir: str):
     global _GRAPH_INDEX_CURRENT
-    key = os.path.abspath(sf_dir)
+    key = _corpus_key(sf_dir)
     if _GRAPH_INDEX_CURRENT is not None and _GRAPH_INDEX_CURRENT[0] == key:
         return _GRAPH_INDEX_CURRENT[1], _GRAPH_ADJ
     from vectordb_cloud_spark.operators.graph_ann import (
@@ -1894,7 +1912,7 @@ def _classify_oracle_materialize(spark: SparkSession, sf_dir: str) -> None:
     """Write (doc_id, embedding) mock-embeds for the benched title slice to a
     fixed path the DuckDB oracle reads. Driver-side over 50 rows — O(small)."""
     global _CLASSIFY_ORACLE_CURRENT
-    key = os.path.abspath(sf_dir)
+    key = _corpus_key(sf_dir)
     if _CLASSIFY_ORACLE_CURRENT == key and os.path.exists(_CLASSIFY_ORACLE_PARQUET):
         return
     import pyarrow as pa
@@ -2184,7 +2202,7 @@ def _hybrid_oracle_materialize(spark: SparkSession, sf_dir: str) -> None:
     fixed path the DuckDB oracle reads (same artifact pattern as
     ``classify_titles_mock_embed``). Driver-side over ≤200 rows."""
     global _HYBRID_ORACLE_CURRENT
-    key = os.path.abspath(sf_dir)
+    key = _corpus_key(sf_dir)
     if _HYBRID_ORACLE_CURRENT == key and os.path.exists(_HYBRID_ORACLE_PARQUET):
         return
     import pyarrow as pa
@@ -2324,7 +2342,7 @@ def _bm25_index(spark: SparkSession, sf_dir: str):
     postings repartitioned by term and term-sorted within files, so a
     keyword query's pruned postings scan reads a vocabulary-fraction of the
     bytes; corpus stats collapse to two driver scalars."""
-    key = os.path.abspath(sf_dir)
+    key = _corpus_key(sf_dir)
     if key not in _BM25_INDEX_CACHE:
         import tempfile
 
@@ -2892,10 +2910,7 @@ def _passage_index_built(spark: SparkSession, sf_dir: str):
     the query-vector probe prunes on row-group stats. Returns
     (index read relation, query vector)."""
     global _PASSAGE_ORACLE_CURRENT, _PASSAGE_READS
-    token = (
-        os.path.abspath(sf_dir),
-        os.path.getmtime(os.path.join(sf_dir, "documents.parquet")),
-    )
+    token = _corpus_key(sf_dir)
     if token not in _PASSAGE_INDEX_CACHE:
         import tempfile
 
@@ -3287,7 +3302,7 @@ def _quantized_collection(spark: SparkSession, sf_dir: str):
 
     from vectordb_cloud_spark.collections import CollectionCatalog
 
-    key = os.path.abspath(sf_dir)
+    key = _corpus_key(sf_dir)
     cat = CollectionCatalog(spark, _QUANTCOL_BASE)
     if _QUANTCOL_CURRENT == key:
         return cat
@@ -3591,7 +3606,7 @@ def _text_service(spark: SparkSession, sf_dir: str):
     from vectordb_cloud_spark.api import VectorService
     from vectordb_cloud_spark.functions.embedding import mock_embed
 
-    key = os.path.abspath(sf_dir)
+    key = _corpus_key(sf_dir)
     if (_TXT_SVC_CURRENT is not None and _TXT_SVC_CURRENT[0] == key
             and _TXT_SVC_CURRENT[1].spark is spark):
         return _TXT_SVC_CURRENT[1]
@@ -3820,7 +3835,7 @@ def _ann_collection(spark: SparkSession, sf_dir: str):
 
     from vectordb_cloud_spark.collections import CollectionCatalog
 
-    key = os.path.abspath(sf_dir)
+    key = _corpus_key(sf_dir)
     cat = CollectionCatalog(spark, _ANNCOL_BASE)
     if _ANNCOL_CURRENT == key:
         return cat
@@ -3956,7 +3971,7 @@ def _sparse_collection(spark: SparkSession, sf_dir: str):
 
     from vectordb_cloud_spark.collections import CollectionCatalog
 
-    key = os.path.abspath(sf_dir)
+    key = _corpus_key(sf_dir)
     cat = CollectionCatalog(spark, _SPCOL_BASE)
     if _SPCOL_CURRENT == key:
         return cat
@@ -4601,7 +4616,7 @@ def distance_matrix_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectordb_cloud_spark.sources.readers import random_sample
 
     emb = _t(spark, sf_dir, "embeddings")
-    key = os.path.abspath(sf_dir)
+    key = _corpus_key(sf_dir)
     if _DMX_CURRENT != key or not os.path.exists(_DMX_PARQUET):
         rows = random_sample(
             emb.select("vec_id", "embedding"), _DMX_N, seed=_DMX_SEED,
@@ -4655,7 +4670,7 @@ def _gann_collection(spark: SparkSession, sf_dir: str):
 
     from vectordb_cloud_spark.collections import CollectionCatalog
 
-    key = os.path.abspath(sf_dir)
+    key = _corpus_key(sf_dir)
     cat = CollectionCatalog(spark, _GANN_BASE)
     if _GANN_CURRENT == key:
         return cat
