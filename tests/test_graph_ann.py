@@ -563,3 +563,43 @@ def test_graph_coarse_entry_ids_empty_stratum_returns_none(spark, embeddings):
     hits = graph_beam_search(embeddings, graph, qv, k=5, beam=24,
                              max_hops=4, entry_ids=entries)
     assert hits.count() == 5
+
+
+def test_knn_join_dispatch_budgets_frontier_and_rejects_dup_qids(
+        spark, embeddings, graph, monkeypatch):
+    """r15 dispatch rule: the driver loop only takes workloads whose
+    queries x beam frontier fits the budget AND whose qids are unique —
+    everything else runs the distributed loop (whose per-hop state never
+    lands on the driver)."""
+    import vectordb_cloud_spark.operators.graph_ann as ga
+
+    calls = []
+    real = ga._graph_knn_join_driver
+
+    def spy(*args, **kwargs):
+        calls.append(1)
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(ga, "_graph_knn_join_driver", spy)
+    queries = embeddings.filter(F.col("vec_id").isin([0, 7])).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # within budget: driver path
+    within = ga.graph_knn_join(embeddings, graph, queries, k=3, beam=8,
+                               max_hops=2)
+    assert within.count() == 6 and len(calls) == 1
+    # wide beam blows the frontier budget -> distributed loop, same rows
+    calls.clear()
+    wide = ga.graph_knn_join(embeddings, graph, queries, k=3, beam=8,
+                             max_hops=2, max_driver_frontier=8)
+    assert len(calls) == 0
+    assert {(r["query_id"], r["vec_id"], round(r["dist"], 9))
+            for r in wide.collect()} == {
+        (r["query_id"], r["vec_id"], round(r["dist"], 9))
+        for r in within.collect()}
+    # duplicate qids -> distributed loop (driver dicts would merge them)
+    calls.clear()
+    dup = queries.unionByName(queries.limit(1))
+    out = ga.graph_knn_join(embeddings, graph, dup, k=3, beam=8, max_hops=2)
+    out.collect()
+    assert len(calls) == 0

@@ -886,6 +886,7 @@ def graph_knn_join(
     query_vec_col: str = "embedding",
     entry_ids: list[int] | None = None,
     max_driver_queries: int = 4096,
+    max_driver_frontier: int = 131072,
 ) -> DataFrame:
     """Batch beam search: every query's beam advances together, one
     distributed round per hop — the graph family's ``ivf_knn_join``.
@@ -930,7 +931,19 @@ def graph_knn_join(
     # (and is what ``graph_knn_join_sliced`` feeds slice by slice).
     if max_driver_queries:
         qrows = q.limit(max_driver_queries + 1).collect()
-        if len(qrows) <= max_driver_queries:
+        # r15 (VERDICT r14 #1): the driver path's per-hop collect envelope
+        # is ~queries × beam × degree tuples, so the dispatch budgets the
+        # FRONTIER (queries × beam — degree multiplies inside the bound),
+        # not the query count alone: a wide-beam batch that passes the
+        # count cap can still blow the collect envelope. Duplicate qids
+        # also route distributed — the driver's per-qid dicts would merge
+        # them (last score wins) where the distributed window keeps each
+        # row, so only the unique-qid workload takes the driver loop.
+        if (
+            len(qrows) <= max_driver_queries
+            and len(qrows) * beam <= max_driver_frontier
+            and len({r["qid"] for r in qrows}) == len(qrows)
+        ):
             return _graph_knn_join_driver(
                 base, graph, q, qrows, k=k, beam=beam, max_hops=max_hops,
                 entry_points=entry_points, entry_ids=entry_ids,
