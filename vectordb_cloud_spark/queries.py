@@ -2510,9 +2510,24 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly-once guarantee made testable (SURVEY.md §2.8)."""
     batch = _t(spark, sf_dir, "events")  # sets confs; provides the schema
     raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    # r15 (ADVICE r14): the stream runs in a CHILD session (shared
+    # SparkContext, isolated SQLConf) so sizing its shuffle/state-store
+    # partition count never mutates the caller's session — concurrent
+    # queries on the parent keep their own shuffle sizing, and there is no
+    # conf to restore. Streaming aggregations pin ONE state-store instance
+    # per shuffle partition per micro-batch and AQE never coalesces them —
+    # at 32-64 partitions most instances held a handful of keys and the
+    # run was state-store setup, not aggregation (r14: 2.0s -> 1.4s at 8).
+    # Env-tunable: real deployments size it to key cardinality.
+    ss = spark.newSession()
+    ss.conf.set("spark.sql.session.timeZone", "UTC")
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ss.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    ss.conf.set("spark.sql.shuffle.partitions",
+                os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
     # the file stream source needs a DIRECTORY; glob-filter to the events file
     stream = (
-        spark.readStream.schema(raw_schema)
+        ss.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
@@ -2531,24 +2546,17 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("window_start"), "event_type", "n")
     )
     name = "__stream_hourly_out"
-    # streaming aggregations pin ONE state-store instance per shuffle
-    # partition per micro-batch and AQE never coalesces them — at 32-64
-    # partitions most instances hold a handful of keys and the run is
-    # state-store setup, not aggregation (r14: 2.0s -> 1.4s at 8). The
-    # count is env-tunable for real deployments where key cardinality,
-    # not instance overhead, should size it.
-    n_stream = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8")
-    old_n = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", n_stream)
-    try:
-        q = (
-            agg.writeStream.outputMode("complete").format("memory")
-            .queryName(name).trigger(availableNow=True).start()
-        )
-        q.awaitTermination(300)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_n)
-    return spark.table(name)
+    q = (
+        agg.writeStream.outputMode("complete").format("memory")
+        .queryName(name).trigger(availableNow=True).start()
+    )
+    # fail LOUDLY on timeout (ADVICE r14): returning the memory table after
+    # an unfinished run would silently serve partial counts
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "streaming_hourly_counts did not finish within 300s")
+    return ss.table(name)
 
 
 # multimodal oracle support: the fake decoder is an md5 counter chain
