@@ -184,19 +184,37 @@ def dsir_select(raw_docs: DataFrame, target_docs: DataFrame, n: int,
                 id_col: str = "doc_id", text_col: str = "text",
                 n_buckets: int = DEFAULT_BUCKETS, seed: int = 42,
                 temperature: float = 1.0, alpha: float = 1.0,
-                hash_fn: str = "xxhash64") -> DataFrame:
+                hash_fn: str = "xxhash64",
+                materialize_features: bool | None = None) -> DataFrame:
     """The end-to-end DSIR recipe: fit both hashed-ngram models, score the
-    raw corpus, Gumbel-top-k sample ``n`` target-resembling documents."""
-    # r14 (guide §8: decide on a lightweight proxy, move heavy bytes once):
-    # the raw corpus's (id, bucket) feature rows feed BOTH the raw unigram
-    # model and the per-doc scoring pass — un-materialized, the
-    # tokenize→bigram→hash explode ran twice per action (the model collect
-    # plus the scoring action). One eager checkpoint of the skinny proxy
-    # rows (two longs per token occurrence) halves the heavy map work;
-    # recomputed fresh on every call, so repeated runs stay honest.
+    raw corpus, Gumbel-top-k sample ``n`` target-resembling documents.
+
+    ``materialize_features`` — the raw corpus's (id, bucket) feature rows
+    feed BOTH the raw unigram model and the scoring pass. Materializing
+    them once (localCheckpoint) halves the tokenize→bigram→hash map work
+    (r14: 3.6s → 1.75s on a 5k-doc fixture where plan overhead dominates),
+    but the trade INVERTS with volume: at 500k docs / 40M tokens the
+    checkpoint write of ~160 feature rows per doc costs 2.5× the map pass
+    it saves (r15 core-scaling diagnosis), and at real corpus scale it
+    would pin corpus-sized state in executor storage. Default (None):
+    materialize only when the corpus is small enough that the checkpoint
+    is plan-overhead arbitrage (``SPARK_GRAFT_DSIR_MATERIALIZE_MAX`` docs,
+    default 100k); large corpora recompute the embarrassingly-parallel map
+    once per consumer instead. Results are identical either way."""
+    if materialize_features is None:
+        import os
+
+        cap = int(os.environ.get("SPARK_GRAFT_DSIR_MATERIALIZE_MAX",
+                                 "100000"))
+        # cheap for plain parquet-backed frames (metadata count); the
+        # +1-job cost only matters in the regime where we are about to
+        # save several jobs' worth of recompute anyway
+        materialize_features = raw_docs.count() <= cap
     raw_feats = hashed_ngram_features(
         raw_docs, id_col, text_col, n_buckets, hash_fn
-    ).localCheckpoint()
+    )
+    if materialize_features:
+        raw_feats = raw_feats.localCheckpoint()
     ratios = dsir_log_ratios(
         hashed_ngram_features(target_docs, id_col, text_col, n_buckets,
                               hash_fn),
