@@ -197,19 +197,25 @@ def dsir_select(raw_docs: DataFrame, target_docs: DataFrame, n: int,
     checkpoint write of ~160 feature rows per doc costs 2.5× the map pass
     it saves (r15 core-scaling diagnosis), and at real corpus scale it
     would pin corpus-sized state in executor storage. Default (None):
-    materialize only when the corpus is small enough that the checkpoint
-    is plan-overhead arbitrage (``SPARK_GRAFT_DSIR_MATERIALIZE_MAX`` docs,
-    default 100k); large corpora recompute the embarrassingly-parallel map
-    once per consumer instead. Results are identical either way."""
+    materialize only when the corpus's optimizer size estimate is under
+    ``SPARK_GRAFT_DSIR_MATERIALIZE_MAX_BYTES`` (default 64 MB — the
+    checkpoint is plan-overhead arbitrage there); larger corpora recompute
+    the embarrassingly-parallel map once per consumer instead. The
+    estimate comes from plan statistics (parquet footers) — no job is
+    fired to decide. Results are identical either way."""
     if materialize_features is None:
         import os
 
-        cap = int(os.environ.get("SPARK_GRAFT_DSIR_MATERIALIZE_MAX",
-                                 "100000"))
-        # cheap for plain parquet-backed frames (metadata count); the
-        # +1-job cost only matters in the regime where we are about to
-        # save several jobs' worth of recompute anyway
-        materialize_features = raw_docs.count() <= cap
+        cap = int(os.environ.get("SPARK_GRAFT_DSIR_MATERIALIZE_MAX_BYTES",
+                                 str(64 * 1024 * 1024)))
+        try:
+            est = int(str(
+                raw_docs._jdf.queryExecution().optimizedPlan().stats()
+                .sizeInBytes()
+            ))  # noqa: SLF001 - read-only plan statistics, no job
+            materialize_features = est <= cap
+        except Exception:  # pragma: no cover - stats API drift
+            materialize_features = True
     raw_feats = hashed_ngram_features(
         raw_docs, id_col, text_col, n_buckets, hash_fn
     )
